@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference LLM-data-pipeline operators (BASELINE.json north
+star). All hot paths are built-in Column expressions (JVM-side,
+codegen); only SimHash uses an Arrow-batched pandas UDF (64-bit
+popcount math is awkward as SQL expressions).
+
+Scale design (100 TB corpus):
+- exact_dedup groups on a fixed-width sha2 digest, not the full text:
+  the shuffle moves 32-byte keys instead of multi-KB documents, and
+  map-side partial aggregation collapses local duplicates before the
+  exchange.
+- minhash_lsh never materializes the O(n²) pair space: candidates
+  come from an equi-join on (band_id, band_hash) buckets, so the
+  shuffle is linear in corpus size; the quadratic blowup is confined
+  to within-bucket pairs (tunable via bands/rows-per-band).
+- all self-join pair generation dedups with id < id ordering to halve
+  the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_text(col, lowercase: bool = True):
+    """Collapse whitespace (+ optional lowercase) before hashing."""
+    c = F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.lower(c) if lowercase else c
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
+) -> DataFrame:
+    """Exact duplicate groups via hash-groupBy.
+
+    Returns one row per distinct text: canonical (min) id + dup count.
+    Grouping key is sha2-256 of the text — fixed-width shuffle keys;
+    collision probability is negligible (2^-128 birthday bound).
+    """
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.sha2(key, 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only the canonical (min-id) row of each duplicate group."""
+    w_key = F.sha2(F.col(text_col), 256)
+    keep = (
+        df.select(w_key.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(F.broadcast(keep) if keep.isStreaming is False else keep, id_col, "left_semi")
+
+
+# --- MinHash + LSH ---------------------------------------------------
+
+
+def _tokens(text_col, pattern: str = r"\s+"):
+    return F.split(normalize_text(F.col(text_col)), pattern)
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (distinct).
+
+    transform over an index sequence + slice keeps everything inside
+    codegen — no explode until LSH banding.
+    """
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32):
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i). Returns array<bigint> of length num_hashes."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    shingle → minhash(num_hashes) → split into ``bands`` bands of
+    num_hashes/bands rows → hash each band → equi-join on
+    (band_id, band_hash). Output: (id_a, id_b) with id_a < id_b,
+    distinct.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_size), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification
+    stage after LSH)."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_size).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dup pairs above a Jaccard threshold: LSH candidates →
+    exact verification. Linear shuffle; quadratic work only within
+    LSH buckets."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_size)
+    verified = jaccard_pairs(df, cands, text_col, id_col, shingle_size)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- n-gram Jaccard (exact, bucket-free — small/medium corpora) ------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via inverted index on shingles.
+
+    explode(shingles) → self-join on shingle → count shared →
+    |A∩B| / (|A|+|B|-|A∩B|). Shuffle is linear in total shingle
+    count; pair space limited to pairs sharing ≥1 shingle. For 100 TB
+    use minhash_dedup instead — this is the exact oracle-friendly
+    variant.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_size).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints via an Arrow-batched pandas UDF.
+
+    Bit-vote accumulation over token hashes is genuinely awkward as
+    SQL expressions (64 nested aggregates per row); numpy does it as
+    one matmul per batch. Token hashing uses Python's stable md5 so
+    results are deterministic across JVM/Python boundaries.
+    """
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            votes = np.zeros(bits, dtype=np.int64)
+            for tok in t.lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(bits):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            fp = 0
+            for b in range(bits):
+                if votes[b] > 0:
+                    fp |= 1 << b
+            # wrap to signed 64-bit
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), F.col(text_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Banding on 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one
+    of 4 chunks equal) keeps the join linear, like MinHash-LSH.
+    """
+    chunks = sim_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

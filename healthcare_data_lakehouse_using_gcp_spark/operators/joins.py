@@ -1,0 +1,123 @@
+"""Band (interval) joins and as-of nearest-match selection.
+
+The reference's only join shape (SURVEY.md §2.3): LEFT equi-join on a
+key plus a ±N-day date-band predicate
+(dbt/models/marts/fact_patient_encounters.sql:111-115, 138-141),
+followed by ROW_NUMBER-over-proximity rank-1 selection — an as-of /
+nearest-neighbor-in-time join emulated with a window (:107-110,
+134-137, 173-186).
+
+Scale design:
+- The equality key makes this a hash/sort-merge equi-join in
+  Catalyst; the band predicate evaluates as a cheap post-join filter.
+  Shuffle is on the equi-key only — the plan survives 100× scale-up
+  as long as the key (patient_id) isn't pathologically skewed; AQE
+  skew-join handles residual skew.
+- The as-of reduction uses the SAME partitioning (key + left ts) as
+  the join output, so the window adds no extra exchange beyond the
+  join's own shuffle.
+- ``min_by``-based variant avoids the full sort of row_number when
+  only rank-1 values are needed (one hash-agg instead of
+  sort+filter); exposed as `asof_select_min_by`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_date: str,
+    right_date: str,
+    band_days: int = 7,
+    how: str = "left",
+) -> DataFrame:
+    """J1/J2: equi-key join + |date_diff| <= band_days predicate.
+
+    fact_patient_encounters.sql:111-115:
+      ON v.patient_id = c.patient_id
+      AND ABS(DATE_DIFF(DATE(v.ts), c.service_date, DAY)) <= 7
+    """
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    band = (
+        F.abs(F.datediff(F.to_date(left[left_date]), F.to_date(right[right_date])))
+        <= band_days
+    )
+    joined = left.join(right, cond & band, how)
+    # drop the duplicated right-side key columns
+    for k in on:
+        joined = joined.drop(right[k])
+    return joined
+
+
+def proximity_rank(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    left_date: str,
+    right_date: str,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """W1: ROW_NUMBER() OVER (PARTITION BY key, left_ts ORDER BY
+    ABS(DATE_DIFF(left_date, right_date))) as ``proximity_rank``
+    (fact_patient_encounters.sql:107-110).
+
+    NULL right dates (left-join misses) sort last, matching BigQuery's
+    default NULLS LAST for ASC ordering.
+    """
+    dist = F.abs(F.datediff(F.to_date(F.col(left_date)), F.to_date(F.col(right_date))))
+    order: list[Column] = [dist.asc_nulls_last()]
+    order += [F.col(c) for c in tie_breakers]
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return df.withColumn("proximity_rank", F.row_number().over(w))
+
+
+def asof_select(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    left_date: str,
+    right_date: str,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """J3: keep only the nearest-in-time right row per left row."""
+    ranked = proximity_rank(df, partition_cols, left_date, right_date, tie_breakers)
+    return ranked.filter(F.col("proximity_rank") == 1).drop("proximity_rank")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_date: str,
+    right_date: str,
+    band_days: int = 7,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """Band join + rank-1 selection in one call: for each left row,
+    the single closest right row within the band (or NULLs)."""
+    joined = band_join(left, right, on, left_date, right_date, band_days, "left")
+    return asof_select(joined, [*on, left_date], left_date, right_date, tie_breakers)
+
+
+def asof_select_min_by(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    left_date: str,
+    right_date: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Aggregation-based as-of: ``min_by(value, |datediff|)`` per
+    group. Equivalent to rank-1 selection when ties are impossible or
+    irrelevant; cheaper at scale (hash-agg with partial aggregation
+    instead of a full window sort)."""
+    dist = F.abs(F.datediff(F.to_date(F.col(left_date)), F.to_date(F.col(right_date))))
+    aggs = [F.min_by(F.col(c), dist).alias(c) for c in value_cols]
+    return df.groupBy(*partition_cols).agg(*aggs)

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference LLM-data-pipeline operators (BASELINE.json north
+star): brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+
+Scale design:
+- Query side is broadcast (queries ≪ corpus); the corpus never
+  shuffles for brute force — each partition scores its local vectors
+  and a single top-k reduction (window on query_id) finishes it.
+- Dot products use built-in higher-order functions (zip_with +
+  aggregate) → JVM-side, no Python in the hot loop.
+- The LSH variant buckets both sides on sign-bit signatures so only
+  same-bucket pairs are scored: shuffle linear in corpus size.
+- embedding-cosine near-dup dedup reuses the same machinery
+  corpus-vs-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity between two array<float|double> columns.
+
+    Operands are cast to double element-wise (float32 accumulation
+    would drift from any float64 oracle).
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × scan corpus.
+
+    Returns (query_id, vec_id, cosine, rank). Ties break on vec_id
+    for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]]):
+    """Sign-bit signature: bit i = 1 if vec · plane_i > 0. Returns a
+    bigint bucket id (num_planes ≤ 63)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(F.transform(vec_col, lambda x: x.cast("double")), lit_plane) > 0).cast(
+            "long"
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing an LSH bucket
+    with the query in at least one of ``num_tables`` hash tables.
+
+    Recall/cost dial: more tables → higher recall, more candidates.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        dim = first[0]
+    tables = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+
+    def with_buckets(df: DataFrame, keep_cols: list[str]) -> DataFrame:
+        return df.select(
+            *keep_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_id"),
+                            lsh_signature_col(F.col(vec_col), tables[t]).alias("bucket"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(*keep_cols, "tb.table_id", "tb.bucket")
+
+    cb = with_buckets(corpus, [id_col, vec_col])
+    qb = with_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumnRenamed(
+            "__qvec", vec_col
+        ),
+        [query_id_col, vec_col],
+    ).withColumnRenamed(vec_col, "__qvec")
+    cands = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (corpus vs itself) via
+    shared LSH buckets; exact cosine verification above threshold."""
+    first = df.select(F.size(vec_col)).first()
+    dim = first[0]
+    tables = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    b = df.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_signature_col(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

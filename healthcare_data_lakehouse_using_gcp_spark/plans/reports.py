@@ -1,0 +1,156 @@
+"""Report / monitoring queries (A5/A7/A8/A9, O1) — the six SQL
+queries embedded in the reference's Airflow DAG
+(airflow/dags/healthcare_data_pipeline_dag.py:163-319), as DataFrame
+builders + driver-side threshold checks.
+
+Each builder takes the table it reports over plus the EngineConfig
+(for the frozen "now"); the check_* helpers reproduce the DAG's
+raise/warn behavior (:178-179, :199-200, :307-309, :326-328).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.scalars import now_col, today_col
+
+
+def freshness_report(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """healthcare_data_pipeline_dag.py:163-172: records processed in
+    the last hour + latest processing time."""
+    recent = vitals.filter(
+        F.col("processed_at") >= now_col(cfg) - F.expr("INTERVAL 1 HOUR")
+    )
+    return recent.agg(
+        F.count(F.lit(1)).alias("recent_records"),
+        F.max("processed_at").alias("latest_processing_time"),
+    )
+
+
+def quality_report(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """:182-191: total / low-quality counts + avg score, last hour."""
+    recent = vitals.filter(
+        F.col("processed_at") >= now_col(cfg) - F.expr("INTERVAL 1 HOUR")
+    )
+    return recent.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(F.when(F.col("data_quality_score") < 0.7, 1)).alias("low_quality_records"),
+        F.avg("data_quality_score").alias("avg_quality_score"),
+    )
+
+
+def patient_monitoring_report(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """:215-228: daily rollup of alerts over the last 24 h."""
+    recent = fact.filter(
+        F.col("measurement_timestamp") >= now_col(cfg) - F.expr("INTERVAL 24 HOURS")
+    )
+    return (
+        recent.groupBy(F.to_date("measurement_timestamp").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_measurements"),
+            F.count(F.when(F.col("elevated_heart_rate_alert"), 1)).alias(
+                "elevated_heart_rate_count"
+            ),
+            F.count(F.when(F.col("low_oxygen_alert"), 1)).alias("low_oxygen_count"),
+            F.count(F.when(F.col("fever_alert"), 1)).alias("fever_count"),
+            F.avg("heart_rate").alias("avg_heart_rate"),
+            F.avg("temperature").alias("avg_temperature"),
+        )
+        .orderBy(F.desc("date"))
+    )
+
+
+def claims_processing_report(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """:243-257: daily claims rollup over the last 7 days.
+
+    Runs over the fact table's primary_* claim columns (the DAG
+    queries service_date/total_amount/claim_status on the fact table,
+    which after the rank-1 projection are the primary_* columns)."""
+    recent = fact.filter(
+        F.col("primary_service_date") >= F.date_sub(today_col(cfg), 7)
+    )
+    return (
+        recent.groupBy(F.col("primary_service_date").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_claims"),
+            F.sum("primary_claim_amount").alias("total_value"),
+            F.count(F.when(F.col("primary_claim_status") == "Paid", 1)).alias("paid_claims"),
+            F.count(F.when(F.col("primary_claim_status") == "Denied", 1)).alias(
+                "denied_claims"
+            ),
+            F.avg("primary_processing_days").alias("avg_processing_days"),
+        )
+        .orderBy(F.desc("date"))
+    )
+
+
+def pipeline_health_report(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """:283-293: hourly encounter totals / risk mix / complexity."""
+    recent = fact.filter(
+        F.col("measurement_timestamp") >= now_col(cfg) - F.expr("INTERVAL 1 HOUR")
+    )
+    return recent.agg(
+        F.count(F.lit(1)).alias("total_encounters"),
+        F.count(F.when(F.col("risk_level") == "high_risk", 1)).alias("high_risk_encounters"),
+        F.count(F.when(F.col("encounter_type") == "comprehensive", 1)).alias(
+            "comprehensive_encounters"
+        ),
+        F.avg("encounter_complexity_score").alias("avg_complexity"),
+    )
+
+
+def staleness_report(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """:312-319: MAX(ts) + minutes since last update."""
+    return fact.agg(
+        F.max("measurement_timestamp").alias("latest_timestamp"),
+        (
+            (
+                F.unix_timestamp(now_col(cfg))
+                - F.unix_timestamp(F.max("measurement_timestamp"))
+            )
+            / 60
+        )
+        .cast("long")
+        .alias("minutes_since_last_update"),
+    )
+
+
+# --- driver-side assertions (the DAG's raise/warn logic) -------------
+
+
+class PipelineHealthError(ValueError):
+    pass
+
+
+def check_freshness(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    row = freshness_report(vitals, cfg).first().asDict()
+    if row["recent_records"] == 0:
+        raise PipelineHealthError("No recent data found - pipeline may be failing")
+    return row
+
+
+def check_quality(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    row = quality_report(vitals, cfg).first().asDict()
+    row["below_threshold"] = (
+        row["avg_quality_score"] is not None
+        and row["avg_quality_score"] < cfg.thresholds.min_avg_quality_score
+    )
+    return row
+
+
+def check_pipeline_health(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    row = pipeline_health_report(fact, cfg).first().asDict()
+    if row["total_encounters"] == 0:
+        raise PipelineHealthError("Pipeline health check failed - no data processed")
+    return row
+
+
+def check_staleness(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    row = staleness_report(fact, cfg).first().asDict()
+    row["stale"] = (
+        row["minutes_since_last_update"] is not None
+        and row["minutes_since_last_update"] > cfg.thresholds.max_staleness_minutes
+    )
+    return row

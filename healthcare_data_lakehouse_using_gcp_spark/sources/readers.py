@@ -1,0 +1,93 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+The reference's I/O surface → Spark:
+  Pub/Sub topic read (S1)  → readStream file/kafka source of JSON lines
+  BigQuery append sink (S3)→ parquet append (saveAsTable-compatible);
+                             format pluggable ("bigquery" on GCP)
+  Text error sink (S4)     → df.write.json under errors/
+  Zoned lakehouse (§1.1)   → warehouse root with raw/processed/curated
+
+Scale notes: writes partition by event date (the partitioning the
+reference documents but never implements — SURVEY.md §4) so the
+lookback scans (S5) partition-prune; `maxFilesPerTrigger` bounds
+micro-batch size for the streaming source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables (TESTDATA.md)."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """S1: unbounded read of JSON messages (file-drop source stands in
+    for Pub/Sub locally; swap format for kafka/pubsublite on GCP).
+    Returns a one-string-column ('value') DataFrame, the same shape
+    the ETL parse stage expects from kafka."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+
+
+def read_json_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded variant of S1 (the --streaming flag off,
+    healthcare_etl_pipeline.py:248-249): same 'value' column shape."""
+    return spark.read.text(path)
+
+
+def write_zone_table(
+    df: DataFrame,
+    warehouse: str,
+    zone: str,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """S3: append write into a lakehouse zone (raw/processed/curated
+    — terraform/main.tf:118-245's bucket/dataset split as parquet
+    dirs). Declared-schema append matches WRITE_APPEND /
+    CREATE_IF_NEEDED (healthcare_etl_pipeline.py:306-307)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(os.path.join(warehouse, zone, table))
+
+
+def write_error_sink(df: DataFrame, warehouse: str) -> None:
+    """S4: unknown-type records as JSON files under errors/
+    (healthcare_etl_pipeline.py:342-348)."""
+    df.write.mode("append").json(os.path.join(warehouse, "errors"))
+
+
+def read_zone_table(spark: SparkSession, warehouse: str, zone: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(warehouse, zone, table))
+
+
+def with_event_date(df: DataFrame, ts_col: str, out_col: str = "event_date") -> DataFrame:
+    """Partition column for date-partitioned zone writes."""
+    return df.withColumn(out_col, F.to_date(F.col(ts_col)))

@@ -1,0 +1,119 @@
+"""Structured Streaming pipeline (SURVEY.md §2.8, T1-T5).
+
+The reference's streaming mode (healthcare_etl_pipeline.py:255-269):
+Pub/Sub read → 60 s fixed windows with a 30 s processing-time
+trigger, ACCUMULATING — but its actual dataflow is stateless
+per-record transforms (parse/filter/enrich/route), so windows never
+feed an aggregation. We mirror that: the SAME `build_etl` transform
+runs over `readStream` (T4 batch/stream parity by construction), a
+processing-time trigger (T2), and a foreachBatch multi-sink fan-out
+(T5: 3 entity tables + error sink,
+healthcare_etl_pipeline.py:290-348).
+
+Beyond-reference (flagged per SURVEY.md §2.8): event-time windowed
+aggregation WITH watermark — Structured Streaming's answer to the
+reference's accumulate-forever FixedWindows(60) (T1/T3), exposed as
+`windowed_counts` with outputMode("update") as the closest analogue
+of ACCUMULATING re-fires.
+
+Scale notes: stateless ETL streams scale linearly with input
+partitions (no state store); the windowed agg keys state by
+(window, data_type) with a bounded watermark so state size is
+O(active windows), not O(stream length).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.etl import build_etl
+from ..sources.readers import read_json_stream
+
+
+def start_etl_stream(
+    spark: SparkSession,
+    input_path: str,
+    warehouse: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    trigger_seconds: int = 30,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """T4+T5: streaming ETL with per-micro-batch multi-sink fan-out.
+
+    foreachBatch applies the same batch transform and writes the 4
+    routes — the Spark analogue of Beam's TaggedOutput multi-sink
+    (healthcare_etl_pipeline.py:290-348). The 30 s processing-time
+    trigger mirrors AfterProcessingTime(30) (:261).
+    """
+    raw = read_json_stream(spark, input_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            routed = build_etl(batch_df, cfg)
+            for name in ("vitals", "claims", "ehr"):
+                routed[name].write.mode("append").parquet(
+                    os.path.join(warehouse, "processed", name)
+                )
+            routed["unknown"].drop("_corrupt_record").write.mode("append").json(
+                os.path.join(warehouse, "errors")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(_sink)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(warehouse, "_checkpoints", "etl"),
+        )
+        .start()
+    )
+
+
+def windowed_counts(
+    parsed: DataFrame,
+    ts_col: str = "ingest_timestamp",
+    window_seconds: int = 60,
+    watermark_seconds: int = 120,
+) -> DataFrame:
+    """T1 (+ beyond-reference watermark): event-time tumbling windows
+    over the stream, counting records per (window, data_type).
+
+    Works on batch DataFrames too (watermark is a no-op in batch) —
+    used by tests for batch/stream parity.
+    """
+    ts = F.to_timestamp(F.col(ts_col))
+    df = parsed.withColumn("__event_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("__event_ts", f"{watermark_seconds} seconds")
+    return (
+        df.groupBy(
+            F.window("__event_ts", f"{window_seconds} seconds").alias("window"),
+            F.col("data_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "data_type",
+            "record_count",
+        )
+    )
+
+
+def run_batch_equivalent(
+    spark: SparkSession, input_path: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> dict[str, DataFrame]:
+    """The --streaming flag off (healthcare_etl_pipeline.py:248-249):
+    identical transform over a bounded read. Used to assert
+    batch/stream parity (T4)."""
+    from ..sources.readers import read_json_batch
+
+    return build_etl(read_json_batch(spark, input_path), cfg)
