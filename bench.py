@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the operators that dominate 100 TB cost — the wide
+aggregation (A2), the band join + as-of reduction (J1/J3), the
+window (W1), the daily rollup (A8), tumbling windows (T1), plus the
+LLM-pipeline heavies (exact dedup, minhash-LSH, brute-force ANN).
+Each query runs a count() action (full execution, no driver collect
+of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from healthcare_data_lakehouse_using_gcp_spark import corpus
+from healthcare_data_lakehouse_using_gcp_spark.session import get_spark
+
+HEADLINE = [
+    "a2_wide_agg",
+    "j1_band_join",
+    "j3_asof_nearest",
+    "w1_row_number",
+    "a8_daily_rollup",
+    "t1_tumbling_window",
+    "f7_arithmetic",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = corpus.queries()
+
+    # warm the JVM + file metadata cache outside timing
+    corpus.a1_global_count(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1097 @@
+"""Driver correctness corpus: one (PySpark builder, DuckDB oracle
+SQL) pair per operator from SURVEY.md §2 plus the LLM-data-pipeline
+operators, expressed over the driver's TPC-H-ish tables
+(/root/testdata, TESTDATA.md; mapping rationale FIXTURES.md §6 —
+e.g. the orders↔lineitem date-band join stands in for the
+vitals↔claims ±7-day proximity join).
+
+Cross-engine parity rules (the driver hash-compares values + schema):
+- every computed column aliased identically on both sides;
+- double aggregates rounded (4 dp) on both sides — IEEE summation
+  order differs between engines;
+- integer-ish derived columns cast to BIGINT on the Spark side
+  (DuckDB len/hour/date_diff/row_number yield BIGINT); DuckDB SUMs
+  of integers cast from HUGEINT to BIGINT in the SQL;
+- rankings order by the ROUNDED value + unique tie-breaker so both
+  engines rank identically;
+- no current_timestamp/now in any checked output (frozen literals).
+
+Operator-ID map (SURVEY.md §2 → corpus key) in OPERATOR_MAP below.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# =====================================================================
+# §2.1 Sources / scans
+# =====================================================================
+
+
+@query(
+    "s2_json_parse",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def s2_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON field extraction (the parse stage of
+    healthcare_etl_pipeline.py:49-75 over the events.props payload)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", "event_type", k.alias("k_value")).filter(
+        F.col("k_value") > 50
+    )
+
+
+@query(
+    "s5_scan_pruned",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def s5_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: time-window predicate scan (the lookback CTE scans,
+    fact_patient_encounters.sql:31-32). Filter + projection both push
+    to the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+
+
+# =====================================================================
+# §2.2 Projections / filters
+# =====================================================================
+
+
+@query(
+    "p1_required_flags",
+    """
+    SELECT o_orderkey,
+           (o_custkey IS NULL) AS missing_custkey,
+           (o_orderdate IS NULL) AS missing_orderdate,
+           (o_custkey IS NOT NULL AND o_orderdate IS NOT NULL) AS is_valid
+    FROM orders
+    """,
+)
+def p1_required_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: required-field validation flags
+    (healthcare_etl_pipeline.py:77-82)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").isNull().alias("missing_custkey"),
+        F.col("o_orderdate").isNull().alias("missing_orderdate"),
+        (F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()).alias("is_valid"),
+    )
+
+
+@query(
+    "p2_range_anomaly",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity NOT BETWEEN 5 AND 45) AS quantity_anomaly,
+           (l_discount NOT BETWEEN 0.0 AND 0.08) AS discount_anomaly
+    FROM lineitem
+    """,
+)
+def p2_range_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: range-anomaly flagging (healthcare_etl_pipeline.py:84-89)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (~F.col("l_quantity").between(5, 45)).alias("quantity_anomaly"),
+        (~F.col("l_discount").between(0.0, 0.08)).alias("discount_anomaly"),
+    )
+
+
+@query(
+    "p3_quality_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 45 AND l_discount BETWEEN 0.0 AND 0.08
+    """,
+)
+def p3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: drop anomalous rows (DataQualityFilter,
+    healthcare_etl_pipeline.py:109-121)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount").filter(
+        F.col("l_quantity").between(5, 45) & F.col("l_discount").between(0.0, 0.08)
+    )
+
+
+@query(
+    "p5_validate_null",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice BETWEEN 1000 AND 50000
+                THEN l_extendedprice END AS valid_price
+    FROM lineitem
+    """,
+)
+def p5_validate_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: validate-to-NULL projection (stg_patient_vitals.sql:24-58)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_extendedprice").between(1000, 50000), F.col("l_extendedprice")).alias(
+            "valid_price"
+        ),
+    )
+
+
+@query(
+    "p6_bool_flags",
+    """
+    SELECT o_orderkey,
+           (o_totalprice > 150000) AS high_value_flag,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS urgent_flag,
+           (o_orderstatus = 'O') AS open_flag
+    FROM orders
+    """,
+)
+def p6_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: boolean business-flag derivation
+    (stg_patient_vitals.sql:70-104, stg_insurance_claims.sql:48-89)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") > 150000).alias("high_value_flag"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent_flag"),
+        (F.col("o_orderstatus") == "O").alias("open_flag"),
+    )
+
+
+@query(
+    "p7_demux",
+    """
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def p7_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: discriminator-column demux branch (DataPartitioner,
+    healthcare_etl_pipeline.py:210-223)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+# =====================================================================
+# §2.3 Joins
+# =====================================================================
+
+_J1_SQL = """
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_shipdate, l.l_quantity
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) <= 30
+"""
+
+
+@query("j1_band_join", _J1_SQL)
+def j1_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi + ±30-day band LEFT join — the vitals↔claims shape
+    (fact_patient_encounters.sql:111-115). Equi key drives the
+    shuffle; the band predicate is a post-join filter."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    band = (
+        F.abs(F.datediff(F.to_date(F.col("l.l_shipdate")), F.to_date(F.col("o.o_orderdate"))))
+        <= 30
+    )
+    return o.join(li, (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & band, "left").select(
+        "o.o_orderkey", "o.o_orderdate", "l.l_linenumber", "l.l_shipdate", "l.l_quantity"
+    )
+
+
+@query(
+    "j2_band_join_3way",
+    """
+    SELECT o.o_orderkey, l.l_linenumber, p.p_brand, l.l_quantity, o.o_orderdate, l.l_shipdate
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) <= 30
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j2_band_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: second join stage on the band-join output — the
+    (vitals⋈claims)↔ehr shape (fact_patient_encounters.sql:138-141).
+    The small `part` side is broadcast."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    p = _t(spark, sf_dir, "part").alias("p")
+    band = (
+        F.abs(F.datediff(F.to_date(F.col("l.l_shipdate")), F.to_date(F.col("o.o_orderdate"))))
+        <= 30
+    )
+    return (
+        o.join(li, (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & band)
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .select(
+            "o.o_orderkey", "l.l_linenumber", "p.p_brand", "l.l_quantity",
+            "o.o_orderdate", "l.l_shipdate",
+        )
+    )
+
+
+@query(
+    "j3_asof_nearest",
+    """
+    SELECT o_orderkey, o_orderdate, nearest_shipdate, nearest_linenumber, days_diff
+    FROM (
+      SELECT o.o_orderkey, o.o_orderdate,
+             l.l_shipdate AS nearest_shipdate,
+             CAST(l.l_linenumber AS BIGINT) AS nearest_linenumber,
+             CAST(ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) AS BIGINT)
+               AS days_diff,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)),
+                        l.l_linenumber
+             ) AS rn
+      FROM orders o
+      JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey
+       AND ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) <= 30
+    ) WHERE rn = 1
+    """,
+)
+def j3_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W1: as-of nearest-match selection — band join then
+    ROW_NUMBER over |datediff| rank-1 (fact_patient_encounters.sql:
+    107-110,173-186), with deterministic linenumber tie-break."""
+    j = j1_band_join(spark, sf_dir).filter(F.col("l_linenumber").isNotNull())
+    dist = F.abs(F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")))
+    w = Window.partitionBy("o_orderkey").orderBy(dist.asc(), F.col("l_linenumber").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("l_shipdate").alias("nearest_shipdate"),
+            F.col("l_linenumber").cast("bigint").alias("nearest_linenumber"),
+            dist.cast("bigint").alias("days_diff"),
+        )
+    )
+
+
+# =====================================================================
+# §2.4 Aggregations
+# =====================================================================
+
+
+@query("a1_global_count", "SELECT COUNT(*) AS row_count FROM lineitem")
+def a1_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global count (Count.Globally,
+    healthcare_etl_pipeline.py:351-355)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@query(
+    "a2_wide_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           COUNT(DISTINCT l_orderkey) AS unique_orders,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a2_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4: grouped wide aggregation (the fact table's GROUP BY,
+    fact_patient_encounters.sql:188-205; shape of TPC-H Q1). This is
+    the flagship `entry()` query."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("unique_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+@query(
+    "a3_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           CAST(COUNT(*) AS BIGINT) AS total_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT(DISTINCT x) (fact_patient_encounters.sql:189-190)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count(F.lit(1)).alias("total_orders"),
+        )
+    )
+
+
+@query(
+    "a5_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS total_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS finished_orders,
+           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT)
+             AS high_value_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: SUM(CASE WHEN...) / COUNT(CASE WHEN...)
+    (fact_patient_encounters.sql:193-196;
+    healthcare_data_pipeline_dag.py:185-186)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("finished_orders"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("high_value_orders"),
+    )
+
+
+@query(
+    "a6_weighted_score",
+    """
+    SELECT o_custkey,
+           COALESCE(COUNT(*), 0) * 0.3
+             + COALESCE(COUNT(DISTINCT o_orderpriority), 0) * 0.2 AS complexity_score,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_value
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a6_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: weighted composite score with COALESCE terms
+    (encounter_complexity_score, fact_patient_encounters.sql:198-205).
+
+    The weighted part uses only exact integer counts (identical
+    doubles both engines, no rounding needed); the monetary sum is
+    rounded to 2 dp — its true value has exactly 2 decimals, so the
+    3rd decimal is never a rounding boundary and engine summation
+    noise (≪5e-3) cannot flip it."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        (
+            F.coalesce(F.count(F.lit(1)), F.lit(0)) * 0.3
+            + F.coalesce(F.countDistinct("o_orderpriority"), F.lit(0)) * 0.2
+        ).alias("complexity_score"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_value"),
+    )
+
+
+@query(
+    "a7_max_freshness",
+    """
+    SELECT MAX(ts::TIMESTAMP) AS latest_ts,
+           CAST(FLOOR(date_diff('second', MAX(ts::TIMESTAMP),
+                                TIMESTAMP '2024-02-01 00:00:00') / 60.0)
+                AS BIGINT) AS minutes_since_latest
+    FROM events
+    """,
+)
+def a7_max_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MAX(ts) + freshness diff vs a frozen "now"
+    (healthcare_data_pipeline_dag.py:163-169,312-317)."""
+    ev = _t(spark, sf_dir, "events")
+    ref = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    return ev.agg(
+        F.max("ts").alias("latest_ts"),
+        F.floor((F.unix_timestamp(ref) - F.unix_timestamp(F.max("ts"))) / 60.0)
+        .cast("bigint")
+        .alias("minutes_since_latest"),
+    )
+
+
+@query(
+    "a8_daily_rollup",
+    """
+    SELECT ts::DATE AS date,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_count,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY ts::DATE
+    ORDER BY date DESC
+    """,
+)
+def a8_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/O1: daily rollup GROUP BY DATE(ts) ORDER BY date DESC
+    (healthcare_data_pipeline_dag.py:215-228)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy(F.desc("date"))
+    )
+
+
+@query(
+    "a9_avg_quality_gate",
+    """
+    SELECT event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           (AVG(value) < 50.0) AS below_threshold
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_avg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: AVG compared to a threshold
+    (healthcare_data_pipeline_dag.py:182-200)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        (F.avg("value") < 50.0).alias("below_threshold"),
+    )
+
+
+# =====================================================================
+# §2.5 Window / §2.6 sort-limit
+# =====================================================================
+
+
+@query(
+    "w1_row_number",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, order_rank FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS BIGINT) AS order_rank
+      FROM orders
+    ) WHERE order_rank <= 3
+    """,
+)
+def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ROW_NUMBER window (fact_patient_encounters.sql:107-110) —
+    top-3 most recent orders per customer, unique tie-breaker."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).cast("bigint").alias("order_rank"),
+        )
+        .filter(F.col("order_rank") <= 3)
+    )
+
+
+@query(
+    "o3_top_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o3_top_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3: ORDER BY DESC + LIMIT (DAG rollups :227; page_size 10,
+    hipaa_compliance_checker.py:183-190). Spark plans TakeOrderedAndProject
+    — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.7 Scalar functions
+# =====================================================================
+
+
+@query(
+    "f1_datetime_extract",
+    """
+    SELECT event_id,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           dayname(ts) AS day_of_week,
+           CASE WHEN dayname(ts) IN ('Saturday', 'Sunday')
+                THEN 'weekend' ELSE 'weekday' END AS day_category,
+           CASE WHEN hour(ts) BETWEEN 6 AND 18
+                THEN 'day_shift' ELSE 'night_shift' END AS shift_category
+    FROM events
+    """,
+)
+def f1_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: hour-of-day + English day name + the weekend/shift buckets
+    (healthcare_etl_pipeline.py:173-175; stg_patient_vitals.sql:128-136)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "EEEE")
+    hour = F.hour("ts")
+    return ev.select(
+        "event_id",
+        hour.cast("bigint").alias("hour_of_day"),
+        day.alias("day_of_week"),
+        F.when(day.isin("Saturday", "Sunday"), "weekend").otherwise("weekday").alias(
+            "day_category"
+        ),
+        F.when((hour >= 6) & (hour <= 18), "day_shift").otherwise("night_shift").alias(
+            "shift_category"
+        ),
+    )
+
+
+@query(
+    "f2_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS BIGINT)
+             AS days_before_ref,
+           (o_orderdate::DATE + 30) AS due_date
+    FROM orders
+    """,
+)
+def f2_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: date diff + interval arithmetic
+    (healthcare_etl_pipeline.py:182-185; fact_patient_encounters.sql:32)."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), od).cast("bigint").alias(
+            "days_before_ref"
+        ),
+        F.date_add(od, 30).alias("due_date"),
+    )
+
+
+@query(
+    "f5_case_bucket",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'high'
+                ELSE 'very_high' END AS value_category
+    FROM orders
+    """,
+)
+def f5_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: CASE numeric→category bucketing (amount_category,
+    healthcare_etl_pipeline.py:187-194; stg_insurance_claims.sql:129-134)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("very_high")
+        .alias("value_category"),
+    )
+
+
+@query(
+    "f6_case_map",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                ELSE 'relaxed' END AS priority_group
+    FROM orders
+    """,
+)
+def f6_case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: CASE string→string mapping (insurance_category,
+    stg_insurance_claims.sql:137-141)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("relaxed")
+        .alias("priority_group"),
+    )
+
+
+@query(
+    "f7_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           GREATEST(0.0, 1.0 - 0.2 * l_discount - 0.3 * l_tax) AS quality_score
+    FROM lineitem
+    """,
+)
+def f7_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: column arithmetic + GREATEST floor (pulse_pressure,
+    quality score max(0, 1-0.2k-0.3m) —
+    healthcare_etl_pipeline.py:143-159; stg_patient_vitals.sql:115-125).
+
+    No rounding: per-row IEEE ops in the same order are bit-identical
+    across engines (rounding would INTRODUCE divergence at decimal
+    boundaries — Spark HALF_UP vs DuckDB's multiply-floor)."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charge"),
+        F.greatest(F.lit(0.0), 1.0 - 0.2 * F.col("l_discount") - 0.3 * F.col("l_tax")).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "f9_coalesce",
+    """
+    SELECT o.o_orderkey,
+           ROUND(COALESCE(l.sum_qty, 0.0), 2) AS total_quantity,
+           CAST(COALESCE(l.n_items, 0) AS BIGINT) AS item_count
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def f9_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: COALESCE over left-join misses
+    (fact_patient_encounters.sql:200-204)."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left").select(
+        "o_orderkey",
+        F.round(F.coalesce(F.col("sum_qty"), F.lit(0.0)), 2).alias("total_quantity"),
+        F.coalesce(F.col("n_items"), F.lit(0)).cast("bigint").alias("item_count"),
+    )
+
+
+@query(
+    "f10_split_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
+    FROM documents
+    """,
+)
+def f10_split_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11: string split + collection length
+    (ARRAY_LENGTH(SPLIT(...)), stg_insurance_claims.sql:108-117)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", " ", -1)).cast("bigint").alias("word_count")
+    )
+
+
+@query(
+    "f13_in_list",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def f13_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: IN-list predicate (stg_patient_vitals.sql:134)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@query(
+    "f15_to_json",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+             AS payload_json
+    FROM events
+    """,
+)
+def f15_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: JSON serialization of a struct (json.dumps at publish,
+    pubsub_publisher.py:68). Oracle builds the same canonical string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload_json"),
+    )
+
+
+# =====================================================================
+# §2.8 Streaming semantics (batch-checkable)
+# =====================================================================
+
+
+@query(
+    "t1_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '60 seconds', ts::TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '60 seconds', ts::TIMESTAMP)
+    """,
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: fixed 60 s tumbling windows (beam FixedWindows(60),
+    healthcare_etl_pipeline.py:259-263). Same groupBy(window) works
+    under readStream with a watermark (streaming/pipeline.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_count", "total_value")
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline operators (north star, BASELINE.json)
+# =====================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (operators/dedup.exact_dedup uses
+    sha2-256; md5 here for oracle parity — both are fixed-width
+    shuffle keys)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@query("dedup_minhash_lsh", None)  # approximate: rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join;
+    operators/dedup.minhash_dedup). Not SQL-expressible compactly —
+    driver records the weaker rows-only check."""
+    from .operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.5)
+
+
+@query("dedup_ngram_jaccard", None)  # quadratic oracle impractical
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index
+    (operators/dedup.ngram_jaccard_pairs)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query("dedup_simhash", None)  # bit-vote hashing not oracle-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (operators/dedup.simhash, pandas UDF)."""
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d).select("doc_id", "simhash")
+
+
+@query(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS char_count,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+           ROUND(length(text)::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats (operators/text.word_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("char_count"),
+        F.size(toks).cast("bigint").alias("token_count"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_lang_id",
+    r"""
+    SELECT doc_id,
+           ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                            'that','for','on','with','as','was','at','by','be')))::DOUBLE
+                 / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+             AS en_stopword_ratio,
+           CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                                'that','for','on','with','as','was','at','by','be')))::DOUBLE
+                     / len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0.05
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (operators/text.language_id)."""
+    from .operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d)
+
+
+@query(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(text) AS full_md5,
+           md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' '))
+             AS prefix_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators/text.fingerprint)."""
+    from .operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d)
+
+
+@query("text_quality_score", None)  # composite heuristic; rows-only
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-filter quality score (operators/text.quality_score)."""
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id,
+             e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]), 4) DESC,
+                        e.vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (operators/similarity.brute_force_topk):
+    broadcast queries × corpus scan, JVM-side zip_with/aggregate dot
+    product, ranked on the ROUNDED score for cross-engine stability."""
+    from .operators.similarity import cosine_similarity_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("embedding"), F.col("__qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query("ann_lsh_topk", None)  # approximate: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (operators/similarity.lsh_topk)
+    — the 100 TB scale path; recall is tunable, so rows-only."""
+    from .operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(e, q, k=10, dim=64)
+
+
+@query("embedding_near_dup", None)  # approximate: rows-only check
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs
+    (operators/similarity.embedding_near_dup_pairs)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+@query("multimodal_features", None)  # stubbed decode; rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents→binary payloads→mapInPandas
+    feature extraction with the stubbed codec
+    (operators/multimodal.extract_features)."""
+    from .operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(media)
+
+
+OPERATOR_MAP = {
+    # SURVEY.md §2 row → corpus keys covering it
+    "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
+    "S2": ["s2_json_parse"],
+    "S3": ["a8_daily_rollup"],  # sink semantics exercised in tests (write paths)
+    "S5": ["s5_scan_pruned"],
+    "P1": ["p1_required_flags"],
+    "P2": ["p2_range_anomaly"],
+    "P3": ["p3_quality_filter"],
+    "P4": ["p3_quality_filter"],
+    "P5": ["p5_validate_null"],
+    "P6": ["p6_bool_flags"],
+    "P7": ["p7_demux"],
+    "J1": ["j1_band_join"],
+    "J2": ["j2_band_join_3way"],
+    "J3": ["j3_asof_nearest"],
+    "A1": ["a1_global_count"],
+    "A2": ["a2_wide_agg"],
+    "A3": ["a3_count_distinct"],
+    "A4": ["a2_wide_agg"],
+    "A5": ["a5_conditional_agg"],
+    "A6": ["a6_weighted_score"],
+    "A7": ["a7_max_freshness"],
+    "A8": ["a8_daily_rollup"],
+    "A9": ["a9_avg_quality_gate"],
+    "W1": ["w1_row_number", "j3_asof_nearest"],
+    "O1": ["a8_daily_rollup", "o3_top_limit"],
+    "O3": ["o3_top_limit"],
+    "F1": ["f1_datetime_extract"],
+    "F2": ["f2_date_arith"],
+    "F3": ["f2_date_arith", "a7_max_freshness"],
+    "F5": ["f5_case_bucket"],
+    "F6": ["f6_case_map"],
+    "F7": ["f7_arithmetic"],
+    "F8": ["j1_band_join", "j3_asof_nearest"],
+    "F9": ["f9_coalesce"],
+    "F10": ["f10_split_count"],
+    "F13": ["f13_in_list"],
+    "F15": ["f15_to_json"],
+    "T1": ["t1_tumbling_window"],
+    "LLM-dedup": [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    ],
+    "LLM-similarity": ["ann_cosine_topk", "ann_lsh_topk", "embedding_near_dup"],
+    "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
+    "LLM-multimodal": ["multimodal_features"],
+}

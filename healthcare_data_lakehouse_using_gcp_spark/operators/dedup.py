@@ -86,7 +86,13 @@ def shingles(text_col: str, n: int = 3):
 
 def minhash_signature(shingle_col, num_hashes: int = 32):
     """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, i). Returns array<bigint> of length num_hashes."""
+    xxhash64(shingle, i). Returns array<bigint> of length num_hashes.
+
+    IMPORTANT for performance: pass an *attribute* (a materialized
+    column), not the shingles() expression — higher-order functions
+    are interpreted (not codegen'd), and inlining the expression
+    re-tokenizes the document num_hashes times (measured 30x slowdown
+    at sf0.1)."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
@@ -112,10 +118,11 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
+    # two-step select: materialize shingles ONCE, then hash — keeps
+    # the tokenize/shingle work O(1) per doc instead of O(num_hashes)
     sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_size), num_hashes).alias("sig"),
-    )
+        F.col(id_col), shingles(text_col, shingle_size).alias("__sh")
+    ).select(F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
     banded = sig.select(
         id_col,
         F.explode(
@@ -245,12 +252,11 @@ def simhash(
     one matmul per batch. Token hashing uses Python's stable md5 so
     results are deterministic across JVM/Python boundaries.
     """
-    import numpy as np
-    import pandas as pd
-
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
+    def _simhash_batch(texts):
         import hashlib
+
+        import numpy as np
+        import pandas as pd
 
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
@@ -269,6 +275,7 @@ def simhash(
             out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
         return pd.Series(out)
 
+    _simhash = F.pandas_udf(_simhash_batch, T.LongType())
     return df.select(F.col(id_col), F.col(text_col), _simhash(F.col(text_col)).alias("simhash"))
 
 

@@ -26,13 +26,29 @@ TESTDATA_TABLES = [
 ]
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table, normalizing nanosecond
+    timestamps.
+
+    events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
+    via spark.sql.legacy.parquet.nanosAsLong (session.py) and we
+    convert with integer division (truncation toward zero — the same
+    ns→µs semantics as DuckDB's ::TIMESTAMP cast, so the oracle
+    agrees to the microsecond)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet tables (TESTDATA.md)."""
     out = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -1,0 +1,71 @@
+"""Band-join / as-of operator tests (J1-J3, W1)."""
+
+from __future__ import annotations
+
+from healthcare_data_lakehouse_using_gcp_spark.operators import joins
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("P1", "2024-06-10", 1),
+            ("P2", "2024-06-10", 2),  # no right match in band
+        ],
+        "key string, l_date string, l_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("P1", "2024-06-08", "R1"),  # 2 days
+            ("P1", "2024-06-05", "R2"),  # 5 days
+            ("P1", "2024-05-01", "R3"),  # outside band
+            ("P2", "2024-07-30", "R4"),  # outside band
+        ],
+        "key string, r_date string, r_id string",
+    )
+    return left, right
+
+
+def test_band_join_left(spark):
+    left, right = _frames(spark)
+    out = joins.band_join(left, right, ["key"], "l_date", "r_date", band_days=7).collect()
+    # P1 matches R1+R2; P2 keeps a null row (left join)
+    assert len(out) == 3
+    p2 = [r for r in out if r["key"] == "P2"]
+    assert len(p2) == 1 and p2[0]["r_id"] is None
+    assert {r["r_id"] for r in out if r["key"] == "P1"} == {"R1", "R2"}
+
+
+def test_asof_join_nearest(spark):
+    left, right = _frames(spark)
+    out = joins.asof_join(
+        left, right, ["key"], "l_date", "r_date", band_days=7, tie_breakers=["r_id"]
+    ).collect()
+    assert len(out) == 2  # one row per left row
+    p1 = next(r for r in out if r["key"] == "P1")
+    assert p1["r_id"] == "R1"  # 2 days beats 5 days
+
+
+def test_proximity_rank_null_last(spark):
+    left, right = _frames(spark)
+    joined = joins.band_join(left, right, ["key"], "l_date", "r_date", band_days=7)
+    ranked = joins.proximity_rank(joined, ["key", "l_date"], "l_date", "r_date", ["r_id"])
+    rows = {(r["key"], r["r_id"]): r["proximity_rank"] for r in ranked.collect()}
+    assert rows[("P1", "R1")] == 1
+    assert rows[("P1", "R2")] == 2
+    assert rows[("P2", None)] == 1  # null-match row still ranked
+
+
+def test_asof_min_by_matches_rank1(spark):
+    left, right = _frames(spark)
+    joined = joins.band_join(left, right, ["key"], "l_date", "r_date", band_days=7)
+    via_rank = {
+        r["key"]: r["r_id"]
+        for r in joins.asof_select(joined, ["key", "l_date"], "l_date", "r_date", ["r_id"]).collect()
+    }
+    via_minby = {
+        r["key"]: r["r_id"]
+        for r in joins.asof_select_min_by(
+            joined, ["key", "l_date"], "l_date", "r_date", ["r_id"]
+        ).collect()
+    }
+    assert via_rank == via_minby

@@ -1,0 +1,158 @@
+"""LLM-data-pipeline operator tests: dedup, similarity, text,
+multimodal (north-star components, BASELINE.json)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near
+    (4, "completely different text about spark query engines and distributed joins"),
+    (5, "!!! ??? ,,,"),  # punctuation junk
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup(docs).collect()
+    assert len(groups) == 4  # docs 1+2 collapse
+    dup = next(g for g in groups if g["dup_count"] == 2)
+    assert dup["canonical_id"] == 1
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5, shingle_size=3).collect()
+    keys = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in keys  # exact dups always pass
+    assert (1, 3) in keys or (2, 3) in keys  # near dup caught
+    assert all({p["id_a"], p["id_b"]} != {4} for p in pairs)
+    for p in pairs:
+        assert 0.0 <= p["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_exact_pairs(spark, docs):
+    pairs = {
+        (p["id_a"], p["id_b"]): p["jaccard"]
+        for p in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    ham_13 = bin(fps[1] ^ fps[3] & (2**64 - 1)).count("1")
+    ham_14 = bin(fps[1] ^ fps[4] & (2**64 - 1)).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+    near = dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in near} >= {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    corpus_df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(10, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries_df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = similarity.brute_force_topk(corpus_df, queries_df, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 10]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = corpus_df.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(corpus_df, queries_df, k=1)
+    approx = similarity.lsh_topk(
+        corpus_df, queries_df, k=1, num_planes=4, num_tables=6, dim=8
+    )
+    # self-vector is always in its own bucket → rank-1 self recall
+    exact_top = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_top = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert exact_top == approx_top
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.95, num_planes=2, num_tables=4
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_text_stats_and_quality(spark, docs):
+    stats = {r["doc_id"]: r for r in text.word_stats(docs).collect()}
+    assert stats[1]["token_count"] == 14
+    q = {r["doc_id"]: r["quality_score"] for r in text.quality_score(docs).collect()}
+    assert q[1] > q[5]  # punctuation junk scores lower
+    lang = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(docs).collect()}
+    assert lang[1] == "en"
+    assert lang[5] == "unknown"
+
+
+def test_fingerprint(spark, docs):
+    fp = {r["doc_id"]: r for r in text.fingerprint(docs).collect()}
+    assert fp[1]["full_md5"] == fp[2]["full_md5"]
+    assert fp[1]["full_md5"] != fp[3]["full_md5"]
+    assert fp[1]["prefix_md5"] == fp[3]["prefix_md5"]  # same first 8 words
+
+
+def test_multimodal_features(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", "image/png", 800, 600, None, None),
+        ("m2", "video", b"fake mp4", "video/mp4", 1920, 1080, 5000, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, payload binary, mime_type string,"
+        "width int, height int, duration_ms long, sample_rate int",
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert len(feats["m1"]["features"]) == multimodal.FEATURE_DIM
+    assert feats["m1"]["payload_bytes"] == 15
+    # deterministic stub: same payload → same features
+    feats2 = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert feats["m1"]["features"] == feats2["m1"]["features"]
+
+    resized = {r["media_id"]: r for r in multimodal.resize_metadata(df, max_dim=512).collect()}
+    assert resized["m1"]["target_width"] == 512 and resized["m1"]["target_height"] == 384
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert len(frames) == 5  # 5000 ms video → 5 sampled frames
+
+
+def test_multimodal_strict_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "image", strict=True)

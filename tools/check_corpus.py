@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every
+queries()[name] on Spark and oracle_sql()[name] on DuckDB over the
+same parquet tables, compare row count + column names + order-
+insensitive values.
+
+Usage: python tools/check_corpus.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from healthcare_data_lakehouse_using_gcp_spark import corpus  # noqa: E402
+from healthcare_data_lakehouse_using_gcp_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check-corpus", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = corpus.queries(), corpus.oracle_sql()
+    failures, passes, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(srows)))
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"))
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}"))
+            continue
+        sn, on = norm_rows(srows, scols), norm_rows(orows, ocols)
+        if sn != on:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b
+            )
+            failures.append((name, f"VALUES at sorted-row {diff[0]}:\n  spark={diff[1]}\n  oracle={diff[2]}"))
+            continue
+        passes.append((name, len(srows)))
+
+    print(f"\n== PASS ({len(passes)}) ==")
+    for n, c in passes:
+        print(f"  {n}: {c} rows")
+    print(f"== ROWS-ONLY ({len(rows_only)}) ==")
+    for n, c in rows_only:
+        print(f"  {n}: {c} rows")
+    print(f"== FAIL ({len(failures)}) ==")
+    for n, msg in failures:
+        print(f"  {n}: {msg}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
