@@ -1,0 +1,82 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql()
+consistency, and a fast oracle spot-check at sf0.001."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast spot-check subset (full corpus: tools/check_corpus.py)
+SPOT = [
+    "a2_wide_agg", "j1_band_join", "j3_asof_nearest", "w1_row_number",
+    "a8_daily_rollup", "t1_tumbling_window", "dedup_exact", "ann_cosine_topk",
+]
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "sum_qty" in df.columns
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_spot_oracle_parity(spark, name):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata unavailable")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    res = con.execute(oracles[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=key)
+    on = sorted((tuple(_norm(r[i]) for i in order_o) for r in orows), key=key)
+    assert sn == on

@@ -1,0 +1,115 @@
+"""Streaming tests (T1-T5): file-source incremental feed, foreachBatch
+multi-sink, batch/stream parity of the ETL transform (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.etl import build_etl, parse_envelope
+from healthcare_data_lakehouse_using_gcp_spark.sources.generator import HealthcareDataGenerator
+from healthcare_data_lakehouse_using_gcp_spark.sources.readers import read_json_stream
+from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import windowed_counts
+
+
+def _write_messages(path, messages, per_file=50):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(0, len(messages), per_file):
+        with open(os.path.join(path, f"drop_{i:05d}.json"), "w") as f:
+            f.write("\n".join(messages[i : i + per_file]))
+
+
+def test_stream_batch_parity(spark, cfg, tmp_path):
+    """T4: the same build_etl over readStream == over read."""
+    gen = HealthcareDataGenerator(seed=11)
+    msgs = gen.generate_messages(150)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_messages(inp, msgs)
+
+    # batch reference counts
+    batch_routed = build_etl(spark.read.text(inp), cfg)
+    batch_counts = {k: batch_routed[k].count() for k in ("vitals", "claims", "ehr", "unknown")}
+
+    # streaming run: same transform via foreachBatch
+    seen = {"vitals": 0, "claims": 0, "ehr": 0, "unknown": 0}
+
+    def _sink(bdf, _bid):
+        routed = build_etl(bdf, cfg)
+        for k in seen:
+            seen[k] += routed[k].count()
+
+    q = (
+        read_json_stream(spark, inp, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == batch_counts
+    assert seen["vitals"] > 0
+
+
+def test_windowed_counts_batch_vs_stream(spark, cfg, tmp_path):
+    """T1: event-time tumbling windows agree between batch and
+    streaming (complete mode) over the same data."""
+    gen = HealthcareDataGenerator(seed=13)
+    msgs = gen.generate_messages(120, malformed_rate=0.0)
+    inp = str(tmp_path / "in2")
+    _write_messages(inp, msgs)
+
+    batch = windowed_counts(parse_envelope(spark.read.text(inp), cfg))
+    batch_rows = {
+        (r["window_start"], r["data_type"]): r["record_count"] for r in batch.collect()
+    }
+
+    stream_parsed = parse_envelope(read_json_stream(spark, inp, 1), cfg)
+    sq = (
+        windowed_counts(stream_parsed)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    stream_rows = {
+        (r["window_start"], r["data_type"]): r["record_count"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
+
+
+def test_etl_stream_writes_sinks(spark, cfg, tmp_path):
+    """T5: multi-sink fan-out writes parquet per entity route."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import start_etl_stream
+
+    gen = HealthcareDataGenerator(seed=17)
+    inp = str(tmp_path / "in3")
+    wh = str(tmp_path / "wh")
+    _write_messages(inp, gen.generate_messages(100))
+    q = start_etl_stream(spark, inp, wh, cfg, trigger_seconds=1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and q.recentProgress:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    vit = spark.read.parquet(os.path.join(wh, "processed", "vitals"))
+    assert vit.count() > 0
+    assert "data_quality_score" in vit.columns
+
+
+def test_unknown_messages_json_roundtrip(spark, cfg):
+    """Unknown-type rows keep their envelope for the error sink."""
+    msgs = [json.dumps({"data_type": "totally_new", "patient_id": "X", "ingest_timestamp": "2024-06-01T00:00:00"})]
+    routed = build_etl(spark.createDataFrame([(m,) for m in msgs], "value string"), cfg)
+    row = routed["unknown"].first()
+    assert row["data_type"] == "totally_new"
