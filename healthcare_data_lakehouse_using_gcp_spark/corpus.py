@@ -96,7 +96,7 @@ def s5_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet reader."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate").filter(
-        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+        F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
     )
 
 
@@ -364,7 +364,7 @@ def a2_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("count_order"),
@@ -470,10 +470,14 @@ def a7_max_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: MAX(ts) + freshness diff vs a frozen "now"
     (healthcare_data_pipeline_dag.py:163-169,312-317)."""
     ev = _t(spark, sf_dir, "events")
-    ref = F.lit("2024-02-01 00:00:00").cast("timestamp")
     return ev.agg(
         F.max("ts").alias("latest_ts"),
-        F.floor((F.unix_timestamp(ref) - F.unix_timestamp(F.max("ts"))) / 60.0)
+        F.floor(
+            F.expr(
+                "timestampdiff(SECOND, max(ts), timestamp_ntz '2024-02-01 00:00:00')"
+            )
+            / 60.0
+        )
         .cast("bigint")
         .alias("minutes_since_latest"),
     )
@@ -767,6 +771,28 @@ def f10_split_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.size(F.split("text", " ", -1)).cast("bigint").alias("word_count")
+    )
+
+
+@query(
+    "f12_timestamp_parse",
+    """
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed_ts,
+           strftime(o_orderdate, '%Y-%m-%d')::DATE AS parsed_date
+    FROM orders
+    """,
+)
+def f12_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: string→timestamp/date parsing round-trip
+    (datetime.fromisoformat / strptime('%Y-%m-%d'),
+    healthcare_etl_pipeline.py:173,182-183)."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(s, "yyyy-MM-dd").alias("parsed_ts"),
+        F.to_date(s, "yyyy-MM-dd").alias("parsed_date"),
     )
 
 
@@ -1085,6 +1111,8 @@ OPERATOR_MAP = {
     "F8": ["j1_band_join", "j3_asof_nearest"],
     "F9": ["f9_coalesce"],
     "F10": ["f10_split_count"],
+    "F11": ["f10_split_count"],
+    "F12": ["f12_timestamp_parse"],
     "F13": ["f13_in_list"],
     "F15": ["f15_to_json"],
     "T1": ["t1_tumbling_window"],

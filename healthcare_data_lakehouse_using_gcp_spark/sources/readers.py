@@ -31,14 +31,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps.
 
     events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
-    via spark.sql.legacy.parquet.nanosAsLong (session.py) and we
-    convert with integer division (truncation toward zero — the same
-    ns→µs semantics as DuckDB's ::TIMESTAMP cast, so the oracle
-    agrees to the microsecond)."""
+    via spark.sql.legacy.parquet.nanosAsLong (set here at runtime so
+    it also works under a driver-owned SparkSession that didn't use
+    our session factory) and we convert with integer division
+    (truncation toward zero — the same ns→µs semantics as DuckDB's
+    ::TIMESTAMP cast, so the oracle agrees to the microsecond)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked; reads of µs tables still work
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # epoch-ns long → TIMESTAMP_NTZ via pure interval
+            # arithmetic: timezone-free regardless of the session's
+            # spark.sql.session.timeZone (timestamp_micros would give
+            # an LTZ value that shifts under non-UTC sessions)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_ntz '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
     return df
 
 
