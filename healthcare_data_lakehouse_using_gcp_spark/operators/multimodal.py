@@ -91,7 +91,9 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "modality", "payload").mapInPandas(
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
         _extract, schema=FEATURES_SCHEMA
     )
 

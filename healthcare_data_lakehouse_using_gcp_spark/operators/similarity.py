@@ -58,10 +58,12 @@ def brute_force_topk(
     Returns (query_id, vec_id, cosine, rank). Ties break on vec_id
     for determinism.
     """
+    from .dedup import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    scored = corpus.join(F.broadcast(q)).select(
+    scored = ensure_parallelism(corpus).join(F.broadcast(q)).select(
         query_id_col,
         id_col,
         cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
@@ -120,7 +122,10 @@ def lsh_topk(
         dim = first[0]
     tables = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
 
+    from .dedup import ensure_parallelism
+
     def with_buckets(df: DataFrame, keep_cols: list[str]) -> DataFrame:
+        df = ensure_parallelism(df)
         return df.select(
             *keep_cols,
             F.explode(
@@ -170,10 +175,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (corpus vs itself) via
     shared LSH buckets; exact cosine verification above threshold."""
+    from .dedup import ensure_parallelism
+
     first = df.select(F.size(vec_col)).first()
     dim = first[0]
     tables = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
-    b = df.select(
+    b = ensure_parallelism(df).select(
         id_col,
         vec_col,
         F.explode(
@@ -188,6 +195,8 @@ def embedding_near_dup_pairs(
             )
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    # persist: both sides of the self-join read this subtree
+    b = b.persist()
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(
