@@ -1,0 +1,125 @@
+"""End-to-end lakehouse orchestration — the engine's top-level API.
+
+Replaces the reference's deployment surface (setup script + Airflow
+DAG + Dataflow jobs + dbt invocations — setup_healthcare_lakehouse.py,
+airflow/dags/healthcare_data_pipeline_dag.py:139-149) with one
+class over a warehouse root:
+
+    raw/        landed JSON messages (S1 input shape)
+    processed/  ETL output per entity, date-partitioned parquet (S3)
+    errors/     unknown-type records as JSON (S4)
+    curated/    fact table (S7); staging registered as views (S6)
+
+Zone semantics follow the reference's 3-bucket / 3-dataset split
+(terraform/main.tf:118-245). Writes partition by event date — the
+partitioning the reference *documents* but never implemented
+(docs/architecture/technical_architecture.md:162-164, SURVEY.md §4)
+— so every lookback scan (S5) partition-prunes instead of reading
+the full history: at 100 TB that is the difference between scanning
+30 partitions and 2555 days of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .operators.etl import build_etl
+from .plans import reports
+from .plans.models import ModelRunner, healthcare_models
+from .sources.readers import read_json_batch
+
+ENTITY_DATE_COL = {
+    "vitals": "timestamp",
+    "claims": "service_date",
+    "ehr": "visit_date",
+}
+
+
+class HealthcareLakehouse:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.cfg = cfg
+
+    # --- zone paths --------------------------------------------------
+
+    def zone_path(self, zone: str, table: str = "") -> str:
+        return os.path.join(self.warehouse, zone, table)
+
+    def read_processed(self, entity: str) -> DataFrame:
+        return self.spark.read.parquet(self.zone_path("processed", entity))
+
+    # --- ingestion → processed (the Beam pipeline, batch mode) -------
+
+    def run_etl(self, raw_path: str | None = None, raw_df: DataFrame | None = None) -> dict:
+        """Parse/validate/filter/enrich/demux raw JSON messages and
+        append each route into the processed zone (date-partitioned).
+
+        Counterpart of `python healthcare_etl_pipeline.py` in batch
+        mode (healthcare_etl_pipeline.py:248-249). Returns per-route
+        row counts (the Count.Globally metric, :351-355).
+        """
+        if raw_df is None:
+            raw_df = read_json_batch(self.spark, raw_path)
+        routed = build_etl(raw_df, self.cfg)
+        counts: dict[str, int] = {}
+        for name, date_col in ENTITY_DATE_COL.items():
+            df = routed[name].withColumn(
+                "event_date", F.to_date(F.col(date_col))
+            )
+            df.write.mode("append").partitionBy("event_date").parquet(
+                self.zone_path("processed", name)
+            )
+            counts[name] = self.read_processed(name).count()
+        unknown = routed["unknown"].drop("_corrupt_record")
+        if unknown.limit(1).count() > 0:
+            unknown.write.mode("append").json(self.zone_path("errors"))
+        counts["unknown"] = unknown.count()
+        return counts
+
+    # --- processed → staging views → curated fact (the dbt layer) ----
+
+    def run_models(self) -> dict[str, DataFrame]:
+        """Execute the model DAG (staging views + fact table), like
+        `dbt run` (healthcare_data_pipeline_dag.py:107-115)."""
+        runner = ModelRunner(self.spark, warehouse=self.warehouse, cfg=self.cfg)
+        runner.add_source("patient_vitals", self.read_processed("vitals"))
+        runner.add_source("insurance_claims", self.read_processed("claims"))
+        runner.add_source("ehr_records", self.read_processed("ehr"))
+        for m in healthcare_models():
+            runner.add(m)
+        return runner.run()
+
+    # --- reports (the Airflow-embedded analytics) --------------------
+
+    def run_reports(self) -> dict[str, object]:
+        """The six DAG queries + their threshold checks
+        (healthcare_data_pipeline_dag.py:152-328)."""
+        vitals = self.read_processed("vitals")
+        fact = self.spark.read.parquet(self.zone_path("curated", "fact_patient_encounters"))
+        return {
+            "freshness": reports.check_freshness(vitals, self.cfg),
+            "quality": reports.check_quality(vitals, self.cfg),
+            "monitoring": reports.patient_monitoring_report(fact, self.cfg).collect(),
+            "claims": reports.claims_processing_report(fact, self.cfg).collect(),
+            "health": reports.check_pipeline_health(fact, self.cfg),
+            "staleness": reports.check_staleness(fact, self.cfg),
+        }
+
+    # --- one-shot pipeline (the full DAG run) ------------------------
+
+    def run_all(self, raw_path: str) -> dict[str, object]:
+        etl_counts = self.run_etl(raw_path)
+        self.run_models()
+        out = self.run_reports()
+        out["etl_counts"] = etl_counts
+        return out
