@@ -898,15 +898,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(d, threshold=0.5)
 
 
-@query("dedup_ngram_jaccard", None)  # quadratic oracle impractical
+@query(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(1, len(toks) - 2) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    )
+    SELECT id_a, id_b,
+           FLOOR(jaccard * 10000 + 0.5) / 10000 AS jaccard
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE jaccard >= 0.3
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index
-    (operators/dedup.ngram_jaccard_pairs)."""
+    (operators/dedup.ngram_jaccard_pairs). The Spark side is linear
+    in shuffle (pairs only where ≥1 shared shingle); the oracle
+    brute-forces all O(n²) pairs — same result set because a pair
+    with jaccard ≥ 0.3 necessarily shares a shingle."""
+    from .functions.scalars import round_det
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.3).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        "id_a", "id_b", round_det(F.col("jaccard"), 4).alias("jaccard")
     )
 
 
@@ -925,20 +953,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS char_count,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
-           ROUND(length(text)::DOUBLE
-                 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+           FLOOR(length(text)::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+')) * 10000 + 0.5) / 10000
+             AS avg_token_len
     FROM documents
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality stats (operators/text.word_stats)."""
+    from .functions.scalars import round_det
+
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("char_count"),
         F.size(toks).cast("bigint").alias("token_count"),
-        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+        round_det(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
     )
 
 
@@ -946,10 +977,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_id",
     r"""
     SELECT doc_id,
-           ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           FLOOR(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                  x -> x IN ('the','a','an','and','or','of','to','in','is','it',
                                             'that','for','on','with','as','was','at','by','be')))::DOUBLE
-                 / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+                 / len(regexp_split_to_array(trim(lower(text)), '\s+')) * 10000 + 0.5) / 10000
              AS en_stopword_ratio,
            CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                      x -> x IN ('the','a','an','and','or','of','to','in','is','it',
@@ -985,7 +1016,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d)
 
 
-@query("text_quality_score", None)  # composite heuristic; rows-only
+@query(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+           FLOOR((LEAST(1.0, n_tok / 50.0) * 0.4
+                  + LEAST(1.0, sw_ratio * 5.0) * 0.3
+                  + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3) * 10000 + 0.5) / 10000
+             AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                        'that','for','on','with','as','was','at','by','be')))::DOUBLE
+               / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)
+               AS punct_ratio
+      FROM documents
+    )
+    """,
+)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-filter quality score (operators/text.quality_score)."""
     from .operators.text import quality_score
@@ -1000,12 +1051,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, cosine, rank FROM (
       SELECT q.vec_id AS query_id,
              e.vec_id,
-             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
-               AS cosine,
+             FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   * 10000 + 0.5) / 10000 AS cosine,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                     q.embedding::DOUBLE[]), 4) DESC,
+               ORDER BY FLOOR(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[])
+                              * 10000 + 0.5) / 10000 DESC,
                         e.vec_id ASC
              ) AS BIGINT) AS rank
       FROM embeddings e
@@ -1017,6 +1069,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (operators/similarity.brute_force_topk):
     broadcast queries × corpus scan, JVM-side zip_with/aggregate dot
     product, ranked on the ROUNDED score for cross-engine stability."""
+    from .functions.scalars import round_det
     from .operators.similarity import cosine_similarity_col
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1026,7 +1079,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity_col(F.col("embedding"), F.col("__qvec")), 4).alias("cosine"),
+        round_det(cosine_similarity_col(F.col("embedding"), F.col("__qvec")), 4).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

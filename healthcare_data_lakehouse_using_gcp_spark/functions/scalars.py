@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig, Thresholds
 
+def round_det(col: Column, digits: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x*10^d + 0.5)/10^d.
+
+    Spark's round() (BigDecimal HALF_UP on the shortest decimal repr)
+    and DuckDB's round() disagree on doubles whose shortest repr ends
+    exactly in ...5 at digit d+1. This form uses only exact IEEE ops,
+    so for bit-identical inputs both engines produce bit-identical
+    output. Use for per-row values; for cross-engine aggregates
+    (inputs already differ by ulps) prefer native round at a digit
+    position far from the data's intrinsic precision."""
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 # --- time helpers ----------------------------------------------------
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_det
+
 # A small high-frequency English stopword set for the n-gram/stopword
 # language heuristic. Deterministic + public knowledge.
 EN_STOPWORDS = [
@@ -66,9 +68,9 @@ def quality_score(
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col(F.col(text_col)) * 4.0)
     return df.select(
         F.col(id_col),
-        F.round(
-            (len_score * 0.4 + sw_score * 0.3 + punct_penalty * 0.3), 4
-        ).alias("quality_score"),
+        round_det(len_score * 0.4 + sw_score * 0.3 + punct_penalty * 0.3, 4).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -80,7 +82,7 @@ def language_id(
     ratio = stopword_ratio_col(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.round(ratio, 4).alias("en_stopword_ratio"),
+        round_det(ratio, 4).alias("en_stopword_ratio"),
         F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias(
             "predicted_lang"
         ),
