@@ -1,0 +1,94 @@
+"""CLI: python -m healthcare_data_lakehouse_using_gcp_spark <cmd>
+
+Replaces the reference's operational scripts (start_ingestion.py,
+dataflow/deploy_pipelines.py, dbt invocations, DAG tasks) with one
+entrypoint over a local/remote warehouse.
+
+Commands:
+  generate  --out DIR --count N [--seed S]     write synthetic JSON messages
+  etl       --raw DIR --warehouse DIR          batch ETL raw → processed
+  models    --warehouse DIR                    staging views + fact/dim tables
+  reports   --warehouse DIR                    the six monitoring reports
+  stream    --raw DIR --warehouse DIR [--seconds N]   streaming ETL
+  all       --raw DIR --warehouse DIR          etl + models + reports
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="healthcare_data_lakehouse_using_gcp_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--count", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("etl", "models", "reports", "all", "stream"):
+        s = sub.add_parser(name)
+        if name in ("etl", "all", "stream"):
+            s.add_argument("--raw", required=True)
+        s.add_argument("--warehouse", required=True)
+        if name == "stream":
+            s.add_argument("--seconds", type=int, default=30)
+        s.add_argument("--as-of", default=None, help="freeze 'now' (ISO) for deterministic runs")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .sources.generator import HealthcareDataGenerator
+
+        os.makedirs(args.out, exist_ok=True)
+        gen = HealthcareDataGenerator(seed=args.seed)
+        msgs = gen.generate_messages(args.count)
+        path = os.path.join(args.out, f"messages_{args.seed}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(msgs))
+        print(json.dumps({"written": len(msgs), "path": path}))
+        return 0
+
+    from .config import EngineConfig
+    from .lakehouse import HealthcareLakehouse
+    from .session import get_spark
+
+    cfg = EngineConfig(
+        as_of=dt.datetime.fromisoformat(args.as_of) if getattr(args, "as_of", None) else None
+    )
+    spark = get_spark(app_name=f"lakehouse-{args.cmd}")
+    lh = HealthcareLakehouse(spark, args.warehouse, cfg)
+
+    if args.cmd == "etl":
+        print(json.dumps({"etl_counts": lh.run_etl(args.raw)}))
+    elif args.cmd == "models":
+        out = lh.run_models()
+        print(json.dumps({name: df.count() for name, df in out.items()}))
+    elif args.cmd == "reports":
+        out = lh.run_reports()
+        print(json.dumps({k: str(v) for k, v in out.items()}))
+    elif args.cmd == "all":
+        out = lh.run_all(args.raw)
+        print(json.dumps({k: str(v) for k, v in out.items()}))
+    elif args.cmd == "stream":
+        from .streaming.pipeline import start_etl_stream
+
+        q = start_etl_stream(spark, args.raw, args.warehouse, cfg, trigger_seconds=5)
+        deadline = time.time() + args.seconds
+        while time.time() < deadline and q.isActive:
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        print(json.dumps({"stopped_after_s": args.seconds}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,14 +106,22 @@ class HealthcareLakehouse:
         (healthcare_data_pipeline_dag.py:152-328)."""
         vitals = self.read_processed("vitals")
         fact = self.spark.read.parquet(self.zone_path("curated", "fact_patient_encounters"))
-        return {
-            "freshness": reports.check_freshness(vitals, self.cfg),
-            "quality": reports.check_quality(vitals, self.cfg),
-            "monitoring": reports.patient_monitoring_report(fact, self.cfg).collect(),
-            "claims": reports.claims_processing_report(fact, self.cfg).collect(),
-            "health": reports.check_pipeline_health(fact, self.cfg),
-            "staleness": reports.check_staleness(fact, self.cfg),
-        }
+        out: dict[str, object] = {}
+        for key, fn in (
+            ("freshness", lambda: reports.check_freshness(vitals, self.cfg)),
+            ("quality", lambda: reports.check_quality(vitals, self.cfg)),
+            ("monitoring", lambda: reports.patient_monitoring_report(fact, self.cfg).collect()),
+            ("claims", lambda: reports.claims_processing_report(fact, self.cfg).collect()),
+            ("health", lambda: reports.check_pipeline_health(fact, self.cfg)),
+            ("staleness", lambda: reports.check_staleness(fact, self.cfg)),
+        ):
+            # gate failures are report results, not crashes (the DAG
+            # logs-and-raises per task; we surface them per report)
+            try:
+                out[key] = fn()
+            except reports.PipelineHealthError as e:
+                out[key] = {"gate_failed": str(e)}
+        return out
 
     # --- one-shot pipeline (the full DAG run) ------------------------
 

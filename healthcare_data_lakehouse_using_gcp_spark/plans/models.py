@@ -77,8 +77,10 @@ class ModelRunner:
 
 def healthcare_models() -> list[Model]:
     """The reference's model DAG: processed sources → 3 staging views
-    → fact table (fact_patient_encounters.sql:31,59,76)."""
-    from . import fact, staging
+    → fact table (fact_patient_encounters.sql:31,59,76), plus the
+    dims its docs promise but never shipped
+    (technical_architecture.md:92-94 → plans/dims.py)."""
+    from . import dims, fact, staging
 
     return [
         Model("stg_patient_vitals", staging.stg_patient_vitals, ["patient_vitals"], "view"),
@@ -90,6 +92,18 @@ def healthcare_models() -> list[Model]:
             "fact_patient_encounters",
             fact.fact_patient_encounters,
             ["stg_patient_vitals", "stg_insurance_claims", "stg_ehr_records"],
+            "table",
+        ),
+        Model(
+            "dim_patients",
+            dims.dim_patients,
+            ["stg_patient_vitals", "stg_insurance_claims", "stg_ehr_records"],
+            "table",
+        ),
+        Model(
+            "dim_providers",
+            dims.dim_providers,
+            ["stg_insurance_claims", "stg_ehr_records"],
             "table",
         ),
     ]
