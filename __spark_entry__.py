@@ -15,11 +15,17 @@ inventory-row → query-key mapping). Local replica of this gate:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from healthcare_data_lakehouse_using_gcp_spark import corpus
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from healthcare_data_lakehouse_using_gcp_spark import corpus  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operator: per-patient alert episodes.
+
+Beyond-reference capability (the reference's streaming layer is
+stateless — SURVEY.md §2.8): track, per patient, how many
+consecutive anomalous vitals readings have arrived, emitting an
+"episode" row whenever the streak ends or the state times out. This
+is the `applyInPandasWithState` pattern for operators Spark's
+built-ins can't express (cross-batch per-key state with timeouts).
+
+Scale design: state is keyed by patient_id (hash-partitioned across
+executors by the state store); per-key state is O(1) (counts +
+timestamps only); processing-time timeout bounds state lifetime for
+idle keys, so state size tracks ACTIVE patients, not stream history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EPISODE_SCHEMA = T.StructType(
+    [
+        T.StructField("patient_id", T.StringType()),
+        T.StructField("alert_count", T.LongType()),
+        T.StructField("first_alert_ts", T.StringType()),
+        T.StructField("last_alert_ts", T.StringType()),
+        T.StructField("closed_by", T.StringType()),  # normal_reading | timeout
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("alert_count", T.LongType()),
+        T.StructField("first_ts", T.StringType()),
+        T.StructField("last_ts", T.StringType()),
+    ]
+)
+
+
+def _update_episodes(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int = 60_000,
+) -> Iterator[pd.DataFrame]:
+    """State update: accumulate consecutive alerts; emit an episode
+    when a normal reading arrives or the key times out."""
+    (patient_id,) = key
+    if state.hasTimedOut:
+        count, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "patient_id": patient_id,
+                    "alert_count": count,
+                    "first_alert_ts": first_ts,
+                    "last_alert_ts": last_ts,
+                    "closed_by": "timeout",
+                }
+            ]
+        )
+        return
+
+    episodes: list[dict[str, Any]] = []
+    count, first_ts, last_ts = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("timestamp")
+        for _, row in pdf.iterrows():
+            if bool(row["is_alert"]):
+                count += 1
+                first_ts = first_ts or str(row["timestamp"])
+                last_ts = str(row["timestamp"])
+            elif count > 0:
+                episodes.append(
+                    {
+                        "patient_id": patient_id,
+                        "alert_count": count,
+                        "first_alert_ts": first_ts,
+                        "last_alert_ts": last_ts,
+                        "closed_by": "normal_reading",
+                    }
+                )
+                count, first_ts, last_ts = 0, None, None
+    if count > 0:
+        state.update((count, first_ts, last_ts))
+        state.setTimeoutDuration(timeout_ms)  # close idle episodes
+    elif state.exists:
+        state.remove()
+    if episodes:
+        yield pd.DataFrame(episodes)
+
+
+def alert_episodes(vitals_stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """vitals (streaming) → closed alert episodes per patient.
+
+    Input needs: patient_id, timestamp (string ts), plus alert flags
+    (low_oxygen/fever/elevated-HR — the P6 flags); any true flag makes
+    the reading an alert.
+    """
+
+    def _update(key, pdfs, state):
+        yield from _update_episodes(key, pdfs, state, timeout_ms)
+
+    flagged = vitals_stream.select(
+        "patient_id",
+        "timestamp",
+        (
+            F.coalesce(F.col("oxygen_saturation") < 95, F.lit(False))
+            | F.coalesce(F.col("temperature") > 38.0, F.lit(False))
+            | F.coalesce(F.col("heart_rate") > 100, F.lit(False))
+        ).alias("is_alert"),
+    )
+    return flagged.groupBy("patient_id").applyInPandasWithState(
+        _update,
+        outputStructType=EPISODE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

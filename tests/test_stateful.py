@@ -1,0 +1,88 @@
+"""applyInPandasWithState operator test: per-patient alert episodes
+across micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import alert_episodes
+
+VITALS_SCHEMA = (
+    "patient_id string, timestamp string, heart_rate int,"
+    "oxygen_saturation int, temperature double"
+)
+
+
+def _write_batch(path, rows, idx):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/b{idx:03d}.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def test_alert_episodes_across_batches(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    # batch 1: P1 two consecutive alerts (streak stays open in state)
+    _write_batch(
+        inp,
+        [
+            {"patient_id": "P1", "timestamp": "2024-06-01T10:00:00", "heart_rate": 120,
+             "oxygen_saturation": 98, "temperature": 36.8},
+            {"patient_id": "P1", "timestamp": "2024-06-01T10:01:00", "heart_rate": 130,
+             "oxygen_saturation": 98, "temperature": 36.8},
+            {"patient_id": "P2", "timestamp": "2024-06-01T10:00:30", "heart_rate": 80,
+             "oxygen_saturation": 99, "temperature": 36.5},
+        ],
+        1,
+    )
+    # batch 2 (same dir, second file): P1 normal reading closes the
+    # episode. Distinct mtime — the file source orders batches by
+    # modification time, and same-second writes tie unpredictably.
+    import time
+
+    time.sleep(2)
+    _write_batch(
+        inp,
+        [
+            {"patient_id": "P1", "timestamp": "2024-06-01T10:02:00", "heart_rate": 80,
+             "oxygen_saturation": 99, "temperature": 36.6},
+            {"patient_id": "P2", "timestamp": "2024-06-01T10:02:30", "heart_rate": 85,
+             "oxygen_saturation": 99, "temperature": 36.5},
+        ],
+        2,
+    )
+    stream = (
+        spark.readStream.schema(VITALS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    import time
+
+    q = (
+        alert_episodes(stream, timeout_ms=3000)
+        .writeStream.format("memory")
+        .queryName("episodes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the query can stay alive waiting on state timers; poll for the
+    # expected episode instead of awaiting full termination
+    deadline = time.time() + 120
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql("SELECT * FROM episodes").collect()
+        if any(r["patient_id"] == "P1" for r in rows):
+            break
+        if not q.isActive:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    eps = {r["patient_id"]: r for r in rows}
+    assert "P1" in eps, f"expected P1 episode, got {rows}"
+    assert eps["P1"]["alert_count"] == 2
+    assert eps["P1"]["closed_by"] == "normal_reading"
+    assert eps["P1"]["first_alert_ts"] == "2024-06-01T10:00:00"
+    assert "P2" not in eps  # never alerted
