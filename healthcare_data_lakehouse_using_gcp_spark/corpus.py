@@ -1103,6 +1103,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=10, dim=64)
 
 
+@query("ann_ivf_topk", None)  # approximate: rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.ivf_topk):
+    sampled+Lloyd centroids, n_probe inverted lists per query."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(e, q, k=10)
+
+
 @query("embedding_near_dup", None)  # approximate: rows-only check
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs
@@ -1174,7 +1187,9 @@ OPERATOR_MAP = {
     "LLM-dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     ],
-    "LLM-similarity": ["ann_cosine_topk", "ann_lsh_topk", "embedding_near_dup"],
+    "LLM-similarity": [
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",
+    ],
     "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
     "LLM-multimodal": ["multimodal_features"],
 }

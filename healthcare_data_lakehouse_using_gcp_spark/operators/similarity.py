@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -162,6 +163,106 @@ def lsh_topk(
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    besides sign-LSH.
+
+    Index build: sample n_centroids vectors, refine with a few Lloyd
+    iterations (assignment via an Arrow-batched numpy matmul — the
+    one place vectorized Python beats built-ins; centroid update is a
+    plain groupBy/avg). Search: each query probes its n_probe nearest
+    centroids and scores only those inverted lists.
+
+    Scale: assignment is a narrow pass (no shuffle); the index adds
+    one small-int column; search shuffles only the probed lists.
+    Recall dial: n_probe/n_centroids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import ensure_parallelism
+
+    # --- sample initial centroids (deterministic: lowest ids) -------
+    sample = (
+        corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = np.array([r[0] for r in sample], dtype=np.float64)
+
+    def assign_udf(cents):
+        c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def _assign(vecs):
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+        return F.pandas_udf(_assign, T.IntegerType())
+
+    par = ensure_parallelism(corpus.select(id_col, vec_col))
+    # --- Lloyd refinement -------------------------------------------
+    for _ in range(lloyd_iters):
+        assigned = par.select(
+            id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cid")
+        )
+        means = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cid", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        for row in means:
+            centroids[row["cid"]] = np.array(row["centroid"], dtype=np.float64)
+
+    indexed = par.select(
+        id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cid")
+    )
+
+    # --- query probing ----------------------------------------------
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def _probe_fn(vecs):
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c_norm.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.IntegerType()))
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_probe(F.col(vec_col))).alias("cid"),
+    )
+    cands = indexed.join(F.broadcast(q), "cid").select(
+        query_id_col,
+        id_col,
+        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def embedding_near_dup_pairs(

@@ -100,6 +100,28 @@ def test_lsh_topk_recall(spark):
     assert exact_top == approx_top
 
 
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = corpus_df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(corpus_df, queries_df, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            corpus_df, queries_df, k=1, n_centroids=4, n_probe=2
+        ).collect()
+    }
+    # a query's own vector lives in its own probed list → self recall
+    assert exact == approx
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
