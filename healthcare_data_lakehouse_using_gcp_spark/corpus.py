@@ -938,9 +938,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", None)  # bit-vote hashing not oracle-expressible
+@query(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0
+                    THEN CASE WHEN b = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << b::INTEGER) END
+                    ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (operators/dedup.simhash, pandas UDF)."""
+    """SimHash fingerprints (operators/dedup.simhash, Arrow pandas
+    UDF). Oracle reproduces the md5-prefix token hash + bit votes in
+    SQL: Python's int.from_bytes(md5(tok)[:8],'big') ==
+    DuckDB ('0x'||substr(md5(tok),1,16))::UBIGINT; the b=63 term maps
+    to the int64 sign bit."""
     from .operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
@@ -1126,11 +1154,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, threshold=0.4)
 
 
-@query("multimodal_features", None)  # stubbed decode; rows-only
+@query(
+    "multimodal_features",
+    """
+    SELECT 'doc-' || doc_id AS media_id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           list_transform(range(1, 17),
+                          i -> ('0x' || substr(sha256(text), (i-1)*2 + 1, 2))::INT / 255.0)
+             AS features
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents→binary payloads→mapInPandas
     feature extraction with the stubbed codec
-    (operators/multimodal.extract_features)."""
+    (operators/multimodal.extract_features). The deterministic stub
+    (sha256-derived features) is reproducible in DuckDB, so even the
+    Arrow/mapInPandas batch path is oracle-checked."""
     from .operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
