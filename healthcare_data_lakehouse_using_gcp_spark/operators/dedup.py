@@ -121,10 +121,13 @@ def minhash_signatures(
     codegen, and map-side partial mins collapse each doc's shingles
     before any shuffle (measured ~10x over the HOF form at sf0.1).
     """
-    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    # hash the variable-length shingle string ONCE to a long, then
+    # derive the k hash family from the 8-byte value — ~2x cheaper
+    # than re-hashing the string per seed at equal quality
+    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle")).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
