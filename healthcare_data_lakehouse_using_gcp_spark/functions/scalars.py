@@ -179,8 +179,10 @@ def rate_pressure_product(hr: Column, systolic: Column) -> Column:
 
 
 def daily_claim_value(amount: Column, processing_days: Column) -> Column:
-    """amount/processing_days, 0-day guarded (stg_insurance_claims.sql:101-105)."""
-    return F.when(processing_days > 0, amount / processing_days).otherwise(amount)
+    """amount/processing_days when amount present and days > 0, else
+    NULL (stg_insurance_claims.sql:101-105 — the reference's ELSE
+    branch is NULL, not the raw amount)."""
+    return F.when(amount.isNotNull() & (processing_days > 0), amount / processing_days)
 
 
 def quality_score(missing_fields: Column, anomaly_count: Column) -> Column:

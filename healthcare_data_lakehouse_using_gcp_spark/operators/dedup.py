@@ -69,14 +69,21 @@ def exact_dedup(
 def drop_exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep only the canonical (min-id) row of each duplicate group."""
+    """Keep only the canonical (min-id) row of each duplicate group.
+
+    The keep-set has one row per DISTINCT document — corpus-sized, so
+    it must NOT be broadcast (a broadcast would OOM the driver at the
+    100 TB design point). A shuffled left-semi join on the id is the
+    right plan: both sides exchange on a fixed-width key and the
+    map-side partial min has already collapsed duplicates.
+    """
     w_key = F.sha2(F.col(text_col), 256)
     keep = (
         df.select(w_key.alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(F.broadcast(keep) if keep.isStreaming is False else keep, id_col, "left_semi")
+    return df.join(keep, id_col, "left_semi")
 
 
 # --- MinHash + LSH ---------------------------------------------------
@@ -306,21 +313,42 @@ def simhash(
         import numpy as np
         import pandas as pd
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            votes = np.zeros(bits, dtype=np.int64)
-            for tok in t.lower().split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for b in range(bits):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            fp = 0
-            for b in range(bits):
-                if votes[b] > 0:
-                    fp |= 1 << b
-            # wrap to signed 64-bit
-            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        # flatten the batch to one token stream with per-doc counts
+        doc_tokens = [([] if t is None else t.lower().split()) for t in texts]
+        counts = np.fromiter((len(tk) for tk in doc_tokens), dtype=np.int64, count=n)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = [tok for tk in doc_tokens for tok in tk]
+        # md5 each UNIQUE token once (Python loop over uniques only);
+        # inverse indices restore per-doc multiplicity
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        # bit b of h is (h >> b) & 1 — LSB-first, same as the scalar
+        # reference formulation; ±1 vote matrix in one vectorized shot
+        shifts = np.arange(bits, dtype=np.uint64)
+        uniq_bits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        tok_votes = 2 * uniq_bits[inv] - 1  # (total_tokens, bits)
+        # segment-sum votes per doc: consecutive non-empty docs'
+        # start offsets delimit exactly one doc's token rows each
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nz = counts > 0
+        votes = np.zeros((n, bits), dtype=np.int64)
+        votes[nz] = np.add.reduceat(tok_votes, starts[nz], axis=0)
+        fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        # wrap to signed 64-bit
+        out = fp.view(np.int64)
         return pd.Series(out)
 
     _simhash = F.pandas_udf(_simhash_batch, T.LongType())

@@ -35,9 +35,9 @@ KNOWN_TYPES = ("patient_vitals", "insurance_claim", "ehr_record")
 
 REQUIRED_FIELDS = {
     # healthcare_etl_pipeline.py:77-82, 91-96, 102-107
-    "patient_vitals": ["patient_id", "timestamp", "heart_rate"],
-    "insurance_claim": ["claim_id", "patient_id", "total_amount"],
-    "ehr_record": ["record_id", "patient_id", "visit_date"],
+    "patient_vitals": ["patient_id", "heart_rate", "temperature", "timestamp"],
+    "insurance_claim": ["claim_id", "patient_id", "total_amount", "service_date"],
+    "ehr_record": ["record_id", "patient_id", "visit_date", "diagnosis"],
 }
 
 
@@ -61,13 +61,31 @@ def parse_envelope(raw: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFr
     ).select("r.*", "_raw_message")
     # from_json yields a NULL struct (all fields null) for malformed
     # input rather than populating the corrupt column; recover the raw
-    # text so error records keep the original payload.
-    parsed = parsed.withColumn(
-        "_corrupt_record",
-        F.when(F.col("data_type").isNull() & F.col("_corrupt_record").isNull(), F.col("_raw_message")).otherwise(
-            F.col("_corrupt_record")
-        ),
-    ).drop("_raw_message")
+    # text so error records keep the original payload. Only a TRUE
+    # parse failure (every parsed field null) is corrupt — well-formed
+    # JSON that merely lacks data_type routes to 'unknown', matching
+    # element.get('data_type', 'unknown')
+    # (healthcare_etl_pipeline.py:58, :222-223).
+    payload_fields = [f.name for f in schema.fields if f.name != "_corrupt_record"]
+    all_null = F.lit(True)
+    for name in payload_fields:
+        all_null = all_null & F.col(name).isNull()
+    parsed = (
+        parsed.withColumn(
+            "_corrupt_record",
+            F.when(all_null & F.col("_corrupt_record").isNull(), F.col("_raw_message")).otherwise(
+                F.col("_corrupt_record")
+            ),
+        )
+        .withColumn(
+            "data_type",
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.coalesce(F.col("data_type"), F.lit("unknown")),
+            ).otherwise(F.col("data_type")),
+        )
+        .drop("_raw_message")
+    )
     return parsed.withColumns(
         {
             "processed_at": S.now_col(cfg),  # healthcare_etl_pipeline.py:55

@@ -135,9 +135,8 @@ def stg_insurance_claims(claims: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) 
     )
     return cleaned.withColumns(
         {
-            "daily_claim_value": F.when(
-                F.col("total_amount").isNotNull() & (F.col("processing_days") > 0),
-                F.col("total_amount") / F.col("processing_days"),
+            "daily_claim_value": S.daily_claim_value(
+                F.col("total_amount"), F.col("processing_days")
             ),
             # ARRAY_LENGTH(SPLIT(x, ',')) ≡ size() on first-class arrays
             "diagnosis_count": F.when(

@@ -102,6 +102,32 @@ def test_missing_required_filtered(spark, cfg):
     assert routed["claims"].count() == 0
 
 
+def test_missing_fourth_required_field_filtered(spark, cfg):
+    # the reference requires 4 fields per type
+    # (healthcare_etl_pipeline.py:79/93/104): vitals also need
+    # temperature, claims service_date, ehr diagnosis
+    no_temp = {k: v for k, v in GOOD_VITALS.items() if k != "temperature"}
+    no_svc = {k: v for k, v in GOOD_CLAIM.items() if k != "service_date"}
+    no_diag = {k: v for k, v in GOOD_EHR.items() if k != "diagnosis"}
+    msgs = [json.dumps(m) for m in (GOOD_VITALS, no_temp, no_svc, no_diag, GOOD_EHR)]
+    routed = etl.build_etl(_raw_df(spark, msgs), cfg)
+    assert routed["vitals"].count() == 1
+    assert routed["claims"].count() == 0
+    assert routed["ehr"].count() == 1
+
+
+def test_missing_data_type_routed_unknown(spark, cfg):
+    # well-formed JSON lacking data_type is NOT corrupt: the reference
+    # defaults it via element.get('data_type', 'unknown')
+    # (healthcare_etl_pipeline.py:58) and DataPartitioner sends it to
+    # the unknown output (:222-223)
+    no_dtype = {k: v for k, v in GOOD_VITALS.items() if k != "data_type"}
+    msgs = [json.dumps(no_dtype), json.dumps(GOOD_VITALS)]
+    routed = etl.build_etl(_raw_df(spark, msgs), cfg)
+    assert routed["unknown"].count() == 1
+    assert routed["vitals"].count() == 1
+
+
 def test_vitals_enrichment(spark, cfg):
     low = dict(GOOD_VITALS, heart_rate=50)
     high = dict(GOOD_VITALS, heart_rate=120)
