@@ -1160,9 +1160,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'doc-' || doc_id AS media_id,
            'image' AS modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           list_transform(range(1, 17),
-                          i -> ('0x' || substr(sha256(text), (i-1)*2 + 1, 2))::INT / 255.0)
-             AS features
+           array_to_string(
+             list_transform(range(1, 17),
+               i -> CAST(CAST(floor((('0x' || substr(sha256(text), (i-1)*2 + 1, 2))::INT
+                                     / 255.0) * 10000 + 0.5) / 10000
+                             AS DECIMAL(6,4)) AS VARCHAR)),
+             ',') AS features_csv
     FROM documents
     """,
 )
@@ -1171,7 +1174,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction with the stubbed codec
     (operators/multimodal.extract_features). The deterministic stub
     (sha256-derived features) is reproducible in DuckDB, so even the
-    Arrow/mapInPandas batch path is oracle-checked."""
+    Arrow/mapInPandas batch path is oracle-checked. The feature vector
+    is serialized to a canonical fixed-scale CSV string on BOTH sides
+    (the driver's value hash cannot digest list-valued columns)."""
+    from .functions.scalars import round_det
     from .operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1180,7 +1186,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("modality"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    canon = F.concat_ws(
+        ",",
+        F.transform(
+            "features", lambda x: round_det(x, 4).cast("decimal(6,4)").cast("string")
+        ),
+    )
+    return feats.select(
+        "media_id", "modality", "payload_bytes", canon.alias("features_csv")
+    )
 
 
 OPERATOR_MAP = {
