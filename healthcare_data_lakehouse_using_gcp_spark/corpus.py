@@ -1146,12 +1146,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_near_dup", None)  # approximate: rows-only check
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs
-    (operators/similarity.embedding_near_dup_pairs)."""
+    """Embedding-cosine near-dup pairs, LSH-bucketed scale path
+    (operators/similarity.embedding_near_dup_pairs). Bucket recall is
+    probabilistic, so rows-only here; the EXACT variant below is the
+    oracle-checked one (same split as minhash vs ngram_jaccard)."""
     from .operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+@query(
+    "embedding_near_dup_exact",
+    """
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 * 10000 + 0.5) / 10000 AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                * 10000 + 0.5) / 10000 >= 0.4
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup
+    (operators/similarity.embedding_near_dup_exact); threshold applied
+    to the deterministically ROUNDED cosine on both engine sides."""
+    from .functions.scalars import round_det
+    from .operators.similarity import embedding_near_dup_exact as exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = exact(e, threshold=-2.0)  # no pre-filter; threshold on rounded value
+    return (
+        out.withColumn("cosine", round_det(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= 0.4)
+    )
 
 
 @query(

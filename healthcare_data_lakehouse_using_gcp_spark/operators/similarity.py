@@ -165,87 +165,130 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-    lloyd_iters: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the second scale path
-    besides sign-LSH.
-
-    Index build: sample n_centroids vectors, refine with a few Lloyd
-    iterations (assignment via an Arrow-batched numpy matmul — the
-    one place vectorized Python beats built-ins; centroid update is a
-    plain groupBy/avg). Search: each query probes its n_probe nearest
-    centroids and scores only those inverted lists.
-
-    Scale: assignment is a narrow pass (no shuffle); the index adds
-    one small-int column; search shuffles only the probed lists.
-    Recall dial: n_probe/n_centroids.
-    """
+def _assign_udf(centroids):
+    """Arrow-batched nearest-centroid assignment (numpy matmul — the
+    one place vectorized Python beats built-ins)."""
     import numpy as np
     import pandas as pd
 
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def _assign(vecs):
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return F.pandas_udf(_assign, T.IntegerType())
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) index ONCE, amortized over every
+    later search: returns (indexed, centroids_df).
+
+    - ``indexed``: corpus + ``cid`` inverted-list assignment (narrow
+      pass, no shuffle).
+    - ``centroids_df``: (cid, centroid array<double>) — tiny
+      (n_centroids × dim), persistable next to the vectors.
+
+    Sample n_centroids vectors (deterministic: lowest ids), refine
+    with a few Lloyd iterations (assignment via an Arrow-batched
+    numpy matmul; centroid update is a plain groupBy/avg). Each Lloyd
+    iteration is one corpus pass — which is why the build is a
+    separate, persistable step rather than part of every query
+    (VERDICT r1 item 3): at the 100 TB design point the index is
+    written with save_ivf_index and queries only read it.
+    """
+    import numpy as np
+
     from .dedup import ensure_parallelism
 
-    # --- sample initial centroids (deterministic: lowest ids) -------
-    sample = (
-        corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
-    )
+    sample = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
     centroids = np.array([r[0] for r in sample], dtype=np.float64)
 
-    def assign_udf(cents):
-        c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-        def _assign(vecs):
-            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
-
-        return F.pandas_udf(_assign, T.IntegerType())
-
     par = ensure_parallelism(corpus.select(id_col, vec_col))
-    # --- Lloyd refinement -------------------------------------------
     for _ in range(lloyd_iters):
         assigned = par.select(
-            id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cid")
+            id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
         )
         means = (
-            assigned.select(
-                "cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
-            )
+            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
             .select("cid", F.transform("ms", lambda s: s["m"]).alias("centroid"))
-            .collect()
+            .collect()  # n_centroids × dim doubles — driver-safe
         )
         for row in means:
             centroids[row["cid"]] = np.array(row["centroid"], dtype=np.float64)
 
     indexed = par.select(
-        id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cid")
+        id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
+    )
+    centroids_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cid int, centroid array<double>",
+    )
+    return indexed, centroids_df
+
+
+def save_ivf_index(indexed: DataFrame, centroids_df: DataFrame, path: str) -> None:
+    """Persist an IVF index: vectors partitioned BY inverted list
+    (probing then prunes whole directories at scan time) + the tiny
+    centroid table."""
+    indexed.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/vectors")
+    centroids_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a saved IVF index: (indexed, centroids_df)."""
+    return (
+        spark.read.parquet(f"{path}/vectors"),
+        spark.read.parquet(f"{path}/centroids"),
     )
 
-    # --- query probing ----------------------------------------------
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a prebuilt IVF index: each query probes its n_probe
+    nearest centroids and scores ONLY those inverted lists.
+
+    Zero Lloyd/corpus passes here — the only corpus touch is the
+    broadcast-join against the probed cids (partition-pruned when the
+    index was saved partitionBy(cid)). Recall dial: n_probe.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = centroids_df.orderBy("cid").collect()  # tiny
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int32)
     c_norm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    n_probe = min(n_probe, len(cids))
 
     def _probe_fn(vecs):
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ c_norm.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([cids[t].tolist() for t in top])
 
     _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.IntegerType()))
 
@@ -263,6 +306,54 @@ def ivf_topk(
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """One-shot convenience: build_ivf_index + ivf_search. For
+    repeated querying, build (or save/load) the index once and call
+    ivf_search — the build does lloyd_iters+1 corpus passes."""
+    indexed, centroids_df = build_ivf_index(
+        corpus, id_col, vec_col, n_centroids, seed, lloyd_iters
+    )
+    return ivf_search(
+        indexed, centroids_df, queries, k, id_col, vec_col, query_id_col, n_probe
+    )
+
+
+def embedding_near_dup_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup pairs — the ground-truth
+    counterpart of embedding_near_dup_pairs, with the same contract
+    ngram_jaccard_pairs has to minhash_dedup: oracle-friendly and
+    correct at any threshold, O(n²) pair space, so for 100 TB use the
+    LSH variant and keep this one for small/medium corpora,
+    verification samples, and recall measurement."""
+    from .dedup import ensure_parallelism
+
+    base = ensure_parallelism(df.select(id_col, vec_col))
+    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
+    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def embedding_near_dup_pairs(

@@ -158,6 +158,36 @@ def test_ivf_topk_recall(spark):
     assert exact == approx
 
 
+def test_ivf_index_build_search_split(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = corpus_df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    indexed, cents = similarity.build_ivf_index(corpus_df, n_centroids=4)
+    # persist + reload roundtrip (the 100 TB path: build once, query many)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(indexed, cents, path)
+    indexed2, cents2 = similarity.load_ivf_index(spark, path)
+    assert indexed2.count() == 40
+    assert cents2.count() == 4
+
+    direct = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_search(indexed, cents, queries_df, k=2, n_probe=2).collect()
+    }
+    loaded = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_search(indexed2, cents2, queries_df, k=2, n_probe=2).collect()
+    }
+    assert direct == loaded  # saved index answers identically
+    # self-vector lives in its own probed list → rank-1 self recall
+    assert {(q, v) for q, v, r in direct if r == 1} == {(i, i) for i in range(3)}
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -169,6 +199,12 @@ def test_embedding_near_dup(spark):
         df, threshold=0.95, num_planes=2, num_tables=4
     ).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+    # exact variant agrees with the LSH one on planted strong dups,
+    # and is the ground truth at ANY threshold
+    exact = similarity.embedding_near_dup_exact(df, threshold=0.95).collect()
+    assert {(p["id_a"], p["id_b"]) for p in exact} == {(1, 2)}
+    exact_low = similarity.embedding_near_dup_exact(df, threshold=-1.0)
+    assert exact_low.count() == 3  # all pairs when unthresholded
 
 
 def test_text_stats_and_quality(spark, docs):
