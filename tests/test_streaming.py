@@ -113,3 +113,43 @@ def test_unknown_messages_json_roundtrip(spark, cfg):
     routed = build_etl(spark.createDataFrame([(m,) for m in msgs], "value string"), cfg)
     row = routed["unknown"].first()
     assert row["data_type"] == "totally_new"
+
+
+def test_rate_source_mix_ratio(spark, cfg):
+    """S8 streaming half: the timed mixed-mode publisher mapping
+    (pubsub_publisher.py:219-280) holds its 60/20/10 mix over N ticks
+    and produces envelopes that route through build_etl."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming import rate_source
+
+    n = 3000
+    ticks = spark.range(n).select(
+        F.col("id").alias("value"),
+        (F.lit("2024-06-01 12:00:00").cast("timestamp") + F.make_dt_interval(secs=F.col("id"))).alias("timestamp"),
+    )
+    msgs = rate_source.mix_envelopes(ticks)
+    routed = build_etl(msgs, cfg)
+    counts = {k: routed[k].count() for k in ("vitals", "claims", "ehr", "unknown")}
+    # independent per-tick rolls: expected counts n*p, tolerance ~4 sigma
+    assert abs(counts["vitals"] - 0.6 * n) < 4 * (n * 0.6 * 0.4) ** 0.5 + 40
+    assert abs(counts["claims"] - 0.2 * n) < 4 * (n * 0.2 * 0.8) ** 0.5 + 40
+    assert abs(counts["ehr"] - 0.1 * n) < 4 * (n * 0.1 * 0.9) ** 0.5 + 40
+    assert counts["unknown"] == 0
+    # envelopes carry ingest_timestamp (publisher attribute parity)
+    parsed = parse_envelope(msgs, cfg)
+    assert parsed.filter(F.col("ingest_timestamp").isNull()).count() == 0
+    # determinism: same ticks -> same messages
+    again = {k: v for k, v in counts.items()}
+    routed2 = build_etl(rate_source.mix_envelopes(ticks), cfg)
+    assert {k: routed2[k].count() for k in again} == again
+
+
+def test_rate_source_streams_unbounded(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.streaming import rate_source
+
+    s = rate_source.mixed_mode_stream(spark)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == ["value"]
+    d = rate_source.dedicated_stream(spark, "ehr_record")
+    assert d.isStreaming and d.schema.fieldNames() == ["value"]
