@@ -25,6 +25,7 @@ HEADLINE = [
     "a2_wide_agg",
     "j1_band_join",
     "j3_asof_nearest",
+    "j3_asof_min_by",
     "w1_row_number",
     "a8_daily_rollup",
     "t1_tumbling_window",

@@ -327,6 +327,58 @@ def j3_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j3_asof_min_by",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           arg_min(l.l_shipdate,
+                   ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) * 8
+                   + l.l_linenumber) AS nearest_shipdate,
+           CAST(arg_min(l.l_linenumber,
+                        ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) * 8
+                        + l.l_linenumber) AS BIGINT) AS nearest_linenumber,
+           CAST(MIN(ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)))
+                AS BIGINT) AS days_diff
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND ABS(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)) <= 30
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def j3_asof_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 via hash-aggregation (operators/joins.asof_select_min_by):
+    the same as-of rank-1 result as j3_asof_nearest WITHOUT the window
+    sort — lexicographic struct-MIN with the linenumber tie-break.
+    (DuckDB oracle: arg_min on an order-equivalent composite key;
+    linenumber < 8 so dist*8+linenumber ≡ (dist, linenumber).)"""
+    from .operators.joins import asof_select_min_by
+
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    dist = F.abs(
+        F.datediff(F.to_date(F.col("l.l_shipdate")), F.to_date(F.col("o.o_orderdate")))
+    )
+    pre = (
+        o.join(li, (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & (dist <= 30))
+        .select(
+            "o.o_orderkey",
+            "o.o_orderdate",
+            F.col("l.l_shipdate").alias("nearest_shipdate"),
+            F.col("l.l_linenumber").cast("bigint").alias("nearest_linenumber"),
+            dist.cast("bigint").alias("days_diff"),
+        )
+    )
+    return asof_select_min_by(
+        pre,
+        ["o_orderkey", "o_orderdate"],
+        "o_orderdate",
+        "nearest_shipdate",
+        ["nearest_shipdate", "nearest_linenumber", "days_diff"],
+        tie_breakers=["nearest_linenumber"],
+    )
+
+
 # =====================================================================
 # §2.4 Aggregations
 # =====================================================================

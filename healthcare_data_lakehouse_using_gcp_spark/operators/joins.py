@@ -113,11 +113,28 @@ def asof_select_min_by(
     left_date: str,
     right_date: str,
     value_cols: Sequence[str],
+    tie_breakers: Sequence[str] = (),
 ) -> DataFrame:
-    """Aggregation-based as-of: ``min_by(value, |datediff|)`` per
-    group. Equivalent to rank-1 selection when ties are impossible or
-    irrelevant; cheaper at scale (hash-agg with partial aggregation
-    instead of a full window sort)."""
+    """Aggregation-based as-of: lexicographic MIN over a
+    (|datediff|, *tie_breakers, values...) struct per group — ONE
+    hash-agg with map-side partial aggregation instead of the window's
+    full sort (the rank-1 emulation of
+    fact_patient_encounters.sql:107-110,173-186).
+
+    With unique ``tie_breakers`` this selects exactly the window
+    variant's rank-1 row (struct comparison is field-lexicographic in
+    both Spark and standard SQL engines); without them, ties resolve
+    arbitrarily — same nondeterminism the reference's bare ORDER BY
+    has. All value columns ride in the struct, so ONE aggregate
+    replaces N min_by calls and the row never re-joins its source.
+    """
     dist = F.abs(F.datediff(F.to_date(F.col(left_date)), F.to_date(F.col(right_date))))
-    aggs = [F.min_by(F.col(c), dist).alias(c) for c in value_cols]
-    return df.groupBy(*partition_cols).agg(*aggs)
+    packed = F.struct(
+        dist.alias("__dist"),
+        *[F.col(t).alias(f"__tb_{i}") for i, t in enumerate(tie_breakers)],
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    out = df.groupBy(*partition_cols).agg(F.min(packed).alias("__best"))
+    return out.select(
+        *partition_cols, *[F.col(f"__best.{c}").alias(c) for c in value_cols]
+    )

@@ -60,15 +60,14 @@ GROUP_COLS = [
 ]
 
 
-def fact_patient_encounters(
+def _lookback_scans(
     stg_vitals: DataFrame,
     stg_claims: DataFrame,
     stg_ehr: DataFrame,
-    cfg: EngineConfig = DEFAULT_CONFIG,
-) -> DataFrame:
-    band = cfg.band_days
-    # --- CTE scans with lookback predicates (:31-78) — these reach
-    # the parquet scan as pushed filters / partition pruning.
+    cfg: EngineConfig,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CTE scans with lookback predicates (:31-78) — these reach the
+    parquet scan as pushed filters / partition pruning."""
     vitals = stg_vitals.select(*VITALS_COLS).filter(
         F.col("measurement_timestamp")
         >= (now_col(cfg) - F.expr(f"INTERVAL {cfg.lookback_days} DAYS"))
@@ -86,6 +85,20 @@ def fact_patient_encounters(
         "treatment", "medications", "lab_results", "medication_count",
         "lab_test_count", "notes",
     ).filter(F.col("visit_date") >= F.date_sub(today_col(cfg), cfg.lookback_days))
+    return vitals, claims, ehr
+
+
+def fact_patient_encounters(
+    stg_vitals: DataFrame,
+    stg_claims: DataFrame,
+    stg_ehr: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    optimized: bool = False,
+) -> DataFrame:
+    if optimized:
+        return fact_patient_encounters_optimized(stg_vitals, stg_claims, stg_ehr, cfg)
+    band = cfg.band_days
+    vitals, claims, ehr = _lookback_scans(stg_vitals, stg_claims, stg_ehr, cfg)
 
     # --- vitals ⟕ claims band join + proximity rank (:81-115)
     v, c = vitals.alias("v"), claims.alias("c")
@@ -201,6 +214,147 @@ def fact_patient_encounters(
         .otherwise(F.lit("low_risk"))
         .alias("risk_level"),
         # encounter type (:217-222) — lateral refs to the agg aliases
+        F.when((total_claims > 0) & (total_ehr > 0), F.lit("comprehensive"))
+        .when(total_claims > 0, F.lit("claims_only"))
+        .when(total_ehr > 0, F.lit("ehr_only"))
+        .otherwise(F.lit("vitals_only"))
+        .alias("encounter_type"),
+        now_col(cfg).alias("created_at"),
+        now_col(cfg).alias("updated_at"),
+    )
+
+
+def fact_patient_encounters_optimized(
+    stg_vitals: DataFrame,
+    stg_claims: DataFrame,
+    stg_ehr: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Plan-rewrite variant of fact_patient_encounters (flagged,
+    opt-in): the vitals-grain as-of fact the literal query is FOR.
+
+    The literal model reproduces the reference's degenerate grouping
+    (one output row per joined vitals×claim×ehr combination, claim
+    aggregates double-counted across the ehr cross product). This
+    variant keeps the reference's column contract but emits ONE row
+    per vitals measurement and replaces both ROW_NUMBER window sorts
+    with lexicographic struct-MIN hash aggregations (the technique of
+    operators/joins.asof_select_min_by, tie-broken on claim_id /
+    record_id exactly like the literal plan's deterministic ordering):
+
+      vitals ⟕ claims band join → one hash-agg per (patient, ts):
+        primary-claim struct min + in-band claim aggregates
+      vitals ⟕ ehr band join    → one hash-agg (independent; the ehr
+        join no longer rides on claim-duplicated rows)
+      vitals ⟕ both aggregates on (patient_id, measurement_timestamp)
+
+    Joined row volume is |v⋈c| + |v⋈e| instead of the literal's
+    |v⋈c|·|ehr matches|, there is no window sort anywhere, and every
+    shuffle keys on patient_id(+ts). Equivalence of the rank-1
+    selections to the literal plan on tie-free data is asserted in
+    tests/test_fact.py.
+    """
+    band = cfg.band_days
+    vitals, claims, ehr = _lookback_scans(stg_vitals, stg_claims, stg_ehr, cfg)
+    vkey = vitals.select("patient_id", "measurement_timestamp")
+    vdate = F.to_date(F.col("measurement_timestamp"))
+
+    # --- claims side: one inner band join + one hash-agg ------------
+    cdist = F.abs(F.datediff(vdate, F.col("service_date")))
+    vc = vkey.join(claims, "patient_id").filter(cdist <= band)
+    claim_packed = F.struct(
+        cdist.alias("__dist"),
+        F.col("claim_id").alias("__tb"),  # literal tie-breaker
+        F.col("claim_id").alias("claim_id"),
+        F.col("service_date").alias("service_date"),
+        F.col("total_amount").alias("total_amount"),
+        F.col("insurance_type").alias("insurance_type"),
+        F.col("claim_status").alias("claim_status"),
+        F.col("processing_days").alias("processing_days"),
+    )
+    cagg = vc.groupBy("patient_id", "measurement_timestamp").agg(
+        F.min(claim_packed).alias("__c"),
+        F.countDistinct("claim_id").alias("total_claims"),
+        F.sum("total_amount").alias("total_claim_value"),
+        F.avg("processing_days").alias("avg_processing_days"),
+        F.sum(F.when(F.col("denied_claim"), 1).otherwise(0)).alias("denied_claims_count"),
+        F.sum(F.when(F.col("paid_claim"), 1).otherwise(0)).alias("paid_claims_count"),
+        F.sum(F.when(F.col("pending_claim"), 1).otherwise(0)).alias("pending_claims_count"),
+        F.sum(F.when(F.col("high_value_claim"), 1).otherwise(0)).alias(
+            "high_value_claims_count"
+        ),
+        F.sum("diagnosis_count").alias("__sum_diag"),
+        F.sum("procedure_count").alias("__sum_proc"),
+    )
+
+    # --- ehr side: independent band join + hash-agg -----------------
+    edist = F.abs(F.datediff(vdate, F.col("visit_date")))
+    ve = vkey.join(ehr, "patient_id").filter(edist <= band)
+    ehr_packed = F.struct(
+        edist.alias("__dist"),
+        F.col("record_id").alias("__tb"),
+        F.col("record_id").alias("record_id"),
+        F.col("visit_date").alias("visit_date"),
+        F.col("diagnosis").alias("diagnosis"),
+        F.col("treatment").alias("treatment"),
+        F.col("medication_count").alias("medication_count"),
+        F.col("lab_test_count").alias("lab_test_count"),
+    )
+    eagg = ve.groupBy("patient_id", "measurement_timestamp").agg(
+        F.min(ehr_packed).alias("__e"),
+        F.countDistinct("record_id").alias("total_ehr_records"),
+        F.sum("medication_count").alias("__sum_med"),
+    )
+
+    # --- stitch at vitals grain -------------------------------------
+    keys = ["patient_id", "measurement_timestamp"]
+    out = vitals.join(cagg, keys, "left").join(eagg, keys, "left")
+    total_claims = F.coalesce(F.col("total_claims"), F.lit(0))
+    total_ehr = F.coalesce(F.col("total_ehr_records"), F.lit(0))
+    return out.select(
+        *VITALS_COLS,
+        F.col("__c.claim_id").alias("primary_claim_id"),
+        F.col("__c.service_date").alias("primary_service_date"),
+        F.col("__c.total_amount").alias("primary_claim_amount"),
+        F.col("__c.insurance_type").alias("primary_insurance_type"),
+        F.col("__c.claim_status").alias("primary_claim_status"),
+        F.col("__c.processing_days").alias("primary_processing_days"),
+        F.col("__e.record_id").alias("primary_ehr_record_id"),
+        F.col("__e.visit_date").alias("primary_visit_date"),
+        F.col("__e.diagnosis").alias("primary_diagnosis"),
+        F.col("__e.treatment").alias("primary_treatment"),
+        F.col("__e.medication_count").alias("primary_medication_count"),
+        F.col("__e.lab_test_count").alias("primary_lab_test_count"),
+        total_claims.alias("total_claims"),
+        total_ehr.alias("total_ehr_records"),
+        F.col("total_claim_value"),
+        F.col("avg_processing_days"),
+        F.coalesce(F.col("denied_claims_count"), F.lit(0)).alias("denied_claims_count"),
+        F.coalesce(F.col("paid_claims_count"), F.lit(0)).alias("paid_claims_count"),
+        F.coalesce(F.col("pending_claims_count"), F.lit(0)).alias("pending_claims_count"),
+        F.coalesce(F.col("high_value_claims_count"), F.lit(0)).alias(
+            "high_value_claims_count"
+        ),
+        (
+            total_claims * 0.3
+            + total_ehr * 0.2
+            + F.coalesce(F.col("__sum_diag"), F.lit(0)) * 0.2
+            + F.coalesce(F.col("__sum_proc"), F.lit(0)) * 0.2
+            + F.coalesce(F.col("__sum_med"), F.lit(0)) * 0.1
+        ).alias("encounter_complexity_score"),
+        F.when(
+            F.col("low_oxygen_alert")
+            | F.col("elevated_heart_rate_alert")
+            | F.col("low_heart_rate_alert")
+            | F.col("fever_alert"),
+            F.lit("high_risk"),
+        )
+        .when(
+            (F.col("heart_rate_category") != "normal") | (F.col("temperature") > 37.5),
+            F.lit("medium_risk"),
+        )
+        .otherwise(F.lit("low_risk"))
+        .alias("risk_level"),
         F.when((total_claims > 0) & (total_ehr > 0), F.lit("comprehensive"))
         .when(total_claims > 0, F.lit("claims_only"))
         .when(total_ehr > 0, F.lit("ehr_only"))

@@ -127,3 +127,50 @@ def test_lookback_excludes_old_vitals(spark, cfg):
     fact = fact_patient_encounters(v, c, e, cfg)
     claim_ids = {r["primary_claim_id"] for r in fact.collect()}
     assert "C3" not in claim_ids
+
+
+def test_fact_optimized_equivalence(spark, cfg):
+    """The flagged plan-rewrite variant: rank-1 selections equal the
+    literal plan's on tie-free data; aggregates at vitals grain with
+    no cross-product inflation; no Window operator in the plan."""
+    import contextlib
+    import io
+
+    v, c, e = _stg_frames(spark, cfg)
+    lit = fact_patient_encounters(v, c, e, cfg)
+    opt = fact_patient_encounters(v, c, e, cfg, optimized=True)
+
+    assert opt.count() == 2  # one row per vitals measurement
+    o = {r["patient_id"]: r for r in opt.collect()}
+    lit_primary = {
+        r["patient_id"]: r
+        for r in lit.collect()
+        if r["primary_claim_id"] is not None or r["primary_ehr_record_id"] is not None
+    }
+    pa_l, pa_o = lit_primary["PA"], o["PA"]
+    for col in (
+        "primary_claim_id", "primary_service_date", "primary_claim_amount",
+        "primary_insurance_type", "primary_claim_status", "primary_processing_days",
+        "primary_ehr_record_id", "primary_visit_date", "primary_diagnosis",
+        "primary_treatment", "primary_medication_count", "primary_lab_test_count",
+        "risk_level",
+    ):
+        assert pa_o[col] == pa_l[col], col
+
+    # sane-grain aggregates: PA has 2 claims in band, counted once
+    assert pa_o["total_claims"] == 2
+    assert pa_o["total_claim_value"] == pytest.approx(2000.0)
+    assert pa_o["encounter_type"] == "comprehensive"
+    # complexity over in-band entities: 2*0.3 + 1*0.2 + 3*0.2 + 2*0.2 + 2*0.1 = 2.0
+    assert pa_o["encounter_complexity_score"] == pytest.approx(2.0)
+
+    pb = o["PB"]
+    assert pb["total_claims"] == 0 and pb["encounter_type"] == "vitals_only"
+    assert pb["risk_level"] == "high_risk"
+    assert pb["total_claim_value"] is None
+    assert pb["primary_claim_id"] is None
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        opt.explain("formatted")
+    assert "Window" not in buf.getvalue()  # hash-aggs replaced both sorts
