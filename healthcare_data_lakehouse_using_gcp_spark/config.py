@@ -51,6 +51,20 @@ class Thresholds:
 
 
 @dataclass(frozen=True)
+class GatePolicy:
+    """dbt-style test severity (dbt_project.yml:33-36, 89-94): a gate
+    measures a failure metric (a count of failing rows, or minutes of
+    staleness); ``warn_if`` / ``error_if`` are strict > thresholds on
+    that metric, None disables the level. ``store_failures`` mirrors
+    dbt's store_failures: keep the failing rows for inspection
+    instead of only the count."""
+
+    warn_if: float | None = 10.0  # dbt_project.yml:34,91
+    error_if: float | None = 100.0  # dbt_project.yml:35,92
+    store_failures: bool = True  # dbt_project.yml:33,90
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     thresholds: Thresholds = field(default_factory=Thresholds)
     lookback_days: int = 30  # dbt var lookback_days (dbt_project.yml:141)
@@ -58,6 +72,13 @@ class EngineConfig:
     pipeline_version: str = "1.0.0"  # healthcare_etl_pipeline.py:56
     # frozen "now"; None => current_timestamp (production behavior)
     as_of: dt.datetime | None = None
+    # engine-side dbt-severity gates over the DAG report checks:
+    # low-quality-record count in the last hour, and staleness minutes
+    # (warn at the DAG's 30-minute limit, error at 8x that)
+    low_quality_gate: GatePolicy = field(default_factory=GatePolicy)
+    staleness_gate: GatePolicy = field(
+        default_factory=lambda: GatePolicy(warn_if=30.0, error_if=240.0)
+    )
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -124,6 +124,28 @@ class PipelineHealthError(ValueError):
     pass
 
 
+def gate_status(value, policy) -> str:
+    """dbt-severity evaluation (dbt_project.yml:33-36, 89-94): the
+    failure metric against warn_if/error_if (> comparison, like dbt's
+    'warn_if: >10'). Returns 'pass' | 'warn' | 'error'."""
+    if value is None:
+        return "pass"
+    if policy.error_if is not None and value > policy.error_if:
+        return "error"
+    if policy.warn_if is not None and value > policy.warn_if:
+        return "warn"
+    return "pass"
+
+
+def quality_failures(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The failing rows behind the quality gate (dbt store_failures):
+    last-hour records scoring below 0.7."""
+    return vitals.filter(
+        (F.col("processed_at") >= now_col(cfg) - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("data_quality_score") < 0.7)
+    )
+
+
 def check_freshness(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
     row = freshness_report(vitals, cfg).first().asDict()
     if row["recent_records"] == 0:
@@ -132,11 +154,26 @@ def check_freshness(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> di
 
 
 def check_quality(vitals: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """DAG parity (below_threshold on the 0.8 average,
+    healthcare_data_pipeline_dag.py:199) + the engine-side dbt-severity
+    gate on the low-quality-record COUNT (cfg.low_quality_gate).
+    'error' raises like a dbt test at severity error; 'warn' is
+    reported in the row. With store_failures the failing rows come
+    back as a DataFrame under 'failures'."""
     row = quality_report(vitals, cfg).first().asDict()
     row["below_threshold"] = (
         row["avg_quality_score"] is not None
         and row["avg_quality_score"] < cfg.thresholds.min_avg_quality_score
     )
+    policy = cfg.low_quality_gate
+    row["gate_status"] = gate_status(row["low_quality_records"], policy)
+    if policy.store_failures and row["gate_status"] != "pass":
+        row["failures"] = quality_failures(vitals, cfg)
+    if row["gate_status"] == "error":
+        raise PipelineHealthError(
+            f"quality gate error: {row['low_quality_records']} low-quality records "
+            f"> error_if {policy.error_if}"
+        )
     return row
 
 
@@ -148,9 +185,19 @@ def check_pipeline_health(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -
 
 
 def check_staleness(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """DAG parity (stale flag at max_staleness_minutes,
+    healthcare_data_pipeline_dag.py:326-328) + the dbt-severity gate
+    on the staleness minutes (cfg.staleness_gate)."""
     row = staleness_report(fact, cfg).first().asDict()
     row["stale"] = (
         row["minutes_since_last_update"] is not None
         and row["minutes_since_last_update"] > cfg.thresholds.max_staleness_minutes
     )
+    policy = cfg.staleness_gate
+    row["gate_status"] = gate_status(row["minutes_since_last_update"], policy)
+    if row["gate_status"] == "error":
+        raise PipelineHealthError(
+            f"staleness gate error: {row['minutes_since_last_update']} minutes "
+            f"> error_if {policy.error_if}"
+        )
     return row

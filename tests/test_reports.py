@@ -72,3 +72,55 @@ def test_monitoring_and_claims_reports(spark, cfg, fact_df):
     claims = reports.claims_processing_report(fact_df, cfg).collect()
     for r in claims:
         assert r["total_claims"] > 0
+
+
+def test_gate_severity_warn_and_error(spark, cfg):
+    """dbt-style warn_if/error_if severity on the report gates
+    (dbt_project.yml:33-36,89-94 parity)."""
+    import dataclasses
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.config import GatePolicy
+
+    def vitals_with(n_low):
+        rows = [("P%06d" % i, cfg.as_of.isoformat(), 0.5 if i < n_low else 1.0)
+                for i in range(n_low + 5)]
+        return spark.createDataFrame(
+            rows, "patient_id string, processed_at string, data_quality_score double"
+        ).withColumn("processed_at", F.col("processed_at").cast("timestamp_ntz"))
+
+    tight = dataclasses.replace(
+        cfg, low_quality_gate=GatePolicy(warn_if=2, error_if=10, store_failures=True)
+    )
+    # 0 low → pass, no stored failures
+    ok = reports.check_quality(vitals_with(0), tight)
+    assert ok["gate_status"] == "pass" and "failures" not in ok
+
+    # 3 low → warn + stored failing rows
+    warn = reports.check_quality(vitals_with(3), tight)
+    assert warn["gate_status"] == "warn"
+    assert warn["failures"].count() == 3
+
+    # 11 low → error raises like a dbt test at severity error
+    with pytest.raises(reports.PipelineHealthError, match="quality gate error"):
+        reports.check_quality(vitals_with(11), tight)
+
+    # staleness: warn between warn_if and error_if, error beyond
+    def fact_latest(minutes_ago):
+        ts = (cfg.as_of - dt.timedelta(minutes=minutes_ago)).isoformat()
+        return spark.createDataFrame(
+            [("PA", ts)], "patient_id string, measurement_timestamp string"
+        ).withColumn(
+            "measurement_timestamp", F.col("measurement_timestamp").cast("timestamp_ntz")
+        )
+
+    s_cfg = dataclasses.replace(
+        cfg, staleness_gate=GatePolicy(warn_if=30, error_if=240)
+    )
+    assert reports.check_staleness(fact_latest(5), s_cfg)["gate_status"] == "pass"
+    w = reports.check_staleness(fact_latest(90), s_cfg)
+    assert w["gate_status"] == "warn" and w["stale"] is True
+    with pytest.raises(reports.PipelineHealthError, match="staleness gate error"):
+        reports.check_staleness(fact_latest(500), s_cfg)
