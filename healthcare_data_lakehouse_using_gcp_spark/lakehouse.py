@@ -70,7 +70,9 @@ class HealthcareLakehouse:
         """
         if raw_df is None:
             raw_df = read_json_batch(self.spark, raw_path)
-        routed = build_etl(raw_df, self.cfg)
+        # cache=True: the four routes + counts share one parse/enrich
+        # pass instead of recomputing the batch lineage per branch
+        routed = build_etl(raw_df, self.cfg, cache=True)
         counts: dict[str, int] = {}
         for name, date_col in ENTITY_DATE_COL.items():
             df = routed[name].withColumn(
@@ -81,10 +83,55 @@ class HealthcareLakehouse:
             )
             counts[name] = self.read_processed(name).count()
         unknown = routed["unknown"].drop("_corrupt_record")
-        if unknown.limit(1).count() > 0:
+        n_unknown = unknown.count()
+        if n_unknown > 0:
             unknown.write.mode("append").json(self.zone_path("errors"))
-        counts["unknown"] = unknown.count()
+        counts["unknown"] = n_unknown
         return counts
+
+    # --- bucketed curated tables (shuffle-free repeated joins) -------
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str = "patient_id",
+        num_buckets: int = 32,
+    ) -> DataFrame:
+        """Bucketed saveAsTable into the curated zone.
+
+        bucketBy(patient_id) hash-clusters the rows on the fact join
+        key at WRITE time, so every later join between two tables
+        bucketed alike plans with NO Exchange on either side (the
+        bucketed scan's output partitioning already satisfies the
+        join's required distribution — and, being a prefix of it, the
+        fact windows' (patient_id, ts) clustering too). sortBy keeps
+        buckets sorted on the key, letting sort-merge joins skip the
+        per-partition sort. At 100 TB this turns every curated
+        rebuild/backfill join from a full re-shuffle into a local
+        merge. Requires a catalog-backed table (saveAsTable): plain
+        .parquet(path) writes cannot record bucketing metadata.
+        """
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", self.zone_path("curated", table))
+            .saveAsTable(table)
+        )
+        return self.spark.table(table)
+
+    def materialize_bucketed_staging(
+        self, frames: dict[str, DataFrame], num_buckets: int = 32
+    ) -> dict[str, DataFrame]:
+        """ROADMAP 5: write the fact inputs as patient_id-bucketed
+        curated tables; returns the catalog-backed frames to build the
+        fact from (joins between them are exchange-free)."""
+        return {
+            name: self.write_bucketed(df, f"curated_{name}", num_buckets=num_buckets)
+            for name, df in frames.items()
+        }
 
     # --- processed → staging views → curated fact (the dbt layer) ----
 

@@ -235,15 +235,24 @@ def demux(enriched: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def build_etl(raw: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict[str, DataFrame]:
+def build_etl(
+    raw: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, cache: bool = False
+) -> dict[str, DataFrame]:
     """Full pipeline: parse → flags → filter → enrich → demux.
 
     Works identically on batch and streaming inputs (T4).
+    ``cache=True`` persists the enriched frame so the four demux
+    branches (and any per-branch counts) share one parse/enrich pass
+    instead of recomputing the lineage per consumer — batch callers
+    that touch several routes should use it (streaming callers persist
+    the micro-batch instead).
     """
     parsed = parse_envelope(raw, cfg)
     flagged = with_validation_flags(parsed, cfg)
     clean = quality_filter(flagged)
     enriched = enrich(clean, cfg)
+    if cache:
+        enriched = enriched.persist()
     # Unknown-type rows pass the quality filter unchanged (no required
     # fields defined for them, no anomaly flags), matching the
     # reference flow where DataPartitioner runs post-filter

@@ -46,3 +46,41 @@ def test_incremental_append(spark, cfg, tmp_path):
     # append-only semantics (WRITE_APPEND, healthcare_etl_pipeline.py:306)
     c2 = lh.run_etl(str(raw_dir))["vitals"]
     assert c2 == 2 * c1
+
+
+def test_bucketed_curated_join_no_exchange(spark, cfg, tmp_path):
+    """ROADMAP 5: joins between patient_id-bucketed curated tables
+    plan with no Exchange on either side."""
+    import contextlib
+    import io
+
+    from healthcare_data_lakehouse_using_gcp_spark.lakehouse import HealthcareLakehouse
+
+    lh = HealthcareLakehouse(spark, str(tmp_path), cfg)
+    v = spark.createDataFrame(
+        [("P%03d" % i, 60 + i) for i in range(50)], "patient_id string, heart_rate int"
+    )
+    c = spark.createDataFrame(
+        [("P%03d" % (i % 40), 100.0 * i) for i in range(80)],
+        "patient_id string, total_amount double",
+    )
+    bucketed = lh.materialize_bucketed_staging({"vitals_b": v, "claims_b": c}, num_buckets=8)
+    joined = bucketed["vitals_b"].join(bucketed["claims_b"], "patient_id")
+
+    # at test scale the planner would broadcast (hiding the bucketing);
+    # disable it to exercise the sort-merge path a 100 TB join takes
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and the join still answers correctly
+        assert joined.count() == 80  # every claim matches exactly one vitals row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS curated_vitals_b")
+    spark.sql("DROP TABLE IF EXISTS curated_claims_b")
