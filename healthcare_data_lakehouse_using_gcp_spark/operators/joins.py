@@ -107,6 +107,36 @@ def asof_join(
     return asof_select(joined, [*on, left_date], left_date, right_date, tie_breakers)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigation equi-join: split every left key into
+    ``salt_buckets`` sub-keys and replicate the right side once per
+    bucket, so a pathological hot key (one patient with millions of
+    rows) spreads across N reducers instead of overloading one.
+
+    Use AQE's skew-join (on by default) for moderate skew; salting is
+    for the cases AQE cannot split — a single key larger than an
+    executor, or when the skewed shuffle feeds a downstream
+    aggregation. The salt is deterministic (hash of the whole left
+    row), so task retries re-derive identical partitions. Right-side
+    rows are replicated salt_buckets× — only use when the right side
+    is small relative to the left.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt_buckets)
+    )
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return l_s.join(r_s, [*on, "__salt"], how).drop("__salt")
+
+
 def asof_select_min_by(
     df: DataFrame,
     partition_cols: Sequence[str],

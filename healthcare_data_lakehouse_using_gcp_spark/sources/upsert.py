@@ -1,0 +1,83 @@
+"""Idempotent merge-upsert over a parquet zone (ROADMAP 3).
+
+The reference's lakehouse is append-only (BigQuery WRITE_APPEND,
+healthcare_etl_pipeline.py:300-348): a replayed Pub/Sub batch or a
+re-run Dataflow job duplicates rows. This writer gives the processed
+zone Delta-MERGE-like semantics with plain parquet: latest version
+per entity key wins, and replaying ANY batch converges to the same
+table.
+
+How it stays bounded at 100 TB:
+- only the date partitions present in the incoming batch are read
+  back (partition-pruned scan) and rewritten
+  (``partitionOverwriteMode=dynamic`` — untouched history is never
+  opened);
+- the per-key reduction is one hash-aggregate: lexicographic MAX over
+  a (version, payload) struct — map-side partials collapse intra-batch
+  duplicates before the shuffle, the same technique as
+  operators/joins.asof_select_min_by;
+- ``localCheckpoint`` materializes the merged result before the
+  overwrite so the plan does not read the path it is replacing (file
+  sources refuse self-overwrites otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str = "processed_at",
+    partition_col: str | None = "event_date",
+) -> int:
+    """Upsert ``incoming`` into the parquet table at ``path``.
+
+    For each ``key_cols`` group the row with the greatest
+    (``version_col``, remaining columns) wins — deterministic even on
+    version ties. Returns the number of rows written (rows in the
+    touched partitions after the merge).
+    """
+    touched = None
+    if partition_col is not None:
+        touched = [
+            r[0] for r in incoming.select(partition_col).distinct().collect()
+        ]
+
+    try:
+        existing = spark.read.parquet(path)
+        if touched is not None:
+            existing = existing.filter(F.col(partition_col).isin(touched))
+        # align column order for unionByName
+        both = existing.unionByName(incoming, allowMissingColumns=True)
+    except Exception:  # first write: nothing to merge
+        both = incoming
+
+    value_cols = [c for c in both.columns if c not in key_cols]
+    ordered = [version_col] + [c for c in value_cols if c != version_col]
+    packed = F.struct(*[F.col(c).alias(c) for c in ordered])
+    merged = (
+        both.groupBy(*key_cols)
+        .agg(F.max(packed).alias("__row"))
+        .select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in ordered])
+        .select(*both.columns)  # original column order
+    )
+    # cut lineage: the overwrite below must not re-read `path`
+    merged = merged.localCheckpoint(eager=True)
+    n = merged.count()
+
+    writer = merged.write.mode("overwrite")
+    if partition_col is not None:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)
+    return n

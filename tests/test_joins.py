@@ -69,3 +69,33 @@ def test_asof_min_by_matches_rank1(spark):
         ).collect()
     }
     assert via_rank == via_minby
+
+
+def test_salted_join_equals_plain_join(spark):
+    """ROADMAP 6: salting must be a pure plan rewrite — identical
+    result to the unsalted equi-join on hot-key data."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import salted_join
+
+    # one pathological hot key + a long tail
+    left = spark.createDataFrame(
+        [("HOT", i) for i in range(1000)] + [("P%03d" % i, i) for i in range(50)],
+        "patient_id string, seq int",
+    )
+    right = spark.createDataFrame(
+        [("HOT", "icu"), ("P001", "ward"), ("P002", "er")],
+        "patient_id string, unit string",
+    )
+    plain = left.join(right, "patient_id").groupBy("patient_id", "unit").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("seq").alias("s")
+    )
+    salted = salted_join(left, right, ["patient_id"], salt_buckets=8).groupBy(
+        "patient_id", "unit"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("seq").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched rows exactly once
+    lp = left.join(right, "patient_id", "left").count()
+    ls = salted_join(left, right, ["patient_id"], salt_buckets=8, how="left").count()
+    assert lp == ls
