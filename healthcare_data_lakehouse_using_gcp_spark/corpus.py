@@ -1126,6 +1126,112 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocab_topk",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k vocabulary (operators/text.vocab_topk): explode →
+    partial-agg count → TakeOrderedAndProject."""
+    from .operators.text import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = vocab_topk(d, k=100)
+    return out.select("token", F.col("freq").cast("bigint").alias("freq"))
+
+
+@query(
+    "sample_deterministic",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 20% sample (operators/text.deterministic_
+    sample): md5-bucket decisions are engine- and run-independent —
+    the property behind reproducible train/eval splits."""
+    from .operators.text import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, 0.2).select("doc_id", "source")
+
+
+@query(
+    "sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CASE WHEN source = 'src0' THEN 8000
+                 WHEN source = 'src1' THEN 1000
+                 ELSE 500 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum training-mix sampling (operators/text.stratified_
+    sample): 80% of src0 / 10% of src1 / 5% of everything else."""
+    from .operators.text import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, {"src0": 0.8, "src1": 0.1}, strata_col="source", default_rate=0.05
+    ).select("doc_id", "source")
+
+
+@query(
+    "curate_corpus",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             FLOOR((LEAST(1.0, n_tok / 50.0) * 0.4
+                    + LEAST(1.0, sw_ratio * 5.0) * 0.3
+                    + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality_score,
+             FLOOR(sw_ratio * 10000 + 0.5) / 10000 AS en_stopword_ratio,
+             CASE WHEN sw_ratio > 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+      FROM (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                          'that','for','on','with','as','was','at','by','be')))::DOUBLE
+                 / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)
+                 AS punct_ratio
+        FROM documents
+      )
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5 AND predicted_lang = 'en'
+    )
+    SELECT f.doc_id, f.quality_score, f.en_stopword_ratio, f.predicted_lang
+    FROM filtered f
+    JOIN (SELECT text, MIN(doc_id) AS doc_id FROM filtered GROUP BY text) k
+      ON f.doc_id = k.doc_id AND f.text = k.text
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-curation pipeline
+    (operators/text.curate_corpus): quality filter → language filter
+    → exact dedup, narrow until the single dedup shuffle."""
+    from .operators.text import curate_corpus as curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate(d, min_quality=0.5, lang="en")
+
+
+@query(
     "ann_cosine_topk",
     """
     SELECT query_id, vec_id, cosine, rank FROM (

@@ -54,23 +54,24 @@ def punct_ratio_col(text: Column) -> Column:
     return F.length(stripped) / F.length(text)
 
 
+def quality_score_col(text: Column) -> Column:
+    """Heuristic document quality as a Column: length, punctuation,
+    stopword signals combined into [0,1] (the standard
+    pretraining-filter recipe: too-short / punct-heavy /
+    stopword-free docs score low)."""
+    n_tok = F.size(tokens_col(text))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    sw_score = F.least(F.lit(1.0), stopword_ratio_col(text) * 5.0)
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col(text) * 4.0)
+    return len_score * 0.4 + sw_score * 0.3 + punct_penalty * 0.3
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Heuristic document quality: length, punctuation, stopword
-    signals combined into [0,1] (the standard pretraining-filter
-    recipe: too-short / punct-heavy / stopword-free docs score low).
-    """
-    toks = tokens_col(F.col(text_col))
-    n_tok = F.size(toks)
-    len_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
-    sw_score = F.least(F.lit(1.0), stopword_ratio_col(F.col(text_col)) * 5.0)
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col(F.col(text_col)) * 4.0)
     return df.select(
         F.col(id_col),
-        round_det(len_score * 0.4 + sw_score * 0.3 + punct_penalty * 0.3, 4).alias(
-            "quality_score"
-        ),
+        round_det(quality_score_col(F.col(text_col)), 4).alias("quality_score"),
     )
 
 
@@ -86,6 +87,96 @@ def language_id(
         F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias(
             "predicted_lang"
         ),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus top-k vocabulary: lowercased whitespace tokens by
+    frequency (count desc, token asc for determinism).
+
+    Scale shape: explode → hash-aggregate — map-side partial counts
+    collapse each partition's repeats before the shuffle moves only
+    (token, count) pairs, and the final top-k plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def _hash_bucket(id_col: str, modulus: int = 10000) -> Column:
+    """Deterministic per-id bucket in [0, modulus): first 8 hex chars
+    of md5(id) — identical in Spark, DuckDB, and Python, so sampling
+    decisions are reproducible across engines and runs (unlike
+    df.sample, whose seed is partitioning-dependent)."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % modulus
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-addressed sampling for training-data splits: keep ids
+    whose md5 bucket falls under ``fraction``. Same ids are kept on
+    every engine, every run, every partitioning — the property that
+    makes train/eval splits and cross-run ablations reproducible.
+    Narrow (no shuffle); the filter evaluates inside the scan stage."""
+    cut = int(fraction * 10000)
+    return df.filter(_hash_bucket(id_col) < cut)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str = "source",
+    id_col: str = "doc_id", default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix lever
+    (e.g. keep 80% of books, 10% of web). Same md5-bucket mechanism
+    as deterministic_sample, with the cut chosen per stratum."""
+    cut = F.lit(int(default_rate * 10000))
+    for value, rate in rates.items():
+        cut = F.when(F.col(strata_col) == value, F.lit(int(rate * 10000))).otherwise(cut)
+    return df.filter(_hash_bucket(id_col) < cut)
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """The composed pretraining-curation pipeline: quality filter →
+    language filter → exact-dedup (canonical min-id per text) → one
+    row per surviving doc with its signals.
+
+    Stage order matters at scale: the cheap narrow filters (quality,
+    lang — pure Column expressions in the scan stage) run BEFORE the
+    dedup shuffle, so the only wide operation sees pre-shrunk data.
+    """
+    ratio = stopword_ratio_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        round_det(quality_score_col(F.col(text_col)), 4).alias("quality_score"),
+        round_det(ratio, 4).alias("en_stopword_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "predicted_lang"
+        ),
+    ).filter(
+        (F.col("quality_score") >= min_quality) & (F.col("predicted_lang") == lang)
+    )
+    canonical = base.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return (
+        base.join(canonical, [id_col, text_col], "left_semi")
+        .select(id_col, "quality_score", "en_stopword_ratio", "predicted_lang")
     )
 
 

@@ -48,7 +48,7 @@ def test_minhash_near_dup(spark, docs):
 
 
 def test_minhash_band_recall_vs_exact(spark):
-    # gate for the 16-hash / 4-band default (VERDICT r1 item 2): every
+    # gate for the 24-hash / 6-band default (VERDICT r1 item 2): every
     # high-Jaccard pair per the EXACT n-gram truth must survive the
     # banding stage. Verification is exact, so banding is the only
     # approximation in minhash_dedup.
@@ -250,3 +250,35 @@ def test_multimodal_features(spark):
 def test_multimodal_strict_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", "image", strict=True)
+
+
+def test_vocab_topk(spark, docs):
+    top = text.vocab_topk(docs, k=3).collect()
+    assert top[0]["token"] == "the"  # most frequent across the fixture
+    assert top[0]["freq"] >= top[1]["freq"] >= top[2]["freq"]
+
+
+def test_deterministic_sample_stability(spark, docs):
+    a = {r["doc_id"] for r in text.deterministic_sample(docs, 0.5).collect()}
+    b = {r["doc_id"] for r in text.deterministic_sample(docs, 0.5).collect()}
+    assert a == b  # identical every run
+    sub = {r["doc_id"] for r in text.deterministic_sample(docs, 0.2).collect()}
+    assert sub <= a  # smaller rate is a strict subset (same hash, lower cut)
+    assert {r["doc_id"] for r in text.deterministic_sample(docs, 1.0).collect()} == {
+        1, 2, 3, 4, 5
+    }
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.stratified_sample(df, {"books": 1.0}, default_rate=0.0).collect()
+    assert {r["source"] for r in out} == {"books"}
+    assert len(out) == 100  # rate 1.0 keeps every row of the stratum
+
+
+def test_curate_corpus_pipeline(spark, docs):
+    kept = {r["doc_id"]: r for r in text.curate_corpus(docs, min_quality=0.2).collect()}
+    assert 5 not in kept      # punctuation junk fails quality/lang
+    assert 2 not in kept      # exact dup of 1 → canonical id 1 survives
+    assert 1 in kept and kept[1]["predicted_lang"] == "en"
