@@ -72,6 +72,10 @@ class EngineConfig:
     pipeline_version: str = "1.0.0"  # healthcare_etl_pipeline.py:56
     # frozen "now"; None => current_timestamp (production behavior)
     as_of: dt.datetime | None = None
+    # opt-in plan rewrite: vitals-grain fact with struct-MIN as-of
+    # aggregations instead of the literal window-sort plan
+    # (plans/fact.fact_patient_encounters_optimized)
+    fact_optimized: bool = False
     # engine-side dbt-severity gates over the DAG report checks:
     # low-quality-record count in the last hour, and staleness minutes
     # (warn at the DAG's 30-minute limit, error at 8x that)

@@ -255,6 +255,49 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def ivf_index_append(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index update: assign new vectors to the EXISTING
+    centroids (one narrow Arrow pass — no Lloyd iterations, no corpus
+    re-read) and union them into the inverted lists.
+
+    Centroids drift as appends accumulate; monitor with
+    ivf_assignment_cost and rebuild (build_ivf_index) when the cost
+    degrades past the baseline captured at build time.
+    """
+    import numpy as np
+
+    cent_rows = centroids_df.orderBy("cid").collect()  # tiny
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cids = [int(r["cid"]) for r in cent_rows]
+    assert cids == list(range(len(cids))), "centroid ids must be contiguous 0..k-1"
+
+    from .dedup import ensure_parallelism
+
+    assigned = ensure_parallelism(new_vectors.select(id_col, vec_col)).select(
+        id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
+    )
+    return indexed.unionByName(assigned)
+
+
+def ivf_assignment_cost(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine(vector, its centroid)) over the index — the
+    quantization-error drift metric. JVM-side: broadcast the tiny
+    centroid table, zip_with dot products; no Python in the pass."""
+    joined = indexed.join(F.broadcast(centroids_df), "cid")
+    cost = F.lit(1.0) - cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+    return joined.agg(F.avg(cost).alias("c")).first()["c"]
+
+
 def ivf_search(
     indexed: DataFrame,
     centroids_df: DataFrame,

@@ -93,8 +93,12 @@ def fact_patient_encounters(
     stg_claims: DataFrame,
     stg_ehr: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
-    optimized: bool = False,
+    optimized: bool | None = None,
 ) -> DataFrame:
+    # explicit arg wins; otherwise the config flag picks the variant
+    # (lets ModelRunner/lakehouse users opt in via EngineConfig alone)
+    if optimized is None:
+        optimized = cfg.fact_optimized
     if optimized:
         return fact_patient_encounters_optimized(stg_vitals, stg_claims, stg_ehr, cfg)
     band = cfg.band_days

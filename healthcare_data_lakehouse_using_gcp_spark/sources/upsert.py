@@ -12,10 +12,10 @@ How it stays bounded at 100 TB:
   back (partition-pruned scan) and rewritten
   (``partitionOverwriteMode=dynamic`` — untouched history is never
   opened);
-- the per-key reduction is one hash-aggregate: lexicographic MAX over
-  a (version, payload) struct — map-side partials collapse intra-batch
-  duplicates before the shuffle, the same technique as
-  operators/joins.asof_select_min_by;
+- the per-key reduction is one hash-aggregate: max_by of the payload
+  struct over a lexicographic (version, orderable columns) ordering —
+  map-side partials collapse intra-batch duplicates before the
+  shuffle, the same technique as operators/joins.asof_select_min_by;
 - ``localCheckpoint`` materializes the merged result before the
   overwrite so the plan does not read the path it is replacing (file
   sources refuse self-overwrites otherwise).
@@ -25,6 +25,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort/compare this type (maps cannot)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def merge_upsert(
@@ -59,10 +71,17 @@ def merge_upsert(
 
     value_cols = [c for c in both.columns if c not in key_cols]
     ordered = [version_col] + [c for c in value_cols if c != version_col]
+    # the WINNING row can carry any type (max_by value), but the
+    # ORDERING must be orderable — maps (e.g. ehr lab_results) are
+    # not, so the deterministic tie-break uses version + the orderable
+    # value columns only
+    schema = {f.name: f.dataType for f in both.schema.fields}
+    order_cols = [c for c in ordered if _orderable(schema[c])]
     packed = F.struct(*[F.col(c).alias(c) for c in ordered])
+    ordering = F.struct(*[F.col(c).alias(c) for c in order_cols])
     merged = (
         both.groupBy(*key_cols)
-        .agg(F.max(packed).alias("__row"))
+        .agg(F.max_by(packed, ordering).alias("__row"))
         .select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in ordered])
         .select(*both.columns)  # original column order
     )

@@ -35,6 +35,58 @@ from ..operators.etl import build_etl
 from ..sources.readers import read_json_stream
 
 
+# natural keys + event-date partition column per entity route, for
+# the idempotent-upsert sink mode (sources/upsert.merge_upsert)
+UPSERT_KEYS = {
+    "vitals": (["patient_id", "timestamp"], "timestamp"),
+    "claims": (["claim_id"], "service_date"),
+    "ehr": (["record_id"], "visit_date"),
+}
+
+
+def make_etl_sink(warehouse: str, cfg: EngineConfig = DEFAULT_CONFIG, upsert: bool = False):
+    """The per-micro-batch multi-sink fan-out (T5), as a reusable
+    foreachBatch function.
+
+    ``upsert=False``: plain append, byte-faithful to the reference's
+    WRITE_APPEND sinks — a replayed batch duplicates rows, exactly as
+    the reference would.
+    ``upsert=True``: each route merges through
+    sources/upsert.merge_upsert on its natural key (latest
+    processed_at wins), so at-least-once delivery and micro-batch
+    replays converge to the same processed zone — the engine-side
+    answer to Pub/Sub redelivery the reference leaves unsolved. Only
+    the date partitions present in the batch are rewritten.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.upsert import merge_upsert
+
+        batch_df.persist()
+        try:
+            routed = build_etl(batch_df, cfg)
+            for name in ("vitals", "claims", "ehr"):
+                path = os.path.join(warehouse, "processed", name)
+                if upsert:
+                    keys, date_col = UPSERT_KEYS[name]
+                    df = routed[name].withColumn(
+                        "event_date", F.to_date(F.col(date_col))
+                    )
+                    merge_upsert(
+                        batch_df.sparkSession, df, path, keys,
+                        version_col="processed_at", partition_col="event_date",
+                    )
+                else:
+                    routed[name].write.mode("append").parquet(path)
+            routed["unknown"].drop("_corrupt_record").write.mode("append").json(
+                os.path.join(warehouse, "errors")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _sink
+
+
 def start_etl_stream(
     spark: SparkSession,
     input_path: str,
@@ -42,32 +94,19 @@ def start_etl_stream(
     cfg: EngineConfig = DEFAULT_CONFIG,
     trigger_seconds: int = 30,
     checkpoint: str | None = None,
+    upsert: bool = False,
 ) -> StreamingQuery:
     """T4+T5: streaming ETL with per-micro-batch multi-sink fan-out.
 
     foreachBatch applies the same batch transform and writes the 4
     routes — the Spark analogue of Beam's TaggedOutput multi-sink
     (healthcare_etl_pipeline.py:290-348). The 30 s processing-time
-    trigger mirrors AfterProcessingTime(30) (:261).
+    trigger mirrors AfterProcessingTime(30) (:261). See make_etl_sink
+    for the append vs idempotent-upsert sink modes.
     """
     raw = read_json_stream(spark, input_path)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            routed = build_etl(batch_df, cfg)
-            for name in ("vitals", "claims", "ehr"):
-                routed[name].write.mode("append").parquet(
-                    os.path.join(warehouse, "processed", name)
-                )
-            routed["unknown"].drop("_corrupt_record").write.mode("append").json(
-                os.path.join(warehouse, "errors")
-            )
-        finally:
-            batch_df.unpersist()
-
     return (
-        raw.writeStream.foreachBatch(_sink)
+        raw.writeStream.foreachBatch(make_etl_sink(warehouse, cfg, upsert))
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .option(
             "checkpointLocation",

@@ -174,3 +174,15 @@ def test_fact_optimized_equivalence(spark, cfg):
     with contextlib.redirect_stdout(buf):
         opt.explain("formatted")
     assert "Window" not in buf.getvalue()  # hash-aggs replaced both sorts
+
+
+def test_fact_optimized_via_config_flag(spark, cfg):
+    import dataclasses
+
+    v, c, e = _stg_frames(spark, cfg)
+    opt_cfg = dataclasses.replace(cfg, fact_optimized=True)
+    out = fact_patient_encounters(v, c, e, opt_cfg)
+    assert out.count() == 2  # vitals grain: config flag picked the rewrite
+    # explicit arg overrides the config
+    lit = fact_patient_encounters(v, c, e, opt_cfg, optimized=False)
+    assert lit.count() == 3  # literal degenerate grouping

@@ -282,3 +282,24 @@ def test_curate_corpus_pipeline(spark, docs):
     assert 5 not in kept      # punctuation junk fails quality/lang
     assert 2 not in kept      # exact dup of 1 → canonical id 1 survives
     assert 1 in kept and kept[1]["predicted_lang"] == "en"
+
+
+def test_ivf_index_append_and_drift(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.build_ivf_index(corpus_df, n_centroids=4)
+    base_cost = similarity.ivf_assignment_cost(indexed, cents)
+    assert 0.0 <= base_cost <= 2.0
+
+    new_rows = [(100 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(5)]
+    new_df = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    grown = similarity.ivf_index_append(indexed, cents, new_df)
+    assert grown.count() == 35
+    # appended vectors are searchable through the same index
+    q = new_df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    hits = similarity.ivf_search(grown, cents, q, k=1, n_probe=2).collect()
+    assert hits[0]["vec_id"] == hits[0]["query_id"]  # self-recall

@@ -153,3 +153,38 @@ def test_rate_source_streams_unbounded(spark):
     assert [f.name for f in s.schema.fields] == ["value"]
     d = rate_source.dedicated_stream(spark, "ehr_record")
     assert d.isStreaming and d.schema.fieldNames() == ["value"]
+
+
+def test_etl_sink_upsert_replay_idempotent(spark, cfg, tmp_path):
+    """upsert sink mode: replaying the SAME micro-batch (at-least-once
+    delivery) leaves the processed zone unchanged; append mode
+    duplicates (reference parity)."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import make_etl_sink
+
+    gen = HealthcareDataGenerator(seed=23)
+    msgs = gen.generate_messages(120)
+    batch = spark.createDataFrame([(m,) for m in msgs], "value string")
+
+    wh_up = str(tmp_path / "up")
+    sink = make_etl_sink(wh_up, cfg, upsert=True)
+    sink(batch, 0)
+    counts1 = {
+        e: spark.read.parquet(os.path.join(wh_up, "processed", e)).count()
+        for e in ("vitals", "claims", "ehr")
+    }
+    assert all(v > 0 for v in counts1.values())
+    sink(batch, 1)  # replay
+    counts2 = {
+        e: spark.read.parquet(os.path.join(wh_up, "processed", e)).count()
+        for e in ("vitals", "claims", "ehr")
+    }
+    assert counts2 == counts1
+
+    wh_app = str(tmp_path / "app")
+    append_sink = make_etl_sink(wh_app, cfg, upsert=False)
+    append_sink(batch, 0)
+    append_sink(batch, 1)
+    n_vitals = spark.read.parquet(os.path.join(wh_app, "processed", "vitals")).count()
+    assert n_vitals == 2 * counts1["vitals"]  # reference append semantics
