@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--warehouse", required=True)
         if name == "stream":
             s.add_argument("--seconds", type=int, default=30)
+            s.add_argument(
+                "--upsert", action="store_true",
+                help="idempotent merge sink (replayed micro-batches converge)",
+            )
+        if name in ("models", "all"):
+            s.add_argument(
+                "--fact-optimized", action="store_true",
+                help="vitals-grain fact plan rewrite (struct-MIN as-of, no window sorts)",
+            )
         s.add_argument("--as-of", default=None, help="freeze 'now' (ISO) for deterministic runs")
 
     args = p.parse_args(argv)
@@ -60,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     cfg = EngineConfig(
-        as_of=dt.datetime.fromisoformat(args.as_of) if getattr(args, "as_of", None) else None
+        as_of=dt.datetime.fromisoformat(args.as_of) if getattr(args, "as_of", None) else None,
+        fact_optimized=bool(getattr(args, "fact_optimized", False)),
     )
     spark = get_spark(app_name=f"lakehouse-{args.cmd}")
     lh = HealthcareLakehouse(spark, args.warehouse, cfg)
@@ -79,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stream":
         from .streaming.pipeline import start_etl_stream
 
-        q = start_etl_stream(spark, args.raw, args.warehouse, cfg, trigger_seconds=5)
+        q = start_etl_stream(
+            spark, args.raw, args.warehouse, cfg, trigger_seconds=5, upsert=args.upsert
+        )
         deadline = time.time() + args.seconds
         while time.time() < deadline and q.isActive:
             time.sleep(1)
