@@ -173,10 +173,23 @@ def curate_corpus(
     ).filter(
         (F.col("quality_score") >= min_quality) & (F.col("predicted_lang") == lang)
     )
-    canonical = base.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    # canonical (min-id) row per text in ONE hash-shuffle: lexicographic
+    # struct-MIN with the id leading — no groupBy + semi-join round trip
+    packed = F.struct(
+        F.col(id_col).alias(id_col),
+        F.col("quality_score").alias("quality_score"),
+        F.col("en_stopword_ratio").alias("en_stopword_ratio"),
+        F.col("predicted_lang").alias("predicted_lang"),
+    )
     return (
-        base.join(canonical, [id_col, text_col], "left_semi")
-        .select(id_col, "quality_score", "en_stopword_ratio", "predicted_lang")
+        base.groupBy(text_col)
+        .agg(F.min(packed).alias("__r"))
+        .select(
+            F.col(f"__r.{id_col}").alias(id_col),
+            F.col("__r.quality_score").alias("quality_score"),
+            F.col("__r.en_stopword_ratio").alias("en_stopword_ratio"),
+            F.col("__r.predicted_lang").alias("predicted_lang"),
+        )
     )
 
 
