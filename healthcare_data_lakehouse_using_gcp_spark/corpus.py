@@ -951,6 +951,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(1, len(toks) - 2) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: connected components (iterative
+    min-label propagation, operators/dedup.connected_components) over
+    the EXACT n-gram Jaccard pairs — the oracle reproduces the
+    transitive closure with a recursive CTE."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.3)
+    return connected_components(pairs)
+
+
+@query(
     "dedup_ngram_jaccard",
     r"""
     WITH sh AS (

@@ -493,3 +493,78 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# --- duplicate-group resolution (connected components) ---------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected
+    components via iterative min-label propagation, the simplified
+    form of the map-reduce large-star/small-star CC algorithm.
+
+    Returns (node, component) for every node appearing in a pair,
+    where component = the minimum id in the node's component (docs in
+    no pair are their own canonical — callers coalesce).
+
+    Scale shape: each iteration is one equi-join + one hash-agg on
+    node ids (no data-dependent blowup), and the iteration count is
+    the component DIAMETER — near-dup clusters from banded LSH are
+    dense, so 2-4 rounds in practice. Convergence is detected with a
+    driver-side sum-of-labels check (labels only ever decrease, so
+    the sum is a monotone progress metric — one cheap agg per round,
+    no full-frame comparison).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup GROUPING: minhash pairs → connected
+    components → (doc_id, component) for every doc, with unpaired
+    docs as their own component. Keep one doc per component to dedup."""
+    pairs = minhash_dedup(df, text_col, id_col, threshold, **minhash_kwargs)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )

@@ -303,3 +303,23 @@ def test_ivf_index_append_and_drift(spark):
     q = new_df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     hits = similarity.ivf_search(grown, cents, q, k=1, n_probe=2).collect()
     assert hits[0]["vec_id"] == hits[0]["query_id"]  # self-recall
+
+
+def test_connected_components_and_groups(spark):
+    # chain 1-2, 2-3 plus isolated pair 10-11: components resolve
+    # transitively to the min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    groups = {
+        r["doc_id"]: r["component"] for r in dedup.dedup_groups(docs_df(spark)).collect()
+    }
+    assert groups[1] == groups[2] == 1  # exact dups share a component
+    assert groups[4] == 4  # unpaired doc is its own canonical
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
