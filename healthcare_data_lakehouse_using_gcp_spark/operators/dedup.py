@@ -515,14 +515,19 @@ def connected_components(
     dense, so 2-4 rounds in practice. Convergence is detected with a
     driver-side sum-of-labels check (labels only ever decrease, so
     the sum is a monotone progress metric — one cheap agg per round,
-    no full-frame comparison).
+    no full-frame comparison). Each round localCheckpoints the label
+    frame: iterative self-referencing plans otherwise DOUBLE the
+    logical tree per round and OOM the driver on deep chains.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
         prop = (
@@ -530,17 +535,15 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(prop, labels["node"] == prop["dst"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
