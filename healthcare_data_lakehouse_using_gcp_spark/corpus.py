@@ -1232,6 +1232,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_documents",
+    r"""
+    SELECT doc_id, bucket, token_count, pack_offset,
+           CAST(FLOOR(pack_offset / 512.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, bucket, token_count,
+             COALESCE(SUM(token_count) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pack_offset
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count
+        FROM documents
+      )
+    )
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing / concat-and-chunk assignment
+    (operators/text.pack_documents): bucketed window prefix-sums cut
+    into 512-token packs."""
+    from .operators.text import pack_documents as pack
+
+    d = _t(spark, sf_dir, "documents")
+    return pack(d, token_budget=512, num_buckets=8)
+
+
+@query(
     "curate_corpus",
     r"""
     WITH scored AS (

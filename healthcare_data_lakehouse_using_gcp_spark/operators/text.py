@@ -146,6 +146,51 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+def pack_documents(
+    df: DataFrame,
+    token_budget: int = 2048,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pretraining batches — the concat-and-chunk
+    assignment: documents are laid end-to-end in deterministic order
+    and cut into ``token_budget``-token packs. Returns (id, bucket,
+    token_count, pack_offset, pack_id); a pack holds every doc whose
+    start offset falls in its window, so packs fill to the budget with
+    at most one straddling document.
+
+    Scale shape: a SINGLE global ordering would serialize in one
+    window partition, so docs are first spread across ``num_buckets``
+    md5-hash buckets (deterministic, engine-independent — same
+    mechanism as deterministic_sample) and packed per bucket: the
+    window runs num_buckets-wide, and pack identity (bucket, pack_id)
+    stays stable under any cluster layout. At 100 TB raise num_buckets
+    to ~10× cluster parallelism.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        _hash_bucket(id_col, num_buckets).alias("bucket"),
+        n_tok.cast("bigint").alias("token_count"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("token_count").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "bucket",
+        "token_count",
+        offset.alias("pack_offset"),
+        F.floor(offset / F.lit(token_budget)).alias("pack_id"),
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -323,3 +323,25 @@ def test_connected_components_and_groups(spark):
 
 def docs_df(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_pack_documents(spark):
+    rows = [(i, " ".join(["w"] * 10)) for i in range(40)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pack_documents(df, token_budget=25, num_buckets=2).collect()
+    assert len(out) == 40
+    by_doc = {r["doc_id"]: r for r in out}
+    # offsets are exclusive prefix sums within the bucket, in id order
+    for bucket in (0, 1):
+        docs = sorted(
+            (r for r in out if r["bucket"] == bucket), key=lambda r: r["doc_id"]
+        )
+        expect = 0
+        for r in docs:
+            assert r["pack_offset"] == expect
+            assert r["pack_id"] == expect // 25
+            expect += r["token_count"]
+    # determinism: identical assignment on rerun
+    again = {r["doc_id"]: (r["bucket"], r["pack_id"]) for r in
+             text.pack_documents(df, token_budget=25, num_buckets=2).collect()}
+    assert again == {d: (r["bucket"], r["pack_id"]) for d, r in by_doc.items()}
