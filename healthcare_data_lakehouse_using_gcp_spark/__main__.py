@@ -10,6 +10,9 @@ Commands:
   models    --warehouse DIR                    staging views + fact/dim tables
   reports   --warehouse DIR                    the six monitoring reports
   stream    --raw DIR --warehouse DIR [--seconds N]   streaming ETL
+  demo-stream  --warehouse DIR [--seconds N] [--rate R]   timed mixed-mode
+               publisher (60/20/10 envelope mix) → streaming ETL, no
+               input files needed — the reference's continuous-demo loop
   all       --raw DIR --warehouse DIR          etl + models + reports
 """
 
@@ -32,10 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--count", type=int, default=1000)
     g.add_argument("--seed", type=int, default=42)
 
-    for name in ("etl", "models", "reports", "all", "stream"):
+    for name in ("etl", "models", "reports", "all", "stream", "demo-stream"):
         s = sub.add_parser(name)
         if name in ("etl", "all", "stream"):
             s.add_argument("--raw", required=True)
+        if name == "demo-stream":
+            s.add_argument("--seconds", type=int, default=30)
+            s.add_argument("--rate", type=int, default=1, help="publisher ticks/second")
+            s.add_argument("--upsert", action="store_true")
         s.add_argument("--warehouse", required=True)
         if name == "stream":
             s.add_argument("--seconds", type=int, default=30)
@@ -98,6 +105,33 @@ def main(argv: list[str] | None = None) -> int:
         q.stop()
         q.awaitTermination(30)
         print(json.dumps({"stopped_after_s": args.seconds}))
+    elif args.cmd == "demo-stream":
+        from .streaming.pipeline import make_etl_sink
+        from .streaming.rate_source import mixed_mode_stream
+
+        msgs = mixed_mode_stream(spark, rows_per_second=args.rate)
+        q = (
+            msgs.writeStream.foreachBatch(make_etl_sink(args.warehouse, cfg, args.upsert))
+            .trigger(processingTime="5 seconds")
+            .option(
+                "checkpointLocation",
+                os.path.join(args.warehouse, "_checkpoints", "demo"),
+            )
+            .start()
+        )
+        deadline = time.time() + args.seconds
+        while time.time() < deadline and q.isActive:
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+        counts = {}
+        for e in ("vitals", "claims", "ehr"):
+            p = os.path.join(args.warehouse, "processed", e)
+            try:
+                counts[e] = spark.read.parquet(p).count()
+            except Exception:
+                counts[e] = 0
+        print(json.dumps({"stopped_after_s": args.seconds, "processed": counts}))
     spark.stop()
     return 0
 
