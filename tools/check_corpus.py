@@ -18,8 +18,10 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
 from healthcare_data_lakehouse_using_gcp_spark import corpus  # noqa: E402
-from healthcare_data_lakehouse_using_gcp_spark.session import get_spark  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -52,10 +54,19 @@ def norm_rows(rows, cols):
     return out
 
 
+def _driver_hashable(dt) -> bool:
+    """The driver canonicalizes results with pandas sort_values +
+    hashing — array/map/struct cells raise 'unhashable type' there
+    (the round-1 multimodal_features failure). Reject them up front."""
+    return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check-corpus", shuffle_partitions=8)
+    # a PLAIN session, exactly like the driver's (no custom conf, no
+    # tuned shuffle/timezone): every query must be self-defending
+    spark = SparkSession.builder.master("local[8]").appName("check-corpus").getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -76,6 +87,13 @@ def main():
             continue
         if name not in oracles:
             rows_only.append((name, len(srows)))
+            continue
+        bad = [f.name for f in sdf.schema.fields if not _driver_hashable(f.dataType)]
+        if bad:
+            failures.append(
+                (name, f"DRIVER-UNHASHABLE columns {bad}: the grading driver's "
+                       "pandas canonicalization cannot hash array/map/struct cells")
+            )
             continue
         try:
             res = con.execute(oracles[name])
