@@ -224,6 +224,50 @@ def p7_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONIZE_SQL = """
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+           (prev IS NULL OR date_diff('second', prev, ts) > 1800) AS is_session_start,
+           CAST(SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+    FROM (
+      SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+"""
+
+
+@query("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.sessionize):
+    lag + running count sharing one window exchange; 30-min gap."""
+    from .operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
+@query(
+    "events_session_stats",
+    f"""
+    SELECT user_id, session_index,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM ({_SESSIONIZE_SQL})
+    GROUP BY user_id, session_index
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (operators/sessions.session_stats); the
+    groupBy reuses the sessionize window exchange."""
+    from .operators.sessions import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_minutes=30))
+
+
 # =====================================================================
 # §2.3 Joins
 # =====================================================================
