@@ -1276,6 +1276,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scrub_pii",
+    r"""
+    SELECT doc_id, scrubbed_text,
+           CAST((length(collapsed) - length(regexp_replace(collapsed, '¤', '', 'g')))
+                - (length(text) - length(regexp_replace(text, '¤', '', 'g')))
+                AS BIGINT) AS n_redactions,
+           ((length(collapsed) - length(regexp_replace(collapsed, '¤', '', 'g')))
+            - (length(text) - length(regexp_replace(text, '¤', '', 'g'))) > 0)
+             AS had_pii
+    FROM (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+               '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS scrubbed_text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '¤', 'g'),
+               '\d{3}-\d{2}-\d{4}', '¤', 'g'),
+               '\d{3}[-.]\d{3}[-.]\d{4}', '¤', 'g') AS collapsed
+      FROM documents
+    )
+    """,
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.scrub_pii): RE2-safe patterns so
+    the identical regexes run on both engines ('g' flag in DuckDB —
+    Spark's regexp_replace is global by default)."""
+    from .operators.text import scrub_pii as scrub
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub(d)
+
+
+@query(
     "pack_documents",
     r"""
     SELECT doc_id, bucket, token_count, pack_offset,

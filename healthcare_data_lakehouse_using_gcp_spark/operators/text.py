@@ -146,6 +146,50 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+PII_PATTERNS = {
+    # conservative patterns only — no lookarounds, so the same regex
+    # runs identically under Java regex (Spark) and RE2 (DuckDB);
+    # order matters: emails first so phone-like digit runs inside
+    # addresses are already masked
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction for pretraining corpora: mask emails / SSNs /
+    phone numbers with typed placeholders and count redactions per
+    doc. Pure regexp_replace chain — JVM-side, narrow, no shuffle;
+    the redaction count is derived from the length delta of a
+    delete-instead-of-mask pass (no second scan of the text).
+    """
+    sentinel = "\u00a4"
+    scrubbed = F.col(text_col)
+    collapsed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+        collapsed = F.regexp_replace(collapsed, pat, sentinel)
+
+    # each redacted span collapses to ONE sentinel char; subtracting
+    # the original's sentinel count keeps the tally exact even if the
+    # char pre-exists in the text
+    def _n_sentinels(c):
+        return F.length(c) - F.length(F.regexp_replace(c, sentinel, ""))
+
+    n_redacted = (_n_sentinels(collapsed) - _n_sentinels(F.col(text_col))).cast(
+        "bigint"
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_redacted.alias("n_redactions"),
+        (n_redacted > 0).alias("had_pii"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     token_budget: int = 2048,

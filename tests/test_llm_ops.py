@@ -345,3 +345,21 @@ def test_pack_documents(spark):
     again = {r["doc_id"]: (r["bucket"], r["pack_id"]) for r in
              text.pack_documents(df, token_budget=25, num_buckets=2).collect()}
     assert again == {d: (r["bucket"], r["pack_id"]) for d, r in by_doc.items()}
+
+
+def test_scrub_pii(spark):
+    rows = [
+        (1, "contact john.doe+x@example.com or call 555-123-4567 today"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "clean document with no identifiers at all"),
+        (4, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "<PHONE>" in out[1]["scrubbed_text"]
+    assert out[1]["n_redactions"] == 2 and out[1]["had_pii"]
+    assert out[2]["scrubbed_text"] == "ssn <SSN> on file"
+    assert out[3]["n_redactions"] == 0 and not out[3]["had_pii"]
+    assert out[4]["n_redactions"] == 2
+    assert "john.doe" not in out[1]["scrubbed_text"]
