@@ -1276,6 +1276,79 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    r"""
+    SELECT doc_id,
+           FLOOR((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+                 * 10000 + 0.5) / 10000 AS dup_line_frac,
+           FLOOR((len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+                 * 10000 + 0.5) / 10000 AS dup_ngram_frac
+    FROM (
+      SELECT doc_id,
+             str_split(text, chr(10)) AS lines,
+             list_transform(range(1, GREATEST(1, len(toks) - 2) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.repetition_stats): duplicate-line and
+    duplicate-n-gram fractions, narrow array expressions."""
+    from .operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
+@query(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(1, len(t) - 2) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ),
+    doc_g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 50),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM doc_g GROUP BY doc_id),
+    matched AS (
+      SELECT d.doc_id, COUNT(*) AS n_matched
+      FROM doc_g d JOIN bench_g b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           FLOOR(COALESCE(m.n_matched, 0)::DOUBLE / t.n_grams * 10000 + 0.5) / 10000
+             AS overlap_frac
+    FROM totals t LEFT JOIN matched m ON t.doc_id = m.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.benchmark_overlap):
+    per-doc distinct-n-gram overlap against a benchmark set (here:
+    docs with id < 50 standing in for the eval suite). Spark joins on
+    8-byte gram hashes; the oracle joins the strings — identical
+    counts absent 64-bit collisions."""
+    from .operators.text import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    return benchmark_overlap(d, bench)
+
+
+@query(
     "scrub_pii",
     r"""
     SELECT doc_id, scrubbed_text,

@@ -146,6 +146,80 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> DataFrame:
+    """Repetition signals (the Gopher/RefinedWeb-style quality rules):
+    duplicate-line fraction and duplicate word-n-gram fraction.
+    Heavily repetitive documents (boilerplate, listings, spam) score
+    high and get filtered before pretraining.
+
+    Pure array expressions — size(array_distinct(..)) ratios evaluate
+    in the scan stage, narrow, no shuffle.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    toks = tokens_col(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(ngram - 1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)))
+    dup_line_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    dup_gram_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    return df.select(
+        F.col(id_col),
+        round_det(dup_line_frac, 4).alias("dup_line_frac"),
+        round_det(dup_gram_frac, 4).alias("dup_ngram_frac"),
+    )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Decontamination: per-document fraction of distinct word
+    n-grams that also appear ANYWHERE in the benchmark corpus. Docs
+    above a threshold are dropped before training so eval benchmarks
+    stay uncontaminated.
+
+    Scale shape: both sides explode to (id, gram-hash) rows; the
+    benchmark side reduces to DISTINCT hashes (a set usually far
+    smaller than the training corpus); the overlap count is one
+    equi-join on the 8-byte hash + one hash-agg per doc — linear
+    shuffle, no text moves after hashing.
+    """
+    from .dedup import ensure_parallelism, shingles
+
+    doc_sh = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), partition_by=id_col
+    ).select(F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")).select(
+        F.col(id_col), F.xxhash64("g").alias("h")
+    )
+    bench_sh = (
+        ensure_parallelism(benchmark.select(F.col(text_col)))
+        .select(F.explode(shingles(text_col, ngram)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        doc_sh.join(bench_sh, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            round_det(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 PII_PATTERNS = {
     # conservative patterns only — no lookarounds, so the same regex
     # runs identically under Java regex (Spark) and RE2 (DuckDB);

@@ -363,3 +363,34 @@ def test_scrub_pii(spark):
     assert out[3]["n_redactions"] == 0 and not out[3]["had_pii"]
     assert out[4]["n_redactions"] == 2
     assert "john.doe" not in out[1]["scrubbed_text"]
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "a b c\na b c\nd e f"),          # 1 dup line of 3
+        (2, "x y z w v u"),                   # no repetition
+        (3, "spam spam spam spam spam spam"), # heavy n-gram repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == pytest.approx(3 / 4, abs=1e-4)  # 4 grams, 1 distinct
+
+
+def test_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "completely novel content nothing shared here"),
+            (3, "the quick brown fox jumps high and then some extra words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.benchmark_overlap(docs, bench).collect()}
+    assert out[1]["overlap_frac"] == pytest.approx(1.0)  # fully contaminated
+    assert out[2]["overlap_frac"] == 0.0 and out[2]["n_matched"] == 0
+    assert 0.0 < out[3]["overlap_frac"] < 1.0  # partial overlap
