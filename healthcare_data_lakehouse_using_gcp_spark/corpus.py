@@ -1276,6 +1276,25 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_unicode",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) AS normalized_text,
+           (nfc_normalize(text) <> text) AS changed
+    FROM documents
+    """,
+)
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.normalize_unicode):
+    Python unicodedata NFC vs DuckDB nfc_normalize — both implement
+    canonical composition, so even the pandas-UDF path oracle-checks."""
+    from .operators.text import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents")
+    return normalize_unicode(d)
+
+
+@query(
     "text_repetition",
     r"""
     SELECT doc_id,

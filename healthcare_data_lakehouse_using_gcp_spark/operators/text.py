@@ -146,6 +146,46 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization for curation: canonical NFC (default) so
+    visually-identical strings hash identically in dedup — 'é' as one
+    codepoint vs 'e'+combining-accent are different bytes but the
+    same text. Spark has no built-in normalizer, so this is an
+    Arrow-batched pandas UDF over Python's unicodedata (one of the
+    few justified Python hops); also flags which rows changed so the
+    cost of a rewrite can be confined to the affected partition.
+    """
+    # NOTE: no type hints on the UDF — under `from __future__ import
+    # annotations` pandas_udf sees string hints and rejects the
+    # signature; the explicit returnType form is used instead
+    def _norm(s):
+        import unicodedata
+
+        import pandas as pd
+
+        return pd.Series(
+            [None if t is None else unicodedata.normalize(form, t) for t in s]
+        )
+
+    from pyspark.sql import types as T
+
+    from .dedup import ensure_parallelism
+
+    norm_udf = F.pandas_udf(_norm, T.StringType())
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return base.select(
+        F.col(id_col),
+        norm_udf(F.col(text_col)).alias("normalized_text"),
+        F.col(text_col).alias("__orig"),
+    ).select(
+        F.col(id_col),
+        "normalized_text",
+        (F.col("normalized_text") != F.col("__orig")).alias("changed"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
 ) -> DataFrame:

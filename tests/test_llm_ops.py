@@ -394,3 +394,18 @@ def test_benchmark_overlap(spark):
     assert out[1]["overlap_frac"] == pytest.approx(1.0)  # fully contaminated
     assert out[2]["overlap_frac"] == 0.0 and out[2]["n_matched"] == 0
     assert 0.0 < out[3]["overlap_frac"] < 1.0  # partial overlap
+
+
+def test_normalize_unicode(spark):
+    rows = [
+        (1, "café latte"),            # precomposed é — already NFC
+        (2, "café latte"),           # e + combining accent → composes
+        (3, "plain ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.normalize_unicode(df).collect()}
+    assert out[1]["normalized_text"] == "café latte" and not out[1]["changed"]
+    assert out[2]["normalized_text"] == "café latte" and out[2]["changed"]
+    assert not out[3]["changed"]
+    # NFC makes the visually-identical pair hash-identical for dedup
+    assert out[1]["normalized_text"] == out[2]["normalized_text"]
