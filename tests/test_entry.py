@@ -39,6 +39,20 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 30
 
 
+def test_canonical_operators_inside_driver_window():
+    # The driver evaluates only the first 50 queries() entries; every
+    # distinct operator's canonical entry must sit inside that window.
+    first50 = set(list(entrymod.queries())[:50])
+    canonical = [
+        "scrub_pii", "pack_documents", "curate_corpus", "ann_cosine_topk",
+        "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",
+        "multimodal_features", "dedup_minhash_lsh", "a2_wide_agg",
+        "j1_band_join", "j3_asof_nearest", "t1_tumbling_window",
+    ]
+    missing = [n for n in canonical if n not in first50]
+    assert not missing, f"canonical entries outside driver window: {missing}"
+
+
 def _norm(v):
     if isinstance(v, Decimal):
         v = float(v)
