@@ -144,11 +144,30 @@ def shingle_hash_frame(
     whole-pipeline wall at sf0.1. Long rows, not strings — the persisted
     frame carries 16 bytes/shingle through every later stage.
     """
-    sh = shingles_raw(text_col, shingle_size)
-    return (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), partition_by=id_col)
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    # Codegen-only formulation: explode the 0-based shingle START
+    # POSITIONS and index the token array per output row, instead of
+    # materializing a shingle array via transform/slice and exploding
+    # it. Higher-order functions are interpreted per element and the
+    # exploded HOF array costs ~19x this plan at sf0.1 (measured:
+    # 6.4 s vs 0.34 s for the hash frame). F.get (not element_at) so
+    # short docs' out-of-range tails are NULL — skipped by concat_ws —
+    # under ANSI mode too (the driver runs a plain ANSI-on session).
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), partition_by=id_col
+    )
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    pos = base.select(F.col(id_col), toks.alias("toks")).select(
+        F.col(id_col),
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.lit(0), F.size("toks") - F.lit(shingle_size))
+            )
+        ).alias("i"),
+    )
+    parts = [F.get("toks", F.col("i") + F.lit(j)) for j in range(shingle_size)]
+    return pos.select(
+        F.col(id_col), F.xxhash64(F.concat_ws(" ", *parts)).alias("h")
     )
 
 
@@ -315,23 +334,81 @@ def minhash_dedup(
     exact verification. Linear shuffle; quadratic work only within
     LSH buckets.
 
-    Plan shape (one corpus-wide shuffle + the band self-join):
-      shingle-hash rows → groupBy(id) collect_set  [shuffle, persisted]
-      → explode → k min-aggs                       [NO exchange: co-partitioned]
-      → band hashes → self-join on (band, hash)    [band shuffle]
-      → Jaccard verify joins on id                 [reuses persisted sets]
+    Plan shape (ONE corpus-wide shuffle + the band self-join):
+      shingle-hash occurrence rows                 [hash(id) exchange, persisted]
+      → k min-aggs + band hashes, one codegen agg  [NO new exchange]
+      → self-join on (band, hash)                  [band shuffle, candidate pairs]
+      → broadcast candidate ids onto occurrences   [narrow — zero shuffle]
+      → collect_set over candidate docs only       [tiny]
+      → exact hash-set Jaccard verify joins.
+    No corpus-wide set materialization: collect_set (an
+    ObjectHashAggregate, no codegen) runs only over docs named in some
+    candidate pair.
+
+    Persist lifetime is caller-managed: the occurrence frame and the
+    candidate pairs stay cached until the session ends or the caller
+    clears them — callers composing many dedup runs in one session
+    should `spark.catalog.clearCache()` between corpora.
 
     Defaults 24 hashes / 6 bands of 4 rows: banding probability
     1-(1-s^4)^6 — candidate recall ≥ 0.96 at true Jaccard 0.8, ≥ 0.99 at 0.85
     (the verification stage is exact, so recall of the BAND stage is
-    the only approximation; tests/test_llm_ops.py gates it at 1.0
-    against the exact n-gram Jaccard truth on the test corpus). Raise
-    to 32/8 (recall ≥ 0.985 at s=0.8) when hunting borderline dups.
+    the only approximation; tests/test_llm_ops.py gates band recall
+    ≥ 0.9 against the exact n-gram Jaccard truth on the test corpus).
+    Raise to 32/8 (recall ≥ 0.985 at s=0.8) when hunting borderline dups.
     """
-    sets = shingle_set_frame(df, text_col, id_col, shingle_size).persist()
-    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
-    sig = minhash_signatures(exploded, id_col, num_hashes)
-    cands = _bucket_pairs(banded_buckets(sig, id_col, num_hashes, bands), id_col)
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    # One corpus-wide shuffle total: the occurrence frame is hash(id)-
+    # partitioned by ensure_parallelism, so the signature aggregation
+    # and the candidate-subset set-build both reuse that partitioning.
+    hf = shingle_hash_frame(df, text_col, id_col, shingle_size).persist()
+    # Signatures in ONE pure-codegen hash aggregate (min over shingle
+    # OCCURRENCES — min is duplicate-insensitive, so no distinct/set
+    # materialization is needed corpus-wide), with band hashes emitted
+    # in the same stage's output projection (no mh_i materialization
+    # beyond the agg buffer).
+    sig = hf.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    cands = _bucket_pairs(banded, id_col).persist()
+    # Exact-Jaccard verification only needs shingle SETS for docs that
+    # appear in some candidate pair — a tiny fraction of the corpus.
+    # Broadcast those ids back onto the persisted occurrence frame
+    # (narrow semi-join, zero shuffle) and collect_set over the subset,
+    # instead of paying a corpus-wide ObjectHashAggregate.
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        hf.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"))
+    )
     verified = hash_jaccard_pairs(sets, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
