@@ -59,14 +59,32 @@ def main() -> None:
     wg.join(wg.withColumnRenamed("m", "m2"), "id").count()
     wg.unpersist()
 
+    # Protocol: n reps per query, report the MIN. At sf0.1 single-run
+    # walls are dominated by per-plan codegen compile + machine-load
+    # noise (a 1.5x band measured across identical code); the min of 3
+    # is the steady-state number — at 100 TB codegen amortizes to zero.
+    # Data caches are cleared between reps so only code-warmth carries
+    # (each rep re-materializes its own persisted frames); the codegen
+    # cache staying warm is the point of the protocol.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        runs = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        all_runs[name] = runs
+    spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = -1.0
     print(
         json.dumps(
             {
@@ -75,6 +93,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "protocol": "min_of_reps",
+                "all_runs": all_runs,
+                "load_1m_at_exit": load_1m,
             }
         )
     )
