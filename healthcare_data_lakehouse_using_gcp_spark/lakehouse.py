@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, EngineConfig
-from .operators.etl import build_etl
+from .operators.etl import build_etl_cached
 from .plans import reports
 from .plans.models import ModelRunner, healthcare_models
 from .sources.readers import read_json_batch
@@ -72,21 +72,30 @@ class HealthcareLakehouse:
             raw_df = read_json_batch(self.spark, raw_path)
         # cache=True: the four routes + counts share one parse/enrich
         # pass instead of recomputing the batch lineage per branch
-        routed = build_etl(raw_df, self.cfg, cache=True)
+        routed, enriched = build_etl_cached(raw_df, self.cfg, cache=True)
         counts: dict[str, int] = {}
-        for name, date_col in ENTITY_DATE_COL.items():
-            df = routed[name].withColumn(
-                "event_date", F.to_date(F.col(date_col))
-            )
-            df.write.mode("append").partitionBy("event_date").parquet(
-                self.zone_path("processed", name)
-            )
-            counts[name] = self.read_processed(name).count()
-        unknown = routed["unknown"].drop("_corrupt_record")
-        n_unknown = unknown.count()
-        if n_unknown > 0:
-            unknown.write.mode("append").json(self.zone_path("errors"))
-        counts["unknown"] = n_unknown
+        try:
+            for name, date_col in ENTITY_DATE_COL.items():
+                df = routed[name].withColumn(
+                    "event_date", F.to_date(F.col(date_col))
+                )
+                df.write.mode("append").partitionBy("event_date").parquet(
+                    self.zone_path("processed", name)
+                )
+                # Count THIS batch's routed rows (from the cached
+                # enriched frame), not the re-read table: the
+                # reference's Count.Globally metric is run-scoped
+                # (healthcare_etl_pipeline.py:351-355) — on a second
+                # run it reports that run's records, not the table
+                # total.
+                counts[name] = df.count()
+            unknown = routed["unknown"].drop("_corrupt_record")
+            n_unknown = unknown.count()
+            if n_unknown > 0:
+                unknown.write.mode("append").json(self.zone_path("errors"))
+            counts["unknown"] = n_unknown
+        finally:
+            enriched.unpersist()
         return counts
 
     # --- bucketed curated tables (shuffle-free repeated joins) -------
@@ -154,6 +163,7 @@ class HealthcareLakehouse:
         vitals = self.read_processed("vitals")
         fact = self.spark.read.parquet(self.zone_path("curated", "fact_patient_encounters"))
         out: dict[str, object] = {}
+        statuses: dict[str, str] = {}
         for key, fn in (
             ("freshness", lambda: reports.check_freshness(vitals, self.cfg)),
             ("quality", lambda: reports.check_quality(vitals, self.cfg)),
@@ -163,11 +173,22 @@ class HealthcareLakehouse:
             ("staleness", lambda: reports.check_staleness(fact, self.cfg)),
         ):
             # gate failures are report results, not crashes (the DAG
-            # logs-and-raises per task; we surface them per report)
+            # logs-and-raises per task; we surface them per report).
+            # Severity follows the dbt gate semantics
+            # (dbt_project.yml:89-94 → config.GatePolicy): a warn_if
+            # breach reports status 'warn' and keeps going; only
+            # error_if breaches (and the DAG's hard health failures)
+            # surface as 'error'.
             try:
-                out[key] = fn()
+                res = fn()
+                out[key] = res
+                statuses[key] = (
+                    res.get("gate_status", "pass") if isinstance(res, dict) else "pass"
+                )
             except reports.PipelineHealthError as e:
-                out[key] = {"gate_failed": str(e)}
+                out[key] = {"gate_failed": str(e), "gate_status": "error"}
+                statuses[key] = "error"
+        out["gate_statuses"] = statuses
         return out
 
     # --- one-shot pipeline (the full DAG run) ------------------------

@@ -247,6 +247,16 @@ def build_etl(
     that touch several routes should use it (streaming callers persist
     the micro-batch instead).
     """
+    routes, _ = build_etl_cached(raw, cfg, cache=cache)
+    return routes
+
+
+def build_etl_cached(
+    raw: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, cache: bool = True
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """build_etl + the (possibly persisted) enriched frame, so batch
+    callers can unpersist it once their routes are materialized
+    instead of leaking cached blocks across runs in a long session."""
     parsed = parse_envelope(raw, cfg)
     flagged = with_validation_flags(parsed, cfg)
     clean = quality_filter(flagged)
@@ -257,4 +267,4 @@ def build_etl(
     # fields defined for them, no anomaly flags), matching the
     # reference flow where DataPartitioner runs post-filter
     # (healthcare_etl_pipeline.py:277-293).
-    return demux(enriched)
+    return demux(enriched), enriched

@@ -23,6 +23,11 @@ def test_full_pipeline(spark, cfg, tmp_path):
     assert out["freshness"]["recent_records"] > 0
     assert out["health"]["total_encounters"] > 0
     assert spark.table("fact_patient_encounters").count() > 0
+    # every report carries a dbt-style severity status in the facade
+    assert set(out["gate_statuses"]) == {
+        "freshness", "quality", "monitoring", "claims", "health", "staleness"
+    }
+    assert all(s in ("pass", "warn", "error") for s in out["gate_statuses"].values())
 
     # processed zone is date-partitioned (hive-style directories)
     vit_dir = os.path.join(str(tmp_path / "wh"), "processed", "vitals")
@@ -36,6 +41,28 @@ def test_full_pipeline(spark, cfg, tmp_path):
     assert "PartitionFilters" in plan or df.count() < lh.read_processed("vitals").count()
 
 
+def test_facade_warn_gate_does_not_raise(spark, cfg, tmp_path):
+    """A warn_if breach surfaces as status 'warn' in run_reports output
+    without raising (dbt_project.yml:89-94 severity semantics)."""
+    import dataclasses
+
+    from healthcare_data_lakehouse_using_gcp_spark.config import GatePolicy
+
+    gen = HealthcareDataGenerator(seed=31, now=cfg.as_of)
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    (raw_dir / "b.json").write_text("\n".join(gen.generate_messages(400)))
+    # warn on any staleness at all, never error
+    tight = dataclasses.replace(
+        cfg, staleness_gate=GatePolicy(warn_if=0, error_if=None, store_failures=False)
+    )
+    lh = HealthcareLakehouse(spark, str(tmp_path / "wh"), tight)
+    out = lh.run_all(str(raw_dir))
+    assert out["gate_statuses"]["staleness"] == "warn"
+    assert out["staleness"]["gate_status"] == "warn"
+    assert "gate_failed" not in out["staleness"]
+
+
 def test_incremental_append(spark, cfg, tmp_path):
     gen = HealthcareDataGenerator(seed=29, now=cfg.as_of)
     raw_dir = tmp_path / "raw"
@@ -43,9 +70,14 @@ def test_incremental_append(spark, cfg, tmp_path):
     (raw_dir / "b1.json").write_text("\n".join(gen.generate_messages(100)))
     lh = HealthcareLakehouse(spark, str(tmp_path / "wh"), cfg)
     c1 = lh.run_etl(str(raw_dir))["vitals"]
-    # append-only semantics (WRITE_APPEND, healthcare_etl_pipeline.py:306)
+    # Run-scoped counts (Count.Globally counts records processed in
+    # THIS run, healthcare_etl_pipeline.py:351-355): the second run's
+    # metric equals its own batch size, while the table itself is
+    # append-only (WRITE_APPEND, healthcare_etl_pipeline.py:306) and
+    # holds both batches.
     c2 = lh.run_etl(str(raw_dir))["vitals"]
-    assert c2 == 2 * c1
+    assert c2 == c1
+    assert lh.read_processed("vitals").count() == 2 * c1
 
 
 def test_bucketed_curated_join_no_exchange(spark, cfg, tmp_path):
