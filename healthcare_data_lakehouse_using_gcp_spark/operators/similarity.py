@@ -68,14 +68,27 @@ def brute_force_topk(
         query_id_col,
         id_col,
         cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        F.spark_partition_id().alias("__pid"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+    # Balanced two-phase reduction: a window over ONLY (query_id) would
+    # shuffle the full |queries| x |corpus| score set into |queries|
+    # reducers — a handful of monster tasks at scale. Instead rank
+    # locally per (query_id, input partition) first, under the SAME
+    # total order (cosine desc, id asc), and keep k rows per partition:
+    # the global top-k is provably inside that prefix, so the final
+    # per-query rank sees at most |partitions| * k rows per query.
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__local_rank", F.row_number().over(w_local))
+        .filter(F.col("__local_rank") <= k)
+        .drop("__pid", "__local_rank")
     )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

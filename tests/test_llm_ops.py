@@ -111,9 +111,15 @@ def test_brute_force_topk(spark):
     queries_df = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
     )
-    out = similarity.brute_force_topk(corpus_df, queries_df, k=2).collect()
+    out_df = similarity.brute_force_topk(corpus_df, queries_df, k=2)
+    out = out_df.collect()
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 10]
     assert out[0]["cosine"] == pytest.approx(1.0)
+    # balanced reduction: the full score set shuffles on
+    # (query_id, input partition), not into |queries| reducers; only
+    # the per-partition top-k prefix reaches the final query_id rank
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan and "hashpartitioning" in plan
 
 
 def test_lsh_topk_recall(spark):
