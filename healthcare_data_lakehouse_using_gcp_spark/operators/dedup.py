@@ -590,11 +590,14 @@ def connected_components(
     node ids (no data-dependent blowup), and the iteration count is
     the component DIAMETER — near-dup clusters from banded LSH are
     dense, so 2-4 rounds in practice. Convergence is detected with a
-    driver-side sum-of-labels check (labels only ever decrease, so
-    the sum is a monotone progress metric — one cheap agg per round,
-    no full-frame comparison). Each round localCheckpoints the label
-    frame: iterative self-referencing plans otherwise DOUBLE the
-    logical tree per round and OOM the driver on deep chains.
+    driver-side sum-of-label-HASHES check: xxhash64(label) works for
+    any label type (string doc ids included — a plain SUM(label)
+    would be NULL there and stall the loop after one round), the sum
+    is one cheap agg per round, and a changed label set changes the
+    sum except with ~2^-64 collision probability. Each round
+    localCheckpoints the label frame: iterative self-referencing
+    plans otherwise DOUBLE the logical tree per round and OOM the
+    driver on deep chains.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -605,7 +608,15 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    def _label_digest(frame: DataFrame):
+        # decimal(38,0) sum: 64-bit hash values summed as longs overflow
+        # under ANSI mode on all but tiny inputs
+        return frame.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_digest(labels)
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -620,7 +631,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = _label_digest(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

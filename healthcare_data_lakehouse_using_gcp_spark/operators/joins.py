@@ -126,7 +126,19 @@ def salted_join(
     row), so task retries re-derive identical partitions. Right-side
     rows are replicated salt_buckets× — only use when the right side
     is small relative to the left.
+
+    Only left-preserving join types are valid: under 'right'/'full'
+    (or right-semi/anti) every unmatched RIGHT row would surface once
+    per salt replica — salt_buckets duplicate output rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "right/full joins would emit each unmatched right row "
+            "salt_buckets times"
+        )
     salt = F.pmod(
         F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt_buckets)
     )

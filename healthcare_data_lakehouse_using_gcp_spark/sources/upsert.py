@@ -60,13 +60,29 @@ def merge_upsert(
             r[0] for r in incoming.select(partition_col).distinct().collect()
         ]
 
-    try:
+    # Only a MISSING table means "first write". Anything else raised by
+    # the read (transient FS failure, corrupt footer, permissions) must
+    # propagate: treating it as first-write would make the dynamic
+    # overwrite below silently replace existing partitions with just
+    # the incoming batch.
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         existing = spark.read.parquet(path)
         if touched is not None:
-            existing = existing.filter(F.col(partition_col).isin(touched))
+            vals = [v for v in touched if v is not None]
+            cond = F.col(partition_col).isin(vals)
+            if any(v is None for v in touched):
+                # the incoming batch writes __HIVE_DEFAULT_PARTITION__,
+                # so prior NULL-partition rows must join the merge or
+                # the dynamic overwrite would drop them
+                cond = cond | F.col(partition_col).isNull()
+            existing = existing.filter(cond)
         # align column order for unionByName
         both = existing.unionByName(incoming, allowMissingColumns=True)
-    except Exception:  # first write: nothing to merge
+    else:  # first write: nothing to merge
         both = incoming
 
     value_cols = [c for c in both.columns if c not in key_cols]

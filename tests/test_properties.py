@@ -83,6 +83,21 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_string_ids_deep_chain(spark):
+    """String ids must converge too: SUM(label) over strings is NULL,
+    so a naive sum-based convergence check would stop after ONE
+    propagation round and under-merge any chain of length > 2. The
+    digest uses xxhash64(label), which works for any id type."""
+    chain = [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert set(got.values()) == {"doc00"}
+    assert len(got) == 9
+
+
 @_settings
 @given(
     st.lists(

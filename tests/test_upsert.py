@@ -61,6 +61,47 @@ def test_upsert_latest_version_wins_and_replay_idempotent(spark, tmp_path):
     assert _snapshot(spark, path) == snap
 
 
+def test_upsert_null_partition_rows_survive_merge(spark, tmp_path):
+    """Rows whose partition value is NULL land in the hive default
+    partition; a later batch that ALSO carries NULL-partition rows must
+    merge with them, not silently replace that partition."""
+    path = str(tmp_path / "nullpart")
+    keys = ["patient_id", "event_date"]
+    b1 = _batch(spark, [
+        ("P1", None, 70, "2024-06-01T10:00:00"),
+        ("P2", "2024-06-01", 80, "2024-06-01T10:00:00"),
+    ])
+    merge_upsert(spark, b1, path, keys)
+    b2 = _batch(spark, [
+        ("P3", None, 65, "2024-06-01T11:00:00"),
+    ])
+    merge_upsert(spark, b2, path, keys)
+    snap = _snapshot(spark, path)
+    assert len(snap) == 3
+    assert snap[("P1", "None")][0] == 70  # prior NULL-partition row kept
+    assert snap[("P3", "None")][0] == 65
+
+
+def test_upsert_missing_table_vs_read_error(spark, tmp_path):
+    """A missing path is first-write; an unreadable EXISTING path must
+    raise, never silently overwrite partitions with only the batch."""
+    import pytest
+
+    path = str(tmp_path / "broken")
+    b = _batch(spark, [("P1", "2024-06-01", 70, "2024-06-01T10:00:00")])
+    merge_upsert(spark, b, path, ["patient_id", "event_date"])  # first write OK
+
+    # corrupt the table: parquet footer unreadable
+    import os
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        merge_upsert(spark, b, path, ["patient_id", "event_date"])
+
+
 def test_upsert_intra_batch_duplicates_collapse(spark, tmp_path):
     path = str(tmp_path / "dups")
     b = _batch(spark, [
