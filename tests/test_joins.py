@@ -99,3 +99,95 @@ def test_salted_join_equals_plain_join(spark):
     lp = left.join(right, "patient_id", "left").count()
     ls = salted_join(left, right, ["patient_id"], salt_buckets=8, how="left").count()
     assert lp == ls
+
+
+def test_aqe_splits_skewed_band_join(spark):
+    """100×-scale risk in the fact-join shape
+    (fact_patient_encounters.sql:111-115): one pathological hot
+    patient_id. With AQE skew-join on (thresholds lowered to make the
+    tiny fixture register as skewed), the final adaptive plan must
+    split the hot shuffle partition instead of funneling it into one
+    task."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # 50% of vitals on one hot patient; sha2 pad keeps the shuffle
+        # bytes incompressible so the size-based skew detector fires.
+        left = spark.range(0, 20000, 1, 8).select(
+            F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("P"), (F.col("id") % 500).cast("string")))
+            .alias("patient_id"),
+            F.lit("2024-06-10").alias("l_date"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.createDataFrame(
+            [("HOT", "2024-06-08", "C1"), ("P1", "2024-06-09", "C2"),
+             ("P2", "2024-07-30", "C3")],
+            "patient_id string, r_date string, claim_id string",
+        )
+        j = joins.band_join(left, right, ["patient_id"], "l_date", "r_date", band_days=7)
+        assert j.count() == 20000  # HOT+P1 match once, P2's claim out of band
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_salted_join_bounds_hot_key_per_task(spark):
+    """For skew AQE cannot split (hot key feeding a downstream agg),
+    salted_join must actually SPREAD the hot key: its rows land in
+    multiple shuffle partitions, none holding ~all of them."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import salted_join
+
+    # force the shuffle-join path and keep AQE from coalescing the tiny
+    # fixture into one partition, so spark_partition_id() observes the
+    # actual (key, salt) hash distribution
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.createDataFrame(
+            [("HOT", i) for i in range(4000)] + [("P%03d" % i, i) for i in range(100)],
+            "patient_id string, seq int",
+        )
+        right = spark.createDataFrame(
+            [("HOT", "icu"), ("P001", "ward")], "patient_id string, unit string"
+        )
+        tagged = salted_join(left, right, ["patient_id"], salt_buckets=8).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        dist = {
+            r["pid"]: r["n"]
+            for r in tagged.filter(F.col("patient_id") == "HOT")
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    total = sum(dist.values())
+    assert total == 4000
+    # 8 deterministic salts over the session's 4 shuffle partitions:
+    # the hot key must span >1 task and no task may see ~everything
+    assert len(dist) >= 2, dist
+    assert max(dist.values()) <= 0.75 * total, dist
