@@ -62,6 +62,9 @@ def query(name: str, sql: str | None):
 #   events_session_stats    — rollup over events_sessionize output
 #   sample_stratified       — per-stratum application of sample_deterministic
 #   embedding_near_dup_exact — O(n^2) ground-truth twin of embedding_near_dup
+#   f12_timestamp_parse     — parse round-trip folded into f2_date_arith
+#   f6_case_map             — CASE mapping folded into f5_case_bucket
+#   f10_split_count         — split + collection length checked inside text_stats
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -69,6 +72,9 @@ _TAIL = (
     "f9_coalesce",
     "f13_in_list",
     "f15_to_json",
+    "f12_timestamp_parse",
+    "f6_case_map",
+    "f10_split_count",
     "events_session_stats",
     "sample_stratified",
     "embedding_near_dup_exact",
@@ -759,21 +765,30 @@ def f1_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS BIGINT)
              AS days_before_ref,
-           (o_orderdate::DATE + 30) AS due_date
+           (o_orderdate::DATE + 30) AS due_date,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed_ts,
+           strftime(o_orderdate, '%Y-%m-%d')::DATE AS parsed_date
     FROM orders
     """,
 )
 def f2_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F3: date diff + interval arithmetic
-    (healthcare_etl_pipeline.py:182-185; fact_patient_encounters.sql:32)."""
+    """F2/F3 + F12: date diff + interval arithmetic + string→
+    timestamp/date parse round-trip
+    (healthcare_etl_pipeline.py:173,182-185;
+    fact_patient_encounters.sql:32). F12 folded in so one driver slot
+    verifies both rows; `f12_timestamp_parse` stays as the standalone
+    tail variant."""
     o = _t(spark, sf_dir, "orders")
     od = F.to_date("o_orderdate")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd")
     return o.select(
         "o_orderkey",
         F.datediff(F.lit("2000-01-01").cast("date"), od).cast("bigint").alias(
             "days_before_ref"
         ),
         F.date_add(od, 30).alias("due_date"),
+        F.to_timestamp(s, "yyyy-MM-dd").alias("parsed_ts"),
+        F.to_date(s, "yyyy-MM-dd").alias("parsed_date"),
     )
 
 
@@ -784,13 +799,20 @@ def f2_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 150000 THEN 'medium'
                 WHEN o_totalprice < 300000 THEN 'high'
-                ELSE 'very_high' END AS value_category
+                ELSE 'very_high' END AS value_category,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                ELSE 'relaxed' END AS priority_group
     FROM orders
     """,
 )
 def f5_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: CASE numeric→category bucketing (amount_category,
-    healthcare_etl_pipeline.py:187-194; stg_insurance_claims.sql:129-134)."""
+    """F5 + F6: CASE numeric→category bucketing (amount_category,
+    healthcare_etl_pipeline.py:187-194; stg_insurance_claims.sql:129-134)
+    and CASE string→string mapping (insurance_category,
+    stg_insurance_claims.sql:137-141). F6 folded in so one driver slot
+    verifies both rows; `f6_case_map` stays as the standalone tail
+    variant."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -799,6 +821,10 @@ def f5_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") < 300000, "high")
         .otherwise("very_high")
         .alias("value_category"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("relaxed")
+        .alias("priority_group"),
     )
 
 
@@ -1679,6 +1705,127 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a10_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (beyond-reference): exact grouped percentiles — the
+    distribution view the reference's AVG-only monitoring layer
+    (data_quality_monitoring.sql) lacks. Exact `percentile` matches
+    DuckDB quantile_cont (percentile_cont interpolation); rounded at
+    a far digit per the aggregate parity rule. Scale: one shuffle on
+    the 3-value group key; switch to approx=True (t-digest sketch)
+    for high-cardinality groups."""
+    from .operators.analytics import grouped_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = grouped_percentiles(li, ["l_returnflag"], "l_extendedprice")
+    q = grouped_percentiles(li, ["l_returnflag"], "l_quantity", probs=(0.5,))
+    return (
+        p.join(q.withColumnRenamed("p50", "qty_p50"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p25", 4).alias("price_p25"),
+            F.round("p50", 4).alias("price_p50"),
+            F.round("p75", 4).alias("price_p75"),
+            F.round("qty_p50", 4).alias("qty_p50"),
+        )
+    )
+
+
+@query(
+    "w2_moving_avg",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS date, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, ts::DATE
+    )
+    SELECT event_type, date, n,
+           ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY date
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+           CAST(n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY date), n)
+                AS BIGINT) AS delta_prev
+    FROM daily
+    """,
+)
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (beyond-reference): trailing 7-day moving average + day-over-
+    day delta per event type — the trend view over a8_daily_rollup's
+    shape. Daily rollup first (map-side combine shrinks events→days),
+    then a ROWS frame over the small rollup; the window reuses the
+    rollup's hash partitioning (partition keys refine), so one
+    exchange total. The moving average divides an exact bigint sum, so
+    both engines agree bit-for-bit before the far-digit round."""
+    from .operators.analytics import trailing_window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    out = trailing_window(daily, ["event_type"], "date", window_rows=7)
+    return out.select(
+        "event_type",
+        "date",
+        "n",
+        F.round("ma7", 4).alias("ma7"),
+        F.col("delta_prev").cast("bigint").alias("delta_prev"),
+    )
+
+
+@query(
+    "dedup_spans",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS span_idx
+      FROM base
+    ), spans AS (
+      SELECT doc_id, span_idx,
+             array_to_string(
+               list_slice(words, span_idx * 10 + 1, span_idx * 10 + 10), ' '
+             ) AS span_text
+      FROM idx
+    ), flagged AS (
+      SELECT doc_id, span_idx, span_text,
+             ROW_NUMBER() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_idx) = 1 AS kept
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS spans_total,
+           CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS spans_kept,
+           COALESCE(string_agg(span_text, ' ' ORDER BY span_idx)
+                      FILTER (WHERE kept), '') AS deduped_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-dedup (beyond-reference): span-level exact substring dedup
+    (Lee et al. 2022) — removes 10-word spans repeated anywhere in the
+    corpus, keeping first occurrences, and reassembles documents.
+    Catches boilerplate INSIDE otherwise-unique documents that
+    document-level dedup_exact/minhash cannot. Three linear shuffles
+    (span winners, winner join-back, per-doc reassembly); no pair
+    space."""
+    from .operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, "text", "doc_id", span_words=10)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -1704,25 +1851,29 @@ OPERATOR_MAP = {
     "A7": ["a7_max_freshness"],
     "A8": ["a8_daily_rollup"],
     "A9": ["a9_avg_quality_gate"],
+    "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
     "W1": ["w1_row_number", "j3_asof_nearest"],
+    "W2": ["w2_moving_avg"],  # beyond-reference: trailing-frame smoothing
+
     "O1": ["a8_daily_rollup", "o3_top_limit"],
     "O3": ["o3_top_limit"],
     "F1": ["f1_datetime_extract"],
     "F2": ["f2_date_arith"],
     "F3": ["f2_date_arith", "a7_max_freshness"],
     "F5": ["f5_case_bucket"],
-    "F6": ["f6_case_map"],
+    "F6": ["f5_case_bucket", "f6_case_map"],
     "F7": ["f7_arithmetic"],
     "F8": ["j1_band_join", "j3_asof_nearest"],
     "F9": ["f9_coalesce"],
-    "F10": ["f10_split_count"],
-    "F11": ["f10_split_count"],
-    "F12": ["f12_timestamp_parse"],
+    "F10": ["text_stats", "f10_split_count"],
+    "F11": ["text_stats", "f10_split_count"],
+    "F12": ["f2_date_arith", "f12_timestamp_parse"],
     "F13": ["f13_in_list"],
     "F15": ["f15_to_json"],
     "T1": ["t1_tumbling_window"],
     "LLM-dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_spans",
     ],
     "LLM-similarity": [
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",

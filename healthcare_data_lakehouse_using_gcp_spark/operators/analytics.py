@@ -1,0 +1,80 @@
+"""Distribution and time-series analytics operators.
+
+Beyond-reference analytics the monitoring layer (SURVEY.md §2.4-2.5)
+stops short of: exact grouped percentiles and trailing-window
+smoothing over daily rollups. Both are single-exchange plans.
+
+Scale design (100 TB):
+- ``grouped_percentiles`` uses Spark's exact ``percentile`` aggregate:
+  one hash-partition shuffle on the group key with map-side partial
+  collection. Exact percentiles buffer per-group values — right for
+  the low-cardinality monitoring dimensions they're meant for
+  (status/type/flag groups). For high-cardinality groups or raw-event
+  percentiles at 100 TB, pass ``approx=True`` to switch to
+  ``approx_percentile`` (t-digest-style constant-memory sketch,
+  mergeable map-side) at the cost of oracle-exactness.
+- ``trailing_window`` computes daily rollups FIRST (one shuffle,
+  map-side combine shrinks events → days), so the window function
+  sorts |days|×|groups| rows, not raw events. Frame is ROWS-based
+  over the dense daily grid — O(1) memory per row in the window
+  operator, and the rollup's partitioning is reused by the window
+  (partition keys refine), so no second exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+) -> DataFrame:
+    """Exact (or sketched) percentiles of ``value_col`` per group.
+
+    Output columns: group_cols + p<prob*100> for each prob (e.g.
+    p25, p50, p75). Exact mode matches ANSI percentile_cont / DuckDB
+    quantile_cont (linear interpolation).
+    """
+    def _name(p: float) -> str:
+        pct = p * 100
+        return f"p{int(pct)}" if float(pct).is_integer() else f"p{pct}".replace(".", "_")
+
+    fn = F.approx_percentile if approx else F.percentile
+    aggs = [
+        fn(F.col(value_col), F.lit(p)).alias(_name(p)) for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def trailing_window(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    window_rows: int = 7,
+    value_col: str = "n",
+) -> DataFrame:
+    """Trailing ROWS-frame smoothing over an (already rolled-up)
+    ordered series: for each row, the moving average of ``value_col``
+    across the previous ``window_rows`` rows (inclusive) plus the
+    delta vs the previous row.
+
+    Adds columns: ma<window_rows> (moving average), delta_prev
+    (value - previous value, 0 for the first row of a partition).
+    """
+    w_frame = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    w_lag = Window.partitionBy(*partition_cols).orderBy(order_col)
+    v = F.col(value_col)
+    return df.withColumn(
+        f"ma{window_rows}", F.avg(v).over(w_frame)
+    ).withColumn("delta_prev", v - F.coalesce(F.lag(v).over(w_lag), v))

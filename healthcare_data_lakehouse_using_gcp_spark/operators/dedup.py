@@ -659,3 +659,75 @@ def dedup_groups(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level exact substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    recipe, at fixed word-span granularity): chop every document
+    into consecutive ``span_words``-word spans, keep only the FIRST
+    corpus-wide occurrence of each distinct span (ordered by
+    (id, position)), and reassemble the surviving spans per document.
+    Unlike document-level dedup this removes boilerplate repeated
+    INSIDE otherwise-distinct documents (headers, licence blocks,
+    navigation chrome).
+
+    Returns (id_col, spans_total, spans_kept, deduped_text) for every
+    input document; fully-duplicate documents surface with
+    spans_kept=0 and deduped_text='' so callers can drop or audit.
+
+    Scale design (100 TB):
+    - Span chopping is NARROW per-row work (split + slice inside one
+      projection) — no shuffle, no Python.
+    - First-occurrence selection is ONE linear shuffle on span_text
+      (min(struct(id, pos)) hash-agg — map-side partials collapse
+      local repeats), never an O(n²) pair space.
+    - The winners frame (1 row per distinct span) joins back on the
+      SAME span_text key, then one shuffle on id reassembles. Three
+      linear shuffles total; quadratic work: none.
+    - For giant span cardinalities, swap span_text for xxhash64(span)
+      in the winner agg to move 8-byte keys (collision-safe to
+      ~2^-64): kept exact here so the result is oracle-comparable.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ', -1))"
+                f" / {span_words}.0) as int) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' ', -1),"
+                f" i * {span_words} + 1, {span_words}), ' '))"
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    firsts = (
+        spans.groupBy("span_text")
+        .agg(F.min(F.struct(id_col, "span_idx")).alias("w"))
+        .select(
+            "span_text",
+            F.col(f"w.{id_col}").alias("__first_id"),
+            F.col("w.span_idx").alias("__first_idx"),
+        )
+    )
+    flagged = spans.join(firsts, "span_text").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("__first_id"))
+        & (F.col("span_idx") == F.col("__first_idx")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("span_idx", "span_text"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("spans_total"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("spans_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["span_text"],
+            ),
+        ).alias("deduped_text"),
+    )

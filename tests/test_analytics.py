@@ -1,0 +1,66 @@
+"""Distribution / time-series analytics operator tests (A10, W2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+    grouped_percentiles,
+    trailing_window,
+)
+
+
+def test_grouped_percentiles_exact(spark):
+    """Exact percentile matches numpy's linear interpolation."""
+    import numpy as np
+
+    vals = [1.0, 3.0, 7.0, 20.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    row = grouped_percentiles(df, ["grp"], "v").collect()[0]
+    for p, col in [(25, "p25"), (50, "p50"), (75, "p75")]:
+        assert abs(row[col] - float(np.percentile(vals, p))) < 1e-9
+
+
+def test_grouped_percentiles_approx_mode(spark):
+    """approx=True (sketch path for 100 TB cardinalities) stays within
+    a loose tolerance on a well-behaved distribution."""
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 1001)], "grp string, v double"
+    )
+    row = grouped_percentiles(df, ["grp"], "v", probs=(0.5,), approx=True).collect()[0]
+    assert abs(row["p50"] - 500.5) <= 10
+
+
+def test_trailing_window_ma_and_delta(spark):
+    days = [("a", f"2024-06-0{d}", n) for d, n in [(1, 10), (2, 20), (3, 30)]]
+    df = spark.createDataFrame(days, "grp string, d string, n long").select(
+        "grp", F.to_date("d").alias("d"), "n"
+    )
+    out = {
+        str(r["d"]): r
+        for r in trailing_window(df, ["grp"], "d", window_rows=7, value_col="n").collect()
+    }
+    assert out["2024-06-01"]["ma7"] == 10.0 and out["2024-06-01"]["delta_prev"] == 0
+    assert out["2024-06-02"]["ma7"] == 15.0 and out["2024-06-02"]["delta_prev"] == 10
+    assert out["2024-06-03"]["ma7"] == 20.0 and out["2024-06-03"]["delta_prev"] == 10
+
+
+def test_trailing_window_frame_bounds(spark):
+    """ROWS frame covers exactly the trailing N rows, not the whole
+    partition."""
+    rows = [("a", f"2024-06-{d:02d}", 1) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, d string, n long").select(
+        "grp", F.to_date("d").alias("d"), "n"
+    )
+    out = trailing_window(df, ["grp"], "d", window_rows=3, value_col="n")
+    assert all(r["ma3"] == 1.0 for r in out.collect())
+    # varying values: day k has n=k, ma3 at day 10 = (8+9+10)/3
+    df2 = spark.createDataFrame(
+        [("a", f"2024-06-{d:02d}", d) for d in range(1, 11)],
+        "grp string, d string, n long",
+    ).select("grp", F.to_date("d").alias("d"), "n")
+    last = sorted(
+        trailing_window(df2, ["grp"], "d", window_rows=3, value_col="n").collect(),
+        key=lambda r: str(r["d"]),
+    )[-1]
+    assert last["ma3"] == 9.0 and last["delta_prev"] == 1

@@ -415,3 +415,42 @@ def test_normalize_unicode(spark):
     assert not out[3]["changed"]
     # NFC makes the visually-identical pair hash-identical for dedup
     assert out[1]["normalized_text"] == out[2]["normalized_text"]
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    """Span-level exact dedup: first occurrence survives, repeats are
+    cut even inside otherwise-unique documents, fully-duplicate docs
+    surface with spans_kept=0."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),   # first occurrence of boiler
+            (2, f"{boiler} {uniq_b}"),   # loses the boiler span only
+            (3, boiler),                  # fully duplicate
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=10).collect()}
+    assert len(out) == 3
+    assert out[1]["spans_kept"] == 2 and out[1]["deduped_text"] == f"{boiler} {uniq_a}"
+    assert out[2]["spans_kept"] == 1 and out[2]["deduped_text"] == uniq_b
+    assert out[3]["spans_kept"] == 0 and out[3]["deduped_text"] == ""
+    assert out[3]["spans_total"] == 1
+
+
+def test_span_dedup_short_tail_span(spark):
+    """Documents whose word count isn't a span multiple keep the
+    short trailing span as its own unit."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 tail1 tail2")],
+        "doc_id bigint, text string",
+    )
+    row = span_dedup(df, span_words=10).collect()[0]
+    assert row["spans_total"] == 2
+    assert row["deduped_text"].endswith("tail1 tail2")
