@@ -78,6 +78,10 @@ _TAIL = (
     "events_session_stats",
     "sample_stratified",
     "embedding_near_dup_exact",
+    # beyond-reference extensions that arrived after the head filled;
+    # verified by the local gate replica + pytest
+    "a11_rollup",
+    "dedup_semantic",
 )
 
 
@@ -1826,6 +1830,74 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, "text", "doc_id", span_words=10)
 
 
+@query(
+    "dedup_semantic",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  * 10000 + 0.5) / 10000 >= 0.4
+    ), d AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY id_b
+    )
+    SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS keep
+    FROM embeddings e LEFT JOIN d USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-dedup (beyond-reference): SemDeDup-style semantic dedup
+    resolution — each vector with a lower-id neighbor above the cosine
+    threshold is pruned in favor of that neighbor
+    (operators/similarity.resolve_semantic_keep, the stage shared with
+    the clustered semantic_dedup operator). Pair generation here is
+    the union-with-residual exact set (the LSH plan runs inside it) so
+    the output hash-matches the cross-join oracle; at 100 TB the
+    cluster-confined semantic_dedup supplies the pairs instead
+    (recall measured in tests/test_llm_ops.py)."""
+    from .functions.scalars import round_det
+    from .operators.similarity import embedding_near_dup_checked, resolve_semantic_keep
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        embedding_near_dup_checked(e, threshold=-2.0)
+        .withColumn("cosine", round_det(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    return resolve_semantic_keep(e.select("vec_id"), pairs, "vec_id")
+
+
+@query(
+    "a11_rollup",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS date FROM events
+    )
+    SELECT event_type, date, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(event_type, date) AS BIGINT) AS gid
+    FROM daily
+    GROUP BY ROLLUP (event_type, date)
+    """,
+)
+def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (beyond-reference): ROLLUP subtotal hierarchy over the daily
+    grid — (type, day), per-type, and grand-total rows in ONE pass
+    (Spark expands grouping sets in a single Expand+hash-agg, no
+    multi-scan union). grouping_id disambiguates subtotal NULLs; both
+    engines use the same leftmost-arg-is-MSB bit convention."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("date"))
+        .rollup("event_type", "date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -1852,6 +1924,7 @@ OPERATOR_MAP = {
     "A8": ["a8_daily_rollup"],
     "A9": ["a9_avg_quality_gate"],
     "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
+    "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
     "W1": ["w1_row_number", "j3_asof_nearest"],
     "W2": ["w2_moving_avg"],  # beyond-reference: trailing-frame smoothing
 
@@ -1873,7 +1946,7 @@ OPERATOR_MAP = {
     "T1": ["t1_tumbling_window"],
     "LLM-dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_spans",
+        "dedup_spans", "dedup_semantic",
     ],
     "LLM-similarity": [
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",

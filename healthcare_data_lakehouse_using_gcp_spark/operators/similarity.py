@@ -491,3 +491,217 @@ def embedding_near_dup_checked(
     exact = embedding_near_dup_exact(df, id_col, vec_col, threshold)
     residual = exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return lsh.unionByName(residual)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    as duplicates any vector with a LOWER-id within-cluster neighbor
+    above the cosine threshold — keeping one representative per
+    semantic neighborhood.
+
+    Returns (id_col, cid, keep, dup_of): dup_of is the lowest-id
+    within-cluster neighbor above threshold (NULL iff keep).
+
+    Scale design (100 TB): the cluster assignment bounds the pair
+    space — candidate pairs are per-cluster self-joins on `cid`
+    (linear shuffle on cid, quadratic only WITHIN a cluster), the same
+    confinement minhash gets from banding. Cluster count should scale
+    with corpus size (SemDeDup uses ~100k clusters for LAION-scale;
+    cost per Lloyd pass is one corpus scan) to keep cluster sizes —
+    and so the per-bucket quadratic work — bounded. The threshold
+    check is the same JVM-side zip_with cosine as the near-dup ops;
+    Python appears only in the Arrow-batched centroid assignment."""
+    indexed, _ = build_ivf_index(
+        df, id_col, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    base = indexed.select(F.col(id_col), F.col(vec_col), "cid").persist()
+    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
+    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    dup_pairs = (
+        l.join(r, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return resolve_semantic_keep(base.select(id_col, "cid"), dup_pairs, id_col)
+
+
+def resolve_semantic_keep(
+    base: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Shared SemDeDup resolution stage: given over-threshold pairs
+    (id_a < id_b), each id_b is a duplicate of its LOWEST-id matched
+    partner; everything unmatched (as id_b) is kept. One linear
+    min-agg shuffle on id_b + a left join back to the base frame —
+    works identically over cluster-confined pairs (semantic_dedup),
+    LSH pairs, or exact pairs (the oracle path)."""
+    dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        base.join(dup_of, [id_col], "left")
+        .withColumn("keep", F.col("dup_of").isNull())
+    )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (IVF-PQ compression path)
+# ---------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the vector into ``m`` subspaces and k-means each with 2**nbits
+    codewords. Returns a numpy array (m, 2**nbits, dim/m).
+
+    Training runs DRIVER-SIDE on a deterministic lowest-id sample —
+    codebooks are a tiny model (m × 2^nbits × dsub doubles), like the
+    IVF centroid table; at 100 TB you train once on a sample and
+    broadcast, never iterating over the corpus."""
+    import numpy as np
+
+    rows = df.orderBy(F.col(id_col)).limit(sample_size).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, k = dim // m, 2**nbits
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for sub in range(m):
+        xs = x[:, sub * dsub : (sub + 1) * dsub]
+        cents = xs[rng.choice(n, size=k, replace=n < k)]
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``m`` codebook indices: dim×8 bytes →
+    m×(nbits/8) bytes per vector (64× compression at dim=64, m=8,
+    nbits=4) — what lets a 100 TB vector corpus fit hot storage for
+    candidate scoring. One narrow Arrow pass; codes come back as
+    array<smallint>."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, _, dsub = books.shape
+
+    def _enc(vecs):  # no annotations: future-annotations breaks pandas_udf hints
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((x.shape[0], m), dtype=np.int16)
+        for sub in range(m):
+            xs = x[:, sub * dsub : (sub + 1) * dsub]
+            d = ((xs[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            out[:, sub] = d.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(out))
+
+    enc = F.pandas_udf(_enc, T.ArrayType(T.ShortType()))
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).select(
+        id_col, enc(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    per query, precompute an (m × 2^nbits) lookup table of subspace
+    distances query↔codeword; a vector's distance is then m table
+    lookups over its codes — no decode, no full-dim math.
+
+    Returns (query_id, vec_id, adc_distance, rank), rank 1..k
+    ascending distance. The scored frame reduces through the same
+    balanced two-stage top-k as brute_force_topk (local rank before
+    the per-query reduction). Queries are collected driver-side and
+    broadcast inside the Arrow UDF closure — the corpus codes never
+    shuffle for scoring."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, kcode, dsub = books.shape
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        lut = np.empty((m, kcode))
+        for sub in range(m):
+            qs = qv[sub * dsub : (sub + 1) * dsub]
+            lut[sub] = ((books[sub] - qs[None, :]) ** 2).sum(axis=1)
+        luts.append(lut)
+    luts = np.array(luts)  # (q, m, kcode)
+
+    def _score(batch):  # no annotations: future-annotations breaks pandas_udf hints
+        c = np.array([np.asarray(v, dtype=np.int64) for v in batch])  # (n, m)
+        n = c.shape[0]
+        subs = np.arange(m)[None, :]
+        dists = np.empty((n, len(q_ids)))
+        for qi in range(len(q_ids)):
+            dists[:, qi] = luts[qi][subs, c].sum(axis=1)
+        return pd.Series(list(dists))
+
+    score = F.pandas_udf(_score, T.ArrayType(T.DoubleType()))
+    scored = codes.select(
+        id_col, F.posexplode(score(F.col("pq_codes"))).alias("__qi", "adc_distance")
+    )
+    qmap = codes.sparkSession.createDataFrame(
+        [(i, q) for i, q in enumerate(q_ids)], f"__qi int, {query_id_col} string"
+    ) if isinstance(q_ids[0], str) else codes.sparkSession.createDataFrame(
+        [(i, int(q)) for i, q in enumerate(q_ids)], f"__qi int, {query_id_col} bigint"
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy(F.spark_partition_id(), "__qi").orderBy(
+        F.col("adc_distance").asc(), F.col(id_col).asc()
+    )
+    local = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w = Window.partitionBy("__qi").orderBy(
+        F.col("adc_distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qmap), "__qi")
+        .select(query_id_col, id_col, "adc_distance", "rank")
+    )

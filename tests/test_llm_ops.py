@@ -454,3 +454,57 @@ def test_span_dedup_short_tail_span(spark):
     row = span_dedup(df, span_words=10).collect()[0]
     assert row["spans_total"] == 2
     assert row["deduped_text"].endswith("tail1 tail2")
+
+
+def test_semantic_dedup_prunes_neighborhoods(spark):
+    """SemDeDup: near-identical vectors collapse to one kept
+    representative (lowest id); distinct directions all survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    rows = []
+    for i in range(6):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in v]))
+        # id 100+i: near-duplicate of vector i (tiny perturbation)
+        w = v + 1e-3 * rng.standard_normal(8)
+        w = w / np.linalg.norm(w)
+        rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(df, threshold=0.98, n_centroids=4).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 12
+    for i in range(6):
+        assert by_id[i]["keep"] is True  # lowest id of its neighborhood
+    # every near-dup twin is pruned and points at its original
+    pruned = [r for r in out if not r["keep"]]
+    assert len(pruned) == 6
+    assert all(r["dup_of"] == r["vec_id"] - 100 for r in pruned)
+
+
+def test_pq_roundtrip_and_topk_recall(spark):
+    """PQ: codes are m small ints; ADC top-1 finds the exact nearest
+    neighbor for in-corpus queries (self-match at distance ~0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((32, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.train_pq_codebooks(df, m=4, nbits=4, sample_size=32, iters=6)
+    assert books.shape == (4, 16, 4)
+    codes = similarity.pq_encode(df, books)
+    first = codes.first()
+    assert len(first["pq_codes"]) == 4
+    assert all(0 <= c < 16 for c in first["pq_codes"])
+
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    top = similarity.pq_topk(codes, books, queries, k=1)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    # with 32 training points == corpus, quantization cells are tight
+    # enough that each query's nearest code is its own vector
+    assert got == {0: 0, 1: 1, 2: 2}

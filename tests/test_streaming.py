@@ -188,3 +188,50 @@ def test_etl_sink_upsert_replay_idempotent(spark, cfg, tmp_path):
     append_sink(batch, 1)
     n_vitals = spark.read.parquet(os.path.join(wh_app, "processed", "vitals")).count()
     assert n_vitals == 2 * counts1["vitals"]  # reference append semantics
+
+
+def test_dedup_stream_across_microbatches(spark, cfg, tmp_path):
+    """Streaming exact dedup: redelivered ids in LATER micro-batches
+    are dropped (state persists across batches, bounded by the
+    watermark); batch fallback dedups identically."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import dedup_stream
+
+    inp = str(tmp_path / "dd_in")
+    os.makedirs(inp)
+    base = "2024-06-01T10:{m:02d}:00"
+
+    def msg(cid, minute):
+        return json.dumps(
+            {
+                "data_type": "claim",
+                "claim_id": cid,
+                "patient_id": "P1",
+                "ingest_timestamp": base.format(m=minute),
+            }
+        )
+
+    # batch 1: C1, C2; batch 2 (later mtime): C2 redelivered + C3
+    with open(os.path.join(inp, "b1.json"), "w") as f:
+        f.write("\n".join([msg("C1", 0), msg("C2", 1)]))
+    time.sleep(2)  # distinct mtime => deterministic batch order
+    with open(os.path.join(inp, "b2.json"), "w") as f:
+        f.write("\n".join([msg("C2", 2), msg("C3", 3)]))
+
+    parsed = parse_envelope(read_json_stream(spark, inp, 1), cfg)
+    deduped = dedup_stream(parsed, ["claim_id"], watermark_seconds=3600)
+    sq = (
+        deduped.selectExpr("claim_id")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = sorted(r["claim_id"] for r in spark.sql("select * from dd_out").collect())
+    assert got == ["C1", "C2", "C3"]  # C2 exactly once
+
+    batch = dedup_stream(parse_envelope(spark.read.text(inp), cfg), ["claim_id"])
+    assert batch.select("claim_id").distinct().count() == batch.count() == 3
