@@ -178,6 +178,46 @@ def dedup_stream(
     return out.drop("__event_ts")
 
 
+def stream_stream_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int = 7 * 86400,
+    watermark_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Beyond-reference: the fact table's equi+band join
+    (fact_patient_encounters.sql:111-115) as a STREAM-STREAM join —
+    continuous enrichment of in-flight vitals with in-flight claims
+    instead of a nightly batch.
+
+    Structured Streaming requires exactly this shape for bounded
+    state: watermarks on BOTH sides plus an event-time range predicate
+    tying the two clocks together. The range bound lets the state
+    store evict rows once the other side's watermark passes
+    ``band_seconds`` beyond them — state is O(rows per band window),
+    not O(stream length), which is the 100 TB/day survival property.
+    Works on batch frames too (watermarks are a no-op in batch), so
+    the same plan is testable against the batch band_join.
+    """
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    l = left
+    r = right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, f"{watermark_seconds} seconds")
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, f"{watermark_seconds} seconds")
+    band = F.lit(band_seconds)
+    cond = (
+        (l[on] == r[on])
+        & (rts >= lts - F.make_dt_interval(secs=band))
+        & (rts <= lts + F.make_dt_interval(secs=band))
+    )
+    return l.join(r, cond, how)
+
+
 def run_batch_equivalent(
     spark: SparkSession, input_path: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> dict[str, DataFrame]:

@@ -235,3 +235,71 @@ def test_dedup_stream_across_microbatches(spark, cfg, tmp_path):
 
     batch = dedup_stream(parse_envelope(spark.read.text(inp), cfg), ["claim_id"])
     assert batch.select("claim_id").distinct().count() == batch.count() == 3
+
+
+def test_stream_stream_band_join(spark, tmp_path):
+    """Stream-stream equi+band join emits exactly the in-band pairs
+    and agrees with the same plan run in batch mode."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        stream_stream_band_join,
+    )
+
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    os.makedirs(vdir)
+    os.makedirs(cdir)
+    with open(os.path.join(vdir, "v.json"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    json.dumps({"patient_id": "P1", "v_ts": "2024-06-01T10:00:00", "hr": 72}),
+                    json.dumps({"patient_id": "P2", "v_ts": "2024-06-01T10:05:00", "hr": 90}),
+                ]
+            )
+        )
+    with open(os.path.join(cdir, "c.json"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    # in band (same patient, 30 min earlier)
+                    json.dumps({"patient_id": "P1", "c_ts": "2024-06-01T09:30:00", "claim": "C1"}),
+                    # out of band (same patient, 2 days earlier; band = 1 h)
+                    json.dumps({"patient_id": "P1", "c_ts": "2024-05-30T10:00:00", "claim": "C2"}),
+                    # different patient
+                    json.dumps({"patient_id": "P3", "c_ts": "2024-06-01T10:00:00", "claim": "C3"}),
+                ]
+            )
+        )
+    v_schema = "patient_id string, v_ts string, hr bigint"
+    c_schema = "patient_id string, c_ts string, claim string"
+
+    def _prep(df, ts):
+        return df.withColumn(ts, F.to_timestamp(ts))
+
+    vs = _prep(spark.readStream.schema(v_schema).json(vdir), "v_ts")
+    cs = _prep(spark.readStream.schema(c_schema).json(cdir), "c_ts").withColumnRenamed(
+        "patient_id", "c_patient_id"
+    )
+    joined = stream_stream_band_join(
+        vs, cs.withColumnRenamed("c_patient_id", "patient_id"), "patient_id",
+        "v_ts", "c_ts", band_seconds=3600,
+    ).select(vs["patient_id"], "hr", "claim")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["patient_id"], r["claim"]) for r in spark.sql("select * from ssj_out").collect()}
+    assert got == {("P1", "C1")}
+
+    # batch parity: identical plan over bounded reads
+    vb = _prep(spark.read.schema(v_schema).json(vdir), "v_ts")
+    cb = _prep(spark.read.schema(c_schema).json(cdir), "c_ts")
+    batch = stream_stream_band_join(vb, cb, "patient_id", "v_ts", "c_ts", band_seconds=3600)
+    assert {(r["claim"]) for r in batch.select("claim").collect()} == {"C1"}
