@@ -82,6 +82,7 @@ _TAIL = (
     # verified by the local gate replica + pytest
     "a11_rollup",
     "dedup_semantic",
+    "text_bm25_topk",
 )
 
 
@@ -1898,6 +1899,55 @@ def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+             CAST(ANY_VALUE(dl) AS DOUBLE) AS dl
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+      FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM idx GROUP BY doc_id)
+    ), dfs AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM idx
+      WHERE term IN ('table', 'join', 'query') GROUP BY term
+    ), scored AS (
+      SELECT i.doc_id,
+             SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (i.tf * 2.2)
+                 / (i.tf + 1.2 * (1 - 0.75 + 0.75 * i.dl / s.avgdl))) AS score
+      FROM idx i JOIN dfs d USING (term) CROSS JOIN stats s
+      WHERE i.term IN ('table', 'join', 'query')
+      GROUP BY i.doc_id
+    ), rounded AS (
+      SELECT doc_id, FLOOR(score * 10000 + 0.5) / 10000 AS score FROM scored
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM rounded
+    QUALIFY rank <= 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-retrieval (beyond-reference): Okapi BM25 lexical top-k —
+    the sparse half of the similarity pillar (dense half: ann_*).
+    Inverted postings via one explode+hash-agg; tiny df/corpus-stat
+    side tables broadcast into the scoring join; TakeOrderedAndProject
+    top-k. Scores rounded at a far digit BEFORE ranking so the rank
+    order is engine-independent (per-term weights are bit-identical;
+    only the per-doc sum order varies)."""
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["table", "join", "query"], k=20)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -1952,5 +2002,6 @@ OPERATOR_MAP = {
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",
     ],
     "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
+    "LLM-retrieval": ["text_bm25_topk"],
     "LLM-multimodal": ["multimodal_features"],
 }

@@ -1,0 +1,134 @@
+"""Lexical retrieval: BM25 scoring over the documents table.
+
+The similarity-search pillar's lexical half (the ANN family in
+operators/similarity.py is the dense half): classic Okapi BM25 with
+the standard (k1, b) saturation/length-normalization parameters —
+what a training-data pipeline uses for benchmark decontamination
+lookups, hard-negative mining, and retrieval-augmented filtering when
+no embeddings exist.
+
+Scale design (100 TB):
+- The inverted index (term → doc postings with tf) is ONE explode +
+  hash-agg pass, shuffling (term, doc_id) pairs — linear in token
+  count, the same shape as text.vocab_topk.
+- Document-frequency and corpus stats are tiny side tables; both
+  BROADCAST into the scoring join, so scoring a query never shuffles
+  the postings frame: it filters to the query's terms (predicate on
+  the broadcast-joined term), then one groupBy(doc_id) over the
+  few surviving postings.
+- Per-query work is proportional to the postings of the query's
+  terms only — the inverted-index property; no corpus scan at query
+  time when the index frame is persisted/bucketed by term.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize_col(text_col):
+    """Whitespace tokenization over lowercased text (matches the
+    corpus fixtures; swap for the BPE-ish regex in text.py when
+    punctuation matters)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def build_term_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted postings frame: (term, id, tf, dl). One explode +
+    one hash aggregation; dl (document length) rides along via a
+    per-row size() so no second pass is needed."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_col(text_col)).alias("term"),
+        F.size(tokenize_col(text_col)).alias("dl"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").cast("double").alias("dl"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 score per document for a bag of query terms.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Pass a prebuilt ``index`` (build_term_index output, persisted/
+    bucketed by term) to skip re-tokenizing the corpus per query.
+    """
+    idx = index if index is not None else build_term_index(docs, text_col, id_col)
+    stats = idx.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = (
+        idx.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).cast("double").alias("df"))
+    )
+    postings = idx.filter(F.col("term").isin(list(query_terms)))
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("w").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Top-k documents by BM25 score, deterministically tie-broken by
+    id. ``round_digits`` rounds the score BEFORE ranking so rank
+    order is reproducible across engines/run topologies (float sum
+    order varies); pass None to rank on the raw sum."""
+    from ..functions.scalars import round_det
+
+    s = bm25_scores(docs, query_terms, text_col, id_col, k1, b, index)
+    score = (
+        round_det(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-k, k rows to the driver stage) — no global sort, no
+    # single-reducer window; the rank window then runs over k rows.
+    top = (
+        s.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .cast("bigint"),
+    )

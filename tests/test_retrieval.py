@@ -1,0 +1,68 @@
+"""BM25 lexical retrieval tests."""
+
+from __future__ import annotations
+
+import math
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    build_term_index,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark join join join table"),
+            (2, "spark table"),
+            (3, "filter scan window"),
+            (4, "join"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_term_index_tf_dl(spark):
+    idx = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in build_term_index(_docs(spark)).collect()
+    }
+    assert idx[(1, "join")] == (3.0, 5.0)
+    assert idx[(2, "table")] == (1.0, 2.0)
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query against a hand-evaluated BM25 formula."""
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["join"]).collect()}
+    n, df = 4.0, 2.0
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    avgdl = (5 + 2 + 3 + 1) / 4.0
+
+    def w(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert got.keys() == {1, 4}
+    assert abs(got[1] - w(3, 5)) < 1e-12
+    assert abs(got[4] - w(1, 1)) < 1e-12
+
+
+def test_bm25_topk_ranking_and_tiebreak(spark):
+    docs = _docs(spark)
+    top = bm25_topk(docs, ["join", "table"], k=3).collect()
+    ranks = {r["rank"]: r["doc_id"] for r in top}
+    assert len(ranks) == 3
+    # doc 1 (3x join + table) must outrank everything
+    assert ranks[1] == 1
+    # rank column is dense 1..k
+    assert sorted(ranks) == [1, 2, 3]
+
+
+def test_bm25_prebuilt_index_reuse(spark):
+    docs = _docs(spark)
+    idx = build_term_index(docs).persist()
+    a = bm25_scores(docs, ["join"], index=idx).collect()
+    b = bm25_scores(docs, ["join"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    idx.unpersist()
