@@ -33,6 +33,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-3 additions: span-level substring dedup and BM25 lexical
+    # retrieval — the two new corpus-scale text heavies
+    "dedup_spans",
+    "text_bm25_topk",
 ]
 
 

@@ -694,13 +694,22 @@ def span_dedup(
       in the winner agg to move 8-byte keys (collision-safe to
       ~2^-64): kept exact here so the result is oracle-comparable.
     """
-    spans = df.select(
+    # split once into a words column (the chunking expr would otherwise
+    # re-split per reference) and repartition so the CPU-heavy
+    # interpreted-HOF chunking runs cluster-wide rather than on the
+    # 1-2 partitions a small file scan produces; downstream exchanges
+    # hash on span_text, so round-robin vs id makes no reuse difference.
+    words = ensure_parallelism(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__words")),
+        partition_by=id_col,
+    )
+    spans = words.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ', -1))"
+                f"transform(sequence(0, cast(ceil(size(__words)"
                 f" / {span_words}.0) as int) - 1),"
-                f" i -> array_join(slice(split({text_col}, ' ', -1),"
+                f" i -> array_join(slice(__words,"
                 f" i * {span_words} + 1, {span_words}), ' '))"
             )
         ).alias("span_idx", "span_text"),

@@ -42,10 +42,16 @@ def build_term_index(
     """Inverted postings frame: (term, id, tf, dl). One explode +
     one hash aggregation; dl (document length) rides along via a
     per-row size() so no second pass is needed."""
-    toks = docs.select(
+    from .dedup import ensure_parallelism
+
+    words = ensure_parallelism(
+        docs.select(F.col(id_col), tokenize_col(text_col).alias("__words")),
+        partition_by=id_col,
+    )
+    toks = words.select(
         F.col(id_col),
-        F.explode(tokenize_col(text_col)).alias("term"),
-        F.size(tokenize_col(text_col)).alias("dl"),
+        F.explode("__words").alias("term"),
+        F.size("__words").alias("dl"),
     ).filter(F.col("term") != "")
     return toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
