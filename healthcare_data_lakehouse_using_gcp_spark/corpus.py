@@ -83,6 +83,7 @@ _TAIL = (
     "a11_rollup",
     "dedup_semantic",
     "text_bm25_topk",
+    "a12_dispersion",
 )
 
 
@@ -1900,6 +1901,40 @@ def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a12_dispersion",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_extendedprice), 4) AS price_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a12_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (beyond-reference): dispersion + correlation per group —
+    single-pass mergeable second-moment aggregates
+    (operators/analytics.dispersion_stats); one shuffle, map-side
+    partials, same plan class as SUM/AVG."""
+    from .operators.analytics import dispersion_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = dispersion_stats(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    price = dispersion_stats(li, ["l_returnflag"], "l_extendedprice")
+    return (
+        price.join(out.select("l_returnflag", "corr", "covar"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("stddev", 4).alias("price_stddev"),
+            F.round("variance", 4).alias("price_var"),
+            F.round("corr", 6).alias("qty_price_corr"),
+            F.round("covar", 4).alias("qty_price_covar"),
+        )
+    )
+
+
+@query(
     "text_bm25_topk",
     r"""
     WITH toks AS (
@@ -1975,6 +2010,7 @@ OPERATOR_MAP = {
     "A9": ["a9_avg_quality_gate"],
     "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
     "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
+    "A12": ["a12_dispersion"],  # beyond-reference: stddev/var/corr/covar
     "W1": ["w1_row_number", "j3_asof_nearest"],
     "W2": ["w2_moving_avg"],  # beyond-reference: trailing-frame smoothing
 

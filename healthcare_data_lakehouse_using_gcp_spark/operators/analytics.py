@@ -53,6 +53,49 @@ def grouped_percentiles(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def dispersion_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    with_col: str | None = None,
+) -> DataFrame:
+    """Second-moment aggregates per group: stddev (sample), variance,
+    and — when ``with_col`` is given — Pearson correlation and sample
+    covariance against it. All are single-pass mergeable aggregates
+    (sum/sum-of-squares/cross-product partials combine map-side), so
+    the plan is one hash-partition shuffle like any SUM/AVG."""
+    aggs = [
+        F.stddev_samp(value_col).alias("stddev"),
+        F.var_samp(value_col).alias("variance"),
+    ]
+    if with_col is not None:
+        aggs += [
+            F.corr(value_col, with_col).alias("corr"),
+            F.covar_samp(value_col, with_col).alias("covar"),
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def approx_distinct_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cols: Sequence[str],
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct-count estimates per group — the 100 TB
+    replacement for exact COUNT(DISTINCT) (A3) in monitoring rollups.
+    Exact distinct shuffles every distinct value; the HLL sketch is a
+    fixed-size mergeable buffer (map-side partials, one small
+    shuffle), with relative error ``rsd``. Output columns are
+    ``approx_<col>`` bigints."""
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.approx_count_distinct(c, rsd=rsd).alias(f"approx_{c}")
+            for c in cols
+        ]
+    )
+
+
 def trailing_window(
     df: DataFrame,
     partition_cols: Sequence[str],

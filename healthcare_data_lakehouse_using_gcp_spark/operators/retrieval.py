@@ -75,8 +75,13 @@ def bm25_scores(
 
     Pass a prebuilt ``index`` (build_term_index output, persisted/
     bucketed by term) to skip re-tokenizing the corpus per query.
+    When none is given, the index is built and persisted here — the
+    scoring plan needs it three times (postings, document
+    frequencies, corpus stats), and without the persist each branch
+    would re-scan and re-tokenize the corpus. Persist lifetime is
+    caller-managed, like minhash's occurrence frame.
     """
-    idx = index if index is not None else build_term_index(docs, text_col, id_col)
+    idx = index if index is not None else build_term_index(docs, text_col, id_col).persist()
     stats = idx.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -64,3 +64,35 @@ def test_trailing_window_frame_bounds(spark):
         key=lambda r: str(r["d"]),
     )[-1]
     assert last["ma3"] == 9.0 and last["delta_prev"] == 1
+
+
+def test_dispersion_stats_vs_numpy(spark):
+    import numpy as np
+
+    x = [1.0, 2.0, 4.0, 8.0]
+    y = [2.0, 3.0, 5.0, 9.0]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in zip(x, y)], "grp string, x double, y double"
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        dispersion_stats,
+    )
+
+    r = dispersion_stats(df, ["grp"], "x", "y").collect()[0]
+    assert abs(r["stddev"] - np.std(x, ddof=1)) < 1e-12
+    assert abs(r["variance"] - np.var(x, ddof=1)) < 1e-12
+    assert abs(r["corr"] - np.corrcoef(x, y)[0, 1]) < 1e-12
+    assert abs(r["covar"] - np.cov(x, y, ddof=1)[0, 1]) < 1e-12
+
+
+def test_approx_distinct_within_rsd(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        approx_distinct_counts,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "'g' AS grp", "id % 1000 AS a", "cast(id % 37 as string) AS b"
+    )
+    r = approx_distinct_counts(df, ["grp"], ["a", "b"], rsd=0.02).collect()[0]
+    assert abs(r["approx_a"] - 1000) <= 1000 * 0.06
+    assert abs(r["approx_b"] - 37) <= max(3, 37 * 0.06)

@@ -508,3 +508,21 @@ def test_pq_roundtrip_and_topk_recall(spark):
     # with 32 training points == corpus, quantization cells are tight
     # enough that each query's nearest code is its own vector
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_span_dedup_plan_shape(spark):
+    """Span dedup must stay linear: the winner join is EQUI-keyed on
+    span_text (shuffle/sort-merge is fine — it's linear), never a
+    cartesian product or a nested-loop join, and every exchange is a
+    hash partitioning (no global sorts, no single-partition funnels
+    before the final agg)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan and "SinglePartition" not in plan

