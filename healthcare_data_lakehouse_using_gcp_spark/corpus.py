@@ -84,6 +84,7 @@ _TAIL = (
     "dedup_semantic",
     "text_bm25_topk",
     "a12_dispersion",
+    "profile_orders",
 )
 
 
@@ -1901,6 +1902,57 @@ def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse profiling (beyond-reference): per-column quality
+    summary in ONE aggregation pass (operators/profiling.profile_table
+    — the generalization of data_quality_monitoring.sql's fixed
+    column checks). The oracle pays five scans (UNION ALL per column);
+    the engine pays one. approx=True swaps exact distincts for HLL
+    sketches at 100 TB."""
+    from .operators.profiling import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
+@query(
     "a12_dispersion",
     """
     SELECT l_returnflag,
@@ -2039,5 +2091,6 @@ OPERATOR_MAP = {
     ],
     "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
     "LLM-retrieval": ["text_bm25_topk"],
+    "Profiling": ["profile_orders"],
     "LLM-multimodal": ["multimodal_features"],
 }

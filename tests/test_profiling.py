@@ -1,0 +1,40 @@
+"""profile_table tests: stats correctness incl. nulls, approx mode,
+single-pass plan shape."""
+
+from __future__ import annotations
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import profile_table
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 5.0), (4, "b", 7.5)],
+        "id bigint, s string, v double",
+    )
+
+
+def test_profile_counts_and_extremes(spark):
+    prof = {r["column_name"]: r for r in profile_table(_df(spark)).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+
+
+def test_profile_approx_mode_single_pass(spark):
+    df = _df(spark)
+    prof = {r["column_name"]: r for r in profile_table(df, approx=True).collect()}
+    assert prof["s"]["n_distinct"] == 2  # HLL exact at tiny cardinality
+    # exact mode EXPANDs the input once per distinct column; approx
+    # mode must not
+    exact_plan = profile_table(df)._jdf.queryExecution().sparkPlan().toString()
+    approx_plan = profile_table(df, approx=True)._jdf.queryExecution().sparkPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+
+
+def test_profile_column_subset(spark):
+    rows = profile_table(_df(spark), ["id"]).collect()
+    assert [r["column_name"] for r in rows] == ["id"]
