@@ -85,6 +85,7 @@ _TAIL = (
     "text_bm25_topk",
     "a12_dispersion",
     "profile_orders",
+    "events_funnel",
 )
 
 
@@ -1902,6 +1903,42 @@ def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions family (beyond-reference): strict-order conversion
+    funnel view→click→purchase (operators/sessions.funnel). Each rung
+    is first-qualifying-timestamp-per-user — k linear user_id-keyed
+    aggregations over monotonically shrinking frames; no windows."""
+    from .operators.sessions import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
     "profile_orders",
     """
     SELECT 'o_orderkey' AS column_name,
@@ -2092,5 +2129,6 @@ OPERATOR_MAP = {
     "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],
+    "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
 }

@@ -78,3 +78,51 @@ def session_stats(
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel over the event stream: how many users
+    performed step 1, then step 2 strictly after their first step-1
+    event, then step 3 after that, and so on.
+
+    Returns (step_index, step, n_users) — the conversion ladder.
+
+    Scale design (100 TB): each rung is "first qualifying timestamp
+    per user" — a hash aggregation joined to the previous rung's
+    (user, t) frame. Every shuffle is on user_id, so the k rungs reuse
+    one partitioning; per-rung input shrinks monotonically (events of
+    one type ⋈ surviving users). No windows, no sorting — min() is a
+    mergeable aggregate with map-side partials; k steps cost k linear
+    passes over ever-smaller frames."""
+    cur = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev_s = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col)
+        )
+        if cur is None:
+            cur = ev_s.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                ev_s.join(cur.select(user_col, "__t"), user_col)
+                .filter(F.col(ts_col) > F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(i + 1).cast("bigint").alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

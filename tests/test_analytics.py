@@ -96,3 +96,29 @@ def test_approx_distinct_within_rsd(spark):
     r = approx_distinct_counts(df, ["grp"], ["a", "b"], rsd=0.02).collect()[0]
     assert abs(r["approx_a"] - 1000) <= 1000 * 0.06
     assert abs(r["approx_b"] - 37) <= max(3, 37 * 0.06)
+
+
+def test_funnel_strict_order(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import funnel
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-06-01T10:00:00"),
+        (1, "click", "2024-06-01T10:01:00"),
+        (1, "purchase", "2024-06-01T10:02:00"),
+        # u2: clicked BEFORE viewing -> stops at view
+        (2, "click", "2024-06-01T09:00:00"),
+        (2, "view", "2024-06-01T09:30:00"),
+        # u3: view+click only
+        (3, "view", "2024-06-01T08:00:00"),
+        (3, "click", "2024-06-01T08:10:00"),
+        # u4: never viewed
+        (4, "purchase", "2024-06-01T07:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["step"]: r["n_users"] for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
