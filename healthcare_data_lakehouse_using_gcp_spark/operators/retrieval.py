@@ -143,3 +143,20 @@ def bm25_topk(
         .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
         .cast("bigint"),
     )
+
+
+def save_term_index(idx: DataFrame, path: str, n_partitions: int | None = None) -> None:
+    """Persist a BM25 postings index, clustered for query-time
+    pruning: repartition by term and sort within partitions, so each
+    parquet row group covers a narrow term range and a query's
+    ``term IN (...)`` predicate skips row groups via min/max stats
+    (the poor man's inverted-file layout — same idea as the IVF
+    index's partition-per-list directory pruning, but term
+    cardinality is too high for hive partitioning)."""
+    w = idx.repartition(n_partitions, "term") if n_partitions else idx.repartition("term")
+    w.sortWithinPartitions("term").write.mode("overwrite").parquet(path)
+
+
+def load_term_index(spark, path: str) -> DataFrame:
+    """Load a saved postings index for use as bm25_scores(index=...)."""
+    return spark.read.parquet(path)

@@ -526,3 +526,27 @@ def test_span_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" not in plan and "SinglePartition" not in plan
+
+
+def test_ivf_pq_search_recall(spark):
+    """IVF-PQ composition: probe-bounded candidate set + ADC scoring
+    still finds each in-corpus query's own vector at rank 1 with
+    generous probes and tight codebooks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((48, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.build_ivf_index(df, n_centroids=4)
+    books = similarity.train_pq_codebooks(df, m=4, nbits=4, sample_size=48, iters=6)
+    pq_index = similarity.ivf_pq_encode(indexed, books)
+    assert set(pq_index.columns) == {"vec_id", "cid", "pq_codes"}
+
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    top = similarity.ivf_pq_search(pq_index, cents, books, queries, k=1, n_probe=4)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}

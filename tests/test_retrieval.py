@@ -82,3 +82,27 @@ def test_bm25_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_term_index_save_load_roundtrip(spark, tmp_path):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import (
+        load_term_index,
+        save_term_index,
+    )
+
+    docs = _docs(spark)
+    idx = build_term_index(docs)
+    p = str(tmp_path / "bm25_idx")
+    save_term_index(idx, p, n_partitions=2)
+    loaded = load_term_index(spark, p)
+    a = bm25_topk(docs, ["join"], k=2, index=loaded).collect()
+    b = bm25_topk(docs, ["join"], k=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the term predicate must reach the parquet scan of the saved index
+    plan = (
+        bm25_topk(docs, ["join"], k=2, index=loaded)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "term" in plan
