@@ -124,3 +124,104 @@ def alert_episodes(vitals_stream: DataFrame, timeout_ms: int = 60_000) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- streaming sessionization (gap-based, stateful) ------------------
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_end", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),  # gap | timeout
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.StringType()),
+        T.StructField("last_ts", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _update_sessions(key, pdfs, state, gap_seconds: int, timeout_ms: int):
+    """Per-user gap sessionization across micro-batches: events within
+    ``gap_seconds`` of the previous event extend the open session;
+    a larger gap closes it and opens a new one; idle keys close by
+    processing-time timeout. The streaming counterpart of
+    operators/sessions.sessionize (same gap rule)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ts, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start": start_ts,
+                    "session_end": last_ts,
+                    "n_events": n,
+                    "closed_by": "timeout",
+                }
+            ]
+        )
+        return
+
+    closed = []
+    start_ts, last_ts, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for _, row in pdf.iterrows():
+            ts = row["ts"]
+            if last_ts is not None and (
+                (ts - pd.Timestamp(last_ts)).total_seconds() > gap_seconds
+            ):
+                closed.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": start_ts,
+                        "session_end": last_ts,
+                        "n_events": n,
+                        "closed_by": "gap",
+                    }
+                )
+                start_ts, last_ts, n = None, None, 0
+            start_ts = start_ts or str(ts)
+            last_ts = str(ts)
+            n += 1
+    if n > 0:
+        state.update((start_ts, last_ts, n))
+        state.setTimeoutDuration(timeout_ms)
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """events stream (user_id, ts timestamp) → closed sessions.
+
+    Scale design: state keyed by user_id (hash-partitioned state
+    store), O(1) per key (start/last/count); the processing-time
+    timeout closes idle users so state size tracks ACTIVE users in
+    the gap horizon, not stream history — the same bounded-state
+    argument as alert_episodes, applied to the batch sessionize
+    operator's gap rule."""
+
+    def _update(key, pdfs, state):
+        yield from _update_sessions(key, pdfs, state, gap_seconds, timeout_ms)
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

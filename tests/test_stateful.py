@@ -86,3 +86,67 @@ def test_alert_episodes_across_batches(spark, tmp_path):
     assert eps["P1"]["closed_by"] == "normal_reading"
     assert eps["P1"]["first_alert_ts"] == "2024-06-01T10:00:00"
     assert "P2" not in eps  # never alerted
+
+
+def test_streaming_sessions_gap_and_cross_batch(spark, tmp_path):
+    """Gap-based streaming sessionization: a > gap jump closes the
+    session even when the jump spans micro-batches; within-gap events
+    extend it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import (
+        streaming_sessions,
+    )
+
+    inp = str(tmp_path / "sess_in")
+    # batch 1: u1 two close events; u2 one event
+    _write_batch(
+        inp,
+        [
+            {"user_id": 1, "ts": "2024-06-01T10:00:00"},
+            {"user_id": 1, "ts": "2024-06-01T10:05:00"},
+            {"user_id": 2, "ts": "2024-06-01T09:00:00"},
+        ],
+        1,
+    )
+    time.sleep(2)
+    # batch 2: u1 jumps 3 hours (gap 30 min) -> closes session 1 and
+    # opens a new one that stays in state (not emitted)
+    _write_batch(
+        inp,
+        [
+            {"user_id": 1, "ts": "2024-06-01T13:00:00"},
+        ],
+        2,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        streaming_sessions(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from sess_out").collect()
+    # u1's first session MUST close by gap. The still-open sessions
+    # (u2's, u1's second) either stay in state or — if wall time
+    # between micro-batches exceeded the processing-time timeout —
+    # close by timeout; both are correct, so accept either.
+    gap_rows = [r for r in rows if r["closed_by"] == "gap"]
+    assert len(gap_rows) == 1
+    r = gap_rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"].startswith("2024-06-01 10:00")
+    assert r["session_end"].startswith("2024-06-01 10:05")
+    for other in rows:
+        if other["closed_by"] == "timeout":
+            assert (other["user_id"], other["n_events"]) in {(1, 1), (2, 1)}
