@@ -94,6 +94,7 @@ _TAIL = (
     # driver-verified via a2/a6/a7/a8/a10); local gate + pytest
     "a11_rollup",
     "a12_dispersion",
+    "a13_histogram",
 )
 
 
@@ -1998,6 +1999,33 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a13_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(10, GREATEST(1,
+               CAST(FLOOR((l_quantity::DOUBLE - 0.5) / (50.5 - 0.5) * 10) AS BIGINT)
+               + 1)) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, 0.5 + (bucket - 1) * 5.0 AS bucket_lo,
+           0.5 + bucket * 5.0 AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (beyond-reference): fixed-width histogram binning
+    (operators/analytics.histogram) — one hash-agg over a codegen
+    arithmetic bucket expression; bounds offset 0.5 so integer
+    quantities never sit on a bucket boundary (binning arithmetic is
+    then bit-identical across engines)."""
+    from .operators.analytics import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_quantity", bins=10, lo=0.5, hi=50.5)
+
+
+@query(
     "a12_dispersion",
     """
     SELECT l_returnflag,
@@ -2108,6 +2136,7 @@ OPERATOR_MAP = {
     "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
     "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
     "A12": ["a12_dispersion"],  # beyond-reference: stddev/var/corr/covar
+    "A13": ["a13_histogram"],  # beyond-reference: fixed-width histogram
     "W1": ["j3_asof_nearest", "w1_row_number"],
     "W2": ["w2_moving_avg"],  # beyond-reference: trailing-frame smoothing
 

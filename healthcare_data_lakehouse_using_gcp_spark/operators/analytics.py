@@ -121,3 +121,43 @@ def trailing_window(
     return df.withColumn(
         f"ma{window_rows}", F.avg(v).over(w_frame)
     ).withColumn("delta_prev", v - F.coalesce(F.lag(v).over(w_lag), v))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bucket, bucket_lo,
+    bucket_hi, n). Out-of-range values clamp into the edge buckets.
+
+    One aggregation pass when bounds are given; when they are not, a
+    cheap min/max pre-pass (mergeable aggs) fixes them first — two
+    scans, never a sort. The binning expression is plain arithmetic
+    (width_bucket semantics spelled out), so it stays inside
+    whole-stage codegen and is reproducible across engines."""
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(value_col).cast("double"), F.max(value_col).cast("double")
+        ).first()
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if hi <= lo:
+        raise ValueError(f"empty value range [{lo}, {hi}]")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * bins) + 1
+    bucket = F.least(F.lit(bins).cast("long"), F.greatest(F.lit(1).cast("long"), raw))
+    width = (hi - lo) / bins
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("bucket").cast("bigint"),
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_hi"),
+            "n",
+        )
+    )

@@ -409,3 +409,42 @@ def fingerprint(
         F.md5(F.col(text_col)).alias("full_md5"),
         F.md5(prefix).alias("prefix_md5"),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    budget_tokens: int,
+    temperature: float = 1.0,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Per-source keep rates that fill a token budget with a
+    temperature-reweighted mixture (the LLaMA/Pile data-mixing
+    recipe): weight_s ∝ tokens_s^temperature (normalized), then
+    rate_s = min(1, budget·w_s / tokens_s). temperature=1 keeps the
+    natural mix; temperature→0 flattens toward uniform across
+    sources, up-sampling small high-quality sources.
+
+    One aggregation over the corpus (token counts per source —
+    whitespace tokens unless ``token_col`` is given); the returned
+    dict feeds stratified_sample, whose md5-bucket filter is narrow
+    and deterministic. Rates are driver-side floats over a tiny
+    per-source table — nothing corpus-sized leaves the cluster."""
+    tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    per_source = {
+        r[0]: float(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(tokens.cast("double")).alias("t"))
+        .collect()
+    }
+    weights = {s: t**temperature for s, t in per_source.items()}
+    z = sum(weights.values())
+    return {
+        s: min(1.0, (budget_tokens * weights[s] / z) / per_source[s])
+        for s in per_source
+    }

@@ -122,3 +122,41 @@ def test_funnel_strict_order(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["step"]: r["n_users"] for r in funnel(ev, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_histogram_binning_and_clamp(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0.1, 1.0, 2.5, 4.9, 5.0, 9.9, 42.0]], "v double"
+    )
+    # bounds [0, 10), 2 bins; 42 clamps into the top bucket
+    out = {r["bucket"]: r for r in histogram(df, "v", bins=2, lo=0.0, hi=10.0).collect()}
+    assert out[1]["n"] == 4 and out[1]["bucket_lo"] == 0.0 and out[1]["bucket_hi"] == 5.0
+    assert out[2]["n"] == 3  # 5.0, 9.9 + clamped 42.0
+    # auto-bounds path
+    auto = histogram(df, "v", bins=4)
+    assert sum(r["n"] for r in auto.collect()) == 7
+
+
+def test_temperature_mixture_rates(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        stratified_sample,
+        temperature_mixture_rates,
+    )
+
+    # big source: 10 docs x 100 tokens; small source: 2 docs x 100
+    rows = [(i, "big", " ".join(["w"] * 100)) for i in range(10)]
+    rows += [(100 + i, "small", " ".join(["w"] * 100)) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    # tau=1: natural mix — rates equal across sources (same budget share)
+    r1 = temperature_mixture_rates(df, budget_tokens=600, temperature=1.0)
+    assert abs(r1["big"] - 0.5) < 1e-9 and abs(r1["small"] - 0.5) < 1e-9
+    # tau=0: uniform source weights — small source up-sampled to cap 1.0
+    r0 = temperature_mixture_rates(df, budget_tokens=600, temperature=0.0)
+    assert r0["small"] == 1.0
+    assert r0["big"] < r1["big"] + 1e-9  # big source share shrinks
+    # rates feed the deterministic sampler
+    kept = stratified_sample(df, r0, strata_col="source")
+    assert kept.count() <= 12
