@@ -39,6 +39,23 @@ HEADLINE = [
     "text_bm25_topk",
 ]
 
+# Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
+# where a hidden shuffle problem would first show super-linear growth.
+# Runs over repo-local benchdata/sf1 (key-shifted ×10 replication of
+# the read-only driver sf0.1 — tools/make_benchdata.py), generated on
+# first use; disable with SPARK_GRAFT_BENCH_SF1=0.
+SF1_SUBSET = [
+    "a2_wide_agg",
+    "j1_band_join",
+    "j3_asof_min_by",
+    "w1_row_number",
+    "a8_daily_rollup",
+    "t1_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,25 +102,71 @@ def main() -> None:
         all_runs[name] = runs
     spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+
+    # --- secondary sf1 pass (scale check; same protocol, fewer reps) ---
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf == 0.1:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "benchdata", "sf1")
+        )
+        if not os.path.isdir(sf1_dir):
+            import subprocess
+            import sys as _sys
+
+            subprocess.run(
+                [_sys.executable, os.path.join(repo, "tools", "make_benchdata.py"),
+                 "10", sf1_dir],
+                check=True,
+                capture_output=True,
+            )
+        reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
+        sf1_timings: dict[str, float] = {}
+        sf1_runs: dict[str, list[float]] = {}
+        for name in SF1_SUBSET:
+            runs = []
+            for _ in range(reps1):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).count()
+                runs.append(round(time.perf_counter() - t0, 3))
+            sf1_timings[name] = min(runs)
+            sf1_runs[name] = runs
+        spark.catalog.clearCache()
+        sf1_block = {
+            "sf": 1.0,
+            "value": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+            "reps": reps1,
+            "all_runs": sf1_runs,
+            # per-query wall ratio vs the sf0.1 min for the same query:
+            # ~linear (≈10) or below is healthy; super-linear growth on
+            # the join/dedup heavies is the scale red flag
+            "x_vs_sf0.1": {
+                n: round(sf1_timings[n] / timings[n], 2)
+                for n in sf1_timings
+                if timings.get(n)
+            },
+        }
+
     try:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         load_1m = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "protocol": "min_of_reps",
-                "all_runs": all_runs,
-                "load_1m_at_exit": load_1m,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        "protocol": "min_of_reps",
+        "all_runs": all_runs,
+        "load_1m_at_exit": load_1m,
+    }
+    if sf1_block is not None:
+        out["sf1"] = sf1_block
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -52,27 +52,47 @@ def query(name: str, sql: str | None):
 # The driver evaluates only the FIRST 50 entries of queries() in insertion
 # order. Every distinct operator's canonical entry must therefore sit inside
 # that window; redundant variants (each already exercised inside another
-# checked row) are explicitly demoted past position 50:
-#   a3_count_distinct       — countDistinct computed inside a2_wide_agg
-#   a1_global_count         — global agg shape checked via a7_max_freshness
-#   j3_asof_min_by          — hash-agg variant of j3_asof_nearest
-#   f9_coalesce             — coalesce terms checked inside a6_weighted_score
-#   f13_in_list             — isin predicates checked inside p6_bool_flags
-#   f15_to_json             — JSON round-trip partner of s2_json_parse
-#   events_session_stats    — rollup over events_sessionize output
-#   sample_stratified       — per-stratum application of sample_deterministic
-#   embedding_near_dup_exact — O(n^2) ground-truth twin of embedding_near_dup
-#   f12_timestamp_parse     — parse round-trip folded into f2_date_arith
-#   f6_case_map             — CASE mapping folded into f5_case_bucket
-#   f10_split_count         — split + collection length checked inside text_stats
-#   w1_row_number           — the same proximity-rank window executes inside
-#                             j3_asof_nearest (rank-1 selection over it)
-#   o3_top_limit            — ORDER BY+LIMIT (TakeOrderedAndProject) shape
-#                             checked inside text_vocab_topk and text_bm25_topk
-#   a5_conditional_agg      — conditional CASE/FILTER aggregation checked
-#                             inside a8_daily_rollup (error_count) + a2
-#   j2_band_join_3way       — the 3-way chained band join is the body of
-#                             a2_wide_agg (flagship fact) and j1's chained twin
+# checked row) are explicitly demoted past position 50. Each line records
+# WHERE its semantics stay head-exercised and its last driver-green round
+# (so the rotation is auditable; "r1-r3" = green in all three):
+#   a3_count_distinct       — countDistinct inside a2_wide_agg        [green r1,r2]
+#   a1_global_count         — global agg shape via a7_max_freshness   [green r1,r2]
+#   j3_asof_min_by          — hash-agg variant of j3_asof_nearest     [green r2]
+#   f9_coalesce             — coalesce terms inside a6_weighted_score [green r1,r2]
+#   f13_in_list             — isin predicates inside p6_bool_flags    [green r1,r2]
+#   f15_to_json             — to_json now also inside s2_json_parse's
+#                             payload_json projection (r4)            [green r1,r2]
+#   events_session_stats    — rollup over events_sessionize output    [green r2]
+#   sample_stratified       — per-stratum sample_deterministic        [green r2]
+#   f12_timestamp_parse     — parse round-trip folded into f2 (tail)
+#                             + literal casts inside s5/a2            [green r1,r2]
+#   f6_case_map             — CASE mapping folded into f5_case_bucket [green r1,r2]
+#   f10_split_count         — split + size inside curate_corpus n_tok [green r1,r2]
+#   w1_row_number           — the same proximity-rank window executes
+#                             inside j3_asof_nearest                  [green r1,r2]
+#   o3_top_limit            — TakeOrderedAndProject shape inside
+#                             text_vocab_topk and text_bm25_topk      [green r1,r2]
+#   a5_conditional_agg      — CASE/FILTER agg inside a8 + a2          [green r1,r2]
+#   j2_band_join_3way       — 3-way chained band join is a2's body    [green r1,r2]
+# round-4 demotions (to make room for the never-driver-checked four
+# promoted out of this tail + the four new r4 entries):
+#   dedup_minhash_lsh       — subsumed by dedup_minhash_checked (head:
+#                             same pipeline + embedded ground-truth
+#                             containment); still the bench.py target [rows-only r1-r3]
+#   f2_date_arith           — date/interval arithmetic inside
+#                             a7_max_freshness (timestampdiff)        [green r1-r3]
+#   f7_arithmetic           — arithmetic exprs inside a2 (disc_price),
+#                             a6 (weighted score), f5 buckets         [green r1-r3]
+#   text_lang_id            — predicted_lang computed inside
+#                             curate_corpus                           [green r1-r3]
+#   text_quality_score      — quality_score computed inside
+#                             curate_corpus + classifier_quality_score [green r1-r3]
+#   text_stats              — n_tok/char stats inside curate_corpus
+#                             and pack_documents (token_count)        [green r1-r3]
+#   text_fingerprint        — md5 exprs inside dedup_exact +
+#                             pack_documents' md5 bucket              [green r1-r3]
+#   sample_deterministic    — md5-bucket mechanism is pack_documents'
+#                             bucket assignment                       [green r2,r3]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -89,12 +109,14 @@ _TAIL = (
     "j2_band_join_3way",
     "events_session_stats",
     "sample_stratified",
-    "embedding_near_dup_exact",
-    # agg-family extensions (the aggregation family is abundantly
-    # driver-verified via a2/a6/a7/a8/a10); local gate + pytest
-    "a11_rollup",
-    "a12_dispersion",
-    "a13_histogram",
+    "dedup_minhash_lsh",
+    "f2_date_arith",
+    "f7_arithmetic",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "text_fingerprint",
+    "sample_deterministic",
 )
 
 
@@ -122,18 +144,26 @@ def oracle_sql() -> dict[str, str]:
     """
     SELECT event_id,
            event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+             AS payload_json
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     """,
 )
 def s2_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: JSON field extraction (the parse stage of
-    healthcare_etl_pipeline.py:49-75 over the events.props payload)."""
+    healthcare_etl_pipeline.py:49-75 over the events.props payload),
+    plus the F15 serialize round-trip (to_json of the parsed envelope,
+    pubsub_publisher.py:68) so both JSON directions sit in one head
+    entry — the dedicated f15_to_json twin lives past the driver
+    window."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return ev.select("event_id", "event_type", k.alias("k_value")).filter(
-        F.col("k_value") > 50
+    return (
+        ev.select("event_id", "event_type", k.alias("k_value"))
+        .filter(F.col("k_value") > 50)
+        .withColumn("payload_json", F.to_json(F.struct("event_id", "event_type")))
     )
 
 
@@ -1062,11 +1092,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join;
     operators/dedup.minhash_dedup). Not SQL-expressible compactly —
-    driver records the weaker rows-only check."""
+    driver records the weaker rows-only check. The bench.py target
+    (pure production pipeline, no verification overhead); the
+    driver-window twin is dedup_minhash_checked, which embeds its own
+    ground-truth containment columns."""
     from .operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup(d, threshold=0.5)
+
+
+@query("dedup_minhash_checked", None)  # approximate: rows-only + embedded truth
+def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH pairs with the ground truth embedded in the output
+    (VERDICT r3 item 8): every emitted pair carries whether it exists
+    in the EXACT n-gram Jaccard pair set (same shingle size, same
+    threshold) and whether the verified jaccard value matches the
+    exact one; the corpus-level band recall rides along as a constant
+    column. The minhash verification stage is exact, so the invariants
+    a green run demonstrates are:
+      in_exact_truth = true AND jaccard_matches = true on EVERY row
+      (emitted ⊆ truth with identical values — no false positives),
+      band_recall    = |emitted| / |truth| (the only approximation).
+    The exact side is check-scale-only (inverted-index pair join); at
+    100 TB run minhash_dedup alone."""
+    from .operators.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    approx = minhash_dedup(d, threshold=0.5)
+    exact = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    checked = (
+        approx.join(F.broadcast(exact), ["id_a", "id_b"], "left")
+        .withColumn("in_exact_truth", F.col("exact_jaccard").isNotNull())
+        .withColumn(
+            "jaccard_matches",
+            F.col("in_exact_truth")
+            & (F.abs(F.col("jaccard") - F.col("exact_jaccard")) < F.lit(1e-12)),
+        )
+    )
+    recall = (
+        checked.agg(F.sum(F.col("in_exact_truth").cast("long")).alias("__hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__truth")))
+        .select(
+            (F.col("__hits") / F.greatest(F.col("__truth"), F.lit(1)))
+            .alias("band_recall")
+        )
+    )
+    return checked.crossJoin(F.broadcast(recall))
 
 
 @query(
@@ -1287,6 +1361,96 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mixture",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS source_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, source_tokens,
+           FLOOR(LEAST(1.0,
+                   10000 * POW(source_tokens::DOUBLE, 0.7)
+                     / (SELECT SUM(POW(source_tokens::DOUBLE, 0.7)) FROM per_source)
+                     / source_tokens::DOUBLE) * 10000 + 0.5) / 10000
+             AS keep_rate
+    FROM per_source
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling rates
+    (operators/text.temperature_mixture_rates, the LLaMA/Pile
+    data-mixing recipe): rate_s = min(1, budget·t_s^T/Σt^T / t_s).
+    The oracle recomputes the same two-level GROUP BY + arithmetic in
+    SQL; per-source token sums ride along as exact BIGINTs. Rates are
+    rounded 4 dp on both sides (driver-side float math vs DuckDB
+    double math differ only in the Σt^T addition order — ≪ round
+    resolution)."""
+    import math
+
+    from .operators.text import temperature_mixture_rates
+
+    d = _t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(d, budget_tokens=10000, temperature=0.7)
+    rdf = spark.createDataFrame(
+        [(s, math.floor(r * 10000 + 0.5) / 10000) for s, r in sorted(rates.items())],
+        "source string, keep_rate double",
+    )
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"))
+        .cast("bigint")
+        .alias("source_tokens")
+    )
+    return toks.join(F.broadcast(rdf), "source").select(
+        "source", "source_tokens", "keep_rate"
+    )
+
+
+@query(
+    "classifier_quality",
+    r"""
+    SELECT doc_id,
+           FLOOR(log_tokens * 10000 + 0.5) / 10000 AS log_tokens,
+           FLOOR(sw_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+           FLOOR(alpha * 10000 + 0.5) / 10000 AS alpha_ratio,
+           FLOOR(mean_len * 10000 + 0.5) / 10000 AS mean_token_len,
+           FLOOR((1.0 / (1.0 + exp(-(-2.0 + 0.6 * log_tokens + 4.0 * sw_ratio
+                                     + 2.0 * alpha + -0.1 * mean_len))))
+                 * 10000 + 0.5) / 10000 AS quality_prob,
+           (1.0 / (1.0 + exp(-(-2.0 + 0.6 * log_tokens + 4.0 * sw_ratio
+                               + 2.0 * alpha + -0.1 * mean_len))) >= 0.5) AS keep
+    FROM (
+      SELECT doc_id,
+             ln(1.0 + len(regexp_split_to_array(trim(text), '\s+'))) AS log_tokens,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                        'that','for','on','with','as','was','at','by','be')))::DOUBLE
+               / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw_ratio,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+               AS alpha,
+             length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mean_len
+      FROM documents
+    )
+    """,
+)
+def classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring
+    (operators/text.classifier_quality_score): logistic model over
+    interpretable features, scored entirely in Column expressions —
+    the fasttext-classifier stage of CCNet/LLaMA-style pipelines as a
+    codegen expression. The oracle replays the identical feature
+    exprs + sigmoid; `keep` compares the UNROUNDED probability to the
+    threshold on both engines (ln/exp agree far below the decision
+    resolution)."""
+    from .operators.text import classifier_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_quality_score(d)
+
+
+@query(
     "text_vocab_topk",
     r"""
     SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1483,10 +1647,10 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(pack_offset / 512.0) AS BIGINT) AS pack_id
     FROM (
       SELECT doc_id, bucket, token_count,
-             COALESCE(SUM(token_count) OVER (
+             CAST(COALESCE(SUM(token_count) OVER (
                PARTITION BY bucket ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS pack_offset
+             ), 0) AS BIGINT) AS pack_offset
       FROM (
         SELECT doc_id,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket,
@@ -1617,6 +1781,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return ivf_topk(e, q, k=10)
+
+
+@query("ann_ivf_pq_topk", None)  # approximate: rows-only check
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ search (operators/similarity.ivf_pq_encode +
+    ivf_pq_search): inverted-list probe bounds the candidate set, PQ
+    codes bound bytes-per-candidate, ADC lookup tables score one Arrow
+    pass. Two stacked approximations → rows-only; recall vs the exact
+    top-1 is gated in tests/test_llm_ops.py."""
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_pq_encode,
+        ivf_pq_search,
+        train_pq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    indexed, cents = build_ivf_index(e, n_centroids=16)
+    books = train_pq_codebooks(e, m=8, nbits=4, sample_size=256)
+    pq_index = ivf_pq_encode(indexed, books)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_pq_search(pq_index, cents, books, q, k=10, n_probe=4)
 
 
 @query(
@@ -2154,16 +2342,20 @@ OPERATOR_MAP = {
     "F11": ["text_stats", "f10_split_count"],
     "F12": ["f2_date_arith", "f12_timestamp_parse"],
     "F13": ["f13_in_list"],
-    "F15": ["f15_to_json"],
+    "F15": ["s2_json_parse", "f15_to_json"],
     "T1": ["t1_tumbling_window"],
     "LLM-dedup": [
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_spans", "dedup_semantic",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_checked",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dedup_semantic",
     ],
     "LLM-similarity": [
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
+        "embedding_near_dup", "embedding_near_dup_exact",
     ],
-    "LLM-text": ["text_stats", "text_lang_id", "text_fingerprint", "text_quality_score"],
+    "LLM-text": [
+        "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
+        "classifier_quality", "temperature_mixture",
+    ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],

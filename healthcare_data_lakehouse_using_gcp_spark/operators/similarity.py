@@ -178,6 +178,29 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _spread_sample_rows(
+    df: DataFrame, id_col: str, vec_col: str, n: int, seed: int
+) -> list:
+    """Deterministic SPREAD sample: lowest-n rows by md5(seed || id).
+
+    Seeding k-means from the first n ids (orderBy(id).limit(n)) is
+    biased on any id-correlated corpus — sources appended in id order
+    put every seed centroid inside one source's embedding cluster and
+    recall collapses for the rest. Hashing the id first decorrelates
+    the sample from ingestion order while staying engine- and
+    run-reproducible (same md5-bucket idea as
+    operators/text.deterministic_sample); the plan is still a linear
+    TakeOrdered, no shuffle of the corpus."""
+    key = F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return (
+        df.select(F.col(vec_col), key.alias("__k"))
+        .orderBy("__k")
+        .limit(n)
+        .select(vec_col)
+        .collect()
+    )
+
+
 def _assign_udf(centroids):
     """Arrow-batched nearest-centroid assignment (numpy matmul — the
     one place vectorized Python beats built-ins)."""
@@ -210,19 +233,20 @@ def build_ivf_index(
     - ``centroids_df``: (cid, centroid array<double>) — tiny
       (n_centroids × dim), persistable next to the vectors.
 
-    Sample n_centroids vectors (deterministic: lowest ids), refine
-    with a few Lloyd iterations (assignment via an Arrow-batched
-    numpy matmul; centroid update is a plain groupBy/avg). Each Lloyd
-    iteration is one corpus pass — which is why the build is a
-    separate, persistable step rather than part of every query
-    (VERDICT r1 item 3): at the 100 TB design point the index is
-    written with save_ivf_index and queries only read it.
+    Sample n_centroids vectors (deterministic spread sample — lowest
+    md5(seed||id), id-order-independent), refine with a few Lloyd
+    iterations (assignment via an Arrow-batched numpy matmul; centroid
+    update is a plain groupBy/avg). Each Lloyd iteration is one corpus
+    pass — which is why the build is a separate, persistable step
+    rather than part of every query (VERDICT r1 item 3): at the 100 TB
+    design point the index is written with save_ivf_index and queries
+    only read it.
     """
     import numpy as np
 
     from .dedup import ensure_parallelism
 
-    sample = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
+    sample = _spread_sample_rows(corpus, id_col, vec_col, n_centroids, seed)
     centroids = np.array([r[0] for r in sample], dtype=np.float64)
 
     par = ensure_parallelism(corpus.select(id_col, vec_col))
@@ -571,13 +595,15 @@ def train_pq_codebooks(
     the vector into ``m`` subspaces and k-means each with 2**nbits
     codewords. Returns a numpy array (m, 2**nbits, dim/m).
 
-    Training runs DRIVER-SIDE on a deterministic lowest-id sample —
-    codebooks are a tiny model (m × 2^nbits × dsub doubles), like the
-    IVF centroid table; at 100 TB you train once on a sample and
-    broadcast, never iterating over the corpus."""
+    Training runs DRIVER-SIDE on a deterministic spread sample
+    (lowest md5(seed||id) — id-order-independent, so a source-clustered
+    corpus doesn't bias the codebooks) — codebooks are a tiny model
+    (m × 2^nbits × dsub doubles), like the IVF centroid table; at
+    100 TB you train once on a sample and broadcast, never iterating
+    over the corpus."""
     import numpy as np
 
-    rows = df.orderBy(F.col(id_col)).limit(sample_size).select(vec_col).collect()
+    rows = _spread_sample_rows(df, id_col, vec_col, sample_size, seed)
     x = np.array([r[0] for r in rows], dtype=np.float64)
     n, dim = x.shape
     if dim % m:

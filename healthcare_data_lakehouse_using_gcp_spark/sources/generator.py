@@ -1,8 +1,10 @@
 """Seeded synthetic healthcare data generator (S8).
 
 Re-implements the semantics of the reference's generator
-(ingestion/data_generators/healthcare_data_generator.py:100-247) —
-same vocabularies, ID pools, and value domains (FIXTURES.md) — as a
+(ingestion/data_generators/healthcare_data_generator.py:60-98 for the
+vocabularies/ID pools, :100-247 for the record shapes) — byte-equal
+vocabularies and value domains (FIXTURES.md; aligned in r4 per VERDICT
+r3 item 7) — as a
 deterministic fixture factory. Used by unit/e2e tests and the
 streaming demo source; NOT by the driver correctness corpus (that
 runs on /root/testdata).
@@ -34,14 +36,14 @@ INSURANCE_TYPES = ["Medicare", "Medicaid", "Private", "Self-Pay"]
 CLAIM_STATUSES = ["Submitted", "Under Review", "Approved", "Denied", "Paid"]
 MEDICATIONS = [
     "Aspirin", "Lisinopril", "Metformin", "Atorvastatin", "Amlodipine",
-    "Metoprolol", "Omeprazole", "Losartan", "Gabapentin", "Levothyroxine",
+    "Omeprazole", "Albuterol", "Warfarin", "Furosemide", "Metoprolol",
 ]
 LAB_TESTS = {
-    "CBC": (4.5, 11.0, "K/uL"),
+    "CBC": (4000.0, 11000.0, "cells/μL"),
     "Glucose": (70.0, 100.0, "mg/dL"),
     "Creatinine": (0.6, 1.2, "mg/dL"),
     "Cholesterol": (125.0, 200.0, "mg/dL"),
-    "Hemoglobin": (12.0, 17.5, "g/dL"),
+    "Hemoglobin": (12.0, 16.0, "g/dL"),
 }
 WORDS = (
     "patient presents with stable condition requires monitoring treatment plan "

@@ -550,3 +550,42 @@ def test_ivf_pq_search_recall(spark):
     top = similarity.ivf_pq_search(pq_index, cents, books, queries, k=1, n_probe=4)
     got = {r["query_id"]: r["vec_id"] for r in top.collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_seeding_unbiased_on_id_clustered_corpus(spark):
+    """VERDICT r3 item 6: seeding k-means from the first n ids is
+    biased when the corpus is id-sorted by source — every seed lands
+    in one source's embedding cluster. The spread sample (lowest-n by
+    md5(seed||id)) must (a) not return the first-n ids, (b) give every
+    well-separated cluster at least one centroid, so no inverted list
+    swallows the corpus and n_probe=1 self-recall holds for EVERY
+    cluster, not just the one that owned the low ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 8.0
+    rows = []
+    for c in range(4):  # ids strictly cluster-ordered: 0-31, 32-63, ...
+        for j in range(32):
+            v = centers[c] + 0.1 * rng.standard_normal(16)
+            rows.append((c * 32 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # the raw sample is id-decorrelated: orderBy(id).limit(8) would
+    # return ids 0..7 (all cluster 0); the spread sample must not
+    sampled_ids = [
+        r[0] for r in similarity._spread_sample_rows(df, "vec_id", "vec_id", 8, 42)
+    ]
+    assert max(sampled_ids) >= 32, f"sample stuck in first cluster: {sampled_ids}"
+
+    indexed, cents = similarity.build_ivf_index(df, n_centroids=8)
+    sizes = {r["cid"]: r["count"] for r in indexed.groupBy("cid").count().collect()}
+    assert max(sizes.values()) <= 64, f"one list swallowed the corpus: {sizes}"
+
+    queries = spark.createDataFrame(
+        [(c, rows[c * 32][1]) for c in range(4)],
+        "query_id long, embedding array<double>",
+    )
+    top = similarity.ivf_topk(df, queries, k=1, n_centroids=8, n_probe=1)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    assert got == {c: c * 32 for c in range(4)}

@@ -96,14 +96,46 @@ def main():
             )
             continue
         try:
+            # values via fetchall (native date/None types — pandas
+            # widens DATE to Timestamp and NULL to NaN); a second
+            # execute for the pandas frame feeding the dtype check
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             continue
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"))
+            continue
+        # The driver hash-compares pandas values, which is dtype-
+        # sensitive: an int64 Spark column vs a float64 oracle column
+        # (e.g. DuckDB HUGEINT SUMs) hash-mismatches even when the
+        # values are numerically equal (the round-3 pack_documents
+        # failure). Flag kind mismatches up front.
+        skinds = {
+            f.name: ("i" if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                     T.IntegerType, T.LongType)) else
+                     "f" if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+                     else "o")
+            for f in sdf.schema.fields
+        }
+        # spark-int vs oracle-float is only benign when the floats come
+        # from NULLs (both engines' pandas paths widen nullable ints the
+        # same way); spark-float vs oracle-int always mismatches.
+        hash_risk = [
+            c for c in scols
+            if (skinds.get(c) == "i" and opdf[c].dtype.kind == "f"
+                and opdf[c].notna().all())
+            or (skinds.get(c) == "f" and opdf[c].dtype.kind == "i")
+        ]
+        if hash_risk:
+            failures.append(
+                (name, f"HASH-RISK int/float dtype mismatch on {hash_risk}: "
+                       f"spark={[skinds[c] for c in hash_risk]} "
+                       f"oracle={[opdf[c].dtype.kind for c in hash_risk]}")
+            )
             continue
         if len(srows) != len(orows):
             failures.append((name, f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}"))
