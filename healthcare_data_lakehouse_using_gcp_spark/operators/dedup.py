@@ -740,3 +740,140 @@ def span_dedup(
             ),
         ).alias("deduped_text"),
     )
+
+
+# --- Incremental dedup against a persisted MinHash index -------------
+#
+# The 100 TB pipeline is INCREMENTAL: new crawl batches arrive daily
+# and must be deduplicated against everything already ingested without
+# re-shingling the whole corpus. The index persists the two artifacts
+# the batch pipeline computes anyway:
+#   bands/  (id, band_id, band_hash)  partitioned by band_id — what
+#           candidate generation joins against (16 B/row × bands rows
+#           per doc, tiny relative to text);
+#   sets/   (id, hs: array<long>)     distinct shingle hashes — what
+#           exact verification needs (~16 B/shingle, linear in corpus;
+#           skip with verify=False to trade precision for storage).
+# A meta row pins (num_hashes, bands, shingle_size) so an incompatible
+# query batch fails loudly instead of silently finding nothing.
+
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 24,
+    bands: int = 6,
+    shingle_size: int = 3,
+) -> None:
+    """Build and persist the MinHash index of a corpus (one linear
+    pass — the same shingle→signature→band plan as minhash_dedup)."""
+    hf = shingle_hash_frame(df, text_col, id_col, shingle_size).persist()
+    sig = minhash_signatures(hf, id_col, num_hashes)
+    banded = banded_buckets(sig, id_col, num_hashes, bands)
+    banded.write.partitionBy("band_id").mode("overwrite").parquet(f"{path}/bands")
+    (
+        hf.groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/sets")
+    )
+    hf.unpersist()
+    df.sparkSession.createDataFrame(
+        [(num_hashes, bands, shingle_size, id_col)],
+        "num_hashes int, bands int, shingle_size int, id_col string",
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def _load_minhash_meta(spark, path: str) -> dict:
+    row = spark.read.json(f"{path}/meta").first()
+    return {
+        "num_hashes": int(row["num_hashes"]),
+        "bands": int(row["bands"]),
+        "shingle_size": int(row["shingle_size"]),
+        "id_col": row["id_col"],
+    }
+
+
+def minhash_index_append(new_df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Grow a saved index with a new batch (append-only writes; call
+    AFTER dedup_against_index so the batch was cleaned first)."""
+    spark = new_df.sparkSession
+    meta = _load_minhash_meta(spark, path)
+    hf = shingle_hash_frame(new_df, text_col, meta["id_col"], meta["shingle_size"]).persist()
+    sig = minhash_signatures(hf, meta["id_col"], meta["num_hashes"])
+    banded_buckets(sig, meta["id_col"], meta["num_hashes"], meta["bands"]).write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(f"{path}/bands")
+    hf.groupBy(meta["id_col"]).agg(F.collect_set("h").alias("hs")).write.mode(
+        "append"
+    ).parquet(f"{path}/sets")
+    hf.unpersist()
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (new_id, index_id, jaccard) between a NEW batch
+    and the persisted corpus index — without touching corpus text.
+
+    Plan: shingle+sign the new batch only (linear in batch), equi-join
+    its band rows against the saved band table (shuffle linear in
+    batch + matched index partitions), then exact-verify candidates
+    against the saved shingle sets (semi-joined to candidate ids only
+    — never a full sets scan materialized into memory). With
+    verify=False returns band candidates with jaccard=NULL (the
+    storage-light mode when sets/ was not kept)."""
+    spark = new_df.sparkSession
+    meta = _load_minhash_meta(spark, path)
+    id_col = meta["id_col"]
+    hf = shingle_hash_frame(new_df, text_col, id_col, meta["shingle_size"]).persist()
+    sig = minhash_signatures(hf, id_col, meta["num_hashes"])
+    new_banded = banded_buckets(sig, id_col, meta["num_hashes"], meta["bands"])
+    idx_banded = spark.read.parquet(f"{path}/bands")
+    cands = (
+        new_banded.alias("n")
+        .join(
+            idx_banded.alias("x"),
+            (F.col("n.band_id") == F.col("x.band_id"))
+            & (F.col("n.band_hash") == F.col("x.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"x.{id_col}").alias("index_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    if not verify:
+        return cands.withColumn("jaccard", F.lit(None).cast("double"))
+    new_ids = cands.select(F.col("new_id").alias(id_col)).distinct()
+    new_sets = (
+        hf.join(F.broadcast(new_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"))
+        .withColumnsRenamed({id_col: "new_id", "hs": "hs_n"})
+    )
+    idx_ids = cands.select(F.col("index_id").alias(id_col)).distinct()
+    idx_sets = (
+        spark.read.parquet(f"{path}/sets")
+        .join(F.broadcast(idx_ids), id_col, "left_semi")
+        .withColumnsRenamed({id_col: "index_id", "hs": "hs_x"})
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_x"))
+    return (
+        cands.join(new_sets, "new_id")
+        .join(idx_sets, "index_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_n") + F.size("hs_x") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )

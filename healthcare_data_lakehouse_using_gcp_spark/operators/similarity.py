@@ -839,3 +839,82 @@ def ivf_pq_search(
         .join(F.broadcast(qmap), "__qi")
         .select(query_id_col, id_col, "adc_distance", "rank")
     )
+
+
+def exact_rerank_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Second-stage exact rerank over ANY shortlist — the standard
+    two-stage retrieval architecture at scale (FAISS's IVFPQ+refine):
+    a cheap approximate stage (lsh_topk / ivf_search / ivf_pq_search)
+    produces (query_id, id) candidates; this stage fetches the full-
+    precision vectors for JUST those ids and re-scores exactly, so
+    final ranking quality is exact over whatever the shortlist
+    recalled, while the corpus-wide pass stays approximate.
+
+    Plan: candidates are tiny (queries × shortlist) → broadcast onto
+    the corpus (semi-join prunes the fetch to candidate ids — with the
+    corpus saved partitionBy(cid)/bucketed by id this is a pruned
+    scan, never a full pass), broadcast query vectors, one codegen
+    cosine per candidate, balanced top-k window."""
+    cand_pairs = candidates.select(query_id_col, id_col).distinct()
+    cand_ids = cand_pairs.select(id_col).distinct()
+    fetched = corpus.select(id_col, vec_col).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+    )
+    scored = (
+        cand_pairs.join(fetched, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+) -> DataFrame:
+    """One-shot composed IVF-PQ + exact refine: ADC shortlist of
+    k×shortlist_factor per query, exact cosine rerank to final top-k.
+    For repeated querying build/persist the index once and compose
+    ivf_pq_search + exact_rerank_topk directly."""
+    indexed, cents = build_ivf_index(corpus, id_col, vec_col, n_centroids)
+    books = train_pq_codebooks(corpus, vec_col, id_col, m, nbits)
+    pq_index = ivf_pq_encode(indexed, books, id_col, vec_col)
+    shortlist = ivf_pq_search(
+        pq_index, cents, books, queries,
+        k=k * shortlist_factor, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, n_probe=n_probe,
+    )
+    return exact_rerank_topk(
+        shortlist, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )

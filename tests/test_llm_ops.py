@@ -589,3 +589,75 @@ def test_ivf_seeding_unbiased_on_id_clustered_corpus(spark):
     top = similarity.ivf_topk(df, queries, k=1, n_centroids=8, n_probe=1)
     got = {r["query_id"]: r["vec_id"] for r in top.collect()}
     assert got == {c: c * 32 for c in range(4)}
+
+
+def test_incremental_dedup_against_saved_index(spark, tmp_path):
+    """Incremental pipeline: index an existing corpus once, then dedup
+    a NEW batch against it without re-shingling the corpus; append the
+    cleaned batch and catch a later redelivery of the same doc."""
+    path = str(tmp_path / "mh_index")
+    corpus_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    dedup.save_minhash_index(corpus_df, path, num_hashes=24, bands=6)
+
+    new_batch = spark.createDataFrame(
+        [
+            # near-dup of docs 1/2 (one word changed)
+            (101, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            # genuinely new
+            (102, "spark structured streaming watermarks bound state for late arriving events"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.dedup_against_index(new_batch, path, threshold=0.5).collect()
+    hit_new_ids = {r["new_id"] for r in pairs}
+    assert 101 in hit_new_ids and 102 not in hit_new_ids
+    assert {r["index_id"] for r in pairs if r["new_id"] == 101} == {1, 2, 3}
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+
+    # verify=False returns band candidates only (storage-light mode)
+    cands = dedup.dedup_against_index(new_batch, path, verify=False).collect()
+    assert {r["new_id"] for r in cands} >= {101}
+    assert all(r["jaccard"] is None for r in cands)
+
+    # append the clean doc; a redelivery of it must now be caught
+    clean = new_batch.filter(F.col("doc_id") == 102)
+    dedup.minhash_index_append(clean, path)
+    redelivered = spark.createDataFrame(
+        [(202, "spark structured streaming watermarks bound state for late arriving events")],
+        "doc_id long, text string",
+    )
+    pairs2 = dedup.dedup_against_index(redelivered, path, threshold=0.8).collect()
+    assert {(r["new_id"], r["index_id"]) for r in pairs2} == {(202, 102)}
+    assert pairs2[0]["jaccard"] == 1.0
+
+
+def test_exact_rerank_matches_brute_force(spark):
+    """Two-stage retrieval: an approximate shortlist reranked exactly
+    must reproduce brute-force top-k whenever the shortlist contains
+    the true top-k (generous probes here guarantee it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    exact = similarity.brute_force_topk(
+        df, queries.withColumnRenamed("query_vec", "embedding"), k=3
+    )
+    expected = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()
+    }
+    got_df = similarity.ivf_pq_rerank_topk(
+        df, queries, k=3, shortlist_factor=8, n_centroids=4, n_probe=4, m=4
+    )
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in got_df.collect()}
+    assert got == expected
+    # rerank emits exact cosine, monotone in rank per query
+    for r in got_df.collect():
+        assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
