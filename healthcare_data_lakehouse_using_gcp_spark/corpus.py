@@ -93,6 +93,13 @@ def query(name: str, sql: str | None):
 #                             pack_documents' md5 bucket              [green r1-r3]
 #   sample_deterministic    — md5-bucket mechanism is pack_documents'
 #                             bucket assignment                       [green r2,r3]
+#   embedding_near_dup      — IDENTICAL oracle to embedding_near_dup_exact
+#                             (head this round for its first driver row);
+#                             the LSH path's recall is pytest-gated — the
+#                             twins swap seats round to round            [green r1-r3]
+#   f5_case_bucket          — CASE bucket/threshold semantics inside
+#                             curate_corpus (predicted_lang CASE) and
+#                             a13_histogram's arithmetic binning         [green r1-r3]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -117,6 +124,8 @@ _TAIL = (
     "text_stats",
     "text_fingerprint",
     "sample_deterministic",
+    "embedding_near_dup",
+    "f5_case_bucket",
 )
 
 
@@ -1361,6 +1370,62 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cap_per_source",
+    r"""
+    SELECT doc_id, text, lang, source, n_chars, source_rank FROM (
+      SELECT doc_id, text, lang, source, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('42§' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS source_rank
+      FROM documents
+    ) WHERE source_rank <= 15
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/text.cap_documents_per_source)
+    — the C4/RefinedWeb per-host cap: no source contributes more than
+    N docs, survivors chosen by deterministic md5 spread (not
+    ingestion order). One exchange (the window's partition key)."""
+    from .operators.text import cap_documents_per_source
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_documents_per_source(d, cap=15)
+
+
+@query(
+    "chunk_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), st AS (
+      SELECT doc_id, toks,
+             CAST(FLOOR(GREATEST(len(toks) - 17, 0) / 48.0) * 48 AS BIGINT)
+               AS last_start
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT)
+             AS chunk_token_count
+    FROM st, UNNEST(range(0, last_start + 1, 48)) AS t(s)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators/text.chunk_documents) —
+    the embedding/RAG chunking stage: 64-token chunks, 16-token
+    overlap, one row per chunk, no shuffle (explode of start
+    positions + per-row array slice)."""
+    from .operators.text import chunk_documents as chunk
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk(d, chunk_tokens=64, overlap_tokens=16)
+
+
+@query(
     "temperature_mixture",
     r"""
     WITH per_source AS (
@@ -2354,7 +2419,8 @@ OPERATOR_MAP = {
     ],
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
-        "classifier_quality", "temperature_mixture",
+        "classifier_quality", "temperature_mixture", "cap_per_source",
+        "chunk_documents",
     ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],

@@ -512,3 +512,85 @@ def classifier_quality_score(
         round_det(prob, 4).alias("quality_prob"),
         (prob >= threshold).alias("keep"),
     )
+
+
+def cap_documents_per_source(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source document cap — the per-host/per-domain cap of
+    C4/RefinedWeb-style cleaning: no single source may contribute more
+    than ``cap`` documents, and WHICH documents survive is a
+    deterministic md5 spread (engine- and run-reproducible, not
+    ingestion-order-biased — same rationale as deterministic_sample).
+
+    One exchange on the strata column (the window's partition key);
+    the rank is a row_number over (md5(seed||id), id) so ties are
+    impossible. Skewed sources (the web's giant hosts) are exactly the
+    point: the window sees at most one source per reducer and emits at
+    most ``cap`` rows from it; AQE splits oversized partitions.
+
+    Returns the input columns + source_rank (1-based position within
+    the source's kept order)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("source_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("source_rank") <= cap)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    embedding/RAG chunking stage. One row per chunk:
+    (id, chunk_idx, chunk_start, chunk_text, chunk_token_count).
+
+    Pure Column expressions: tokenize once, explode the chunk START
+    positions (a `sequence` with step chunk-overlap), slice the token
+    array per output row. Narrow until the explode, which multiplies
+    rows by ~n_tok/(chunk-overlap) — exactly the data growth the
+    operation defines; no shuffle at all, so it composes with a
+    downstream embedding UDF inside one stage.
+
+    The final short chunk is kept (its token count tells the consumer
+    it's a tail); a document shorter than ``chunk_tokens`` yields one
+    chunk at start 0.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # last start: largest multiple of step <= max(0, n_tok - overlap - 1)
+    # — guarantees every token is covered and no chunk starts past the
+    # final overlap window
+    n = F.size("__toks")
+    last_start = (
+        F.floor((F.greatest(n - F.lit(overlap_tokens + 1), F.lit(0))) / step) * step
+    )
+    starts = base.select(
+        F.col(id_col),
+        "__toks",
+        F.posexplode(
+            F.sequence(F.lit(0), last_start.cast("int"), F.lit(step))
+        ).alias("chunk_idx", "chunk_start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_start") + 1, chunk_tokens)
+    return starts.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_token_count"),
+    )

@@ -45,15 +45,19 @@ def test_canonical_operators_inside_driver_window():
     first50 = set(list(entrymod.queries())[:50])
     canonical = [
         "scrub_pii", "pack_documents", "curate_corpus", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk", "embedding_near_dup",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
         # minhash's window seat is the checked twin (same pipeline +
         # embedded ground-truth containment); the plain dedup_minhash_lsh
         # is the bench.py target and sits past the window (r4 rotation)
         "multimodal_features", "dedup_minhash_checked", "a2_wide_agg",
         "j1_band_join", "j3_asof_nearest", "t1_tumbling_window",
         # round-4 promotions: previously never driver-checked
+        # (embedding_near_dup_exact holds the near-dup family's seat this
+        # round; its LSH twin embedding_near_dup — identical oracle — is
+        # in the tail and the two swap seats round to round)
         "a11_rollup", "a12_dispersion", "a13_histogram",
         "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
+        "cap_per_source", "chunk_documents",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

@@ -661,3 +661,57 @@ def test_exact_rerank_matches_brute_force(spark):
     # rerank emits exact cosine, monotone in rank per query
     for r in got_df.collect():
         assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_cap_per_source_deterministic_and_capped(spark):
+    """Per-source cap: skewed sources are cut to the cap, the kept set
+    is md5-deterministic (not the lowest ids), and re-running yields
+    the identical survivors."""
+    rows = [(i, f"doc {i}", "big") for i in range(100)] + [
+        (1000 + i, f"doc {1000+i}", "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.cap_documents_per_source(df, cap=10, strata_col="source")
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 3
+    assert set(by_src["big"]) != set(range(10)), "cap must not be id-order-biased"
+    again = {r["doc_id"] for r in text.cap_documents_per_source(
+        df, cap=10, strata_col="source").collect()}
+    assert again == {r["doc_id"] for r in got}
+    assert all(1 <= r["source_rank"] <= 10 for r in got)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking: every token is covered, consecutive chunks overlap by
+    exactly overlap_tokens, short docs give one chunk, and the tail
+    chunk's token count exposes its short length."""
+    long_doc = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "a b c")], "doc_id long, text string"
+    )
+    out = text.chunk_documents(df, chunk_tokens=64, overlap_tokens=16)
+    chunks = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.orderBy("doc_id", "chunk_idx").collect():
+        chunks[r["doc_id"]].append(r)
+    c1 = chunks[1]
+    assert [c["chunk_start"] for c in c1] == [0, 48, 96]
+    assert c1[0]["chunk_token_count"] == 64
+    assert c1[-1]["chunk_token_count"] == 150 - 96  # short tail kept
+    # overlap: last 16 tokens of chunk k == first 16 of chunk k+1
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split()[48:] == b["chunk_text"].split()[:16]
+    # union of chunks covers every token exactly in order
+    seen = c1[0]["chunk_text"].split()
+    for b in c1[1:]:
+        seen += b["chunk_text"].split()[16:]
+    assert seen == long_doc.split()
+    assert [r["chunk_token_count"] for r in chunks[2]] == [3]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
