@@ -715,3 +715,53 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
+
+
+def test_new_ops_plan_shapes(spark, tmp_path):
+    """Scale-shape assertions for the r4 operators: chunking is
+    shuffle-free, the per-source cap pays exactly one exchange (the
+    window's), incremental index lookup joins equi (never cartesian),
+    and the rerank fetch prunes via a semi-join."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(80)), f"s{i%3}") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    chunk_plan = text.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in chunk_plan
+
+    cap_plan = (
+        text.cap_documents_per_source(docs, cap=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert cap_plan.count("Exchange") == 1
+    assert "SinglePartition" not in cap_plan
+
+    path = str(tmp_path / "mhidx")
+    dedup.save_minhash_index(docs, path)
+    inc_plan = (
+        dedup.dedup_against_index(docs.limit(3), path, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in inc_plan
+    assert "BroadcastNestedLoopJoin" not in inc_plan
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(0, i) for i in range(5)], "query_id long, vec_id long"
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in rng.standard_normal(8)])],
+        "query_id long, query_vec array<double>",
+    )
+    rr_plan = (
+        similarity.exact_rerank_topk(cands, vecs, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in rr_plan
+    assert "CartesianProduct" not in rr_plan
