@@ -93,6 +93,11 @@ def query(name: str, sql: str | None):
 #                             pack_documents' md5 bucket              [green r1-r3]
 #   sample_deterministic    — md5-bucket mechanism is pack_documents'
 #                             bucket assignment                       [green r2,r3]
+#   dedup_ngram_jaccard     — the exact-jaccard pair computation runs
+#                             inside dedup_components (its input AND its
+#                             recursive-CTE oracle) and supplies the
+#                             exact_jaccard truth columns of
+#                             dedup_minhash_checked + dedup_incremental   [green r1-r3]
 #   embedding_near_dup      — IDENTICAL oracle to embedding_near_dup_exact
 #                             (head this round for its first driver row);
 #                             the LSH path's recall is pytest-gated — the
@@ -126,6 +131,7 @@ _TAIL = (
     "sample_deterministic",
     "embedding_near_dup",
     "f5_case_bucket",
+    "dedup_ngram_jaccard",
 )
 
 
@@ -1872,6 +1878,70 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(pq_index, cents, books, q, k=10, n_probe=4)
 
 
+@query("dedup_incremental_index", None)  # approximate: rows-only + embedded truth
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash index
+    (operators/dedup.save_minhash_index + dedup_against_index): the
+    even-id half of the corpus is indexed ONCE (bands partitioned by
+    band_id + shingle-hash sets), then the odd-id half dedups against
+    it WITHOUT re-shingling the indexed half — the daily-crawl-batch
+    flow at 100 TB.
+
+    Ground truth embedded in the output (same contract as
+    dedup_minhash_checked): each emitted (new_id, index_id) pair
+    carries whether it exists in the exact cross-half n-gram Jaccard
+    pair set with a matching value, and the corpus-level band recall
+    rides along as a constant column. A green run shows emitted ⊆
+    truth with identical jaccards; band_recall is the only
+    approximation."""
+    import tempfile
+
+    from .operators.dedup import (
+        dedup_against_index,
+        ngram_jaccard_pairs,
+        save_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="spark_graft_mh_index_")
+    save_minhash_index(base, path)
+    pairs = dedup_against_index(new, path, threshold=0.5)
+
+    exact_cross = (
+        ngram_jaccard_pairs(d, shingle_size=3, threshold=0.5)
+        .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select(
+            F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("new_id"),
+            F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("index_id"),
+            F.col("jaccard").alias("exact_jaccard"),
+        )
+    )
+    checked = (
+        pairs.join(F.broadcast(exact_cross), ["new_id", "index_id"], "left")
+        .withColumn("in_exact_truth", F.col("exact_jaccard").isNotNull())
+        .withColumn(
+            "jaccard_matches",
+            F.col("in_exact_truth")
+            & (F.abs(F.col("jaccard") - F.col("exact_jaccard")) < F.lit(1e-12)),
+        )
+    )
+    recall = (
+        checked.agg(F.sum(F.col("in_exact_truth").cast("long")).alias("__hits"))
+        .crossJoin(exact_cross.agg(F.count(F.lit(1)).alias("__truth")))
+        .select(
+            (F.col("__hits") / F.greatest(F.col("__truth"), F.lit(1)))
+            .alias("band_recall")
+        )
+    )
+    return checked.crossJoin(F.broadcast(recall))
+
+
 @query(
     "embedding_near_dup",
     """
@@ -2412,6 +2482,7 @@ OPERATOR_MAP = {
     "LLM-dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_checked",
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dedup_semantic",
+        "dedup_incremental_index",
     ],
     "LLM-similarity": [
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
