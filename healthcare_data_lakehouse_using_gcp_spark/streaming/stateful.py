@@ -225,3 +225,102 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- Streaming strict-order funnel ----------------------------------
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_index", T.LongType()),  # 1-based rung reached
+        T.StructField("step", T.StringType()),
+        T.StructField("reached_ts", T.StringType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_step", T.LongType()),  # rungs completed so far
+        T.StructField("cur_ts", T.StringType()),  # ts of last completed rung
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming counterpart of operators/sessions.funnel: advance each
+    user's strict-order ladder incrementally across micro-batches and
+    emit one row per rung the user newly reaches — a downstream
+    `groupBy(step).count()` over the emitted rows IS the live
+    conversion ladder, equal to the batch funnel's n_users when the
+    same events have flowed through in event-time order.
+
+    State per user is O(1) — (rungs_completed, ts_of_last_rung) — and
+    FROZEN once the ladder completes (no growth with stream length);
+    pass timeout_ms > 0 to expire fully-idle users' state entirely.
+    Within a micro-batch events are processed in ts order; across
+    batches the greedy-earliest chain matches the batch operator
+    whenever rung-advancing events arrive in event-time order (the
+    usual watermarked-source case). A late out-of-order event can at
+    worst advance a rung LATER than the batch result — never skip the
+    strict ordering.
+
+    Scale: the state store hash-partitions by user_id; each batch
+    touches only users present in it; no joins, no windows — the
+    k-rung chain from the batch operator becomes a per-key counter.
+    """
+    order = {s: i for i, s in enumerate(steps)}
+
+    def _update(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur_step, cur_ts = state.get if state.exists else (0, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"].isin(order)].sort_values("ts")
+            for _, row in pdf.iterrows():
+                if cur_step >= len(steps):
+                    break
+                want = steps[cur_step]
+                ts = row["ts"]
+                if row["event_type"] == want and (
+                    cur_step == 0 or ts > pd.Timestamp(cur_ts)
+                ):
+                    cur_step += 1
+                    cur_ts = str(ts)
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "step_index": cur_step,
+                            "step": want,
+                            "reached_ts": cur_ts,
+                        }
+                    )
+        if cur_step > 0:
+            state.update((cur_step, cur_ts))
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )

@@ -150,3 +150,77 @@ def test_streaming_sessions_gap_and_cross_batch(spark, tmp_path):
     for other in rows:
         if other["closed_by"] == "timeout":
             assert (other["user_id"], other["n_events"]) in {(1, 1), (2, 1)}
+
+
+def test_streaming_funnel_matches_batch_funnel(spark, tmp_path):
+    """Strict-order funnel advances across micro-batches; the emitted
+    per-rung rows aggregate to the batch funnel's conversion ladder,
+    and rungs reached out of strict order never count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import funnel
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    steps = ["view", "cart", "buy"]
+    # u1 completes the ladder across batches; u2 stops at cart;
+    # u3's buy PRECEDES its cart (strict order: buy must not count)
+    batch1 = [
+        {"user_id": 1, "event_type": "view", "ts": "2024-06-01T10:00:00"},
+        {"user_id": 2, "event_type": "view", "ts": "2024-06-01T10:00:30"},
+        {"user_id": 3, "event_type": "view", "ts": "2024-06-01T10:01:00"},
+        {"user_id": 3, "event_type": "buy", "ts": "2024-06-01T10:01:30"},
+        {"user_id": 1, "event_type": "cart", "ts": "2024-06-01T10:02:00"},
+    ]
+    batch2 = [
+        {"user_id": 2, "event_type": "cart", "ts": "2024-06-01T10:10:00"},
+        {"user_id": 3, "event_type": "cart", "ts": "2024-06-01T10:11:00"},
+        {"user_id": 1, "event_type": "buy", "ts": "2024-06-01T10:12:00"},
+    ]
+    inp = str(tmp_path / "funnel_in")
+    _write_batch(inp, batch1, 1)
+    time.sleep(2)
+    _write_batch(inp, batch2, 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["step"], r["user_id"]): r["step_index"]
+        for r in spark.sql("select * from funnel_out").collect()
+    }
+    assert got == {
+        ("view", 1): 1, ("view", 2): 1, ("view", 3): 1,
+        ("cart", 1): 2, ("cart", 2): 2, ("cart", 3): 2,
+        ("buy", 1): 3,  # u3's early buy must NOT appear
+    }
+
+    # live ladder == batch funnel over the same events
+    all_rows = [dict(r) for r in batch1 + batch2]
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], r["ts"]) for r in all_rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = {
+        (r["step_index"], r["step"]): r["n_users"]
+        for r in funnel(bdf, steps).collect()
+    }
+    live = {}
+    for (step, _), idx in got.items():
+        live[(idx, step)] = live.get((idx, step), 0) + 1
+    assert live == expected
