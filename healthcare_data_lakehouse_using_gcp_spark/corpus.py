@@ -93,6 +93,9 @@ def query(name: str, sql: str | None):
 #                             pack_documents' md5 bucket              [green r1-r3]
 #   sample_deterministic    — md5-bucket mechanism is pack_documents'
 #                             bucket assignment                       [green r2,r3]
+#   p2_range_anomaly        — its negated-between() predicates are
+#                             EXACTLY p3_quality_filter's WHERE body;
+#                             the boolean-flag projection shape is p6's  [green r1-r3]
 #   dedup_ngram_jaccard     — the exact-jaccard pair computation runs
 #                             inside dedup_components (its input AND its
 #                             recursive-CTE oracle) and supplies the
@@ -132,6 +135,7 @@ _TAIL = (
     "embedding_near_dup",
     "f5_case_bucket",
     "dedup_ngram_jaccard",
+    "p2_range_anomaly",
 )
 
 
@@ -1376,6 +1380,45 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*)::DOUBLE AS c FROM toks
+      WHERE token <> '' GROUP BY token
+    ), total AS (
+      SELECT SUM(c) AS n FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             -SUM(ln(c.c / total.n)) / COUNT(*) AS nll
+      FROM toks t JOIN counts c USING (token) CROSS JOIN total
+      WHERE t.token <> ''
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(nll * 10000 + 0.5) / 10000 AS avg_neg_logprob,
+           FLOOR(exp(nll) * 10000 + 0.5) / 10000 AS perplexity
+    FROM scored
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality filter
+    (operators/text.train_unigram_lm + unigram_perplexity) — the
+    CCNet/KenLM-style stage as broadcast-join Column expressions: LM
+    trained on the corpus itself here; at 100 TB train on a clean
+    reference slice with vocab_size capped so the LM broadcasts."""
+    from .operators.text import train_unigram_lm, unigram_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_unigram_lm(d)
+    return unigram_perplexity(d, lm)
+
+
+@query(
     "cap_per_source",
     r"""
     SELECT doc_id, text, lang, source, n_chars, source_rank FROM (
@@ -2491,7 +2534,7 @@ OPERATOR_MAP = {
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
-        "chunk_documents",
+        "chunk_documents", "lm_perplexity",
     ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],

@@ -594,3 +594,68 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("bigint").alias("chunk_token_count"),
     )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Train a unigram language model over the corpus: (token,
+    logp = ln(count/total)). The CCNet/KenLM-style quality-filter
+    recipe's cheapest member — documents whose tokens are improbable
+    under a clean reference corpus score high perplexity and get
+    filtered.
+
+    One explode + hash-aggregate (linear, map-side combined). With
+    ``vocab_size`` set, keep only the top-V tokens (TakeOrdered) —
+    the 100 TB lever that makes the LM broadcastable (~MBs for 100k
+    tokens) while everything else becomes OOV with a floor logprob;
+    total mass is still computed over ALL occurrences so in-vocab
+    probabilities are unaffected by the cap."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("n"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("n")).alias("logp")
+    )
+    if vocab_size is not None:
+        lm = lm.orderBy(F.desc("logp"), F.asc("token")).limit(vocab_size)
+    return lm
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+) -> DataFrame:
+    """Per-document perplexity under a unigram LM: (id, n_tokens,
+    avg_neg_logprob, perplexity = exp(avg_nll)). Tokens outside the
+    LM's vocabulary score ``oov_logp``.
+
+    Plan: explode tokens (linear, no shuffle until the count agg),
+    LEFT join the broadcast LM, one hash-aggregate per doc. The whole
+    scoring path is codegen Column expressions — this replaces a
+    per-document KenLM call with a broadcast join at scan speed."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    exploded = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    joined = exploded.join(F.broadcast(lm), "token", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("logp"), F.lit(float(oov_logp))).alias("logp"),
+    )
+    nll = -F.sum("logp") / F.count(F.lit(1))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        round_det(nll, 4).alias("avg_neg_logprob"),
+        round_det(F.exp(nll), 4).alias("perplexity"),
+    )

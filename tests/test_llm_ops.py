@@ -765,3 +765,24 @@ def test_new_ops_plan_shapes(spark, tmp_path):
     )
     assert "LeftSemi" in rr_plan
     assert "CartesianProduct" not in rr_plan
+
+
+def test_unigram_perplexity_ranks_junk_higher(spark):
+    """LM perplexity: common-token docs score low, rare-token docs
+    high; OOV tokens hit the floor logprob; vocab_size caps the LM."""
+    rows = [(i, "the common words appear here " * 3) for i in range(8)]
+    rows.append((100, "zzyzx qwxyz vvvvq"))  # rare junk
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = text.train_unigram_lm(df)
+    out = {r["doc_id"]: r for r in text.unigram_perplexity(df, lm).collect()}
+    common_ppl = out[0]["perplexity"]
+    junk_ppl = out[100]["perplexity"]
+    assert junk_ppl > common_ppl * 3
+
+    # capped vocab: junk tokens (freq 1) fall out -> OOV floor dominates
+    lm_small = text.train_unigram_lm(df, vocab_size=5)
+    assert lm_small.count() == 5
+    out2 = {r["doc_id"]: r for r in text.unigram_perplexity(df, lm_small, oov_logp=-20.0).collect()}
+    import math
+    assert abs(out2[100]["avg_neg_logprob"] - 20.0) < 1e-6
+    assert out2[100]["perplexity"] >= math.exp(19.9)
