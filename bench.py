@@ -37,6 +37,10 @@ HEADLINE = [
     # retrieval — the two new corpus-scale text heavies
     "dedup_spans",
     "text_bm25_topk",
+    # round-4 additions: RAG chunking (explode-heavy, zero-shuffle) and
+    # unigram-LM perplexity (explode + broadcast join + agg)
+    "chunk_documents",
+    "lm_perplexity",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —

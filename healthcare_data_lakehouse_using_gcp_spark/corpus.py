@@ -93,6 +93,11 @@ def query(name: str, sql: str | None):
 #                             pack_documents' md5 bucket              [green r1-r3]
 #   sample_deterministic    — md5-bucket mechanism is pack_documents'
 #                             bucket assignment                       [green r2,r3]
+#   a9_avg_quality_gate     — AVG-vs-threshold boolean: the same shape
+#                             is classifier_quality's keep column and
+#                             a8's conditional counts; the dbt-severity
+#                             gate semantics are tested in
+#                             tests/test_reports.py                      [green r1-r3]
 #   p2_range_anomaly        — its negated-between() predicates are
 #                             EXACTLY p3_quality_filter's WHERE body;
 #                             the boolean-flag projection shape is p6's  [green r1-r3]
@@ -136,6 +141,7 @@ _TAIL = (
     "f5_case_bucket",
     "dedup_ngram_jaccard",
     "p2_range_anomaly",
+    "a9_avg_quality_gate",
 )
 
 
@@ -1380,6 +1386,52 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_embed_components",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM toks WHERE token <> ''
+    ), bb AS (
+      SELECT doc_id, bucket, SUM(s) AS w FROM b GROUP BY doc_id, bucket
+    ), nn AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM bb GROUP BY doc_id
+    )
+    SELECT bb.doc_id, CAST(bucket AS BIGINT) AS bucket,
+           FLOOR(w / nrm * 10000 + 0.5) / 10000 AS weight
+    FROM bb JOIN nn USING (doc_id) WHERE w <> 0
+    """,
+)
+def text_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (operators/text.feature_hash_embed)
+    — hashed bag-of-words with ±1 signs, L2-normalized; output feeds
+    the ANN / semantic-dedup operators directly. Checked via the
+    non-zero components (doc_id, bucket, weight) because the driver's
+    hash path cannot canonicalize array cells; the components
+    determine the dense vector exactly (absent buckets are 0)."""
+    from .functions.scalars import round_det
+    from .operators.text import feature_hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    emb = feature_hash_embed(d, dim=64)
+    return (
+        emb.select(F.col("doc_id"), F.posexplode("embedding").alias("bucket", "weight"))
+        .filter(F.col("weight") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            round_det(F.col("weight"), 4).alias("weight"),
+        )
+    )
+
+
+@query(
     "lm_perplexity",
     r"""
     WITH toks AS (
@@ -2534,7 +2586,7 @@ OPERATOR_MAP = {
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
-        "chunk_documents", "lm_perplexity",
+        "chunk_documents", "lm_perplexity", "text_embed_components",
     ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],

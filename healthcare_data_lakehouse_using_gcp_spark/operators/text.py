@@ -614,11 +614,16 @@ def train_unigram_lm(
     total mass is still computed over ALL occurrences so in-vocab
     probabilities are unaffected by the cap."""
     toks = tokens_col(F.lower(F.col(text_col)))
+    # persist: the count frame feeds BOTH the total-mass aggregate and
+    # the logp projection — without it Spark re-explodes the corpus for
+    # each consumer (one full extra pass at 100 TB). Lifetime is
+    # caller-managed, like minhash_dedup's occurrence frame.
     counts = (
         df.select(F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .persist()
     )
     total = counts.agg(F.sum("c").alias("n"))
     lm = counts.crossJoin(F.broadcast(total)).select(
@@ -659,3 +664,66 @@ def unigram_perplexity(
         round_det(nll, 4).alias("avg_neg_logprob"),
         round_det(F.exp(nll), 4).alias("perplexity"),
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Text → dense embedding via the feature-hashing trick
+    (Weinberger et al. 2009): each token hashes to a bucket in
+    [0, dim) with a ±1 sign, signed counts accumulate per bucket, and
+    the vector is optionally L2-normalized. A REAL (if simple)
+    embedding — hashed bag-of-words — whose output feeds the ANN /
+    semantic-dedup operators directly, closing the text→vector→
+    similarity loop inside the engine; swap in a model-backed
+    mapInPandas encoder for learned embeddings with the same output
+    schema.
+
+    Hashing uses md5 (not xxhash64) so the same bucket/sign function
+    is expressible in any engine — reproducible features across
+    engines and runs, like the md5-bucket sampler.
+
+    Plan shape: explode tokens → ONE hash-aggregate on (id, bucket) →
+    ONE hash-aggregate on id assembling the dense array via
+    map_from_entries + a sequence lookup (missing buckets → 0.0).
+    Both shuffles key on the id (the second reuses the first's
+    partitioning modulo the bucket column); no UDFs, no pivot.
+
+    Returns (id, embedding array<double>, n_tokens bigint).
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    exploded = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5("token"), 9, 1), 16, 10).cast("bigint") % 2 == 0, 1.0
+    ).otherwise(-1.0)
+    by_bucket = (
+        exploded.select(F.col(id_col), bucket.alias("bucket"), sign.alias("s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").alias("w"), F.count(F.lit(1)).alias("n"))
+    )
+    assembled = by_bucket.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "w"))
+        ).alias("__m"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, v: a + v * v))
+        dense = F.transform(
+            dense, lambda v: F.when(norm > 0, v / norm).otherwise(F.lit(0.0))
+        )
+    return assembled.select(F.col(id_col), dense.alias("embedding"), "n_tokens")

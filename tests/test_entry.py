@@ -58,7 +58,7 @@ def test_canonical_operators_inside_driver_window():
         "a11_rollup", "a12_dispersion", "a13_histogram",
         "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
         "cap_per_source", "chunk_documents", "dedup_incremental_index",
-        "lm_perplexity",
+        "lm_perplexity", "text_embed_components",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

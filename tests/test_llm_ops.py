@@ -786,3 +786,30 @@ def test_unigram_perplexity_ranks_junk_higher(spark):
     import math
     assert abs(out2[100]["avg_neg_logprob"] - 20.0) < 1e-6
     assert out2[100]["perplexity"] >= math.exp(19.9)
+
+
+def test_feature_hash_embed_feeds_ann(spark, docs):
+    """Feature-hashing embedder: unit-norm vectors, identical docs get
+    identical embeddings, and the output composes directly with the
+    ANN operator — a doc's nearest non-self neighbor is its exact
+    duplicate."""
+    import math
+
+    emb = text.feature_hash_embed(docs, dim=32)
+    rows = {r["doc_id"]: r for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for r in rows.values():
+        nrm = math.sqrt(sum(v * v for v in r["embedding"]))
+        assert abs(nrm - 1.0) < 1e-9 or nrm == 0.0
+    assert rows[1]["embedding"] == rows[2]["embedding"]  # exact dups
+    assert rows[1]["embedding"] != rows[4]["embedding"]
+
+    corpus_df = emb.selectExpr("doc_id as vec_id", "embedding")
+    queries = corpus_df.filter(F.col("vec_id") == 1).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    top = similarity.brute_force_topk(corpus_df, queries, k=2).collect()
+    by_rank = {r["rank"]: r for r in top}
+    # rank 1 and 2 are the identical pair {1,2} in id order, cosine 1.0
+    assert {by_rank[1]["vec_id"], by_rank[2]["vec_id"]} == {1, 2}
+    assert abs(by_rank[2]["cosine"] - 1.0) < 1e-9
