@@ -877,3 +877,46 @@ def dedup_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", "jaccard")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    eval_frac: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary: documents are split by their DUPLICATE GROUP, not
+    individually, so a doc and its near-copy always land on the same
+    side (the failure mode a naive per-doc split has with web data —
+    eval examples whose near-copies sit in train).
+
+    ``pairs`` is any near-dup pair frame (id_a, id_b) — minhash_dedup,
+    ngram_jaccard_pairs, embedding near-dup. Docs in no pair form
+    singleton groups. The split key is md5(seed || group_label), so
+    membership is deterministic across engines/runs and independent
+    of id assignment order (same property as deterministic_sample).
+
+    Plan: connected_components over the pair graph (iterative
+    min-label, linear rounds), LEFT join group labels onto the corpus
+    (absent → own id), then a narrow hash-bucket filter. Returns the
+    input plus (split_group, split) where split ∈ {'train', 'eval'}.
+    """
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"node": id_col, "component": "split_group"}
+    )
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "split_group", F.coalesce(F.col("split_group"), F.col(id_col))
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(str(seed)), F.col("split_group").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint") % 10000
+    cut = int(eval_frac * 10000)
+    return labeled.withColumn(
+        "split", F.when(bucket < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -813,3 +813,24 @@ def test_feature_hash_embed_feeds_ann(spark, docs):
     # rank 1 and 2 are the identical pair {1,2} in id order, cosine 1.0
     assert {by_rank[1]["vec_id"], by_rank[2]["vec_id"]} == {1, 2}
     assert abs(by_rank[2]["cosine"] - 1.0) < 1e-9
+
+
+def test_leakage_safe_split_keeps_groups_together(spark, docs):
+    """Group-level split: near-dup docs always land on the same side;
+    membership is deterministic across runs; eval_frac=0 puts all in
+    train."""
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.5)
+    out = dedup.leakage_safe_split(docs, pairs, eval_frac=0.5).collect()
+    side = {r["doc_id"]: r["split"] for r in out}
+    group = {r["doc_id"]: r["split_group"] for r in out}
+    assert len(side) == 5
+    # docs 1/2/3 are the near-dup group -> same group label, same side
+    assert group[1] == group[2] == group[3]
+    assert side[1] == side[2] == side[3]
+    # singletons get their own label
+    assert group[4] == 4 and group[5] == 5
+    again = {r["doc_id"]: r["split"] for r in
+             dedup.leakage_safe_split(docs, pairs, eval_frac=0.5).collect()}
+    assert again == side
+    all_train = dedup.leakage_safe_split(docs, pairs, eval_frac=0.0).collect()
+    assert all(r["split"] == "train" for r in all_train)
