@@ -59,9 +59,50 @@ def test_canonical_operators_inside_driver_window():
         "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
         "cap_per_source", "chunk_documents", "dedup_incremental_index",
         "lm_perplexity", "text_embed_components",
+        # round-5 promotions: the two-stage serving path gets its own
+        # embedded-recall seat, and the three r2-stale tail entries
+        # rotate back through the window (VERDICT r4 items 4 and 7)
+        "ann_ivf_pq_rerank", "j3_asof_min_by", "events_session_stats",
+        "sample_stratified",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
+
+
+# (operator, avg-recall floor) — floors sit under the measured
+# sf0.001/sf0.01 values (lsh .57/.43, ivf .70/.80, pq .30/.40,
+# rerank .70/.77) with slack for dial/data changes
+ANN_RECALL_FLOORS = [
+    ("ann_lsh_topk", 0.25),
+    ("ann_ivf_topk", 0.55),
+    ("ann_ivf_pq_topk", 0.15),
+    ("ann_ivf_pq_rerank", 0.55),
+]
+
+
+def test_ann_entries_embed_truth_and_clear_recall_floor(spark):
+    """VERDICT r4 item 1: the ANN corpus entries certify their own
+    recall — every row carries in_exact_topk membership vs the exact
+    brute-force top-k and a per-query recall_at_k; the floors here are
+    what a green driver row attests to. Also asserts the two-stage
+    rerank entry recalls at least as well as its raw-ADC stage (the
+    exact-rerank stage can only fix ranking, never lose shortlist
+    members that belong)."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata unavailable")
+    qs = entrymod.queries()
+    avg = {}
+    for name, floor in ANN_RECALL_FLOORS:
+        rows = qs[name](spark, SF_DIR).collect()
+        assert rows, name
+        assert {"in_exact_topk", "recall_at_k"} <= set(rows[0].asDict())
+        per_q = {r["query_id"]: r["recall_at_k"] for r in rows}
+        avg[name] = sum(per_q.values()) / len(per_q)
+        assert avg[name] >= floor, f"{name}: avg recall {avg[name]:.3f} < {floor}"
+        hits = sum(1 for r in rows if r["in_exact_topk"])
+        # in_exact_topk must be consistent with the recall column
+        assert hits == round(sum(10 * v for v in per_q.values()))
+    assert avg["ann_ivf_pq_rerank"] >= avg["ann_ivf_pq_topk"]
 
 
 def _norm(v):
