@@ -10,6 +10,20 @@ window (W1), the daily rollup (A8), tumbling windows (T1), plus the
 LLM-pipeline heavies (exact dedup, minhash-LSH, brute-force ANN).
 Each query runs a count() action (full execution, no driver collect
 of payload rows).
+
+Protocol note (r5, closing the r4 "dedup_spans +26% / text_bm25_topk
++15% regression" item): the bisect found NO code regression — both
+operators' isolated steady state (7 reps, quiet machine) is ~1.12 s,
+BETWEEN the r3 (1.00/1.035) and r4 (1.26/1.19) recorded values, and
+both rounds' per-rep traces were still declining at rep 3 (r3 spans
+1.457→1.051→1.000; r4 1.755→1.288→1.260). The multi-stage text
+heavies amortize codegen over ~5-7 reps, so a fixed min-of-3 samples
+a still-declining curve and round-over-round deltas within ~±15% on
+these queries are protocol noise, not plan changes. Fix: adaptive
+reps — every query runs at least `reps` times and keeps going (cap
+`SPARK_GRAFT_BENCH_MAX_REPS`, default 7) while the latest run still
+improves the best by >3%; stable queries stop at the floor, the
+heavies run to convergence.
 """
 
 from __future__ import annotations
@@ -58,7 +72,34 @@ SF1_SUBSET = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-5 additions (VERDICT r4 item 3): the text heavies whose
+    # data grows fastest with corpus size — span chop/agg, BM25
+    # postings, chunk explode, LM explode+join
+    "dedup_spans",
+    "text_bm25_topk",
+    "chunk_documents",
+    "lm_perplexity",
 ]
+
+
+def _timed_runs(
+    run_query, clear_cache, floor_reps: int, max_reps: int
+) -> list[float]:
+    """Adaptive-reps timing: at least ``floor_reps`` runs, then keep
+    running while the latest run improves the best-so-far by >3%
+    (codegen on the multi-stage heavies amortizes over ~5-7 reps;
+    stable queries stop at the floor). Returns all run walls."""
+    runs: list[float] = []
+    while True:
+        clear_cache()
+        t0 = time.perf_counter()
+        run_query()
+        runs.append(round(time.perf_counter() - t0, 3))
+        if len(runs) >= max_reps:
+            break
+        if len(runs) >= floor_reps and runs[-1] >= min(runs[:-1]) * 0.97:
+            break
+    return runs
 
 
 def main() -> None:
@@ -84,24 +125,25 @@ def main() -> None:
     wg.join(wg.withColumnRenamed("m", "m2"), "id").count()
     wg.unpersist()
 
-    # Protocol: n reps per query, report the MIN. At sf0.1 single-run
-    # walls are dominated by per-plan codegen compile + machine-load
-    # noise (a 1.5x band measured across identical code); the min of 3
-    # is the steady-state number — at 100 TB codegen amortizes to zero.
-    # Data caches are cleared between reps so only code-warmth carries
-    # (each rep re-materializes its own persisted frames); the codegen
-    # cache staying warm is the point of the protocol.
+    # Protocol: adaptive reps per query, report the MIN (see module
+    # docstring). At sf0.1 single-run walls are dominated by per-plan
+    # codegen compile + machine-load noise (a 1.5x band measured
+    # across identical code); the converged min is the steady-state
+    # number — at 100 TB codegen amortizes to zero. Data caches are
+    # cleared between reps so only code-warmth carries (each rep
+    # re-materializes its own persisted frames); the codegen cache
+    # staying warm is the point of the protocol.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "7"))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        runs = []
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.count()
-            runs.append(round(time.perf_counter() - t0, 3))
+        runs = _timed_runs(
+            lambda n=name: qs[n](spark, sf_dir).count(),
+            spark.catalog.clearCache,
+            reps,
+            max_reps,
+        )
         timings[name] = min(runs)
         all_runs[name] = runs
     spark.catalog.clearCache()
@@ -125,15 +167,16 @@ def main() -> None:
                 capture_output=True,
             )
         reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
+        max_reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_MAX_REPS", "4"))
         sf1_timings: dict[str, float] = {}
         sf1_runs: dict[str, list[float]] = {}
         for name in SF1_SUBSET:
-            runs = []
-            for _ in range(reps1):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                qs[name](spark, sf1_dir).count()
-                runs.append(round(time.perf_counter() - t0, 3))
+            runs = _timed_runs(
+                lambda n=name: qs[n](spark, sf1_dir).count(),
+                spark.catalog.clearCache,
+                reps1,
+                max_reps1,
+            )
             sf1_timings[name] = min(runs)
             sf1_runs[name] = runs
         spark.catalog.clearCache()
@@ -142,6 +185,7 @@ def main() -> None:
             "value": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
             "reps": reps1,
+            "max_reps": max_reps1,
             "all_runs": sf1_runs,
             # per-query wall ratio vs the sf0.1 min for the same query:
             # ~linear (≈10) or below is healthy; super-linear growth on
@@ -164,7 +208,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
-        "protocol": "min_of_reps",
+        "max_reps": max_reps,
+        "protocol": "min_of_adaptive_reps",
         "all_runs": all_runs,
         "load_1m_at_exit": load_1m,
     }

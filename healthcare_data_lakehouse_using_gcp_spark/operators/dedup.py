@@ -697,11 +697,12 @@ def span_dedup(
     # split once into a words column (the chunking expr would otherwise
     # re-split per reference) and repartition so the CPU-heavy
     # interpreted-HOF chunking runs cluster-wide rather than on the
-    # 1-2 partitions a small file scan produces; downstream exchanges
-    # hash on span_text, so round-robin vs id makes no reuse difference.
+    # 1-2 partitions a small file scan produces. Round-robin, NOT
+    # hash-by-id: the next exchange hashes on span_text (the winner
+    # agg), so an id hash here buys no exchange reuse and would skew
+    # on clustered ids — round-robin balances the chop work exactly.
     words = ensure_parallelism(
-        df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__words")),
-        partition_by=id_col,
+        df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__words"))
     )
     spans = words.select(
         F.col(id_col),
