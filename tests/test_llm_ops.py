@@ -230,10 +230,47 @@ def test_fingerprint(spark, docs):
     assert fp[1]["prefix_md5"] == fp[3]["prefix_md5"]  # same first 8 words
 
 
+def test_media_header_parse_roundtrip():
+    """Builders synthesize structurally valid payloads; the stdlib
+    parser must recover the exact construction parameters — and the
+    complete formats (PNG/WAV) must decode with independent stdlib
+    readers (zlib scanline reconstruction / the wave module)."""
+    png = multimodal.build_png(17, 9)
+    assert multimodal.parse_media_header(png) == ("png", 17, 9, 3, None, 8)
+    assert len(png) == 9 * (3 * 17 + 1) + 68  # zlib stored-block arithmetic
+
+    jpeg = multimodal.build_jpeg(201, 77)
+    assert multimodal.parse_media_header(jpeg) == ("jpeg", 201, 77, 3, None, 8)
+    assert len(jpeg) == 32 + 3 * 3
+
+    wav = multimodal.build_wav(2, 44100)
+    assert multimodal.parse_media_header(wav) == ("wav", None, None, 2, 44100, 16)
+    assert len(wav) == 44 + 32 * 2 * 2
+
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert multimodal.parse_media_header(gif)[:3] == ("gif", 300, 200)
+
+    # independent decode of the complete formats
+    import io
+    import wave
+    import zlib
+
+    raw = zlib.decompress(png[8 + 25 + 8 : -12 - 4])
+    assert len(raw) == 9 * (3 * 17 + 1)  # h scanlines of filter byte + RGB
+    with wave.open(io.BytesIO(wav)) as w:
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (2, 44100, 2)
+
+    # garbage / truncated payloads degrade to unknown, never raise
+    assert multimodal.parse_media_header(b"")[0] == "unknown"
+    assert multimodal.parse_media_header(b"\x89PNG\r\n\x1a\n trunc")[0] == "unknown"
+    assert multimodal.parse_media_header(b"plain text here")[0] == "unknown"
+
+
 def test_multimodal_features(spark):
     rows = [
-        ("m1", "image", b"\x89PNG fake bytes", "image/png", 800, 600, None, None),
+        ("m1", "image", multimodal.build_png(800, 600), "image/png", 800, 600, None, None),
         ("m2", "video", b"fake mp4", "video/mp4", 1920, 1080, 5000, None),
+        ("m3", "audio", multimodal.build_wav(1, 16000), "audio/wav", None, None, None, 16000),
     ]
     df = spark.createDataFrame(
         rows,
@@ -242,7 +279,15 @@ def test_multimodal_features(spark):
     )
     feats = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
     assert len(feats["m1"]["features"]) == multimodal.FEATURE_DIM
-    assert feats["m1"]["payload_bytes"] == 15
+    # REAL header decode through the Arrow exchange
+    assert (feats["m1"]["format"], feats["m1"]["width"], feats["m1"]["height"]) == (
+        "png", 800, 600,
+    )
+    assert (feats["m3"]["format"], feats["m3"]["channels"], feats["m3"]["sample_rate"]) == (
+        "wav", 1, 16000,
+    )
+    assert feats["m2"]["format"] == "unknown" and feats["m2"]["width"] is None
+    assert feats["m2"]["payload_bytes"] == 8
     # deterministic stub: same payload → same features
     feats2 = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
     assert feats["m1"]["features"] == feats2["m1"]["features"]
@@ -254,8 +299,10 @@ def test_multimodal_features(spark):
 
 
 def test_multimodal_strict_raises():
+    # strict gates ONLY the pixel/sample decode; header parsing is real
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", "image", strict=True)
+    assert multimodal.parse_media_header(multimodal.build_png(4, 4))[0] == "png"
 
 
 def test_vocab_topk(spark, docs):
