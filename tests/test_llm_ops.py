@@ -374,6 +374,26 @@ def test_connected_components_and_groups(spark):
     assert groups[4] == 4  # unpaired doc is its own canonical
 
 
+def test_connected_components_logarithmic_convergence(spark):
+    """VERDICT r4 item 6: pointer jumping bounds the round count by
+    O(log diameter), not O(diameter). A 64-link chain (worst case for
+    plain one-hop min-label propagation, which needs ~64 rounds and
+    would silently exceed max_iters=20) must close in ≤ ⌈log2 64⌉+2 =
+    8 rounds and still resolve every node to the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    iters: list[int] = []
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, iteration_counter=iters
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 65
+    assert iters[0] <= 8, f"64-chain took {iters[0]} rounds (expected ≤ 8)"
+
+
 def docs_df(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string")
 
