@@ -2112,7 +2112,14 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="spark_graft_mh_index_")
+    # deterministic per-SF scratch path (ADVICE r4): save_minhash_index
+    # writes mode=overwrite, so repeated evaluations reuse ONE directory
+    # instead of leaking a fresh mkdtemp per run
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        f"mh_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     save_minhash_index(base, path)
     pairs = dedup_against_index(new, path, threshold=0.5)
 

@@ -815,13 +815,15 @@ def save_minhash_index(
     hf = shingle_hash_frame(df, text_col, id_col, shingle_size).persist()
     sig = minhash_signatures(hf, id_col, num_hashes)
     banded = banded_buckets(sig, id_col, num_hashes, bands)
-    banded.write.partitionBy("band_id").mode("overwrite").parquet(f"{path}/bands")
+    # sets/ before bands/ (same crash-consistency order as
+    # minhash_index_append); meta/ last so a partial save won't load
     (
         hf.groupBy(id_col)
         .agg(F.collect_set("h").alias("hs"))
         .write.mode("overwrite")
         .parquet(f"{path}/sets")
     )
+    banded.write.partitionBy("band_id").mode("overwrite").parquet(f"{path}/bands")
     hf.unpersist()
     df.sparkSession.createDataFrame(
         [(num_hashes, bands, shingle_size, id_col)],
@@ -841,17 +843,25 @@ def _load_minhash_meta(spark, path: str) -> dict:
 
 def minhash_index_append(new_df: DataFrame, path: str, text_col: str = "text") -> None:
     """Grow a saved index with a new batch (append-only writes; call
-    AFTER dedup_against_index so the batch was cleaned first)."""
+    AFTER dedup_against_index so the batch was cleaned first).
+
+    Write ORDER is a crash-consistency invariant (ADVICE r4): sets/
+    is appended BEFORE bands/, so a crash between the two leaves
+    sets ⊇ bands — every band row's id has its shingle set, and a
+    partial append merely UNDER-reports candidates (the new ids have
+    no band rows yet). The reverse order would leave band rows whose
+    verification sets are missing, which dedup_against_index treats
+    as index corruption and fails loudly on."""
     spark = new_df.sparkSession
     meta = _load_minhash_meta(spark, path)
     hf = shingle_hash_frame(new_df, text_col, meta["id_col"], meta["shingle_size"]).persist()
     sig = minhash_signatures(hf, meta["id_col"], meta["num_hashes"])
-    banded_buckets(sig, meta["id_col"], meta["num_hashes"], meta["bands"]).write.partitionBy(
-        "band_id"
-    ).mode("append").parquet(f"{path}/bands")
     hf.groupBy(meta["id_col"]).agg(F.collect_set("h").alias("hs")).write.mode(
         "append"
     ).parquet(f"{path}/sets")
+    banded_buckets(sig, meta["id_col"], meta["num_hashes"], meta["bands"]).write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(f"{path}/bands")
     hf.unpersist()
 
 
@@ -861,6 +871,7 @@ def dedup_against_index(
     threshold: float = 0.8,
     text_col: str = "text",
     verify: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (new_id, index_id, jaccard) between a NEW batch
     and the persisted corpus index — without touching corpus text.
@@ -871,11 +882,25 @@ def dedup_against_index(
     against the saved shingle sets (semi-joined to candidate ids only
     — never a full sets scan materialized into memory). With
     verify=False returns band candidates with jaccard=NULL (the
-    storage-light mode when sets/ was not kept)."""
+    storage-light mode when sets/ was not kept).
+
+    Fail-loud guarantees (ADVICE r4):
+    - a candidate index_id with bands/ rows but no sets/ row is index
+      CORRUPTION (e.g. an append that crashed between writes under
+      the old bands-first order) — verification raises at execution
+      instead of silently dropping the pair through an inner join;
+    - with materialize=True (default) the result is materialized
+      (localCheckpoint) and the internal hf/cands caches released
+      before returning, so repeated daily batches don't accumulate
+      orphaned cached blocks; materialize=False returns the lazy
+      un-cached plan (for plan inspection or composition into a
+      larger single-action job — the shingle frame recomputes per
+      consumer there)."""
     spark = new_df.sparkSession
     meta = _load_minhash_meta(spark, path)
     id_col = meta["id_col"]
-    hf = shingle_hash_frame(new_df, text_col, id_col, meta["shingle_size"]).persist()
+    _cache = (lambda f: f.persist()) if materialize else (lambda f: f)
+    hf = _cache(shingle_hash_frame(new_df, text_col, id_col, meta["shingle_size"]))
     sig = minhash_signatures(hf, id_col, meta["num_hashes"])
     new_banded = banded_buckets(sig, id_col, meta["num_hashes"], meta["bands"])
     idx_banded = spark.read.parquet(f"{path}/bands")
@@ -891,10 +916,19 @@ def dedup_against_index(
             F.col(f"x.{id_col}").alias("index_id"),
         )
         .distinct()
-        .persist()
     )
+    cands = _cache(cands)
+
+    def _finish(frame: DataFrame) -> DataFrame:
+        if not materialize:
+            return frame
+        out = frame.localCheckpoint(eager=True)
+        cands.unpersist()
+        hf.unpersist()
+        return out
+
     if not verify:
-        return cands.withColumn("jaccard", F.lit(None).cast("double"))
+        return _finish(cands.withColumn("jaccard", F.lit(None).cast("double")))
     new_ids = cands.select(F.col("new_id").alias(id_col)).distinct()
     new_sets = (
         hf.join(F.broadcast(new_ids), id_col, "left_semi")
@@ -909,9 +943,24 @@ def dedup_against_index(
         .withColumnsRenamed({id_col: "index_id", "hs": "hs_x"})
     )
     inter = F.size(F.array_intersect("hs_n", "hs_x"))
-    return (
+    # LEFT join + runtime guard: a missing sets/ row for a banded id is
+    # corruption, not a miss — raise rather than under-report pairs
+    guarded_hs_x = F.when(
+        F.col("hs_x").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("minhash index inconsistent at "),
+                F.lit(path),
+                F.lit(": index_id "),
+                F.col("index_id").cast("string"),
+                F.lit(" has bands/ rows but no sets/ row (partial append?)"),
+            )
+        ),
+    ).otherwise(F.col("hs_x"))
+    return _finish(
         cands.join(new_sets, "new_id")
-        .join(idx_sets, "index_id")
+        .join(idx_sets, "index_id", "left")
+        .withColumn("hs_x", guarded_hs_x)
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",

@@ -520,6 +520,7 @@ def cap_documents_per_source(
     strata_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-source document cap — the per-host/per-domain cap of
     C4/RefinedWeb-style cleaning: no single source may contribute more
@@ -527,17 +528,45 @@ def cap_documents_per_source(
     deterministic md5 spread (engine- and run-reproducible, not
     ingestion-order-biased — same rationale as deterministic_sample).
 
-    One exchange on the strata column (the window's partition key);
-    the rank is a row_number over (md5(seed||id), id) so ties are
-    impossible. Skewed sources (the web's giant hosts) are exactly the
-    point: the window sees at most one source per reducer and emits at
-    most ``cap`` rows from it; AQE splits oversized partitions.
+    Default plan: one exchange on the strata column (the window's
+    partition key); the rank is a row_number over (md5(seed||id), id)
+    so ties are impossible. CAVEAT (ADVICE r4): AQE skew handling
+    splits shuffle-read partitions for JOINS, not window-function
+    partitions — a window partition is one task no matter how big. So
+    with a truly giant source (a web-scale host contributing a large
+    fraction of the corpus) the default single-window plan serializes
+    that source through one task.
+
+    ``salt_buckets=S`` enables the skew-safe two-stage cap for that
+    regime: stage 1 ranks within (source, md5-salt-bucket) — S tasks
+    per source — and keeps ≤ cap per bucket, provably retaining every
+    globally-top-cap row; stage 2 ranks the ≤ S×cap survivors per
+    source exactly. Output is IDENTICAL to the default plan (same
+    ranking key end-to-end; survivors of stage 1 contain all rows the
+    exact rank keeps, so stage 2's row_number equals the unsalted
+    rank — equality is pytest-gated). Cost: one extra exchange over
+    the tiny survivor set.
 
     Returns the input columns + source_rank (1-based position within
     the source's kept order)."""
     from pyspark.sql import Window
 
     key = F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string")))
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % salt_buckets
+        w_salt = Window.partitionBy(strata_col, salt).orderBy(key, F.col(id_col))
+        survivors = (
+            df.withColumn("__salt_rank", F.row_number().over(w_salt))
+            .filter(F.col("__salt_rank") <= cap)
+            .drop("__salt_rank")
+        )
+        w_exact = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+        return (
+            survivors.withColumn(
+                "source_rank", F.row_number().over(w_exact).cast("bigint")
+            )
+            .filter(F.col("source_rank") <= cap)
+        )
     w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("source_rank", F.row_number().over(w).cast("bigint"))
@@ -616,8 +645,12 @@ def train_unigram_lm(
     toks = tokens_col(F.lower(F.col(text_col)))
     # persist: the count frame feeds BOTH the total-mass aggregate and
     # the logp projection — without it Spark re-explodes the corpus for
-    # each consumer (one full extra pass at 100 TB). Lifetime is
-    # caller-managed, like minhash_dedup's occurrence frame.
+    # each consumer (one full extra pass at 100 TB). The cache is
+    # released BEFORE returning: the finished LM is materialized via
+    # localCheckpoint (it is the small artifact — vocab-sized — while
+    # counts is corpus-vocabulary-sized), so a long-running daily
+    # driver doesn't accumulate orphaned cached blocks per batch
+    # (ADVICE r4).
     counts = (
         df.select(F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
@@ -631,6 +664,8 @@ def train_unigram_lm(
     )
     if vocab_size is not None:
         lm = lm.orderBy(F.desc("logp"), F.asc("token")).limit(vocab_size)
+    lm = lm.localCheckpoint(eager=True)
+    counts.unpersist()
     return lm
 
 

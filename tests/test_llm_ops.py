@@ -698,6 +698,53 @@ def test_incremental_dedup_against_saved_index(spark, tmp_path):
     assert pairs2[0]["jaccard"] == 1.0
 
 
+def test_dedup_against_index_fails_loudly_on_corruption(spark, tmp_path):
+    """ADVICE r4: a candidate whose index_id has bands/ rows but no
+    sets/ row (an append that crashed between writes) must raise at
+    verification, not silently vanish through an inner join."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    path = str(tmp_path / "mh_corrupt")
+    corpus_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    dedup.save_minhash_index(corpus_df, path, num_hashes=24, bands=6)
+    shutil.rmtree(f"{path}/sets")
+    # recreate sets/ with only doc 5's row: docs 1/2/3 keep bands rows
+    # but lose their verification sets — the corruption shape
+    from healthcare_data_lakehouse_using_gcp_spark.operators.dedup import shingle_hash_frame
+
+    only5 = shingle_hash_frame(
+        corpus_df.filter(F.col("doc_id") == 5), "text", "doc_id", 3
+    )
+    only5.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).write.parquet(
+        f"{path}/sets"
+    )
+    near_dup_of_1 = spark.createDataFrame(
+        [(301, "the quick brown fox jumps over the lazy dog near the river bank tonight")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="bands/ rows but no sets/ row"):
+        dedup.dedup_against_index(near_dup_of_1, path, threshold=0.5)
+
+
+def test_cap_per_source_salted_matches_exact(spark):
+    """ADVICE r4: the two-stage salted cap (skew-safe plan for giant
+    sources) must produce IDENTICAL survivors and ranks to the
+    single-window exact plan."""
+    rows = [(i, f"doc {i}", "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    exact = {
+        (r["doc_id"], r["source_rank"])
+        for r in text.cap_documents_per_source(df, cap=7).collect()
+    }
+    salted = {
+        (r["doc_id"], r["source_rank"])
+        for r in text.cap_documents_per_source(df, cap=7, salt_buckets=8).collect()
+    }
+    assert salted == exact and len({d for d, _ in exact}) == 7 + 7
+
+
 def test_exact_rerank_matches_brute_force(spark):
     """Two-stage retrieval: an approximate shortlist reranked exactly
     must reproduce brute-force top-k whenever the shortlist contains
@@ -805,8 +852,9 @@ def test_new_ops_plan_shapes(spark, tmp_path):
 
     path = str(tmp_path / "mhidx")
     dedup.save_minhash_index(docs, path)
+    # materialize=False: inspect the real plan, not a checkpoint scan
     inc_plan = (
-        dedup.dedup_against_index(docs.limit(3), path, threshold=0.5)
+        dedup.dedup_against_index(docs.limit(3), path, threshold=0.5, materialize=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in inc_plan
