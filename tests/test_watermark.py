@@ -69,3 +69,74 @@ def test_append_mode_drops_late_rows(spark, cfg, tmp_path):
     }
     assert rows.get("2024-06-01 10:00:00") == 2, rows  # late row dropped
     assert "2024-06-01 10:10:00" not in rows  # still-open window unemitted
+
+
+def test_t3_accumulating_divergence_update_mode(spark, cfg, tmp_path):
+    """The documented T3 divergence, exercised end-to-end (VERDICT r4
+    item 8; SURVEY §2.8): the reference's Beam pipeline runs
+    AccumulationMode.ACCUMULATING with NO watermark
+    (healthcare_etl_pipeline.py:259-263) — a late event re-fires its
+    window with an updated count FOREVER. Our closest analogue is
+    outputMode("update"), which matches the re-fire behavior only
+    WITHIN the watermark and intentionally diverges beyond it:
+
+      run 2 — a late-but-within-watermark event re-emits its window
+        with the updated count (the ACCUMULATING behavior);
+      run 3 — an event older than the watermark is DROPPED and the
+        window is NOT re-fired (the reference would emit count 4;
+        we emit nothing — bounded state is the point of the
+        divergence at 100 TB stream scale).
+    """
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[int, str, int]] = []
+
+    def mk(ts):
+        return {
+            "data_type": "patient_vitals",
+            "patient_id": "P1",
+            "timestamp": ts,
+            "heart_rate": 80,
+            "ingest_timestamp": ts,
+        }
+
+    def run_once(idx):
+        stream = spark.readStream.text(inp)
+        parsed = parse_envelope(stream, cfg)
+
+        def sink(bdf, _bid, _idx=idx):
+            emitted.extend(
+                (_idx, str(r["window_start"]), r["record_count"])
+                for r in bdf.collect()
+            )
+
+        q = (
+            windowed_counts(
+                parsed, ts_col="timestamp", window_seconds=60, watermark_seconds=120
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two on-time events → window 10:00 fires with count 2;
+    # watermark ends the run at 10:00:20 − 120 s = 09:58:20
+    _write(inp, [mk("2024-06-01T10:00:10"), mk("2024-06-01T10:00:20")], 1)
+    run_once(1)
+    # run 2: 10:00:30 is late for its window but AHEAD of the 09:58:20
+    # watermark → ACCUMULATING-style re-fire with count 3; the 10:10
+    # event advances the watermark to 10:08 at end of run
+    _write(inp, [mk("2024-06-01T10:00:30"), mk("2024-06-01T10:10:00")], 2)
+    run_once(2)
+    # run 3: 10:00:40 is BEHIND the 10:08 watermark → dropped, no
+    # re-fire (the divergence: Beam ACCUMULATING would emit count 4)
+    _write(inp, [mk("2024-06-01T10:00:40")], 3)
+    run_once(3)
+
+    w1 = "2024-06-01 10:00:00"
+    got_w1 = [(i, c) for (i, w, c) in emitted if w == w1]
+    assert got_w1 == [(1, 2), (2, 3)], emitted
+    assert [(w, c) for (i, w, c) in emitted if i == 3] == [], emitted
