@@ -107,10 +107,11 @@ def query(name: str, sql: str | None):
 #                             recursive-CTE oracle) and supplies the
 #                             exact_jaccard truth columns of
 #                             dedup_minhash_checked + dedup_incremental   [green r1-r3]
-#   embedding_near_dup      — IDENTICAL oracle to embedding_near_dup_exact
-#                             (head this round for its first driver row);
-#                             the LSH path's recall is pytest-gated — the
-#                             twins swap seats round to round            [green r1-r3]
+#   embedding_near_dup_exact — IDENTICAL oracle to embedding_near_dup
+#                             (this round the LSH+residual twin takes the
+#                             seat per the documented alternation; exact
+#                             held it in r4 for its first driver row) —
+#                             the twins swap seats round to round        [green r4]
 #   f5_case_bucket          — CASE bucket/threshold semantics inside
 #                             curate_corpus (predicted_lang CASE) and
 #                             a13_histogram's arithmetic binning         [green r1-r3]
@@ -159,7 +160,7 @@ _TAIL = (
     "text_stats",
     "text_fingerprint",
     "sample_deterministic",
-    "embedding_near_dup",
+    "embedding_near_dup_exact",
     "f5_case_bucket",
     "dedup_ngram_jaccard",
     "p2_range_anomaly",

@@ -51,12 +51,11 @@ def test_canonical_operators_inside_driver_window():
         # is the bench.py target and sits past the window (r4 rotation)
         "multimodal_features", "dedup_minhash_checked", "a2_wide_agg",
         "j1_band_join", "j3_asof_nearest", "t1_tumbling_window",
-        # round-4 promotions: previously never driver-checked
-        # (embedding_near_dup_exact holds the near-dup family's seat this
-        # round; its LSH twin embedding_near_dup — identical oracle — is
-        # in the tail and the two swap seats round to round)
+        # the near-dup twins (identical oracle) swap seats round to
+        # round: r5 seats the LSH+residual twin embedding_near_dup;
+        # embedding_near_dup_exact held r4's seat
         "a11_rollup", "a12_dispersion", "a13_histogram",
-        "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
+        "embedding_near_dup", "temperature_mixture", "classifier_quality",
         "cap_per_source", "chunk_documents", "dedup_incremental_index",
         "lm_perplexity", "text_embed_components",
         # round-5 promotions: the two-stage serving path gets its own

@@ -1,0 +1,66 @@
+"""Physical-layout pruning tests (sources/layout): range-sorted
+writes must produce non-overlapping per-file stats so predicates can
+prune files/row groups from footers alone — the write-once/scan-many
+lever a 100 TB table lives or dies by."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.sources import layout
+
+
+@pytest.fixture()
+def shuffled(spark):
+    # keys arrive in hash-scrambled order — the realistic ingest case
+    # where a naive write leaves every file spanning the whole domain
+    return (
+        spark.range(20_000)
+        .select(
+            F.xxhash64("id").alias("scramble"),
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .repartition(8, "scramble")
+        .drop("scramble")
+    )
+
+
+def test_range_sorted_write_prunes_unsorted_does_not(shuffled, tmp_path):
+    sorted_path = str(tmp_path / "sorted")
+    naive_path = str(tmp_path / "naive")
+    layout.write_range_sorted(shuffled, sorted_path, ["k"], num_files=8)
+    shuffled.write.mode("overwrite").parquet(naive_path)
+
+    sorted_ranges = layout.file_column_ranges(sorted_path, "k")
+    naive_ranges = layout.file_column_ranges(naive_path, "k")
+    assert len(sorted_ranges) >= 4
+    # range partitioning: file key ranges are pairwise disjoint
+    assert layout.ranges_overlap_count(sorted_ranges) == 0
+    # the hash-scrambled naive write: (almost) every pair overlaps
+    n = len(naive_ranges)
+    assert layout.ranges_overlap_count(naive_ranges) == n * (n - 1) // 2
+
+    # a narrow predicate prunes nearly everything on the sorted layout
+    # and nothing on the naive one — measured from footers only
+    assert layout.prunable_fraction(sorted_path, "k", 100, 200) >= 0.75
+    assert layout.prunable_fraction(naive_path, "k", 100, 200) == 0.0
+
+    # layout must not change content
+    back = shuffled.sparkSession.read.parquet(sorted_path)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("k")).first()[0] == sum(range(20_000))
+
+
+def test_range_sorted_spark_scan_skips_files(shuffled, tmp_path, spark):
+    """End-to-end: Spark's own scan over the sorted layout reports the
+    pushed filter, and the filtered read returns exactly the predicate
+    rows (correctness of the layout path, not just the stats)."""
+    path = str(tmp_path / "sorted2")
+    layout.write_range_sorted(shuffled, path, ["k"], num_files=8)
+    scan = spark.read.parquet(path).filter((F.col("k") >= 100) & (F.col("k") <= 200))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(k,100)" in plan
+    assert scan.count() == 101
