@@ -2115,11 +2115,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 2 == 1)
     # deterministic per-SF scratch path (ADVICE r4): save_minhash_index
     # writes mode=overwrite, so repeated evaluations reuse ONE directory
-    # instead of leaking a fresh mkdtemp per run
+    # instead of leaking a fresh mkdtemp per run; keyed by PID (ADVICE
+    # r5) so two concurrent driver processes on the same SF can't race
+    # each other's bands/sets writes
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_scratch",
-        f"mh_index_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mh_index_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     save_minhash_index(base, path)
     pairs = dedup_against_index(new, path, threshold=0.5)

@@ -12,9 +12,11 @@ ONE reducer. ``assign_contiguous_ids`` does the classic two-phase
 assignment instead: number rows locally per partition, collect only
 the per-partition COUNTS (one tiny driver round — |partitions|
 longs), prefix-sum them, and add the broadcast offset back. No
-global shuffle at all in arrival order; one range shuffle when a
-global ``order_by`` is requested (quantile-based, skew-resistant —
-the same mechanism as sources/layout.write_range_sorted).
+single-reducer bottleneck anywhere: the per-partition numbering is
+one PARALLEL hash exchange on partition id (one task per pid), plus
+one range shuffle when a global ``order_by`` is requested
+(quantile-based, skew-resistant — the same mechanism as
+sources/layout.write_range_sorted).
 """
 
 from __future__ import annotations
@@ -96,12 +98,18 @@ def write_training_shards(
     serialized; the repartition is hash-on-shard_id, so shards spread
     evenly over the cluster regardless of source skew."""
     ids = assign_contiguous_ids(df, "__example_id", order_by)
+    # integer DIV, not float division: float /-then-cast truncates via
+    # a double and is only exact below 2^53 ids; DIV is exact bigint
+    # floor division at any scale
     sharded = ids.withColumn(
-        shard_col, (F.col("__example_id") / examples_per_shard).cast("bigint")
+        shard_col, F.expr(f"__example_id DIV {int(examples_per_shard)}")
     )
     n_shards = sharded.agg(F.countDistinct(shard_col)).first()[0] or 0
     (
         sharded.repartition(max(int(n_shards), 1), shard_col)
+        # intra-shard order follows the id assignment (hence order_by
+        # when given) — loaders reading a shard file see sorted rows
+        .sortWithinPartitions("__example_id")
         .drop("__example_id")
         .write.mode("overwrite")
         .partitionBy(shard_col)

@@ -84,7 +84,14 @@ def parse_media_header(
         if p[:2] == b"\xff\xd8":
             i = 2
             while i + 9 < len(p) and p[i] == 0xFF:
+                # fill bytes: padding runs of 0xFF are legal between
+                # segments — skip to the last 0xFF of the run
+                if p[i + 1] == 0xFF:
+                    i += 1
+                    continue
                 marker = p[i + 1]
+                if marker == 0xD9:  # EOI — no SOF found before end
+                    break
                 if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # bare markers
                     i += 2
                     continue

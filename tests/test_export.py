@@ -67,3 +67,18 @@ def test_write_training_shards_fixed_size(spark, tmp_path):
     # global order respected: shard 0 holds the 256 smallest keys
     s0_max = back.filter(F.col("shard_id") == 0).agg(F.max("k")).first()[0]
     assert s0_max == 255
+
+
+def test_shard_files_internally_sorted(spark, tmp_path):
+    """Rows INSIDE each shard file follow order_by (ADVICE r5) — a
+    loader streaming one file sees the sort key ascending."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "shards_sorted")
+    export.write_training_shards(
+        _scrambled(spark, 1000), path, examples_per_shard=256, order_by=["k"]
+    )
+    for d in sorted(glob.glob(os.path.join(path, "shard_id=*"))):
+        f = [x for x in glob.glob(os.path.join(d, "*.parquet")) if os.path.getsize(x)][0]
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks) and len(ks) > 0

@@ -260,6 +260,15 @@ def test_media_header_parse_roundtrip():
     with wave.open(io.BytesIO(wav)) as w:
         assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (2, 44100, 2)
 
+    # padding runs of 0xFF between segments (fill bytes) are legal in
+    # real-world JPEGs — the walker skips them and still finds SOF
+    padded = jpeg[:2] + b"\xff\xff\xff" + jpeg[2:]
+    assert multimodal.parse_media_header(padded) == ("jpeg", 201, 77, 3, None, 8)
+    # a stray EOI before any SOF stops the walk cleanly
+    assert multimodal.parse_media_header(b"\xff\xd8\xff\xd9" + b"\x00" * 16) == (
+        "jpeg", None, None, None, None, None,
+    )
+
     # garbage / truncated payloads degrade to unknown, never raise
     assert multimodal.parse_media_header(b"")[0] == "unknown"
     assert multimodal.parse_media_header(b"\x89PNG\r\n\x1a\n trunc")[0] == "unknown"
