@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines — a verbose per-rep-trace line first, then the
+compact headline summary LAST (the line the driver parses; kept small
+so a tail-of-stdout capture never clips it — the r5 artifact lesson):
+  {"metric": "headline_total_wall", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
 
 Headline set: the operators that dominate 100 TB cost — the wide
 aggregation (A2), the band join + as-of reduction (J1/J3), the
@@ -24,6 +27,18 @@ reps — every query runs at least `reps` times and keeps going (cap
 `SPARK_GRAFT_BENCH_MAX_REPS`, default 7) while the latest run still
 improves the best by >3%; stable queries stop at the floor, the
 heavies run to convergence.
+
+Protocol note (r6, closing the r5 "a2_wide_agg +52% / lm_perplexity
++86%" watch items): isolated 7-rep steady state (quiet machine) —
+a2_wide_agg 0.25-0.28 s, BELOW both recorded rounds (r4 0.42 / r5
+0.64): pure protocol noise, r5's trace [1.456, 0.637, 0.649] stopped
+while still declining. lm_perplexity had a REAL, named cause: the r5
+cache-release fix eagerly localCheckpointed the LM, serializing the
+LM-build and scoring jobs that the lazy shape pipelines as
+concurrent broadcast builds — steady state 0.58-0.64 s eager vs
+~0.32 lazy at sf0.1. Fixed: train_unigram_lm(materialize=False) in
+the corpus entry (driver/bench loops own cache lifecycle); steady
+state back to ~0.40 s, within 10% of r4's 0.38.
 """
 
 from __future__ import annotations
@@ -201,6 +216,19 @@ def main() -> None:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         load_1m = -1.0
+    # Truncation-safe emission (VERDICT r5 item 8): the r5 artifact
+    # lost its headline because ONE huge JSON line (all_runs + sf1
+    # all_runs) overflowed the driver's tail-of-stdout capture and cut
+    # the line's HEAD off. Split the output: the verbose per-rep traces
+    # go on an EARLIER line (clipped first if anything is), and the
+    # FINAL line is a compact summary — headline + per-query minimums +
+    # sf1 ratios — small enough to always survive a tail capture whole.
+    raw = {
+        "metric": "bench_raw_runs",
+        "all_runs": all_runs,
+        "sf1_all_runs": sf1_block.pop("all_runs") if sf1_block else None,
+    }
+    print(json.dumps(raw))
     out = {
         "metric": "headline_total_wall",
         "value": total,
@@ -210,7 +238,6 @@ def main() -> None:
         "reps": reps,
         "max_reps": max_reps,
         "protocol": "min_of_adaptive_reps",
-        "all_runs": all_runs,
         "load_1m_at_exit": load_1m,
     }
     if sf1_block is not None:

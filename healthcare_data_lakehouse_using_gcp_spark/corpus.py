@@ -119,26 +119,51 @@ def query(name: str, sql: str | None):
 # (j3_asof_min_by, events_session_stats, sample_stratified) promoted
 # back into the window, plus the new ann_ivf_pq_rerank head entry;
 # four r1-r4-green heads demoted to make room:
-#   f1_datetime_extract     — hour/dayname extraction; to_date/daily
-#                             bucketing inside a8_daily_rollup, window
-#                             bucketing inside t1, date_diff inside
-#                             events_session_stats; the weekend/shift
-#                             CASE buckets are f5's shape (inside
-#                             curate_corpus)                             [green r1-r4]
-#   a7_max_freshness        — MAX + timestampdiff freshness: per-group
-#                             MIN/MAX + date_diff-seconds inside
-#                             events_session_stats, full-table MIN/MAX
-#                             inside profile_orders                      [green r1-r4]
-#   p1_required_flags       — required-field IS-NOT-NULL boolean flags:
-#                             same flag-projection shape as p6_bool_flags
-#                             (head); the null/range predicates are
-#                             p3_quality_filter's WHERE body; staging
-#                             NULL-key filters in test_staging.py         [green r1-r4]
-#   p5_validate_null        — validate-to-NULL projection: its between()
-#                             predicates are p3's WHERE body (head, same
-#                             relationship p2 documents); the when-to-
-#                             NULL staging columns run in every staging
-#                             model (test_staging.py)                    [green r1-r4]
+#   f1_datetime_extract     [PROMOTED BACK r6]
+#   a7_max_freshness        [PROMOTED BACK r6]
+#   p1_required_flags       [PROMOTED BACK r6]
+#   p5_validate_null        [PROMOTED BACK r6]
+# round-6 rotation (VERDICT r5 items 1,3,4,5,6): the four r4-demoted
+# entries above promoted back (so nothing in the window is >2 rounds
+# stale); the near-dup twins swap seats per the ledger
+# (embedding_near_dup_exact takes the head seat this round — it held
+# it in r4, the LSH+residual twin in r3/r5); four NEW head entries
+# (export_ids, layout_pruned_scan, j1_band_join_bucketed,
+# ann_lsh_planted). Nine r5-green heads demoted to make room — from
+# r6 on, EVERY tail entry is also re-verified against its own DuckDB
+# oracle on every pytest run (tests/test_corpus_tail.py), so tail
+# residency no longer means "comment-only coverage":
+#   j3_asof_min_by          — IDENTICAL output + oracle to
+#                             j3_asof_nearest (head, green r5); the
+#                             min_by windowless path is pinned in
+#                             test_joins.py                              [green r2,r5]
+#   events_session_stats    — the session-gap window is EXACTLY
+#                             events_sessionize's (head); the grouped
+#                             MIN/MAX + date_diff rollup shape runs
+#                             inside j3/a8 heads; test_sessions.py       [green r2,r5]
+#   sample_stratified       — md5-bucket stratum filter: the bucket
+#                             mechanism is pack_documents' assignment
+#                             (head) and the per-stratum rates are
+#                             temperature_mixture's (head)               [green r2,r5]
+#   text_embed_components   — CC machinery (pointer jumping) identical
+#                             to dedup_components (head); the feature-
+#                             hash embedder feeds every ANN head entry   [green r4,r5]
+#   text_vocab_topk         — token-explode + doc-freq count + topk is
+#                             text_bm25_topk's postings build + rank
+#                             stage (head)                               [green r2-r5]
+#   a12_dispersion          — stddev/avg global-agg shape inside
+#                             profile_orders (head) + a10_percentile
+#                             (head); corr/covar in test_analytics.py    [green r4,r5]
+#   a13_histogram           — fixed-width binning arithmetic is the f5
+#                             bucket shape (tail, head-twin
+#                             curate_corpus); the bin groupBy-count is
+#                             a8's rollup shape (head)                   [green r4,r5]
+#   w2_moving_avg           — ordered-window machinery runs inside
+#                             j3_asof_nearest (head); rowsBetween
+#                             trailing frames in test_analytics.py       [green r3-r5]
+#   embedding_near_dup      — twin-seat ledger (see above): identical
+#                             oracle to embedding_near_dup_exact which
+#                             holds the r6 seat                          [green r3,r5]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -160,15 +185,19 @@ _TAIL = (
     "text_stats",
     "text_fingerprint",
     "sample_deterministic",
-    "embedding_near_dup_exact",
+    "embedding_near_dup",
     "f5_case_bucket",
     "dedup_ngram_jaccard",
     "p2_range_anomaly",
     "a9_avg_quality_gate",
-    "f1_datetime_extract",
-    "a7_max_freshness",
-    "p1_required_flags",
-    "p5_validate_null",
+    "j3_asof_min_by",
+    "events_session_stats",
+    "sample_stratified",
+    "text_embed_components",
+    "text_vocab_topk",
+    "a12_dispersion",
+    "a13_histogram",
+    "w2_moving_avg",
 )
 
 
@@ -432,6 +461,32 @@ def j1_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & band, "left").select(
         "o.o_orderkey", "o.o_orderdate", "l.l_linenumber", "l.l_shipdate", "l.l_quantity"
     )
+
+
+@query("j1_band_join_bucketed", _J1_SQL)
+def j1_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via date-bucket pre-partitioning (joins.band_join_bucketed;
+    VERDICT r5 item 6): both sides carry a 30-epoch-day bucket that
+    joins as an equi key next to the orderkey, so the shuffle
+    co-locates only date-adjacent rows — the scale path for the band
+    family's super-linear pair fan-out. SAME oracle as j1_band_join:
+    a green driver row IS the equivalence proof that bucketing
+    changes the plan, not the answer."""
+    from .operators.joins import band_join_bucketed
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber", "l_shipdate", "l_quantity",
+    )
+    return band_join_bucketed(
+        o, li,
+        on=["o_orderkey"],
+        left_date="o_orderdate",
+        right_date="l_shipdate",
+        band_days=30,
+        how="left",
+    ).select("o_orderkey", "o_orderdate", "l_linenumber", "l_shipdate", "l_quantity")
 
 
 @query(
@@ -1489,11 +1544,15 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.train_unigram_lm + unigram_perplexity) — the
     CCNet/KenLM-style stage as broadcast-join Column expressions: LM
     trained on the corpus itself here; at 100 TB train on a clean
-    reference slice with vocab_size capped so the LM broadcasts."""
+    reference slice with vocab_size capped so the LM broadcasts.
+    materialize=False: the driver/bench loop owns cache lifecycle
+    (clearCache between queries), so the LM stays a lazy broadcast
+    subquery and the build/score scans pipeline (r6 bisect: the
+    eager-checkpoint shape serializes them — 2× the wall)."""
     from .operators.text import train_unigram_lm, unigram_perplexity
 
     d = _t(spark, sf_dir, "documents")
-    lm = train_unigram_lm(d)
+    lm = train_unigram_lm(d, materialize=False)
     return unigram_perplexity(d, lm)
 
 
@@ -2015,6 +2074,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, q = _ann_queries(spark, sf_dir)
     approx = lsh_topk(e, q, k=10, dim=64, num_tables=12, num_planes=6)
     return _ann_embed_truth(approx, e, q, k=10)
+
+
+@query("ann_lsh_planted", None)  # approximate: rows-only + embedded truth
+def ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH in its INTENDED regime (VERDICT r5 item 5 / ROADMAP
+    item 3): ann_lsh_topk honestly documents recall ≈0.4 because this
+    corpus's true top-10 sits at cosine 0.25–0.37 — a regime where
+    random-hyperplane agreement is weak by construction. This entry
+    PLANTS the high-cosine regime instead: 10 synthetic near-
+    duplicates of each query vector (copy c adds 0.15 to coordinate
+    c → cosine ≈0.999 vs the source, all ten distinct) are unioned
+    into the corpus under fresh vec_ids, making the exact top-10 a
+    planted high-cosine cluster. Same operator, same dials as
+    ann_lsh_topk — only the data regime changes; the embedded
+    recall_at_k must clear the 0.9 floor gated in test_entry.py,
+    quantifying that the ≈0.4 number is the regime's, not the
+    implementation's."""
+    from .operators.similarity import lsh_topk
+
+    e, q = _ann_queries(spark, sf_dir)
+    planted = (
+        q.select(
+            "query_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(c) for c in range(10)])).alias("__c"),
+        )
+        .select(
+            (F.lit(1_000_000) + F.col("query_id") * 100 + F.col("__c")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == F.col("__c"), F.lit(0.15)).otherwise(F.lit(0.0)),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    corpus2 = e.select("vec_id", "embedding").unionByName(planted)
+    approx = lsh_topk(corpus2, q, k=10, dim=64, num_tables=12, num_planes=6)
+    return _ann_embed_truth(approx, corpus2, q, k=10)
 
 
 @query("ann_ivf_topk", None)  # approximate: rows-only + embedded truth
@@ -2711,6 +2810,83 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["table", "join", "query"], k=20)
 
 
+# =====================================================================
+# Export / physical layout (operators/export, sources/layout)
+# =====================================================================
+
+
+@query(
+    "export_ids",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT)
+             AS example_id
+    FROM lineitem
+    """,
+)
+def export_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global id assignment (operators/export.
+    assign_contiguous_ids; VERDICT r5 item 1): the driver hash-match
+    against the naive global-window ROW_NUMBER oracle proves the
+    two-phase plan — per-partition numbering + driver prefix-sum of
+    |partitions| counts, no single-reducer exchange (plan shape
+    asserted in test_export.py) — is EQUIVALENT to the semantics it
+    refuses to execute."""
+    from .operators.export import assign_contiguous_ids
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return assign_contiguous_ids(
+        li, "example_id", order_by=["l_orderkey", "l_linenumber"]
+    )
+
+
+def _layout_scratch_write(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem range-sorted by l_shipdate to a PID-keyed scratch
+    dir (overwrite — repeat evaluations reuse it); shared by the
+    layout_pruned_scan corpus entry and the pytest pruning-floor gate
+    so both audit the SAME files."""
+    import tempfile
+
+    from .sources.layout import write_range_sorted
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        f"layout_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    write_range_sorted(li, path, sort_cols=["l_shipdate"], num_files=8)
+    return path
+
+
+@query(
+    "layout_pruned_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def layout_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sorted write → predicate read-back (sources/layout.
+    write_range_sorted; VERDICT r5 item 3): lineitem is rewritten
+    range-partitioned + sorted on l_shipdate, then scanned with a
+    six-month window. The driver hash-match proves the layout rewrite
+    is content-preserving under a pruning predicate; the pruning
+    VALUE (≥ floor of row groups skippable on footer stats alone, 0
+    overlapping file ranges) is gated in test_entry.py over the same
+    scratch files via _layout_scratch_write."""
+    path = _layout_scratch_write(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    return spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -2724,7 +2900,7 @@ OPERATOR_MAP = {
     "P5": ["p5_validate_null"],
     "P6": ["p6_bool_flags"],
     "P7": ["p7_demux"],
-    "J1": ["j1_band_join"],
+    "J1": ["j1_band_join", "j1_band_join_bucketed"],
     "J2": ["a2_wide_agg", "j2_band_join_3way"],
     "J3": ["j3_asof_nearest"],
     "A1": ["a1_global_count"],
@@ -2765,8 +2941,8 @@ OPERATOR_MAP = {
         "dedup_incremental_index",
     ],
     "LLM-similarity": [
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
-        "embedding_near_dup", "embedding_near_dup_exact",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_planted", "ann_ivf_topk",
+        "ann_ivf_pq_topk", "embedding_near_dup", "embedding_near_dup_exact",
     ],
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
@@ -2777,4 +2953,5 @@ OPERATOR_MAP = {
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
+    "Export-layout": ["export_ids", "layout_pruned_scan"],
 }

@@ -59,6 +59,71 @@ def band_join(
     return joined
 
 
+def band_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_date: str,
+    right_date: str,
+    band_days: int = 7,
+    how: str = "left",
+) -> DataFrame:
+    """`band_join` with date-bucket pre-partitioning — the scale
+    evolution for the band family's super-linear match fan-out
+    (VERDICT r5 item 6; ROADMAP item 4).
+
+    Plain band_join shuffles on the equi-key alone, so EVERY right row
+    of a key meets every left row of that key before the band filter
+    runs — at 100 TB a key whose rows span years pays |left|×|right|
+    per key. Here both sides also carry a fixed-width date bucket
+    (width = band_days epoch-day buckets, so a right row's band
+    window spans at most 3 adjacent buckets); the LEFT side explodes
+    to its bucket ±1 (3 copies — bounded, data-independent) and the
+    bucket joins as an EQUI key next to `on`. The shuffle now
+    co-locates only date-adjacent rows: per-key pair work drops from
+    (rows per key)² to (rows per key per ~month)² × 3.
+
+    Exactly equivalent to band_join (each right row lands in ONE
+    bucket, so no duplicate pairs; corpus entry j1_band_join_bucketed
+    is driver-hash-checked against j1_band_join's oracle). LEFT
+    semantics recovered by unioning the anti-join side back with a
+    bounded broadcast-able right-null projection — requires the left
+    keys to be unique rows (true for every dimension-side use; assert
+    yourself if reusing on a non-unique left).
+    """
+    width = int(band_days)
+    lbucket = F.floor(F.unix_date(F.to_date(left[left_date])) / width).cast("long")
+    rbucket = F.floor(F.unix_date(F.to_date(right[right_date])) / width).cast("long")
+    lx = left.withColumn(
+        "__bucket",
+        F.explode(F.array(lbucket - 1, lbucket, lbucket + 1)),
+    )
+    rx = right.withColumn("__bucket", rbucket)
+    cond = lx["__bucket"] == rx["__bucket"]
+    for k in on:
+        cond = cond & (lx[k] == rx[k])
+    band = (
+        F.abs(F.datediff(F.to_date(lx[left_date]), F.to_date(rx[right_date])))
+        <= band_days
+    )
+    inner = lx.join(rx, cond & band, "inner")
+    for k in on:
+        inner = inner.drop(rx[k])
+    inner = inner.drop(lx["__bucket"]).drop(rx["__bucket"])
+    if how == "inner":
+        return inner
+    if how != "left":
+        raise ValueError(f"band_join_bucketed supports inner/left, got {how}")
+    matched_keys = inner.select(*[F.col(k) for k in on]).distinct()
+    unmatched = left.join(matched_keys, list(on), "left_anti")
+    for c in right.columns:
+        if c not in on:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(right.schema[c].dataType)
+            )
+    return inner.unionByName(unmatched)
+
+
 def proximity_rank(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -52,17 +52,20 @@ def test_canonical_operators_inside_driver_window():
         "multimodal_features", "dedup_minhash_checked", "a2_wide_agg",
         "j1_band_join", "j3_asof_nearest", "t1_tumbling_window",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r5 seats the LSH+residual twin embedding_near_dup;
-        # embedding_near_dup_exact held r4's seat
-        "a11_rollup", "a12_dispersion", "a13_histogram",
-        "embedding_near_dup", "temperature_mixture", "classifier_quality",
+        # round: r6 seats embedding_near_dup_exact (r5 seated the
+        # LSH+residual twin; r4 seated exact)
+        "a11_rollup",
+        "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
         "cap_per_source", "chunk_documents", "dedup_incremental_index",
-        "lm_perplexity", "text_embed_components",
-        # round-5 promotions: the two-stage serving path gets its own
-        # embedded-recall seat, and the three r2-stale tail entries
-        # rotate back through the window (VERDICT r4 items 4 and 7)
-        "ann_ivf_pq_rerank", "j3_asof_min_by", "events_session_stats",
-        "sample_stratified",
+        "lm_perplexity",
+        "ann_ivf_pq_rerank",
+        # round-6 promotions (VERDICT r5 items 1,3,4,5): the r4-demoted
+        # quartet rotates back, plus the four new operators — every
+        # demoted twin is now ALSO oracle-swept each pytest run by
+        # tests/test_corpus_tail.py
+        "f1_datetime_extract", "a7_max_freshness", "p1_required_flags",
+        "p5_validate_null", "export_ids", "layout_pruned_scan",
+        "j1_band_join_bucketed", "ann_lsh_planted",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
@@ -73,6 +76,10 @@ def test_canonical_operators_inside_driver_window():
 # rerank .70/.77) with slack for dial/data changes
 ANN_RECALL_FLOORS = [
     ("ann_lsh_topk", 0.25),
+    # sign-LSH in its intended high-cosine regime (planted near-dup
+    # cluster, VERDICT r5 item 5): recall must be near-perfect —
+    # measured 1.0 at sf0.001/sf0.01
+    ("ann_lsh_planted", 0.9),
     ("ann_ivf_topk", 0.55),
     ("ann_ivf_pq_topk", 0.15),
     ("ann_ivf_pq_rerank", 0.55),

@@ -911,6 +911,14 @@ def test_unigram_perplexity_ranks_junk_higher(spark):
     assert abs(out2[100]["avg_neg_logprob"] - 20.0) < 1e-6
     assert out2[100]["perplexity"] >= math.exp(19.9)
 
+    # materialize=False (lazy pipelined LM, r6) is semantics-identical
+    # to the eager-checkpoint default — only the job structure differs
+    lm_lazy = text.train_unigram_lm(df, vocab_size=5, materialize=False)
+    assert sorted(map(tuple, lm_lazy.collect())) == sorted(
+        map(tuple, lm_small.collect())
+    )
+    spark.catalog.clearCache()  # release the lazy counts cache
+
 
 def test_feature_hash_embed_feeds_ann(spark, docs):
     """Feature-hashing embedder: unit-norm vectors, identical docs get

@@ -61,93 +61,100 @@ def _driver_hashable(dt) -> bool:
     return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
 
 
+def make_oracle_connection(sf_dir: str):
+    """One DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
+    """Run one (Spark builder, DuckDB oracle) pair and return
+    ("pass"|"rows_only"|"fail", detail) — the driver-replica
+    comparison used by main() below AND the per-tail-entry pytest
+    sweep (tests/test_corpus_tail.py)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        return ("fail", f"SPARK ERROR: {e}")
+    if sql is None:
+        return ("rows_only", len(srows))
+    bad = [f.name for f in sdf.schema.fields if not _driver_hashable(f.dataType)]
+    if bad:
+        return ("fail", f"DRIVER-UNHASHABLE columns {bad}: the grading driver's "
+                        "pandas canonicalization cannot hash array/map/struct cells")
+    try:
+        # values via fetchall (native date/None types — pandas
+        # widens DATE to Timestamp and NULL to NaN); a second
+        # execute for the pandas frame feeding the dtype check
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        opdf = con.execute(sql).df()
+    except Exception as e:  # noqa: BLE001
+        return ("fail", f"DUCKDB ERROR: {e}")
+    if sorted(scols) != sorted(ocols):
+        return ("fail", f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}")
+    # The driver hash-compares pandas values, which is dtype-
+    # sensitive: an int64 Spark column vs a float64 oracle column
+    # (e.g. DuckDB HUGEINT SUMs) hash-mismatches even when the
+    # values are numerically equal (the round-3 pack_documents
+    # failure). Flag kind mismatches up front.
+    skinds = {
+        f.name: ("i" if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                 T.IntegerType, T.LongType)) else
+                 "f" if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+                 else "o")
+        for f in sdf.schema.fields
+    }
+    # spark-int vs oracle-float is only benign when the floats come
+    # from NULLs (both engines' pandas paths widen nullable ints the
+    # same way); spark-float vs oracle-int always mismatches.
+    hash_risk = [
+        c for c in scols
+        if (skinds.get(c) == "i" and opdf[c].dtype.kind == "f"
+            and opdf[c].notna().all())
+        or (skinds.get(c) == "f" and opdf[c].dtype.kind == "i")
+    ]
+    if hash_risk:
+        return ("fail", f"HASH-RISK int/float dtype mismatch on {hash_risk}: "
+                        f"spark={[skinds[c] for c in hash_risk]} "
+                        f"oracle={[opdf[c].dtype.kind for c in hash_risk]}")
+    if len(srows) != len(orows):
+        return ("fail", f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}")
+    sn, on = norm_rows(srows, scols), norm_rows(orows, ocols)
+    if sn != on:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b)
+        return ("fail", f"VALUES at sorted-row {diff[0]}:\n"
+                        f"  spark={diff[1]}\n  oracle={diff[2]}")
+    return ("pass", len(srows))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # a PLAIN session, exactly like the driver's (no custom conf, no
     # tuned shuffle/timezone): every query must be self-defending
     spark = SparkSession.builder.master("local[8]").appName("check-corpus").getOrCreate()
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = make_oracle_connection(sf_dir)
 
     qs, oracles = corpus.queries(), corpus.oracle_sql()
     failures, passes, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, f"SPARK ERROR: {e}"))
-            continue
-        if name not in oracles:
-            rows_only.append((name, len(srows)))
-            continue
-        bad = [f.name for f in sdf.schema.fields if not _driver_hashable(f.dataType)]
-        if bad:
-            failures.append(
-                (name, f"DRIVER-UNHASHABLE columns {bad}: the grading driver's "
-                       "pandas canonicalization cannot hash array/map/struct cells")
-            )
-            continue
-        try:
-            # values via fetchall (native date/None types — pandas
-            # widens DATE to Timestamp and NULL to NaN); a second
-            # execute for the pandas frame feeding the dtype check
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            opdf = con.execute(oracles[name]).df()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {e}"))
-            continue
-        if sorted(scols) != sorted(ocols):
-            failures.append((name, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"))
-            continue
-        # The driver hash-compares pandas values, which is dtype-
-        # sensitive: an int64 Spark column vs a float64 oracle column
-        # (e.g. DuckDB HUGEINT SUMs) hash-mismatches even when the
-        # values are numerically equal (the round-3 pack_documents
-        # failure). Flag kind mismatches up front.
-        skinds = {
-            f.name: ("i" if isinstance(f.dataType, (T.ByteType, T.ShortType,
-                     T.IntegerType, T.LongType)) else
-                     "f" if isinstance(f.dataType, (T.FloatType, T.DoubleType))
-                     else "o")
-            for f in sdf.schema.fields
-        }
-        # spark-int vs oracle-float is only benign when the floats come
-        # from NULLs (both engines' pandas paths widen nullable ints the
-        # same way); spark-float vs oracle-int always mismatches.
-        hash_risk = [
-            c for c in scols
-            if (skinds.get(c) == "i" and opdf[c].dtype.kind == "f"
-                and opdf[c].notna().all())
-            or (skinds.get(c) == "f" and opdf[c].dtype.kind == "i")
-        ]
-        if hash_risk:
-            failures.append(
-                (name, f"HASH-RISK int/float dtype mismatch on {hash_risk}: "
-                       f"spark={[skinds[c] for c in hash_risk]} "
-                       f"oracle={[opdf[c].dtype.kind for c in hash_risk]}")
-            )
-            continue
-        if len(srows) != len(orows):
-            failures.append((name, f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}"))
-            continue
-        sn, on = norm_rows(srows, scols), norm_rows(orows, ocols)
-        if sn != on:
-            diff = next(
-                (i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b
-            )
-            failures.append((name, f"VALUES at sorted-row {diff[0]}:\n  spark={diff[1]}\n  oracle={diff[2]}"))
-            continue
-        passes.append((name, len(srows)))
+        status, detail = compare_one(spark, con, sf_dir, name, fn, oracles.get(name))
+        if status == "pass":
+            passes.append((name, detail))
+        elif status == "rows_only":
+            rows_only.append((name, detail))
+        else:
+            failures.append((name, detail))
 
     print(f"\n== PASS ({len(passes)}) ==")
     for n, c in passes:
