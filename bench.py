@@ -70,6 +70,13 @@ HEADLINE = [
     # unigram-LM perplexity (explode + broadcast join + agg)
     "chunk_documents",
     "lm_perplexity",
+    # round-6: the date-bucketed band-join variant benched NEXT TO the
+    # plain plan (VERDICT r5 item 6). Honest expectation on THIS data
+    # shape (~4 lineitems/order, dates clustered near the band): the
+    # 3× explode overhead makes it ~1.5× slower — bucketing's win
+    # regime (many rows/key, wide date spread) is pinned by the
+    # deterministic candidate-pair test in test_joins.py instead
+    "j1_band_join_bucketed",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -94,6 +101,8 @@ SF1_SUBSET = [
     "text_bm25_topk",
     "chunk_documents",
     "lm_perplexity",
+    # round-6: scale growth of the bucketed band join vs plain j1
+    "j1_band_join_bucketed",
 ]
 
 

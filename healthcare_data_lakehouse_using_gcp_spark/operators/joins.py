@@ -59,6 +59,37 @@ def band_join(
     return joined
 
 
+def _bucketed_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_date: str,
+    right_date: str,
+    band_days: int,
+):
+    """The bucketed join's candidate machinery, factored out so tests
+    can count candidate pairs (join on `cond` WITHOUT `band`) — the
+    deterministic metric of what bucketing prunes, immune to wall-
+    clock noise. Returns (left_exploded, right_bucketed, equi_cond,
+    band_predicate)."""
+    width = int(band_days)
+    lbucket = F.floor(F.unix_date(F.to_date(left[left_date])) / width).cast("long")
+    rbucket = F.floor(F.unix_date(F.to_date(right[right_date])) / width).cast("long")
+    lx = left.withColumn(
+        "__bucket",
+        F.explode(F.array(lbucket - 1, lbucket, lbucket + 1)),
+    )
+    rx = right.withColumn("__bucket", rbucket)
+    cond = lx["__bucket"] == rx["__bucket"]
+    for k in on:
+        cond = cond & (lx[k] == rx[k])
+    band = (
+        F.abs(F.datediff(F.to_date(lx[left_date]), F.to_date(rx[right_date])))
+        <= band_days
+    )
+    return lx, rx, cond, band
+
+
 def band_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -90,21 +121,17 @@ def band_join_bucketed(
     bounded broadcast-able right-null projection — requires the left
     keys to be unique rows (true for every dimension-side use; assert
     yourself if reusing on a non-unique left).
-    """
-    width = int(band_days)
-    lbucket = F.floor(F.unix_date(F.to_date(left[left_date])) / width).cast("long")
-    rbucket = F.floor(F.unix_date(F.to_date(right[right_date])) / width).cast("long")
-    lx = left.withColumn(
-        "__bucket",
-        F.explode(F.array(lbucket - 1, lbucket, lbucket + 1)),
-    )
-    rx = right.withColumn("__bucket", rbucket)
-    cond = lx["__bucket"] == rx["__bucket"]
-    for k in on:
-        cond = cond & (lx[k] == rx[k])
-    band = (
-        F.abs(F.datediff(F.to_date(lx[left_date]), F.to_date(rx[right_date])))
-        <= band_days
+
+    WHEN to use which (measured r6): the pruning pays for its 3×
+    left-explode + wider shuffle only when the per-key candidate
+    space dwarfs the band matches — many rows per key, dates spread
+    far past the band (test_joins.py pins a ~19× candidate-pair
+    collapse on such a shape). On low-multiplicity shapes like
+    orders↔lineitem (~4 rows/key, dates clustered near the band) the
+    plain equi-shuffle is ~1.5× faster at sf0.1 AND sf1 — keep
+    band_join there; both are benched side by side (bench.py)."""
+    lx, rx, cond, band = _bucketed_candidates(
+        left, right, on, left_date, right_date, band_days
     )
     inner = lx.join(rx, cond & band, "inner")
     for k in on:
