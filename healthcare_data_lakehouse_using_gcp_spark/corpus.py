@@ -164,6 +164,23 @@ def query(name: str, sql: str | None):
 #   embedding_near_dup      — twin-seat ledger (see above): identical
 #                             oracle to embedding_near_dup_exact which
 #                             holds the r6 seat                          [green r3,r5]
+# round-6 additions (same session, after the rotation above): three
+# NEW head entries (layout_zorder_scan, text_heavy_hitters,
+# sketch_profile — operators/sketches + the Z-order layout writer);
+# three more demotions to hold the window at exactly 50:
+#   ann_lsh_topk            — IDENTICAL lsh_topk pipeline as
+#                             ann_lsh_planted (head), which adds the
+#                             planted high-cosine fixture; the moderate-
+#                             cosine recall floor stays gated in
+#                             test_entry.py                   [rows-only r2-r5]
+#   ann_ivf_pq_topk         — its ADC scoring stage runs head-side
+#                             inside ann_ivf_pq_rerank (which quantifies
+#                             raw-ADC vs reranked recall); floors in
+#                             test_entry.py                   [rows-only r4,r5]
+#   a10_percentile          — the exact grouped `percentile` aggregate
+#                             is sketch_profile's __p50_exact column
+#                             (head); grouped_percentiles machinery in
+#                             test_analytics.py                       [green r4,r5]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -198,6 +215,9 @@ _TAIL = (
     "a12_dispersion",
     "a13_histogram",
     "w2_moving_avg",
+    "ann_lsh_topk",
+    "ann_ivf_pq_topk",
+    "a10_percentile",
 )
 
 
@@ -2887,6 +2907,119 @@ def layout_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_scratch_write(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders Z-order-clustered on (o_custkey, o_totalprice) to
+    a PID-keyed scratch dir; shared by the layout_zorder_scan corpus
+    entry and the pytest two-dimension pruning gate so both audit the
+    SAME files."""
+    import tempfile
+
+    from .sources.layout import write_zorder
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        f"zorder_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_zorder(o, path, cols=["o_custkey", "o_totalprice"], bits=10, num_files=16)
+    return path
+
+
+@query(
+    "layout_zorder_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_totalprice < 200000
+    """,
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout write → predicate read-back (sources/layout.
+    write_zorder): orders is rewritten clustered on the interleaved
+    bits of (o_custkey, o_totalprice), then scanned filtering on the
+    SECOND clustered column only — the dimension a linear sort on
+    o_custkey would give zero stats pruning for. The driver
+    hash-match proves the space-filling-curve rewrite is
+    content-preserving; the pruning VALUE (footer-stats skipping on
+    BOTH columns, vs ~none on the trailing column of a linear sort)
+    is gated in test_layout.py over the same scratch files."""
+    path = _zorder_scratch_write(spark, sf_dir)
+    return spark.read.parquet(path).filter(
+        (F.col("o_totalprice") >= 150000) & (F.col("o_totalprice") < 200000)
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory EXACT heavy hitters (operators/sketches.
+    heavy_hitters_exact): pass 1 = per-task Misra-Gries summaries
+    (512 counters each, mapInPandas) merged by lower-bound sum;
+    pass 2 = exact recount of the broadcast candidate set only. The
+    driver hash-match against the plain unbounded GROUP BY top-k
+    oracle proves the MG guarantee held (every key with count >
+    n/513 survives pass 1) — same answer, O(capacity) task state
+    instead of O(distinct keys)."""
+    from .operators.sketches import heavy_hitters_exact
+    from .operators.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters_exact(toks, "token", k=20, capacity=512, count_name="cnt")
+
+
+@query(
+    "sketch_profile",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct,
+           TRUE AS hll_ok,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           TRUE AS pq_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact grouped profile (operators/sketches.
+    sketch_profile): one pass computes exact COUNT(DISTINCT) and
+    exact median NEXT TO their mergeable-sketch estimates (HLL++,
+    approx_percentile), returning the exact values plus boolean
+    flags asserting each sketch landed inside its error envelope
+    (HLL within 15 % rel; approx median between the exact 0.48/0.52
+    quantiles). Oracle side recomputes the exact columns and emits
+    literal TRUE — so the driver hash-checks the sketches' accuracy
+    claims, not just the exact aggregates. The exact grouped
+    percentile (a10's aggregate) runs inside this plan."""
+    from .operators.sketches import sketch_profile as _profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return _profile(
+        li,
+        ["l_returnflag"],
+        distinct_col="l_suppkey",
+        value_col="l_extendedprice",
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -2912,7 +3045,7 @@ OPERATOR_MAP = {
     "A7": ["a7_max_freshness"],
     "A8": ["a8_daily_rollup"],
     "A9": ["a9_avg_quality_gate"],
-    "A10": ["a10_percentile"],  # beyond-reference: grouped percentiles
+    "A10": ["a10_percentile", "sketch_profile"],  # beyond-reference: grouped percentiles
     "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
     "A12": ["a12_dispersion"],  # beyond-reference: stddev/var/corr/covar
     "A13": ["a13_histogram"],  # beyond-reference: fixed-width histogram
@@ -2953,5 +3086,6 @@ OPERATOR_MAP = {
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
-    "Export-layout": ["export_ids", "layout_pruned_scan"],
+    "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
+    "Sketches": ["text_heavy_hitters", "sketch_profile"],
 }

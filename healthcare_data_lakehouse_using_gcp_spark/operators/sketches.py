@@ -1,0 +1,168 @@
+"""Mergeable-sketch aggregation: bounded-memory answers to the two
+questions a 100 TB monitoring/curation layer asks constantly — "what
+are the heaviest keys?" and "what do the distributions look like?" —
+without ever buffering a group's values.
+
+Beyond-reference surface (the reference's monitoring layer,
+data_quality_monitoring.sql, stops at AVG/COUNT): these are the
+operators that keep profiling tractable when exact per-key state no
+longer fits an executor.
+
+Two deliberately different accuracy contracts:
+
+- ``heavy_hitters_exact`` is EXACT with bounded memory: a two-pass
+  Misra-Gries design. Pass 1 runs an MG summary with ``capacity``
+  counters per task (mapInPandas — O(capacity) state regardless of
+  partition size or key cardinality) and merges the per-partition
+  summaries by summing lower bounds; the MG guarantee says every key
+  with global count > n/(capacity+1) survives into the merged
+  candidate set. Pass 2 recounts ONLY the candidates (broadcast
+  semi-join — no second full shuffle of distinct keys) and takes the
+  true top-k of the exact recounts. When the true k-th frequency
+  clears the MG threshold the result is EXACTLY the unbounded-memory
+  groupBy answer — which is what lets a DuckDB oracle hash-check it.
+- ``sketch_profile`` is APPROXIMATE with a checked guarantee: Spark's
+  built-in mergeable sketches (HyperLogLog++ approx_count_distinct,
+  t-digest-style approx_percentile) computed SIDE BY SIDE with the
+  exact aggregates in one pass, returning the exact values plus
+  boolean flags asserting each sketch landed inside its documented
+  error envelope. The flags make sketch accuracy itself an
+  oracle-checkable fact (oracle side: exact values + literal TRUE).
+
+Scale notes: both operators are single-exchange plans. At 100 TB the
+exact side of ``sketch_profile`` is the part you'd drop (exact
+COUNT(DISTINCT) shuffles every distinct pair; exact percentile
+buffers each group) — the sketches are the product, the exact columns
+are the check-scale harness. ``heavy_hitters_exact`` keeps both
+passes scale-safe: pass 1 state is O(capacity) per task and its merge
+output is ≤ tasks×capacity rows; pass 2 aggregates only rows whose
+key is in the (broadcast) candidate set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, capacity: int = 512
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries merged into one candidate
+    frame ``(key_col, lower_bound)``.
+
+    Each task keeps at most ``capacity`` counters: a new key either
+    takes a free counter or decrements ALL counters by one (evicting
+    zeros) — the classic MG step. A key's surviving counter
+    under-counts its true partition frequency by at most
+    n_part/(capacity+1); summing per-partition counters therefore
+    under-counts globally by at most n/(capacity+1), and any key with
+    true count above that bound is guaranteed to survive in at least
+    one partition summary.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key is None:
+                    continue
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < capacity:
+                    counters[key] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {
+                key_col: list(counters.keys()),
+                "lower_bound": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    dt = dict(df.dtypes)[key_col]
+    summaries = df.select(key_col).mapInPandas(
+        mg, schema=f"{key_col} {dt}, lower_bound bigint"
+    )
+    return summaries.groupBy(key_col).agg(
+        F.sum("lower_bound").alias("lower_bound")
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    capacity: int = 512,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Exact global top-``k`` keys by frequency with O(capacity)
+    memory per task (module docstring has the two-pass design and the
+    exactness condition). Deterministic tie-break: count DESC, key ASC.
+    """
+    candidates = misra_gries_candidates(df, key_col, capacity).select(key_col)
+    exact = (
+        df.join(F.broadcast(candidates), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+    return exact.orderBy(F.col(count_name).desc(), F.col(key_col).asc()).limit(k)
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    distinct_col: str,
+    value_col: str,
+    hll_rel_err: float = 0.15,
+    quantile_eps: float = 0.02,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """One-pass grouped profile: exact COUNT(DISTINCT) and exact
+    median next to their sketch estimates (HLL++, approx_percentile),
+    plus per-group guarantee flags:
+
+    - ``hll_ok``: |HLL estimate − exact| / exact ≤ ``hll_rel_err``
+      (default 0.15 = 3× the default HLL rsd of 0.05);
+    - ``pq_ok``: the approx median lies between the exact
+      (0.5−eps)- and (0.5+eps)-quantiles — rank-space tolerance, the
+      form of approx_percentile's actual guarantee (rank error ≤
+      n/accuracy, far inside eps=0.02 for any group over ~100 rows).
+
+    Output: group_cols + (n_distinct, hll_ok, p50, pq_ok); the exact
+    columns are what the oracle recomputes, the flags are how the
+    sketches get hash-checked (oracle side emits literal TRUE).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    probs = [0.5 - quantile_eps, 0.5, 0.5 + quantile_eps]
+    agg = df.groupBy(*gcols).agg(
+        F.countDistinct(distinct_col).alias("n_distinct"),
+        F.approx_count_distinct(distinct_col).alias("__hll"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("__p50_exact"),
+        F.expr(f"percentile({value_col}, {probs[0]})").alias("__p_lo"),
+        F.expr(f"percentile({value_col}, {probs[2]})").alias("__p_hi"),
+        F.expr(f"approx_percentile({value_col}, 0.5, {approx_accuracy})").alias(
+            "__pq"
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (
+            F.abs(F.col("__hll") - F.col("n_distinct"))
+            <= F.lit(hll_rel_err) * F.col("n_distinct")
+        ).alias("hll_ok"),
+        F.round("__p50_exact", 4).alias("p50"),
+        (
+            (F.col("__pq") >= F.col("__p_lo")) & (F.col("__pq") <= F.col("__p_hi"))
+        ).alias("pq_ok"),
+    )

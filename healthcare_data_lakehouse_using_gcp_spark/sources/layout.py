@@ -1,7 +1,7 @@
 """Physical data layout for scan pruning — the cheapest 100 TB query
 is the one that never reads the bytes.
 
-Three pruning levers, from coarsest to finest:
+Four pruning levers, from coarsest to finest:
 - hive partitioning (``partition_cols``) prunes DIRECTORIES on
   partition predicates (readers.write_zone already uses it for
   event_date);
@@ -10,6 +10,13 @@ Three pruning levers, from coarsest to finest:
   files, so range/point predicates on the sort column prune whole
   FILES and ROW GROUPS at planning/scan time — without this, every
   file's [min, max] spans the whole domain and stats prune nothing;
+- Z-order clustering (``write_zorder``) trades the single perfect
+  sort dimension for USEFUL stats on SEVERAL dimensions at once:
+  rows are sorted by the bit-interleaving of their (quantized)
+  column values, so spatially-near rows co-locate and every file's
+  per-column [min, max] covers only a sub-rectangle of the domain —
+  predicates on ANY of the clustered columns prune, where a linear
+  sort prunes only its leading column;
 - bucketing (lakehouse.write_bucketed_table) hash-clusters join keys
   so co-bucketed joins skip the shuffle.
 
@@ -57,6 +64,73 @@ def write_range_sorted(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_value(
+    scaled_cols: list, bits: int, out_name: str = "__z"
+):
+    """Bit-interleave already-quantized long columns (each in
+    [0, 2^bits)) into one Z-value Column. Pure shift/mask expressions
+    — JVM-side, whole-stage-codegen'd; ``bits × len(cols)`` must fit
+    a signed long (≤ 62)."""
+    ncols = len(scaled_cols)
+    if bits * ncols > 62:
+        raise ValueError(f"bits*cols = {bits * ncols} exceeds long range")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z.alias(out_name)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` Z-order-clustered on numeric ``cols`` (cast dates
+    to epoch days/seconds first).
+
+    Quantization: each column is min-max-scaled onto [0, 2^bits)
+    (one tiny driver agg — 2 scalars per column), then the scaled
+    values are bit-interleaved into a Z-value; repartitionByRange +
+    sortWithinPartitions on that value lays rows out along the
+    space-filling curve. NULLs quantize to bucket 0 (they cluster
+    with the domain minimum — parquet null counts still prune them).
+
+    Min-max scaling (vs. quantile ranks) keeps the map monotone and
+    stateless; for a heavily skewed column, pre-transform it (log,
+    bucketed rank) before calling — the audit functions below will
+    show whether the resulting per-file rectangles are tight.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None) else 0
+        if not span:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) * top / F.lit(span)
+        ).cast("long")
+        scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", zorder_value(scaled, bits))
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _column_chunk_stats(rg_meta, column: str):
@@ -115,6 +189,56 @@ def ranges_overlap_count(ranges: list[tuple[str, object, object]]) -> int:
             if amn <= bmx and bmn <= amx:
                 n += 1
     return n
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the lakehouse maintenance job that
+    keeps append-heavy zones scannable. Streaming/micro-batch appends
+    (lakehouse raw/processed zones) accrete thousands of KB-sized
+    files; at 100 TB each scan then pays per-file open/footer/seek
+    costs that dwarf the data read, and the driver's file index
+    itself becomes a bottleneck.
+
+    Bin-packs the directory into ``ceil(total_bytes/target_bytes)``
+    output files. Without ``sort_cols`` the rewrite uses
+    ``coalesce`` — a NARROW merge of adjacent input splits, no
+    shuffle at all; with ``sort_cols`` it re-runs the
+    ``write_range_sorted`` layout (one range shuffle) so compaction
+    simultaneously restores stats-pruning tightness.
+
+    Swap protocol: the compacted copy is FULLY written to a sibling
+    ``.__compact_tmp`` dir before the original is removed and the tmp
+    renamed into place — a crash mid-swap leaves either the original
+    or a complete tmp on disk, never a half-rewritten zone. (On a
+    real object store you'd commit via manifest/metadata swap —
+    Iceberg/Delta style — instead of a rename.)
+
+    Returns (files_before, files_after); no-ops (and skips the
+    rewrite) when the directory is already at or below the target
+    file count.
+    """
+    import math
+    import shutil
+
+    files = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):
+        return (len(files), len(files))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    if sort_cols:
+        write_range_sorted(df, tmp, sort_cols, num_files=n_out)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return (len(files), len(_parquet_files(path)))
 
 
 def prunable_fraction(path: str, column: str, lo, hi) -> float:

@@ -45,7 +45,12 @@ def test_canonical_operators_inside_driver_window():
     first50 = set(list(entrymod.queries())[:50])
     canonical = [
         "scrub_pii", "pack_documents", "curate_corpus", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
+        # ann_lsh_topk / ann_ivf_pq_topk were demoted mid-r6 for the
+        # sketch/zorder entries: each has an embedded-truth head twin
+        # (ann_lsh_planted — same lsh_topk pipeline; ann_ivf_pq_rerank
+        # — runs the ADC stage head-side) and keeps its recall floor
+        # below plus the tail oracle sweep
+        "ann_ivf_topk",
         # minhash's window seat is the checked twin (same pipeline +
         # embedded ground-truth containment); the plain dedup_minhash_lsh
         # is the bench.py target and sits past the window (r4 rotation)
@@ -66,6 +71,9 @@ def test_canonical_operators_inside_driver_window():
         "f1_datetime_extract", "a7_max_freshness", "p1_required_flags",
         "p5_validate_null", "export_ids", "layout_pruned_scan",
         "j1_band_join_bucketed", "ann_lsh_planted",
+        # round-6 additions (same session): bounded-memory sketches +
+        # Z-order layout
+        "text_heavy_hitters", "sketch_profile", "layout_zorder_scan",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

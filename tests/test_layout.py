@@ -66,6 +66,131 @@ def test_range_sorted_spark_scan_skips_files(shuffled, tmp_path, spark):
     assert scan.count() == 101
 
 
+@pytest.fixture()
+def grid(spark):
+    # 128×128 grid in hash-scrambled arrival order: two independent
+    # dimensions, the shape Z-ordering exists for
+    return (
+        spark.range(16_384)
+        .select(
+            F.xxhash64("id").alias("scramble"),
+            (F.col("id") % 128).alias("x"),
+            (F.col("id") / 128).cast("long").alias("y"),
+        )
+        .repartition(8, "scramble")
+        .drop("scramble")
+    )
+
+
+def test_zorder_prunes_both_dimensions_linear_sort_only_one(grid, tmp_path, spark):
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    layout.write_zorder(grid, z_path, ["x", "y"], bits=7, num_files=16)
+    layout.write_range_sorted(grid, lin_path, ["x"], num_files=16)
+
+    # narrow band on each dimension (1/8 of the domain)
+    zx = layout.prunable_fraction(z_path, "x", 0, 15)
+    zy = layout.prunable_fraction(z_path, "y", 0, 15)
+    lx = layout.prunable_fraction(lin_path, "x", 0, 15)
+    ly = layout.prunable_fraction(lin_path, "y", 0, 15)
+    # linear sort: near-perfect on its sort column, useless on the other
+    assert lx >= 0.8
+    assert ly == 0.0
+    # z-order: substantial pruning on BOTH dimensions
+    assert zx >= 0.5, f"z-order x pruning only {zx:.2%}"
+    assert zy >= 0.5, f"z-order y pruning only {zy:.2%}"
+
+    # layout must not change content
+    back = spark.read.parquet(z_path)
+    assert back.count() == 16_384
+    assert back.agg(F.sum("x"), F.sum("y")).first() == grid.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    # (x=0b101, y=0b011) with 3 bits → z = y2x2 y1x1 y0x0 = 0b 01 11 01... ;
+    # spelled per-bit: bit i of x lands at 2i, bit i of y at 2i+1
+    row = spark.range(1).select(
+        layout.zorder_value([F.lit(0b101).cast("long"), F.lit(0b011).cast("long")], 3)
+    ).first()
+    x, y = 0b101, 0b011
+    expect = sum((((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)) for i in range(3))
+    assert row[0] == expect
+
+
+def test_compact_parquet_dir_bin_packs_and_preserves_content(grid, tmp_path, spark):
+    path = str(tmp_path / "fragmented")
+    grid.repartition(64).write.mode("overwrite").parquet(path)
+    before_files = len(layout._parquet_files(path))
+    assert before_files >= 64
+    total = sum(
+        __import__("os").path.getsize(f) for f in layout._parquet_files(path)
+    )
+    # target ≈ quarter of the data → expect ~4 output files
+    before, after = layout.compact_parquet_dir(spark, path, target_bytes=total // 4 + 1)
+    assert before == before_files
+    assert 1 <= after <= 8
+    back = spark.read.parquet(path)
+    assert back.count() == 16_384
+    assert back.agg(F.sum("x"), F.sum("y")).first() == grid.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+    # target below current file sizes → nothing to gain, no-op
+    b2, a2 = layout.compact_parquet_dir(spark, path, target_bytes=1)
+    assert (b2, a2) == (after, after)
+
+
+def test_compact_with_sort_restores_pruning(grid, tmp_path, spark):
+    """Compaction with sort_cols simultaneously merges small files AND
+    re-tightens footer stats — the combined maintenance pass."""
+    path = str(tmp_path / "fragmented_sorted")
+    grid.repartition(64).write.mode("overwrite").parquet(path)
+    assert layout.prunable_fraction(path, "x", 0, 15) == 0.0
+    total = sum(
+        __import__("os").path.getsize(f) for f in layout._parquet_files(path)
+    )
+    _, after = layout.compact_parquet_dir(
+        spark, path, target_bytes=total // 8 + 1, sort_cols=["x"]
+    )
+    assert after <= 16
+    assert layout.ranges_overlap_count(layout.file_column_ranges(path, "x")) == 0
+    assert layout.prunable_fraction(path, "x", 0, 15) >= 0.5
+
+
+def test_corpus_zorder_scratch_prunes_real_orders(spark):
+    """The two-dimension pruning floor gated on the SAME files the
+    layout_zorder_scan corpus entry reads back — real orders clustered
+    on (o_custkey, o_totalprice). The driver row proves content
+    equality; this proves the curve BUYS stats pruning on both
+    clustered columns, including the trailing one a linear sort would
+    leave unprunable."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark import corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata unavailable")
+    path = corpus._zorder_scratch_write(spark, sf_dir)
+    stats = (
+        spark.read.parquet(path)
+        .agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+        )
+        .first()
+    )
+    ck_lo, ck_hi = stats[0], stats[1]
+    tp_lo, tp_hi = stats[2], stats[3]
+    ck_band = (ck_lo, ck_lo + (ck_hi - ck_lo) * 0.1)
+    tp_band = (tp_lo, tp_lo + (tp_hi - tp_lo) * 0.1)
+    fc = layout.prunable_fraction(path, "o_custkey", *ck_band)
+    ft = layout.prunable_fraction(path, "o_totalprice", *tp_band)
+    assert fc >= 0.3, f"o_custkey pruning only {fc:.2%}"
+    assert ft >= 0.3, f"o_totalprice pruning only {ft:.2%}"
+
+
 def test_corpus_layout_scratch_prunes_real_lineitem(spark):
     """VERDICT r5 item 3: the pruning floor gated on the SAME files
     the layout_pruned_scan corpus entry reads back — real lineitem

@@ -1,0 +1,105 @@
+"""Bounded-memory sketch operators (operators/sketches): the
+Misra-Gries two-pass heavy hitter must equal the unbounded groupBy
+answer whenever the MG guarantee holds, with candidate state provably
+bounded; sketch_profile's accuracy flags must hold on real data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.operators import sketches
+
+
+@pytest.fixture()
+def zipfish(spark):
+    # key k appears ~ 20_000 / (k+1) times, k = 0..99: a classic
+    # heavy-tailed frequency profile in scrambled arrival order
+    return (
+        spark.range(100)
+        .select(F.col("id").alias("k"))
+        .withColumn("n", (F.lit(20_000) / (F.col("k") + 1)).cast("int"))
+        .select(F.col("k"), F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+        .select(F.xxhash64("k", "i").alias("scramble"), F.concat(F.lit("key_"), F.format_string("%03d", "k")).alias("key"))
+        .repartition(8, "scramble")
+        .drop("scramble")
+    )
+
+
+def exact_topk(df, key_col, k):
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(k)
+        .collect()
+    )
+
+
+def test_heavy_hitters_equal_unbounded_groupby(zipfish):
+    got = sketches.heavy_hitters_exact(zipfish, "key", k=10, capacity=64).collect()
+    want = exact_topk(zipfish, "key", 10)
+    assert [(r["key"], r["cnt"]) for r in got] == [
+        (r["key"], r["cnt"]) for r in want
+    ]
+
+
+def test_heavy_hitters_survive_distinct_key_flood(spark):
+    """Adversarial shape: 3 heavy keys drowned in 30k once-only keys.
+    With capacity 32 the MG summaries can hold only a sliver of the
+    key space, yet the heavies' counts (5000 each > n/33 ≈ 1363) must
+    survive the decrement churn and recount exactly."""
+    heavies = (
+        spark.range(15_000)
+        .select(F.concat(F.lit("hot_"), (F.col("id") % 3)).alias("key"))
+    )
+    flood = spark.range(30_000).select(
+        F.concat(F.lit("cold_"), F.col("id")).alias("key")
+    )
+    df = heavies.unionByName(flood).repartition(8, F.rand(seed=7))
+    got = sketches.heavy_hitters_exact(df, "key", k=3, capacity=32).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [
+        ("hot_0", 5000), ("hot_1", 5000), ("hot_2", 5000)
+    ]
+
+
+def test_candidate_state_is_bounded(zipfish):
+    cands = sketches.misra_gries_candidates(zipfish, "key", capacity=16)
+    # merged candidates ≤ input partitions × capacity — the whole point
+    n_parts = zipfish.rdd.getNumPartitions()
+    assert cands.count() <= n_parts * 16
+    # lower bounds never exceed true counts (MG only under-counts)
+    truth = {r["key"]: r["cnt"] for r in exact_topk(zipfish, "key", 100)}
+    for r in cands.collect():
+        assert r["lower_bound"] <= truth[r["key"]]
+
+
+def test_sketch_profile_flags_hold_on_lineitem(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata unavailable")
+    from healthcare_data_lakehouse_using_gcp_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = sketches.sketch_profile(
+        li, ["l_returnflag"], distinct_col="l_suppkey", value_col="l_extendedprice"
+    )
+    rows = prof.collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["hll_ok"] is True, r
+        assert r["pq_ok"] is True, r
+    # the exact columns really are exact: cross-check one group
+    flag = rows[0]["l_returnflag"]
+    want = (
+        li.filter(F.col("l_returnflag") == flag)
+        .agg(
+            F.countDistinct("l_suppkey").alias("nd"),
+            F.expr("round(percentile(l_extendedprice, 0.5), 4)").alias("p50"),
+        )
+        .first()
+    )
+    assert rows[0]["n_distinct"] == want["nd"]
+    assert rows[0]["p50"] == want["p50"]
