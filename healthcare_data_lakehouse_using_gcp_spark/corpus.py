@@ -181,6 +181,12 @@ def query(name: str, sql: str | None):
 #                             is sketch_profile's __p50_exact column
 #                             (head); grouped_percentiles machinery in
 #                             test_analytics.py                       [green r4,r5]
+#   epoch_upsample          — NEW in r6 (not a demotion): born in the
+#                             tail because the r6 head is full; its
+#                             oracle runs in the pytest tail sweep
+#                             every run; promote to a head seat in r7.
+#                             Bucket mechanism = pack_documents /
+#                             sample_* (head twins)          [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -218,6 +224,7 @@ _TAIL = (
     "ann_lsh_topk",
     "ann_ivf_pq_topk",
     "a10_percentile",
+    "epoch_upsample",
 )
 
 
@@ -3020,6 +3027,42 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "epoch_upsample",
+    r"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.75
+                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS e,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(e) AS BIGINT)
+               + CASE WHEN b < CAST(e * 10000 AS BIGINT)
+                              - CAST(FLOOR(e) AS BIGINT) * 10000
+                      THEN 1 ELSE 0 END AS copies
+      FROM rated
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+    FROM c
+    WHERE copies > 0
+    """,
+)
+def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source upsampling (operators/text.
+    epoch_upsample): src0 × 2.5 epochs (2 full copies + deterministic
+    md5-bucket half a third time), src1 × 0.75 (deterministic 75 %
+    once), src2 dropped, everything else × 1. The oracle reproduces
+    the bucket arithmetic and the per-copy explode exactly — same
+    ids, same copy counts, same 0-based epoch indices on both
+    engines. Narrow plan: no shuffle, output exactly Σ n_s·e_s rows."""
+    from .operators.text import epoch_upsample as up
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return up(d, {"src0": 2.5, "src1": 0.75, "src2": 0.0}, default_epochs=1.0)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3081,6 +3124,7 @@ OPERATOR_MAP = {
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
         "chunk_documents", "lm_perplexity", "text_embed_components",
+        "epoch_upsample",
     ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],

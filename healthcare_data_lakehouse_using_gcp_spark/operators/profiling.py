@@ -64,3 +64,52 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def partition_skew(df: DataFrame) -> DataFrame:
+    """Per-partition row counts: (partition_id, n_rows). The
+    diagnostic half of every skew fix in this repo (salting, AQE skew
+    join, salted per-source cap) — measure BEFORE salting. One narrow
+    pass + a tiny agg (|partitions| rows through the shuffle)."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(F.col("__pid").alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def skew_stats(df: DataFrame) -> dict:
+    """Driver-side summary of ``partition_skew``: n_partitions,
+    max/mean rows and their ratio (1.0 = perfectly even; ≳5 on a
+    join/agg input predicts straggler tasks — reach for salting or
+    repartitionByRange). Collects only |partitions| longs."""
+    rows = partition_skew(df).collect()
+    counts = [r["n_rows"] for r in rows] or [0]
+    mean = sum(counts) / len(counts)
+    return {
+        "n_partitions": len(counts),
+        "max_rows": max(counts),
+        "mean_rows": mean,
+        "skew_ratio": (max(counts) / mean) if mean else 0.0,
+    }
+
+
+def key_skew(df: DataFrame, key_cols: Sequence[str], k: int = 20) -> DataFrame:
+    """Top-``k`` heaviest key groups with their share of the table:
+    (key_cols..., n_rows, share). A share ≳ 1/shuffle_partitions
+    means that key alone overflows one reducer — the precise trigger
+    for salting it. One hash-agg + TakeOrderedAndProject; the global
+    total rides along as a broadcast 1-row frame."""
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )

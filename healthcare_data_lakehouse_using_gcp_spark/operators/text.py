@@ -146,6 +146,48 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the training-mix lever expressed
+    in epochs instead of keep-rates: ``{"books": 2.5}`` emits 2 full
+    copies of every books doc plus a deterministic 50 % slice a third
+    time; ``0.75`` keeps 75 % of docs once; ``0.0`` drops the source.
+    The emitted ``epoch_col`` (0-based copy index) lets downstream
+    shuffling/sharding spread a doc's copies across the run.
+
+    The fractional slice reuses the md5-bucket mechanism of
+    ``deterministic_sample`` — the SAME ids get the extra copy on
+    every engine, run, and partitioning, so two builds of the mix are
+    byte-identical. Narrow plan: per-row bucket + explode(sequence),
+    no shuffle; output size is exactly sum(n_s × e_s) rows.
+
+    Pass exactly-representable rates (x.0, x.25, x.5, x.75 …) when
+    cross-engine reproducibility of the cut matters — 10000×frac must
+    be integral to avoid float-truncation ambiguity.
+    """
+    e = F.lit(float(default_epochs))
+    for value, rate in epochs.items():
+        e = F.when(F.col(strata_col) == value, F.lit(float(rate))).otherwise(e)
+    n_full = F.floor(e).cast("bigint")
+    frac_cut = (e * 10000 - n_full * 10000).cast("bigint")
+    copies = n_full + F.when(_hash_bucket(id_col) < frac_cut, 1).otherwise(0)
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("__copies") - 1)),
+        )
+        .drop("__copies")
+    )
+
+
 def normalize_unicode(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", form: str = "NFC"
 ) -> DataFrame:

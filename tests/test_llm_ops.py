@@ -339,6 +339,37 @@ def test_stratified_sample(spark):
     assert len(out) == 100  # rate 1.0 keeps every row of the stratum
 
 
+def test_epoch_upsample(spark):
+    rows = [(i, ["books", "web", "junk"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.epoch_upsample(
+        df, {"books": 2.5, "web": 0.75, "junk": 0.0}, default_epochs=1.0
+    ).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # junk dropped entirely
+    assert not any(d % 3 == 2 for d in by_doc)
+    books = [d for d in by_doc if d % 3 == 0]
+    web = [d for d in by_doc if d % 3 == 1]
+    # every surviving books doc has 2 or 3 copies with dense 0-based epochs
+    for d in books:
+        assert sorted(by_doc[d]) in ([0, 1], [0, 1, 2])
+    # the fractional halves hit ~half the stratum (deterministic cut)
+    thirds = sum(1 for d in books if len(by_doc[d]) == 3)
+    assert 30 <= thirds <= 70, thirds
+    # web: one copy each, ~75% of the stratum survives
+    assert all(by_doc[d] == [0] for d in web)
+    assert 55 <= len(web) <= 95, len(web)
+    # deterministic: a second run is identical
+    again = text.epoch_upsample(
+        df, {"books": 2.5, "web": 0.75, "junk": 0.0}, default_epochs=1.0
+    ).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in again) == sorted(
+        (r["doc_id"], r["epoch"]) for r in out
+    )
+
+
 def test_curate_corpus_pipeline(spark, docs):
     kept = {r["doc_id"]: r for r in text.curate_corpus(docs, min_quality=0.2).collect()}
     assert 5 not in kept      # punctuation junk fails quality/lang

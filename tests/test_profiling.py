@@ -38,3 +38,40 @@ def test_profile_approx_mode_single_pass(spark):
 def test_profile_column_subset(spark):
     rows = profile_table(_df(spark), ["id"]).collect()
     assert [r["column_name"] for r in rows] == ["id"]
+
+
+def test_partition_skew_detects_hot_partition(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import (
+        key_skew,
+        partition_skew,
+        skew_stats,
+    )
+
+    # 90% of rows share one key → hash-repartitioning by it piles
+    # them into a single partition
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), F.col("id"))
+        ).alias("k")
+    )
+    skewed = df.repartition(8, "k")
+    stats = skew_stats(skewed)
+    assert stats["n_partitions"] == 8
+    assert stats["max_rows"] >= 9_000
+    assert stats["skew_ratio"] >= 5.0
+    # per-partition frame agrees with the summary
+    counts = {r["partition_id"]: r["n_rows"] for r in partition_skew(skewed).collect()}
+    assert max(counts.values()) == stats["max_rows"]
+
+    # round-robin layout: near-even
+    even = skew_stats(df.repartition(8))
+    assert even["skew_ratio"] <= 1.5
+
+    # key_skew names the culprit with its share
+    top = key_skew(df, ["k"], k=3).collect()
+    assert top[0]["k"] == "hot"
+    assert top[0]["n_rows"] == 9_000
+    assert abs(top[0]["share"] - 0.9) < 1e-6
+    assert all(r["n_rows"] == 1 for r in top[1:])
