@@ -187,6 +187,14 @@ def query(name: str, sql: str | None):
 #                             every run; promote to a head seat in r7.
 #                             Bucket mechanism = pack_documents /
 #                             sample_* (head twins)          [new r6, no driver row]
+#   pivot_daily_events      — NEW in r6, tail-born like epoch_upsample
+#                             (conditional-agg machinery = a5/a8 heads;
+#                             promote in r7)                 [new r6, no driver row]
+#   melt_lineitem           — NEW in r6, tail-born (narrow unpivot
+#                             expand; promote in r7)         [new r6, no driver row]
+#   gapfill_daily           — NEW in r6, tail-born (sequence+explode
+#                             grid = chunk_documents' mechanism, daily
+#                             rollup = a8/w2; promote in r7) [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -225,6 +233,9 @@ _TAIL = (
     "ann_ivf_pq_topk",
     "a10_percentile",
     "epoch_upsample",
+    "pivot_daily_events",
+    "melt_lineitem",
+    "gapfill_daily",
 )
 
 
@@ -3063,6 +3074,98 @@ def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return up(d, {"src0": 2.5, "src1": 0.75, "src2": 0.0}, default_epochs=1.0)
 
 
+@query(
+    "pivot_daily_events",
+    """
+    SELECT ts::DATE AS date,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (operators/analytics.pivot_table): daily event
+    counts, one column per event type. The values list is explicit, so
+    the plan is ONE hash-aggregation of conditional counts — no
+    distinct-discovery scan, no unbounded schema; identical to the
+    oracle's COUNT(*) FILTER columns."""
+    from .operators.analytics import pivot_table
+
+    e = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    return pivot_table(
+        e, ["date"], "event_type",
+        values=["click", "view", "purchase", "signup", "error"],
+    )
+
+
+@query(
+    "melt_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (operators/analytics.melt): three measure
+    columns melted to (variable, value) rows. Spark's unpivot is a
+    narrow expand inside the scan stage (one pass, ×3 rows out);
+    the oracle spells the same thing as a 3-way UNION ALL."""
+    from .operators.analytics import melt
+
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@query(
+    "gapfill_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS date, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value > 150 GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, MIN(date) AS lo, MAX(date) AS hi FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+      FROM spans
+    )
+    SELECT g.event_type, g.date, COALESCE(d.n, 0) AS n, d.n IS NULL AS was_gap
+    FROM grid g
+    LEFT JOIN daily d ON g.event_type = d.event_type AND g.date = d.date
+    """,
+)
+def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series densification (operators/analytics.
+    fill_daily_gaps, zero mode): the high-value event stream
+    (value > 150) is sparse — most (type, day) cells are empty — so
+    the rollup alone under-reports gaps as missing rows instead of
+    zeros. The dense grid is generated per group via
+    sequence(min, max) + explode (no driver round, no global
+    calendar cross join), left-joined back, absent days filled with
+    0 and flagged was_gap."""
+    from .operators.analytics import fill_daily_gaps
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") > 150)
+        .groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return fill_daily_gaps(daily, ["event_type"], "date", "n", mode="zero")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3132,4 +3235,5 @@ OPERATOR_MAP = {
     "LLM-multimodal": ["multimodal_features"],
     "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
     "Sketches": ["text_heavy_hitters", "sketch_profile"],
+    "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
 }

@@ -161,3 +161,104 @@ def histogram(
             "n",
         )
     )
+
+
+def pivot_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg_col: str | None = None,
+    agg: str = "count",
+) -> DataFrame:
+    """Long → wide: one output column per entry of ``values``
+    (``count`` of matching rows, or ``agg`` of ``agg_col``). Missing
+    combinations come back 0 for counts / NULL for other aggregates.
+
+    ``values`` is REQUIRED (unlike raw ``df.groupBy().pivot(col)``):
+    an unlisted-values pivot first runs a full distinct scan to
+    discover the columns AND risks a million-column schema on a
+    high-cardinality pivot key. With the list given, the plan is one
+    hash-aggregation with a conditional aggregate per value — same
+    single-exchange shape as any grouped agg, and rows with unlisted
+    pivot values simply fall out. Column naming: the pivot value
+    itself (sanitized to lowercase identifier form)."""
+    aggfn = getattr(F, agg)
+    target = F.col(agg_col) if agg_col else F.lit(1)
+    aggs = []
+    for v in values:
+        name = str(v).lower().replace(" ", "_").replace("-", "_")
+        matched = F.when(F.col(pivot_col) == v, target)
+        if agg == "count":
+            aggs.append(F.count(matched).cast("bigint").alias(name))
+        else:
+            aggs.append(aggfn(matched).alias(name))
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (inverse of ``pivot_table``): one output row per
+    (input row × value column). Built on ``unpivot`` — a narrow,
+    shuffle-free expand executed inside the scan stage; value columns
+    are cast to a common type (caller aligns types when mixing)."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
+
+
+def fill_daily_gaps(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    mode: str = "zero",
+) -> DataFrame:
+    """Densify a daily series: emit one row per (group, day) for every
+    day in the group's [min, max] span, filling absent days with 0
+    (``mode='zero'``) or the last seen value (``mode='ffill'``).
+    Input must be one row per (group, day) — pre-aggregate first.
+
+    The dense grid comes from per-group ``sequence(min, max)`` +
+    explode — generated WHERE the group's rows already live (one
+    hash-agg for the spans, no driver round, no cross join against a
+    global calendar). The left join back is a small self-join on
+    (group, day); ffill is ``last(value, ignorenulls)`` over an
+    unbounded-preceding window — one pass, no per-row loops. Scale:
+    output is Σ span_days per group; a group's whole span must be
+    sortable in one task for the window (days, not events — fine for
+    years of history)."""
+    if mode not in ("zero", "ffill"):
+        raise ValueError(f"unknown fill mode {mode!r}")
+    gcols = [F.col(c) for c in group_cols]
+    spans = df.groupBy(*gcols).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    grid = spans.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_col),
+    )
+    joined = grid.join(df, [*group_cols, date_col], "left")
+    if mode == "zero":
+        filled = F.coalesce(F.col(value_col), F.lit(0).cast("bigint"))
+    else:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(date_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last(value_col, ignorenulls=True).over(w)
+    return joined.select(
+        *group_cols,
+        date_col,
+        filled.alias(value_col),
+        F.col(value_col).isNull().alias("was_gap"),
+    )

@@ -160,3 +160,67 @@ def test_temperature_mixture_rates(spark):
     # rates feed the deterministic sampler
     kept = stratified_sample(df, r0, strata_col="source")
     assert kept.count() <= 12
+
+
+def test_pivot_table_counts_and_sums(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        melt,
+        pivot_table,
+    )
+
+    rows = [
+        ("d1", "click", 1.0), ("d1", "click", 2.0), ("d1", "view", 5.0),
+        ("d2", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "date string, et string, v double")
+    counts = {r["date"]: r for r in
+              pivot_table(df, ["date"], "et", ["click", "view"]).collect()}
+    assert (counts["d1"]["click"], counts["d1"]["view"]) == (2, 1)
+    # absent combination is 0, not a missing row
+    assert (counts["d2"]["click"], counts["d2"]["view"]) == (0, 1)
+    sums = {r["date"]: r for r in
+            pivot_table(df, ["date"], "et", ["click", "view"],
+                        agg_col="v", agg="sum").collect()}
+    assert sums["d1"]["click"] == 3.0
+    assert sums["d2"]["click"] is None  # non-count aggs keep NULL
+
+    # melt inverts the shape: one row per (input row x value column)
+    wide = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "k string, x double, y double"
+    )
+    long = melt(wide, ["k"], ["x", "y"]).collect()
+    assert len(long) == 4
+    assert {(r["k"], r["variable"], r["value"]) for r in long} == {
+        ("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "y", 4.0)
+    }
+
+
+def test_fill_daily_gaps_zero_and_ffill(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        fill_daily_gaps,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 5), ("a", d(2024, 1, 4), 7),
+        ("b", d(2024, 1, 2), 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, date date, n bigint")
+
+    zero = {(r["g"], r["date"]): (r["n"], r["was_gap"])
+            for r in fill_daily_gaps(df, ["g"], "date", "n", mode="zero").collect()}
+    # dense span per group, zeros + flags on the holes
+    assert zero[("a", d(2024, 1, 1))] == (5, False)
+    assert zero[("a", d(2024, 1, 2))] == (0, True)
+    assert zero[("a", d(2024, 1, 3))] == (0, True)
+    assert zero[("a", d(2024, 1, 4))] == (7, False)
+    assert zero[("b", d(2024, 1, 2))] == (1, False)
+    assert len(zero) == 5  # group b's span is a single day
+
+    ffill = {(r["g"], r["date"]): r["n"]
+             for r in fill_daily_gaps(df, ["g"], "date", "n", mode="ffill").collect()}
+    assert ffill[("a", d(2024, 1, 2))] == 5
+    assert ffill[("a", d(2024, 1, 3))] == 5
+    assert ffill[("a", d(2024, 1, 4))] == 7
