@@ -77,6 +77,14 @@ HEADLINE = [
     # regime (many rows/key, wide date spread) is pinned by the
     # deterministic candidate-pair test in test_joins.py instead
     "j1_band_join_bucketed",
+    # round-6 additions: bounded-memory heavy hitters (mapInPandas MG
+    # pass + candidate recount) and the sketch-vs-exact profile (HLL +
+    # exact distinct + percentiles in one hash-agg) — per-query
+    # numbers are the comparable unit across rounds; the headline sum
+    # covers 18 queries from r6 on (16 in the r6 mid-round runs, 15
+    # in r4/r5)
+    "text_heavy_hitters",
+    "sketch_profile",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -101,8 +109,12 @@ SF1_SUBSET = [
     "text_bm25_topk",
     "chunk_documents",
     "lm_perplexity",
-    # round-6: scale growth of the bucketed band join vs plain j1
+    # round-6: scale growth of the bucketed band join vs plain j1,
+    # and of the Misra-Gries heavy-hitter pass (state stays O(capacity)
+    # per task regardless of input size — its wall should scale with
+    # the token scan, near-linearly)
     "j1_band_join_bucketed",
+    "text_heavy_hitters",
 ]
 
 
