@@ -195,6 +195,17 @@ def query(name: str, sql: str | None):
 #   gapfill_daily           — NEW in r6, tail-born (sequence+explode
 #                             grid = chunk_documents' mechanism, daily
 #                             rollup = a8/w2; promote in r7) [new r6, no driver row]
+#   j5_semi_anti            — NEW in r6, tail-born (semi/anti hash
+#                             joins — the leftsemi mechanism runs
+#                             head-side in text_heavy_hitters'
+#                             candidate recount; promote in r7)
+#                                                            [new r6, no driver row]
+#   set_ops_nations         — NEW in r6, tail-born (INTERSECT/EXCEPT
+#                             plan as the same semi/anti joins;
+#                             promote in r7)                 [new r6, no driver row]
+#   a14_equidepth           — NEW in r6, tail-born (ntile window =
+#                             w1's ordered-window machinery; fixed-
+#                             width twin a13; promote in r7) [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -236,6 +247,9 @@ _TAIL = (
     "pivot_daily_events",
     "melt_lineitem",
     "gapfill_daily",
+    "j5_semi_anti",
+    "set_ops_nations",
+    "a14_equidepth",
 )
 
 
@@ -3166,6 +3180,119 @@ def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_daily_gaps(daily, ["event_type"], "date", "n", mode="zero")
 
 
+@query(
+    "j5_semi_anti",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(o.o_custkey) AS BIGINT) AS with_orders,
+           CAST(COUNT(*) - COUNT(o.o_custkey) AS BIGINT) AS without_orders
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def j5_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS): per nation,
+    customers with at least one order vs customers with none. Both
+    executed as real semi/anti hash joins (probe side never
+    duplicates matches — no distinct-then-join; the build side is the
+    orders key column only); the oracle spells the same fact through
+    a distinct LEFT JOIN. Output joined via full outer + zero-fill so
+    nations one-sided in either count still appear."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    on = c["c_custkey"] == o["o_custkey"]
+    with_o = (
+        c.join(o, on, "leftsemi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("with_orders"))
+    )
+    without_o = (
+        c.join(o, on, "leftanti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("without_orders"))
+    )
+    return (
+        with_o.join(without_o, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("with_orders", F.lit(0)).cast("bigint").alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).cast("bigint").alias("without_orders"),
+        )
+    )
+
+
+@query(
+    "set_ops_nations",
+    """
+    SELECT 'both' AS tag, n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only', n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'supplier_only', n FROM (
+      SELECT DISTINCT s_nationkey AS n FROM supplier
+      EXCEPT
+      SELECT DISTINCT c_nationkey FROM customer
+    )
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators: nations that have both
+    customers and suppliers, only customers, only suppliers — one
+    tagged union. Spark's intersect/exceptAll plan as
+    LeftSemi/LeftAnti hash joins over the distinct key sets (set
+    semantics without materializing either side twice)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    return (
+        c.intersect(s).select(F.lit("both").alias("tag"), "n")
+        .unionByName(c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "n"))
+        .unionByName(s.exceptAll(c).select(F.lit("supplier_only").alias("tag"), "n"))
+    )
+
+
+@query(
+    "a14_equidepth",
+    """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def a14_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles (operators/analytics.equidepth_histogram):
+    ntile over (value, unique key) — the deterministic-tie form both
+    engines rank identically — then per-bucket count/min/max. The
+    fixed-width twin is a13_histogram; the 100 TB path (sketch
+    cutpoints instead of a global window) is documented in the
+    operator docstring."""
+    from .operators.analytics import equidepth_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    h = equidepth_histogram(o, "o_totalprice", buckets=4, tie_break="o_orderkey")
+    return h.select(
+        F.col("bucket").cast("bigint"),
+        "n",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3236,4 +3363,6 @@ OPERATOR_MAP = {
     "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
     "Sketches": ["text_heavy_hitters", "sketch_profile"],
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
+    "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
+    "A14": ["a14_equidepth"],  # beyond-reference: equi-depth histogram
 }

@@ -163,6 +163,37 @@ def histogram(
     )
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 4,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Equi-depth histogram (complement of the fixed-width
+    ``histogram``): ntile assigns equal-COUNT buckets, output is
+    (bucket, n, lo, hi). ``tie_break`` (a unique column) makes the
+    bucket assignment deterministic when values repeat.
+
+    Scale caveat: ntile is a single global-ordering window — fine for
+    the monitoring tables this profiles, wrong for 100 TB of raw
+    rows. At that scale compute approx_percentile cutpoints (one
+    mergeable-sketch agg) and bin with plain comparisons instead —
+    the ``histogram``/``grouped_percentiles(approx=True)`` path."""
+    order = [F.col(value_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+
+
 def pivot_table(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -224,3 +224,21 @@ def test_fill_daily_gaps_zero_and_ffill(spark):
     assert ffill[("a", d(2024, 1, 2))] == 5
     assert ffill[("a", d(2024, 1, 3))] == 5
     assert ffill[("a", d(2024, 1, 4))] == 7
+
+
+def test_equidepth_histogram(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    df = spark.range(100).select((F.col("id") * 2).alias("v"), F.col("id").alias("k"))
+    rows = {r["bucket"]: r for r in
+            equidepth_histogram(df, "v", buckets=4, tie_break="k").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(r["n"] == 25 for r in rows.values())  # equal depth
+    assert rows[1]["lo"] == 0 and rows[1]["hi"] == 48
+    assert rows[4]["lo"] == 150 and rows[4]["hi"] == 198
+    # buckets tile the domain in order
+    assert rows[1]["hi"] < rows[2]["lo"] <= rows[2]["hi"] < rows[3]["lo"]
