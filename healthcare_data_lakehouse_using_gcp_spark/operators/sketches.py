@@ -54,34 +54,34 @@ def misra_gries_candidates(
     """Per-partition Misra-Gries summaries merged into one candidate
     frame ``(key_col, lower_bound)``.
 
-    Each task keeps at most ``capacity`` counters: a new key either
-    takes a free counter or decrements ALL counters by one (evicting
-    zeros) — the classic MG step. A key's surviving counter
-    under-counts its true partition frequency by at most
-    n_part/(capacity+1); summing per-partition counters therefore
-    under-counts globally by at most n/(capacity+1), and any key with
-    true count above that bound is guaranteed to survive in at least
-    one partition summary.
+    Each task keeps at most ``capacity`` counters, maintained with the
+    MERGEABLE form of the MG step (Agarwal et al., "Mergeable
+    Summaries"): each Arrow batch is counted exactly with a vectorized
+    ``value_counts`` (no per-token Python loop), the batch counts are
+    added into the running summary, and whenever the summary exceeds
+    ``capacity`` keys, the (capacity+1)-th largest count is subtracted
+    from every counter and non-positive keys are dropped. Each such
+    offset-subtraction under-counts every key by the same amount, and
+    the total subtracted weight is at most n_part/(capacity+1) — the
+    classic MG bound — so summing per-partition counters under-counts
+    globally by at most n/(capacity+1), and any key with true count
+    above that bound is guaranteed to survive into the merged output.
     """
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for key in pdf[key_col]:
-                if key is None:
-                    continue
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < capacity:
-                    counters[key] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            vc = pdf[key_col].dropna().value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > capacity:
+                # (capacity+1)-th largest count — subtracting it from
+                # every counter zeroes out at least the smallest
+                # len-capacity keys, restoring the bound in one pass
+                thresh = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - thresh for k, v in counters.items() if v > thresh
+                }
         yield pd.DataFrame(
             {
                 key_col: list(counters.keys()),
