@@ -292,6 +292,53 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def save_ivf_pq_index(
+    pq_index: DataFrame,
+    centroids_df: DataFrame,
+    codebooks,
+    path: str,
+) -> None:
+    """Persist the full IVF-PQ SERVING index: codes partitioned by
+    inverted list (probe → directory pruning, same layout as
+    save_ivf_index but ~64× smaller bytes), the centroid table, and
+    the PQ codebooks (flattened to one parquet row per (sub, code)
+    codeword — engine-readable, no pickle). With this on disk a query
+    session touches codes + two tiny tables only; full vectors stay
+    wherever the rerank stage fetches them from."""
+    pq_index.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
+    centroids_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, kcode, dsub = books.shape
+    spark = pq_index.sparkSession
+    rows = [
+        (int(sub), int(code), [float(x) for x in books[sub][code]])
+        for sub in range(m)
+        for code in range(kcode)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivf_pq_index(spark, path: str):
+    """Load a saved IVF-PQ index → (pq_index, centroids_df,
+    codebooks ndarray) ready for ivf_pq_search."""
+    import numpy as np
+
+    pq_index = spark.read.parquet(f"{path}/codes")
+    centroids_df = spark.read.parquet(f"{path}/centroids")
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()  # m × 2^nbits — tiny
+    m = max(r["sub"] for r in book_rows) + 1
+    kcode = max(r["code"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["codeword"])
+    books = np.empty((m, kcode, dsub))
+    for r in book_rows:
+        books[r["sub"]][r["code"]] = r["codeword"]
+    return pq_index, centroids_df, books
+
+
 def ivf_index_append(
     indexed: DataFrame,
     centroids_df: DataFrame,
