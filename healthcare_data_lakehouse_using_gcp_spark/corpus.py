@@ -206,6 +206,9 @@ def query(name: str, sql: str | None):
 #   a14_equidepth           — NEW in r6, tail-born (ntile window =
 #                             w1's ordered-window machinery; fixed-
 #                             width twin a13; promote in r7) [new r6, no driver row]
+#   text_bpe_pretokenize    — NEW in r6, tail-born (narrow regex
+#                             projection = text_stats' shape;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -250,6 +253,7 @@ _TAIL = (
     "j5_semi_anti",
     "set_ops_nations",
     "a14_equidepth",
+    "text_bpe_pretokenize",
 )
 
 
@@ -3308,6 +3312,34 @@ def a14_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_pretokenize",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+             AS BIGINT) AS n_pretokens
+    FROM documents
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (operators/text.pretokens_col)
+    next to the whitespace count: letter/digit/punct runs — the split
+    a byte-pair tokenizer applies before merges, and the better LM
+    token-budget proxy. The pattern is lookaround-free with disjoint
+    alternatives, so Java regex and RE2 produce identical matches —
+    which is exactly what the driver hash proves."""
+    from .operators.text import pretoken_count_col, tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col(F.trim(F.col("text")))).cast("bigint").alias("n_ws_tokens"),
+        pretoken_count_col(F.col("text")).alias("n_pretokens"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3369,7 +3401,7 @@ OPERATOR_MAP = {
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
         "chunk_documents", "lm_perplexity", "text_embed_components",
-        "epoch_upsample",
+        "epoch_upsample", "text_bpe_pretokenize",
     ],
     "LLM-retrieval": ["text_bm25_topk"],
     "Profiling": ["profile_orders"],

@@ -30,6 +30,27 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs,
+# punctuation runs. Deliberately lookaround-free so the SAME pattern
+# executes identically under Java regex (Spark) and RE2 (DuckDB);
+# the alternatives match disjoint character classes, so match order
+# is unambiguous across engines.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def pretokens_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the split every byte-pair tokenizer
+    runs before merges — GPT-2 style, minus its lookahead): array of
+    letter/digit/punct runs. Whitespace disappears entirely, so
+    'don't stop!' → [don, ', t, stop, !] — a closer proxy for LM
+    token counts than whitespace splitting, still pure JVM regex."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def pretoken_count_col(text: Column) -> Column:
+    return F.size(pretokens_col(text)).cast("bigint")
+
+
 def word_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token/char/word-length stats."""
     toks = tokens_col(F.col(text_col))

@@ -1130,3 +1130,20 @@ def test_leakage_safe_split_keeps_groups_together(spark, docs):
     assert again == side
     all_train = dedup.leakage_safe_split(docs, pairs, eval_frac=0.0).collect()
     assert all(r["split"] == "train" for r in all_train)
+
+
+def test_bpe_ish_pretokenize(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop! 42 times"), (2, "  spaced   out  "), (3, "a+b=c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.pretokens_col(F.col("text")).alias("toks"),
+        text.pretoken_count_col(F.col("text")).alias("n"),
+    ).collect()}
+    assert out[1]["toks"] == ["don", "'", "t", "stop", "!", "42", "times"]
+    assert out[1]["n"] == 7
+    # whitespace never yields a pretoken
+    assert out[2]["toks"] == ["spaced", "out"]
+    assert out[3]["toks"] == ["a", "+", "b", "=", "c"]
