@@ -209,6 +209,9 @@ def query(name: str, sql: str | None):
 #   text_bpe_pretokenize    — NEW in r6, tail-born (narrow regex
 #                             projection = text_stats' shape;
 #                             promote in r7)                 [new r6, no driver row]
+#   fuzzy_name_match        — NEW in r6, tail-born (bucket-then-verify
+#                             shape = minhash band join, but lossless;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -254,6 +257,7 @@ _TAIL = (
     "set_ops_nations",
     "a14_equidepth",
     "text_bpe_pretokenize",
+    "fuzzy_name_match",
 )
 
 
@@ -3340,6 +3344,30 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_name_match",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a
+    JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (operators/fuzzy.fuzzy_self_join): every
+    customer-name pair within 1 Levenshtein edit, via SymSpell
+    deletion-neighborhood blocking (equi-join on ≤1-deletion variant
+    keys — a lossless candidate superset) + levenshtein verify. The
+    oracle runs the QUADRATIC compare-everything join; the driver
+    hash-match proves the linear blocking plan loses no pair and
+    admits no extra."""
+    from .operators.fuzzy import fuzzy_self_join
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_self_join(c, "c_custkey", "c_name", max_distance=1)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3411,5 +3439,6 @@ OPERATOR_MAP = {
     "Sketches": ["text_heavy_hitters", "sketch_profile"],
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
     "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
+    "Fuzzy-match": ["fuzzy_name_match"],
     "A14": ["a14_equidepth"],  # beyond-reference: equi-depth histogram
 }
