@@ -212,6 +212,9 @@ def query(name: str, sql: str | None):
 #   fuzzy_name_match        — NEW in r6, tail-born (bucket-then-verify
 #                             shape = minhash band join, but lossless;
 #                             promote in r7)                 [new r6, no driver row]
+#   scd2_history            — NEW in r6, tail-born (per-key lead()
+#                             window = events_sessionize's machinery;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -258,6 +261,7 @@ _TAIL = (
     "a14_equidepth",
     "text_bpe_pretokenize",
     "fuzzy_name_match",
+    "scd2_history",
 )
 
 
@@ -3368,6 +3372,32 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(c, "c_custkey", "c_name", max_distance=1)
 
 
+@query(
+    "scd2_history",
+    """
+    SELECT event_id, user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators/scd.scd2_snapshot): the events
+    stream read as a per-user change log — every version gets its
+    validity interval (valid_from, valid_to, NULL = current) from one
+    lead() window per key, deterministic ties via event_id. The
+    temporal layer the reference's snapshot-only dims lack; merge
+    equivalence and as-of lookup are gated in tests/test_scd.py."""
+    from .operators.scd import scd2_snapshot
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    return scd2_snapshot(e, ["user_id"], "ts", tie_break="event_id").select(
+        "event_id", "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3440,5 +3470,6 @@ OPERATOR_MAP = {
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
     "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
     "Fuzzy-match": ["fuzzy_name_match"],
+    "SCD2": ["scd2_history"],
     "A14": ["a14_equidepth"],  # beyond-reference: equi-depth histogram
 }
