@@ -215,6 +215,9 @@ def query(name: str, sql: str | None):
 #   scd2_history            — NEW in r6, tail-born (per-key lead()
 #                             window = events_sessionize's machinery;
 #                             promote in r7)                 [new r6, no driver row]
+#   sketch_rollup_union     — NEW in r6, tail-born (sketch-accuracy
+#                             flag shape = sketch_profile head;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
     "a3_count_distinct",
     "a1_global_count",
@@ -262,6 +265,7 @@ _TAIL = (
     "text_bpe_pretokenize",
     "fuzzy_name_match",
     "scd2_history",
+    "sketch_rollup_union",
 )
 
 
@@ -3398,6 +3402,47 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_rollup_union",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           TRUE AS union_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch rollup + lossless union re-aggregation
+    (operators/sketches.hll_rollup / hll_estimate_over): events are
+    sketched once per (event_type, day) — the pre-aggregated table a
+    100 TB monitoring layer stores — then the per-day sketches UNION
+    up to per-type estimates. Distinct counts are not additive, so a
+    plain count rollup cannot do this re-aggregation; the flag
+    asserts the unioned estimate lands within 5 % of the exact
+    distinct count the oracle recomputes (HLL lgK=12 rsd ≈ 1.6 %)."""
+    from .operators.sketches import hll_estimate_over, hll_rollup
+
+    e = _t(spark, sf_dir, "events")
+    daily = hll_rollup(
+        e.withColumn("date", F.to_date("ts")),
+        ["event_type", "date"],
+        "user_id",
+    )
+    unioned = hll_estimate_over(daily, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct")
+    )
+    return exact.join(unioned, "event_type").select(
+        "event_type",
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= F.lit(0.05) * F.col("n_distinct")
+        ).alias("union_ok"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3466,7 +3511,7 @@ OPERATOR_MAP = {
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
     "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
-    "Sketches": ["text_heavy_hitters", "sketch_profile"],
+    "Sketches": ["text_heavy_hitters", "sketch_profile", "sketch_rollup_union"],
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
     "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
     "Fuzzy-match": ["fuzzy_name_match"],

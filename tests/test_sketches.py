@@ -103,3 +103,35 @@ def test_sketch_profile_flags_hold_on_lineitem(spark):
     )
     assert rows[0]["n_distinct"] == want["nd"]
     assert rows[0]["p50"] == want["p50"]
+
+
+def test_hll_rollup_union_matches_direct_sketch(spark):
+    """The non-additivity argument, demonstrated: users appear on
+    MANY days, so summing daily distinct counts over-counts wildly,
+    while unioning the daily sketches stays inside the HLL error
+    envelope of the true distinct count. (Union and direct sketch
+    estimates may differ by a few counts — DataSketches sketches in
+    sparse "list/set" mode transition representations on merge — but
+    both carry the same error guarantee.)"""
+    from pyspark.sql import functions as F
+
+    # full 30-day × 500-user grid: every user active every day
+    df = spark.range(30 * 500).select(
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") / 30).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+    ).withColumn("user_id", F.col("user_id") % 500)
+    daily = sketches.hll_rollup(df, ["event_type", "day"], "user_id")
+    assert daily.count() == 30
+    est = sketches.hll_estimate_over(daily, ["event_type"]).first()["approx_distinct"]
+    true = df.select("user_id").distinct().count()
+    assert abs(est - true) <= 0.05 * true, (est, true)
+    # summing the per-day counts is the WRONG answer by ~30x
+    naive_sum = df.groupBy("day").agg(F.countDistinct("user_id").alias("n"))
+    assert naive_sum.agg(F.sum("n")).first()[0] > 10 * true
+    # union tracks sketching the raw rows directly (same guarantee;
+    # not bit-identical across sparse-mode merges)
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint")
+    ).first()[0]
+    assert abs(est - direct) <= 0.05 * true, (est, direct)
