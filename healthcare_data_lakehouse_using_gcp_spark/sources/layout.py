@@ -90,38 +90,67 @@ def write_zorder(
     cols: list[str],
     bits: int = 10,
     num_files: int | None = None,
+    quantize: str = "minmax",
 ) -> None:
     """Write ``df`` Z-order-clustered on numeric ``cols`` (cast dates
     to epoch days/seconds first).
 
-    Quantization: each column is min-max-scaled onto [0, 2^bits)
-    (one tiny driver agg — 2 scalars per column), then the scaled
-    values are bit-interleaved into a Z-value; repartitionByRange +
-    sortWithinPartitions on that value lays rows out along the
-    space-filling curve. NULLs quantize to bucket 0 (they cluster
-    with the domain minimum — parquet null counts still prune them).
+    Quantization maps each column onto [0, 2^bits) before the bits
+    interleave:
+    - ``"minmax"`` (default): linear scale between the column's min
+      and max — one tiny driver agg (2 scalars per column), exact
+      monotone map. Right for roughly uniform columns; a heavy-tailed
+      column collapses most rows into a few low buckets and its
+      pruning evaporates.
+    - ``"quantile"``: scale by approximate quantile rank instead —
+      2^bits−1 sketch cutpoints per column (one approxQuantile pass),
+      bucket = #cutpoints ≤ value via an aggregate() over the
+      broadcast cutpoint array literal. Equal-POPULATION buckets
+      regardless of skew, so per-file rectangles stay tight on any
+      distribution; costs ~2^bits comparisons per row, so bits is
+      capped at 8 in this mode (256 buckets per dim — plenty: the
+      curve only needs as many distinct cells as files).
 
-    Min-max scaling (vs. quantile ranks) keeps the map monotone and
-    stateless; for a heavily skewed column, pre-transform it (log,
-    bucketed rank) before calling — the audit functions below will
-    show whether the resulting per-file rectangles are tight.
+    The scaled values are bit-interleaved into a Z-value;
+    repartitionByRange + sortWithinPartitions on that value lays rows
+    out along the space-filling curve. NULLs quantize to bucket 0
+    (they cluster with the domain minimum — parquet null counts
+    still prune them). The audit functions below show whether the
+    resulting per-file rectangles came out tight.
     """
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).first()
+    if quantize not in ("minmax", "quantile"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize == "quantile" and bits > 8:
+        raise ValueError("quantile mode caps bits at 8 (2^bits comparisons/row)")
     top = (1 << bits) - 1
     scaled = []
-    for c in cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        span = (mx - mn) if (mn is not None and mx is not None) else 0
-        if not span:
-            scaled.append(F.lit(0).cast("long"))
-            continue
-        q = F.floor(
-            (F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) * top / F.lit(span)
-        ).cast("long")
-        scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
+    if quantize == "quantile":
+        probs = [i / (top + 1) for i in range(1, top + 1)]
+        for c in cols:
+            cuts = df.stat.approxQuantile(c, probs, 0.001)
+            arr = F.array(*[F.lit(float(x)) for x in cuts])
+            q = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, cut: acc
+                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+            )
+            scaled.append(F.coalesce(q, F.lit(0).cast("long")))
+    else:
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            span = (mx - mn) if (mn is not None and mx is not None) else 0
+            if not span:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            q = F.floor(
+                (F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) * top / F.lit(span)
+            ).cast("long")
+            scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         df.withColumn("__z", zorder_value(scaled, bits))

@@ -158,6 +158,40 @@ def test_compact_with_sort_restores_pruning(grid, tmp_path, spark):
     assert layout.prunable_fraction(path, "x", 0, 15) >= 0.5
 
 
+def test_zorder_quantile_mode_survives_skew(tmp_path, spark):
+    """Heavy-tailed column: min-max quantization collapses ~all rows
+    into the lowest buckets (the domain is set by a few huge
+    outliers), so file rectangles on the skewed dim stay wide and a
+    low-range predicate prunes poorly. Quantile quantization buckets
+    by POPULATION and keeps pruning alive on the same data."""
+    df = (
+        spark.range(16_384)
+        .select(
+            F.xxhash64("id").alias("scramble"),
+            # exponential-ish: 75% of rows below 16, outliers to ~2^20
+            F.pow(F.lit(2.0), (F.col("id") % 128) / F.lit(6.4)).cast("long").alias("x"),
+            (F.col("id") % 97).alias("y"),
+        )
+        .repartition(8, "scramble")
+        .drop("scramble")
+    )
+    mm_path = str(tmp_path / "zmm")
+    qt_path = str(tmp_path / "zqt")
+    layout.write_zorder(df, mm_path, ["x", "y"], bits=7, num_files=16)
+    layout.write_zorder(
+        df, qt_path, ["x", "y"], bits=7, num_files=16, quantize="quantile"
+    )
+    # predicate over the dense low range (~45% of rows)
+    mm = layout.prunable_fraction(mm_path, "x", 0, 3)
+    qt = layout.prunable_fraction(qt_path, "x", 0, 3)
+    assert qt >= 0.4, f"quantile-mode pruning only {qt:.2%}"
+    assert qt > mm, (qt, mm)
+    # content preserved
+    back = spark.read.parquet(qt_path)
+    assert back.count() == 16_384
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
 def test_corpus_zorder_scratch_prunes_real_orders(spark):
     """The two-dimension pruning floor gated on the SAME files the
     layout_zorder_scan corpus entry reads back — real orders clustered
