@@ -158,6 +158,49 @@ def hll_estimate_over(
     )
 
 
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    group_a,
+    group_b,
+) -> dict:
+    """Estimate the distinct-value OVERLAP between two groups from
+    sketches alone: |A∩B| ≈ |A| + |B| − |A∪B| (inclusion–exclusion
+    over HLL estimates; the union comes from hll_union_agg, never
+    from re-scanning raw data). Returns
+    {a, b, union, intersection, jaccard} as floats.
+
+    Error note: the intersection inherits the ADDITIVE error of three
+    estimates, so its RELATIVE error blows up when the true overlap
+    is small compared to either set — fine for "how much do these two
+    sources' user bases overlap", wrong for needle-sized
+    intersections (use an exact semi-join for those)."""
+    sk = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(F.hll_sketch_agg(distinct_col).alias("hll"))
+    )
+    per_group = {
+        r[group_col]: r["est"]
+        for r in sk.select(
+            group_col, F.hll_sketch_estimate("hll").alias("est")
+        ).collect()
+    }
+    union = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("u")
+    ).first()["u"]
+    a, b = float(per_group.get(group_a, 0)), float(per_group.get(group_b, 0))
+    inter = max(0.0, a + b - float(union))
+    return {
+        "a": a,
+        "b": b,
+        "union": float(union),
+        "intersection": inter,
+        "jaccard": inter / union if union else 0.0,
+    }
+
+
 def sketch_profile(
     df: DataFrame,
     group_cols: Sequence[str],

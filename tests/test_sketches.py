@@ -135,3 +135,16 @@ def test_hll_rollup_union_matches_direct_sketch(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint")
     ).first()[0]
     assert abs(est - direct) <= 0.05 * true, (est, direct)
+
+
+def test_hll_overlap_estimates_known_intersection(spark):
+    from pyspark.sql import functions as F
+
+    # A = users 0..999, B = users 500..1499 → |A∩B| = 500, |A∪B| = 1500
+    a = spark.range(1000).select(F.lit("a").alias("g"), F.col("id").alias("u"))
+    b = spark.range(500, 1500).select(F.lit("b").alias("g"), F.col("id").alias("u"))
+    est = sketches.hll_overlap(a.unionByName(b), "g", "u", "a", "b")
+    assert abs(est["a"] - 1000) <= 50 and abs(est["b"] - 1000) <= 50
+    assert abs(est["union"] - 1500) <= 75
+    assert abs(est["intersection"] - 500) <= 150  # additive error of 3 estimates
+    assert 0.2 <= est["jaccard"] <= 0.5  # true 1/3
