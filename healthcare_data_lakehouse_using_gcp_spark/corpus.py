@@ -209,9 +209,13 @@ def query(name: str, sql: str | None):
 #   text_bpe_pretokenize    — NEW in r6, tail-born (narrow regex
 #                             projection = text_stats' shape;
 #                             promote in r7)                 [new r6, no driver row]
-#   fuzzy_name_match        — NEW in r6, tail-born (bucket-then-verify
-#                             shape = minhash band join, but lossless;
-#                             promote in r7)                 [new r6, no driver row]
+#   a6_weighted_score       — demoted late-r6 to hand its seat to
+#                             fuzzy_name_match (the round's new
+#                             operator family deserves a driver row):
+#                             the weighted-composite arithmetic is
+#                             a2's disc_price/charge exprs (head) and
+#                             classifier_quality's fixed-weight score
+#                             (head); pinned in test_fact.py        [green r1-r5]
 #   scd2_history            — NEW in r6, tail-born (per-key lead()
 #                             window = events_sessionize's machinery;
 #                             promote in r7)                 [new r6, no driver row]
@@ -263,7 +267,7 @@ _TAIL = (
     "set_ops_nations",
     "a14_equidepth",
     "text_bpe_pretokenize",
-    "fuzzy_name_match",
+    "a6_weighted_score",
     "scd2_history",
     "sketch_rollup_union",
 )

@@ -72,8 +72,10 @@ def test_canonical_operators_inside_driver_window():
         "p5_validate_null", "export_ids", "layout_pruned_scan",
         "j1_band_join_bucketed", "ann_lsh_planted",
         # round-6 additions (same session): bounded-memory sketches +
-        # Z-order layout
+        # Z-order layout; fuzzy join took a6_weighted_score's seat
+        # late-r6 (a6's arithmetic runs inside a2/classifier heads)
         "text_heavy_hitters", "sketch_profile", "layout_zorder_scan",
+        "fuzzy_name_match",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
