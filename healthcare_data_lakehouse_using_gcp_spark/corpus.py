@@ -222,7 +222,44 @@ def query(name: str, sql: str | None):
 #   sketch_rollup_union     — NEW in r6, tail-born (sketch-accuracy
 #                             flag shape = sketch_profile head;
 #                             promote in r7)                 [new r6, no driver row]
+# round-6 third wave (CDC/cohort/keyword/collocation/winsorize/CUBE/
+# rank-family). Two new families seated in the head with compensating
+# twin-demotions; the rest tail-born awaiting r7 seats:
+#   j1_band_join            — demoted to seat cdc_snapshot_diff: its
+#                             equi+band plan is IDENTICAL to
+#                             j1_band_join_bucketed (head) minus the
+#                             month-bucket pruning, and the two are
+#                             hash-equality-proven (test_joins.py);
+#                             still the bench.py band-join target   [green r1-r5]
+#   events_funnel           — demoted to seat cohort_retention, whose
+#                             anchor stage is the same user-keyed
+#                             min-agg + join machinery; the strict-
+#                             order rung iteration stays oracle-swept
+#                             in the pytest tail sweep + test_sessions [green r2-r5]
+#   tfidf_terms             — NEW late-r6, tail-born (postings build =
+#                             text_bm25_topk head; per-doc rank window
+#                             = w1; promote in r7)           [new r6, no driver row]
+#   text_bigram_pmi         — NEW late-r6, tail-born (explode+hash-agg
+#                             counts = text_vocab_topk shape, head twin
+#                             text_bm25_topk; promote in r7) [new r6, no driver row]
+#   a15_cube                — NEW late-r6, tail-born (Expand+hash-agg
+#                             grouping sets = a11_rollup head;
+#                             promote in r7)                 [new r6, no driver row]
+#   a16_winsorize           — NEW late-r6, tail-born (exact grouped
+#                             percentile = sketch_profile/a10;
+#                             broadcast clip join = a6's shape;
+#                             promote in r7)                 [new r6, no driver row]
+#   w3_rank_family          — NEW late-r6, tail-born (ordered-window
+#                             machinery = j3_asof_nearest head / w1;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "j1_band_join",
+    "events_funnel",
+    "tfidf_terms",
+    "text_bigram_pmi",
+    "a15_cube",
+    "a16_winsorize",
+    "w3_rank_family",
     "a3_count_distinct",
     "a1_global_count",
     "f9_coalesce",
@@ -3447,6 +3484,285 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round-6 second wave: CDC, cohort analytics, keyword/collocation
+# mining, winsorization, CUBE, full window-rank family
+# =====================================================================
+
+
+@query(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN FLOOR(o_totalprice * 1.1 * 10000 + 0.5) / 10000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice  AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice  AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC (operators/scd.snapshot_diff): full-outer key join
+    between two snapshots, null-safe column comparison, one labelled
+    row per insert/delete/update. The fixture derives both snapshots
+    from orders deterministically (key%11 deletions, key%13
+    insertions, key%7 price updates via the exact round_det form so
+    both engines compute the identical new price). This is the
+    primitive feeding scd2_merge and incremental sync."""
+    from .functions.scalars import round_det
+    from .operators.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(*cols)
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                round_det(F.col("o_totalprice") * 1.1, 4),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(*cols)
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(ts::DATE) AS cohort_date FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, ts::DATE AS d FROM events
+    )
+    SELECT f.cohort_date,
+           CAST(FLOOR(date_diff('day', f.cohort_date, a.d) / 7.0) AS BIGINT) AS period,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/sessions.cohort_retention):
+    users bucketed by first-event DATE (no week-truncation convention
+    to disagree on cross-engine), activity days mapped to 7-day
+    periods since the anchor, distinct active users per (cohort,
+    period). Same first-event-per-user anchor join as events_funnel's
+    rung machinery (user-keyed min-agg + join), extended with the
+    retention rollup."""
+    from .operators.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=7)
+
+
+@query(
+    "tfidf_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term
+    ), n AS (
+      SELECT COUNT(*)::DOUBLE AS n FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.term,
+             FLOOR(p.tf * (LN((n.n + 1.0) / (d.df + 1.0)) + 1.0) * 10000 + 0.5)
+               / 10000 AS tfidf
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
+      FROM scored
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/retrieval.tfidf_topk_terms): the keyword-extraction
+    primitive. Rank key is the ROUNDED score with term as tiebreak so
+    both engines order identically."""
+    from .operators.retrieval import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, k=3)
+
+
+@query(
+    "text_bigram_pmi",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), uni_counts AS (
+      SELECT w, COUNT(*)::DOUBLE AS n_w
+      FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ), bi AS (
+      SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), pair_counts AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             COUNT(*)::DOUBLE AS n_pair
+      FROM bi GROUP BY 1, 2
+    ), tot AS (
+      SELECT (SELECT SUM(n_pair) FROM pair_counts) AS n_bi,
+             (SELECT SUM(n_w) FROM uni_counts) AS n_uni
+    )
+    SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           FLOOR(LN((p.n_pair / t.n_bi)
+                    / ((u1.n_w / t.n_uni) * (u2.n_w / t.n_uni)))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM pair_counts p
+    JOIN uni_counts u1 ON u1.w = p.w1
+    JOIN uni_counts u2 ON u2.w = p.w2
+    CROSS JOIN tot t
+    WHERE p.n_pair >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.bigram_pmi): top-50
+    adjacent-token bigrams by PMI, min support 5. Spark builds the
+    bigrams INSIDE the token array (zip_with over two slices — no
+    positional self-join); the oracle uses DuckDB's list
+    comprehension for the same pairing."""
+    from .operators.text import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_pmi(d, min_count=5, k=50)
+
+
+@query(
+    "a15_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 (beyond-reference): CUBE over (status, priority) — all four
+    grouping sets in ONE Expand+hash-agg pass (no 4-scan union);
+    grouping_id disambiguates subtotal NULLs with the same
+    leftmost-is-MSB bit convention in both engines. Completes the
+    grouping-sets family beside a11's ROLLUP."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "a16_winsorize",
+    """
+    WITH q AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           FLOOR(LEAST(GREATEST(o.o_totalprice, q.lo), q.hi) * 10000 + 0.5)
+             / 10000 AS clipped,
+           FLOOR(q.lo * 10000 + 0.5) / 10000 AS lo_bound,
+           FLOOR(q.hi * 10000 + 0.5) / 10000 AS hi_bound
+    FROM orders o JOIN q USING (o_orderstatus)
+    """,
+)
+def a16_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (beyond-reference): per-group winsorization
+    (operators/analytics.winsorize) — clip o_totalprice to the exact
+    per-status [p5, p95] band. Spark's exact percentile matches
+    DuckDB quantile_cont (linear interpolation, parity proven by
+    a10); the bounds frame is broadcast back so the fact table never
+    re-shuffles."""
+    from .functions.scalars import round_det
+    from .operators.analytics import winsorize
+
+    o = _t(spark, sf_dir, "orders")
+    out = winsorize(o, ["o_orderstatus"], "o_totalprice", lo=0.05, hi=0.95)
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        round_det(F.col("o_totalprice_clipped"), 4).alias("clipped"),
+        round_det(F.col("o_totalprice_lo"), 4).alias("lo_bound"),
+        round_det(F.col("o_totalprice_hi"), 4).alias("hi_bound"),
+    )
+
+
+@query(
+    "w3_rank_family",
+    """
+    SELECT c_custkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000 AS prank,
+           FLOOR(CUME_DIST() OVER w * 10000 + 0.5) / 10000 AS cdist,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY FLOOR(c_acctbal * 100 + 0.5) / 100 DESC,
+                          c_custkey ASC)
+    """,
+)
+def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (beyond-reference): the full ranking-function family —
+    rank, dense_rank, percent_rank, cume_dist, ntile — over one
+    window spec, per market segment by balance. The order key is the
+    ROUNDED balance with custkey tiebreak (total order), so ranks and
+    quartile boundaries agree bit-for-bit across engines. One sort
+    per partition serves all five functions (single Window operator
+    in the plan)."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / 100
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        key.desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        (F.floor(F.percent_rank().over(w) * 10000 + 0.5) / 10000).alias("prank"),
+        (F.floor(F.cume_dist().over(w) * 10000 + 0.5) / 10000).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3521,4 +3837,10 @@ OPERATOR_MAP = {
     "Fuzzy-match": ["fuzzy_name_match"],
     "SCD2": ["scd2_history"],
     "A14": ["a14_equidepth"],  # beyond-reference: equi-depth histogram
+    "CDC": ["cdc_snapshot_diff"],  # beyond-reference: snapshot diff
+    "Cohort": ["cohort_retention"],  # beyond-reference: retention triangle
+    "A15": ["a15_cube"],  # beyond-reference: CUBE grouping sets
+    "A16": ["a16_winsorize"],  # beyond-reference: per-group winsorization
+    "W3": ["w3_rank_family"],  # beyond-reference: full ranking family
+    "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
 }

@@ -293,3 +293,42 @@ def fill_daily_gaps(
         filled.alias(value_col),
         F.col(value_col).isNull().alias("was_gap"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group exact [lo, hi] quantiles —
+    the standard outlier treatment before fitting scale-sensitive
+    statistics (means, regressions, z-scores).
+
+    Adds ``<value_col>_clipped`` plus the bounds used, keeping every
+    row (winsorization caps, it does not drop — use quality filters
+    for dropping).
+
+    Scale design (100 TB): one exact-percentile hash aggregation over
+    the (low-cardinality) group key produces a |groups|-row bounds
+    frame, which is broadcast back onto the fact — no second fact
+    shuffle, no sort. Exact percentiles buffer per-group values, so
+    for high-cardinality groups swap ``grouped_percentiles``'s
+    ``approx=True`` sketch in; the clip expression itself is a pure
+    Column and stays in whole-stage codegen.
+    """
+    from pyspark.sql.functions import broadcast
+
+    bounds = grouped_percentiles(df, group_cols, value_col, probs=(lo, hi))
+    lo_name, hi_name = bounds.columns[-2], bounds.columns[-1]
+    v = F.col(value_col)
+    return (
+        df.join(broadcast(bounds), list(group_cols))
+        .withColumn(
+            f"{value_col}_clipped",
+            F.least(F.greatest(v, F.col(lo_name)), F.col(hi_name)),
+        )
+        .withColumnRenamed(lo_name, f"{value_col}_lo")
+        .withColumnRenamed(hi_name, f"{value_col}_hi")
+    )

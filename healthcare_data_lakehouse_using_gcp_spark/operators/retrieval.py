@@ -160,3 +160,52 @@ def save_term_index(idx: DataFrame, path: str, n_partitions: int | None = None) 
 def load_term_index(spark, path: str) -> DataFrame:
     """Load a saved postings index for use as bm25_scores(index=...)."""
     return spark.read.parquet(path)
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` (the sklearn-style smooth
+    idf — never negative, defined even for terms in every doc).
+    Returns (id, term, tfidf, rn) with rn = 1..k ranked by score desc
+    (term asc as the deterministic tie-break). The keyword-extraction
+    primitive behind corpus labelling and topic drift monitoring.
+
+    Scale design (100 TB): reuses build_term_index's single
+    explode+hash-agg postings frame, persisted because the plan needs
+    it twice (term document-frequencies and the scored postings).
+    df(t) is a |vocab|-row aggregate joined back ON TERM — a shuffle
+    join that AQE converts to broadcast when the vocab is small; the
+    corpus-size scalar rides in via a broadcast 1-row crossJoin (the
+    bm25_scores pattern). The per-doc top-k window sorts each doc's
+    own terms only (dl rows per task after hash partition on id).
+    """
+    idx = build_term_index(docs, text_col, id_col).persist()
+    n_docs = docs.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    df_t = idx.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        idx.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "tfidf_r", F.floor(F.col("tfidf") * 10000.0 + 0.5) / 10000.0
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(F.col(id_col), "term", F.col("tfidf_r").alias("tfidf"), "rn")
+    )

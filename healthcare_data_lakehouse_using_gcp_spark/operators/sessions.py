@@ -126,3 +126,41 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are grouped by the DATE of their
+    first event (the cohort anchor — no week-truncation convention to
+    disagree on across engines), and each later active day lands in
+    period ``floor(days_since_anchor / period_days)``. Output is one
+    row per (cohort_date, period) with the distinct active-user count
+    — the classic retention triangle.
+
+    Scale design (100 TB): three shuffles, two of them on the same
+    key. (1) first-event dates: min() hash-agg on user_id with
+    map-side partials; (2) distinct active (user, day) pairs: the
+    dropDuplicates also hash-partitions on user_id, so the join back
+    to the anchors frame reuses that exchange (co-partitioned,
+    no broadcast needed — both sides are user-keyed); (3) the final
+    (cohort, period) rollup moves only the already-deduped pairs.
+    countDistinct is exact; at extreme cardinality swap
+    approx_count_distinct in the caller's own rollup."""
+    day = F.to_date(F.col(ts_col)).alias("__day")
+    anchors = events.groupBy(user_col).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("cohort_date")
+    )
+    activity = events.select(F.col(user_col), day).dropDuplicates()
+    period = F.floor(
+        F.datediff(F.col("__day"), F.col("cohort_date")) / F.lit(float(period_days))
+    ).cast("bigint")
+    return (
+        activity.join(anchors, user_col)
+        .select(F.col(user_col), F.col("cohort_date"), period.alias("period"))
+        .groupBy("cohort_date", "period")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+    )

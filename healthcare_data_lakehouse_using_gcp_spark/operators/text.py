@@ -836,3 +836,78 @@ def feature_hash_embed(
             dense, lambda v: F.when(norm > 0, v / norm).otherwise(F.lit(0.0))
         )
     return assembled.select(F.col(id_col), dense.alias("embedding"), "n_tokens")
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information, ``pmi = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) )``,
+    restricted to bigrams seen at least ``min_count`` times (PMI is
+    noise-dominated at low counts). Returns (w1, w2, n_pair, pmi)
+    ranked pmi desc / (w1, w2) asc — the phrase-detection signal
+    behind tokenizer-vocab curation and boilerplate discovery.
+
+    Scale design (100 TB): bigrams are built INSIDE the token array
+    (``zip_with`` over two slices — pure Column work, no posexplode
+    self-join on (doc, pos), which would shuffle every token twice).
+    Three hash aggregations follow (pair counts, unigram counts,
+    global totals), all with map-side partials; the unigram frame is
+    |vocab|-sized and joined twice broadcast-style. The min_count
+    filter runs BEFORE the joins, so only surviving bigrams move.
+    """
+    toks = F.filter(
+        tokens_col(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    arr = df.select(toks.alias("__ts")).filter(F.size("__ts") >= 2)
+    pairs_col = F.zip_with(
+        F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+        F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = arr.select(F.explode(pairs_col).alias("p")).select("p.w1", "p.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pair")
+    )
+    # Unigram counts over ALL tokens (not just bigram members), matching
+    # the marginal distribution the PMI denominator models.
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_w"))
+    )
+    totals = pair_counts.agg(
+        F.sum("n_pair").alias("n_bi")
+    ).crossJoin(uni.agg(F.sum("n_w").alias("n_uni")))
+    surviving = pair_counts.filter(F.col("n_pair") >= min_count)
+    scored = (
+        surviving.join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("n_w", "n_w1")
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.floor(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bi"))
+                    / ((F.col("n_w1") / F.col("n_uni")) * (F.col("n_w2") / F.col("n_uni")))
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0,
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), "pmi"
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

@@ -242,3 +242,31 @@ def test_equidepth_histogram(spark):
     assert rows[4]["lo"] == 150 and rows[4]["hi"] == 198
     # buckets tile the domain in order
     assert rows[1]["hi"] < rows[2]["lo"] <= rows[2]["hi"] < rows[3]["lo"]
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("h", 1000.0), ("h", 2000.0), ("h", 3000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, ["grp"], "v", lo=0.10, hi=0.90)
+    assert out.count() == len(rows)  # winsorize caps, never drops
+    g = out.filter(F.col("grp") == "g")
+    # exact p10/p90 of 1..100 (linear interpolation): 10.9 and 90.1
+    b = g.select("v_lo", "v_hi").first()
+    assert abs(b["v_lo"] - 10.9) < 1e-9 and abs(b["v_hi"] - 90.1) < 1e-9
+    clipped = [r["v_clipped"] for r in g.collect()]
+    assert abs(min(clipped) - 10.9) < 1e-9 and abs(max(clipped) - 90.1) < 1e-9
+    # interior values untouched
+    assert g.filter((F.col("v") == 50.0) & (F.col("v_clipped") == 50.0)).count() == 1
+    # other group's bounds are its own
+    h = out.filter(F.col("grp") == "h").select("v_lo").first()
+    assert h["v_lo"] > 1000.0
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
+    plan = winsorize(df, ["grp"], "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # fact table never re-shuffles

@@ -1147,3 +1147,47 @@ def test_bpe_ish_pretokenize(spark):
     # whitespace never yields a pretoken
     assert out[2]["toks"] == ["spaced", "out"]
     assert out[3]["toks"] == ["a", "+", "b", "=", "c"]
+
+
+# --- bigram_pmi (collocations) ---------------------------------------
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import bigram_pmi
+
+    # 'hong kong' always co-occurs; filler tokens pair randomly
+    docs = spark.createDataFrame(
+        [(i, "hong kong " + ("x y " if i % 2 else "y x ") * 3) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = bigram_pmi(docs, min_count=5, k=10).collect()
+    assert out, "no bigrams survived min_count"
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("hong", "kong")
+    # hand-check the PMI: c_ab=10; 8 tokens/doc → N_uni=80 with
+    # hong=kong=10; 7 bigrams/doc → N_bi=70
+    expected = math.log((10 / 70) / ((10 / 80) * (10 / 80)))
+    assert abs(top["pmi"] - expected) < 1e-3
+    assert top["n_pair"] == 10
+
+
+def test_bigram_pmi_min_count_filters(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    pairs = {(r["w1"], r["w2"]) for r in bigram_pmi(docs, min_count=2, k=10).collect()}
+    assert pairs == {("a", "b")}  # 'c d' seen once → filtered
+
+
+def test_bigram_pmi_single_token_docs_contribute_unigrams_only(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b"), (3, "a b")], "doc_id long, text string"
+    )
+    out = bigram_pmi(docs, min_count=1, k=10).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("a", "b")}

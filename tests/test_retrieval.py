@@ -106,3 +106,44 @@ def test_term_index_save_load_roundtrip(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "term" in plan
+
+
+# --- tfidf_topk_terms -------------------------------------------------
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(docs, k=1)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # 'common' appears in every doc (idf = ln(4/4)+1 = 1); the doubled
+    # rare term (idf = ln(4/2)+1 ≈ 1.69, tf 2) wins where one exists
+    assert top[1] == "zebra" and top[2] == "yak" and top[3] == "common"
+
+
+def test_tfidf_rn_bounded_and_scores_monotone(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} w{i} w{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(docs, k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rn"], r["tfidf"]))
+    for doc, pairs in per_doc.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        scores = [p[1] for p in pairs]
+        assert scores == sorted(scores, reverse=True)
+        # the thrice-repeated unique token dominates
+        assert len(pairs) == 3

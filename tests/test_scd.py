@@ -92,3 +92,47 @@ def test_asof_lookup(spark):
     assert out == {100: "bronze", 101: "silver", 102: "gold", 103: None, 104: None}
     # every fact row survives exactly once (intervals are disjoint)
     assert scd.scd2_lookup(facts, hist, ["patient_id"], "claim_ts").count() == 5
+
+
+# --- snapshot_diff (batch CDC) ---------------------------------------
+
+
+def snap_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, status string, amount double")
+
+
+def test_snapshot_diff_labels_and_drops_unchanged(spark):
+    old = snap_df(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)])
+    new = snap_df(spark, [(2, "b", 20.0), (3, "c", 31.0), (4, "d", None), (5, "e", 50.0)])
+    out = scd.snapshot_diff(old, new, ["id"], ["status", "amount"])
+    rows = {r["id"]: r for r in out.collect()}
+    # 1 deleted, 3 updated, 5 inserted; 2 unchanged and 4 (null==null
+    # under null-safe compare) dropped
+    assert set(rows) == {1, 3, 5}
+    assert rows[1]["change_type"] == "delete" and rows[1]["new_status"] is None
+    assert rows[3]["change_type"] == "update"
+    assert rows[3]["old_amount"] == 30.0 and rows[3]["new_amount"] == 31.0
+    assert rows[5]["change_type"] == "insert" and rows[5]["old_status"] is None
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    old = snap_df(spark, [(1, "a", None)])
+    new = snap_df(spark, [(1, "a", 5.0)])
+    out = scd.snapshot_diff(old, new, ["id"]).collect()
+    assert len(out) == 1 and out[0]["change_type"] == "update"
+
+
+def test_snapshot_diff_default_compare_cols_exclude_keys(spark):
+    old = snap_df(spark, [(1, "a", 1.0)])
+    new = snap_df(spark, [(1, "a", 1.0)])
+    assert scd.snapshot_diff(old, new, ["id"]).count() == 0
+
+
+def test_snapshot_diff_feeds_scd2_merge_shape(spark):
+    """The update/insert rows carry exactly the new-side values an
+    SCD2 merge needs; deletes carry only old-side state."""
+    old = snap_df(spark, [(1, "a", 1.0)])
+    new = snap_df(spark, [(1, "b", 1.0), (2, "x", 9.0)])
+    out = scd.snapshot_diff(old, new, ["id"], ["status"])
+    got = {(r["id"], r["change_type"], r["new_status"]) for r in out.collect()}
+    assert got == {(1, "update", "b"), (2, "insert", "x")}

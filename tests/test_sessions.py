@@ -48,3 +48,49 @@ def test_session_stats(spark):
     assert stats[(1, 1)]["duration_s"] == 1200
     assert stats[(1, 2)]["n_events"] == 2
     assert stats[(2, 1)]["duration_s"] == 0
+
+
+# --- cohort_retention -------------------------------------------------
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: first day 1, active day 1 and day 9 (period 1)
+            (1, T(2024, 1, 1, 10)), (1, T(2024, 1, 1, 12)), (1, T(2024, 1, 9)),
+            # user 2: same cohort day, only period 0
+            (2, T(2024, 1, 1)),
+            # user 3: cohort day 3, active period 0 and period 2 (day 18)
+            (3, T(2024, 1, 3)), (3, T(2024, 1, 18)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import cohort_retention
+
+    out = {
+        (r["cohort_date"].isoformat(), r["period"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-03", 0): 1,
+        ("2024-01-03", 2): 1,
+    }
+
+
+def test_cohort_retention_period_zero_counts_every_user(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1 + u)) for u in range(1, 6)],
+        "user_id long, ts timestamp",
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import cohort_retention
+
+    out = cohort_retention(ev)
+    p0 = out.filter(F.col("period") == 0).agg(F.sum("n_users")).collect()[0][0]
+    assert p0 == 5  # everyone is active in their own cohort period
