@@ -85,6 +85,13 @@ HEADLINE = [
     # in r4/r5)
     "text_heavy_hitters",
     "sketch_profile",
+    # round-6 third wave: TF-IDF keyword extraction (postings build +
+    # doc-frequency join + per-doc rank window — a three-stage text
+    # heavy) and batch CDC (full-outer key join over the whole fact) —
+    # headline sum covers 20 queries from here on; per-query minimums
+    # stay the cross-round unit
+    "tfidf_terms",
+    "cdc_snapshot_diff",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -115,6 +122,11 @@ SF1_SUBSET = [
     # the token scan, near-linearly)
     "j1_band_join_bucketed",
     "text_heavy_hitters",
+    # round-6 third wave: the TF-IDF pipeline's growth is the postings
+    # frame (tokens) plus a vocab-keyed join — both should scale
+    # near-linearly; super-linear growth here would mean the df join
+    # stopped broadcasting
+    "tfidf_terms",
 ]
 
 

@@ -252,7 +252,28 @@ def query(name: str, sql: str | None):
 #   w3_rank_family          — NEW late-r6, tail-born (ordered-window
 #                             machinery = j3_asof_nearest head / w1;
 #                             promote in r7)                 [new r6, no driver row]
+#   j6_interval_overlap     — NEW late-r6, tail-born (bucket-explode
+#                             equi-join = the j1_band_join_bucketed
+#                             head's candidate mechanism generalized
+#                             to keyless per-row intervals; promote
+#                             in r7)                         [new r6, no driver row]
+#   a17_mad_outliers        — NEW late-r6, tail-born (exact grouped
+#                             median = sketch_profile/a10 percentile
+#                             path; broadcast join-back = a16/a6
+#                             shape; promote in r7)          [new r6, no driver row]
+#   graph_pagerank          — NEW late-r6, tail-born (iterative
+#                             join+agg loop with localCheckpoint =
+#                             dedup_components' (head) pointer-jumping
+#                             discipline; promote in r7)     [new r6, no driver row]
+#   t6_session_window       — NEW late-r6, tail-born (gap-and-island
+#                             semantics = events_sessionize head,
+#                             proven equivalent by its own oracle;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "j6_interval_overlap",
+    "a17_mad_outliers",
+    "graph_pagerank",
+    "t6_session_window",
     "j1_band_join",
     "events_funnel",
     "tfidf_terms",
@@ -3763,6 +3784,208 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round-6 fourth wave: interval joins, robust outliers, PageRank,
+# native session windows
+# =====================================================================
+
+
+@query(
+    "j6_interval_overlap",
+    """
+    WITH promos AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             DATE '1995-01-06' + (n_nationkey * 11)::INTEGER AS p_s,
+             DATE '1995-01-06'
+               + (n_nationkey * 11 + n_nationkey % 10 + 3)::INTEGER AS p_e
+      FROM nation
+    ), ords AS (
+      SELECT o_orderkey, o_orderdate::DATE AS o_s,
+             o_orderdate::DATE + (o_orderkey % 14)::INTEGER AS o_e
+      FROM orders
+    )
+    SELECT o.o_orderkey, p.n_nationkey
+    FROM ords o JOIN promos p ON o.o_s <= p.p_e AND p.p_s <= o.o_e
+    """,
+)
+def j6_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (beyond-reference): keyless interval-overlap join
+    (operators/joins.interval_overlap_join) with PER-ROW interval
+    widths — order activity windows [orderdate, +key%14d] × synthetic
+    promo windows derived from nation. No shared equi-key, so a theta
+    join would be cartesian; instead both sides explode to 30-day
+    date buckets, equi-join ON THE BUCKET, and the canonical-bucket
+    rule (only the bucket containing greatest(starts) emits) yields
+    each true pair exactly once with no dedup pass. The oracle is
+    DuckDB's plain inequality join."""
+    from .operators.joins import interval_overlap_join
+
+    nat = _t(spark, sf_dir, "nation")
+    promos = nat.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.date_add(
+            F.lit("1995-01-06").cast("date"),
+            (F.col("n_nationkey") * 11).cast("int"),
+        ).alias("p_s"),
+        F.date_add(
+            F.lit("1995-01-06").cast("date"),
+            (F.col("n_nationkey") * 11 + F.col("n_nationkey") % 10 + 3).cast("int"),
+        ).alias("p_e"),
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_s"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 14).cast("int")
+        ).alias("o_e"),
+    )
+    out = interval_overlap_join(
+        ords, promos, "o_s", "o_e", "p_s", "p_e", bucket_days=30
+    )
+    return out.select("o_orderkey", "n_nationkey")
+
+
+@query(
+    "a17_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           FLOOR(m.med * 10000 + 0.5) / 10000 AS med,
+           FLOOR(d.mad * 10000 + 0.5) / 10000 AS mad,
+           (abs(e.value - m.med) > 3.0 * 1.4826 * d.mad) AS is_outlier
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    """,
+)
+def a17_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (beyond-reference): robust outlier flagging via median
+    absolute deviation (operators/analytics.mad_outliers) — the
+    outlier detector that survives its own outliers, unlike
+    mean/stddev z-scores. Exact-median parity with quantile_cont is
+    the a10-proven percentile path; both median frames broadcast back
+    so the fact never re-shuffles."""
+    from .functions.scalars import round_det
+    from .operators.analytics import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev.select("event_id", "event_type", "value"),
+                       ["event_type"], "value", k=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        round_det(F.col("value_med"), 4).alias("med"),
+        round_det(F.col("value_mad"), 4).alias("mad"),
+        "is_outlier",
+    )
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0/nn.cnt AS rank FROM nodes CROSS JOIN n nn),
+    r1 AS (
+      SELECT nd.node, 0.15/nn.cnt + 0.85 * COALESCE(SUM(r.rank / d.out_deg), 0) AS rank
+      FROM nodes nd CROSS JOIN n nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN r0 r ON r.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.cnt
+    ),
+    r2 AS (
+      SELECT nd.node, 0.15/nn.cnt + 0.85 * COALESCE(SUM(r.rank / d.out_deg), 0) AS rank
+      FROM nodes nd CROSS JOIN n nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN r1 r ON r.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.cnt
+    ),
+    r3 AS (
+      SELECT nd.node, 0.15/nn.cnt + 0.85 * COALESCE(SUM(r.rank / d.out_deg), 0) AS rank
+      FROM nodes nd CROSS JOIN n nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN r2 r ON r.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.cnt
+    )
+    SELECT node, FLOOR(rank * 100000000 + 0.5) / 100000000 AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference iterative algorithm: PageRank
+    (operators/graph.pagerank) over the undirected part↔supplier
+    co-occurrence graph from lineitem (disjoint node ids via
+    even/odd encoding). Exactly 3 fixed iterations so the oracle —
+    the same update rule unrolled as three chained CTE levels — is
+    bit-comparable after 8-dp rounding. Bidirectional edges mean no
+    dangling nodes, so the simplified update conserves rank mass
+    (Σ rank = 1, asserted in tests)."""
+    from .operators.graph import bidirectional_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    )
+    ranks = pagerank(bidirectional_edges(pairs, "a", "b"), iterations=3)
+    return ranks.select(
+        "node", (F.floor(F.col("rank") * 1e8 + F.lit(0.5)) / 1e8).alias("rank")
+    )
+
+
+@query(
+    "t6_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts) + INTERVAL 30 MINUTE)
+                AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def t6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (beyond-reference): Spark's BUILT-IN session_window
+    aggregation (streaming/pipeline.session_window_counts) — JVM
+    state-store session merging, the native sibling of the
+    applyInPandasWithState custom sessionizer. Probed semantics:
+    events merge while the gap is ≤ 30 min (strictly-greater starts a
+    session) and the window end is last_event + gap — the oracle is
+    the classic gap-and-island SQL with exactly those conventions,
+    proving built-in ≡ hand-rolled."""
+    from .streaming.pipeline import session_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_counts(
+        ev.select("user_id", "event_id", "ts"), gap_seconds=1800
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -3843,4 +4066,8 @@ OPERATOR_MAP = {
     "A16": ["a16_winsorize"],  # beyond-reference: per-group winsorization
     "W3": ["w3_rank_family"],  # beyond-reference: full ranking family
     "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
+    "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
+    "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
+    "Graph": ["graph_pagerank", "dedup_components"],
+    "T6": ["t6_session_window"],  # beyond-reference: native session windows
 }

@@ -332,3 +332,42 @@ def winsorize(
         .withColumnRenamed(lo_name, f"{value_col}_lo")
         .withColumnRenamed(hi_name, f"{value_col}_hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging per group via the median absolute
+    deviation: flag rows where ``|v - median| > k · 1.4826 · MAD``
+    (1.4826 scales MAD to the stddev of a normal, so k behaves like a
+    z-score threshold but survives the very outliers it hunts —
+    unlike mean/stddev, which the outliers themselves inflate).
+
+    Adds ``<value_col>_med``, ``<value_col>_mad``, ``is_outlier``;
+    keeps every row.
+
+    Scale design (100 TB): two exact-median hash aggregations over the
+    (low-cardinality) group key — medians of values, then of absolute
+    deviations — each producing a |groups|-row frame broadcast back
+    onto the fact, so the fact table itself never shuffles. Exact
+    percentile buffers per-group values; for high-cardinality groups
+    swap approx_percentile in (the grouped_percentiles pattern).
+    """
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(value_col)
+    med_name, mad_name = f"{value_col}_med", f"{value_col}_mad"
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias(med_name)
+    )
+    with_med = df.join(broadcast(med), list(group_cols))
+    mad = with_med.groupBy(*group_cols).agg(
+        F.percentile(F.abs(v - F.col(med_name)), F.lit(0.5)).alias(mad_name)
+    )
+    return with_med.join(broadcast(mad), list(group_cols)).withColumn(
+        "is_outlier",
+        F.abs(v - F.col(med_name)) > F.lit(k) * F.lit(1.4826) * F.col(mad_name),
+    )

@@ -272,3 +272,73 @@ def asof_select_min_by(
     return out.select(
         *partition_cols, *[F.col(f"__best.{c}").alias(c) for c in value_cols]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] | None = None,
+    bucket_days: int = 30,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose [start, end] date intervals overlap —
+    ``l.start <= r.end AND r.start <= l.end`` with PER-ROW interval
+    widths (a fixed ±N band is band_join; this is the general case:
+    stays, coverage periods, promo windows).
+
+    Two physical strategies:
+
+    - ``on`` given: equi-join on the keys with the overlap predicate
+      as a post-join filter — the Catalyst shape where the equi-key
+      drives the shuffle (band_join's proven plan).
+    - ``on=None`` (no shared key): a naive theta-join would be a
+      cartesian product. Instead both sides explode to the
+      ``bucket_days``-wide date buckets their interval covers
+      (``sequence`` over bucket ordinals — rows fan out by
+      interval_width/bucket_days, typically 1-2), equi-join ON THE
+      BUCKET, and emit each true pair exactly once via the canonical-
+      bucket rule: only the bucket containing ``greatest(l.start,
+      r.start)`` — a bucket both sides provably cover when they
+      overlap — may emit, so no post-hoc dropDuplicates pass is
+      needed. Shuffle is on bucket ordinals; at 100 TB pick
+      ``bucket_days`` ≈ the median interval width so fan-out stays
+      O(1) while each bucket's population stays bounded. Only inner
+      joins are supported on this path.
+    """
+    l_s, l_e = F.col(f"l.{left_start}"), F.col(f"l.{left_end}")
+    r_s, r_e = F.col(f"r.{right_start}"), F.col(f"r.{right_end}")
+    overlap = (l_s <= r_e) & (r_s <= l_e)
+    if on:
+        # overlap goes INTO the join condition (not a post-filter) so
+        # outer-join semantics stay correct; Catalyst still extracts
+        # the equality conjuncts as the shuffle keys and evaluates the
+        # overlap as the join's residual predicate.
+        cond = overlap
+        for k in on:
+            cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+        return left.alias("l").join(right.alias("r"), cond, how)
+    if how != "inner":
+        raise ValueError("bucketed interval join supports how='inner' only")
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(F.unix_date(F.col(c)) / F.lit(bucket_days)).cast("bigint")
+
+    def _explode_buckets(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.explode(F.sequence(_bucket(start), _bucket(end)))
+        )
+
+    lb = _explode_buckets(left, left_start, left_end).alias("l")
+    rb = _explode_buckets(right, right_start, right_end).alias("r")
+    canonical = F.floor(
+        F.unix_date(F.greatest(l_s, r_s)) / F.lit(bucket_days)
+    ).cast("bigint")
+    return (
+        lb.join(rb, F.col("l.__bucket") == F.col("r.__bucket"), "inner")
+        .filter(overlap & (F.col("l.__bucket") == canonical))
+        .drop("__bucket")
+    )

@@ -32,6 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..operators.etl import build_etl
+from ..operators.sessions import _epoch_seconds
 from ..sources.readers import read_json_stream
 
 
@@ -227,3 +228,50 @@ def run_batch_equivalent(
     from ..sources.readers import read_json_batch
 
     return build_etl(read_json_batch(spark, input_path), cfg)
+
+
+def session_window_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark_seconds: int = 3600,
+) -> DataFrame:
+    """Beyond-reference: Spark's BUILT-IN session windows — per-key
+    variable-length windows that extend while events keep arriving
+    within ``gap_seconds`` and close after a quiet gap. The native
+    counterpart of streaming/stateful.streaming_sessions (which keeps
+    the applyInPandasWithState custom-logic escape hatch); prefer this
+    one when per-session logic is expressible as aggregates — the
+    state store handles merging/eviction in the JVM with no Python
+    worker round-trip.
+
+    Returns (key, session_start, session_end, n_events, duration_s).
+
+    Works on batch frames too (watermark is a no-op): the batch result
+    equals the classic gap-and-island sessionization
+    (operators/sessions.sessionize + session_stats) — pinned by test
+    and by the corpus oracle. Streaming state is bounded by the
+    watermark horizon; sessions older than ``watermark_seconds`` are
+    finalized and evicted.
+    """
+    ts = F.to_timestamp(F.col(ts_col))
+    df = events.withColumn("__event_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("__event_ts", f"{watermark_seconds} seconds")
+    return (
+        df.groupBy(
+            F.session_window("__event_ts", f"{gap_seconds} seconds").alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (_epoch_seconds(F.col("sw.end")) - _epoch_seconds(F.col("sw.start")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+    )

@@ -270,3 +270,29 @@ def test_winsorize_bounds_join_is_broadcast(spark):
     df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
     plan = winsorize(df, ["grp"], "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # fact table never re-shuffles
+
+
+def test_mad_outliers_survive_what_zscore_misses(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import mad_outliers
+
+    # One massive outlier inflates mean AND stddev so a 3-sigma rule
+    # barely catches it and nothing else; MAD stays anchored to the
+    # bulk and flags both planted points.
+    bulk = [("g", float(v)) for v in range(100)]
+    planted = [("g", 500.0), ("g", -400.0)]
+    df = spark.createDataFrame(bulk + planted, "grp string, v double")
+    out = mad_outliers(df, ["grp"], "v", k=3.0)
+    assert out.count() == len(bulk) + len(planted)
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {500.0, -400.0}
+
+
+def test_mad_outliers_plan_is_broadcast_only(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import mad_outliers
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
+    plan = (
+        mad_outliers(df, ["grp"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -1,0 +1,72 @@
+"""PageRank (operators/graph): hand-computed values, mass
+conservation, lineage checkpointing, and edge hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.graph import bidirectional_edges, pagerank
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_hand_computed_one_iteration(spark):
+    # Directed: 1→2, 1→3, 2→3, 3→1. N=3, d=0.85, r0 = 1/3 each.
+    # r1(1) = 0.15/3 + 0.85·(r0(3)/1)            = 0.05 + 0.2833…
+    # r1(2) = 0.15/3 + 0.85·(r0(1)/2)            = 0.05 + 0.1416…
+    # r1(3) = 0.15/3 + 0.85·(r0(1)/2 + r0(2)/1)  = 0.05 + 0.425
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long")
+    got = _ranks(pagerank(e, iterations=1))
+    assert abs(got[1] - (0.05 + 0.85 / 3)) < 1e-12
+    assert abs(got[2] - (0.05 + 0.85 / 6)) < 1e-12
+    assert abs(got[3] - (0.05 + 0.85 * (1 / 6 + 1 / 3))) < 1e-12
+
+
+def test_pagerank_mass_conserved_on_undirected(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "a long, b long"
+    )
+    pr = pagerank(bidirectional_edges(pairs, "a", "b"), iterations=10)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9  # no dangling nodes → stochastic
+    # higher-degree nodes rank higher
+    got = _ranks(pr)
+    assert got[1] > got[2] and got[3] > got[4]
+
+
+def test_pagerank_star_center_dominates(spark):
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
+    got = _ranks(pagerank(bidirectional_edges(pairs, "a", "b"), iterations=12))
+    assert got[0] > 3 * got[1]
+    leaf_ranks = [got[i] for i in range(1, 6)]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12  # symmetry
+
+
+def test_pagerank_checkpoint_interval_does_not_change_result(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1)], "src long, dst long"
+    )
+    a = _ranks(pagerank(e, iterations=7, checkpoint_every=2))
+    b = _ranks(pagerank(e, iterations=7, checkpoint_every=100))
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_pagerank_dangling_node_gets_base_rank(spark):
+    # 2 has no out-edges (dangling) and no in-edges beyond 1→2.
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = _ranks(pagerank(e, iterations=4))
+    # node 1 receives nothing: rank = (1-d)/N every iteration
+    assert abs(got[1] - 0.075) < 1e-12
+    # simplified semantics: mass decays (documented), ranking intact
+    assert got[2] > got[1]
+
+
+def test_bidirectional_edges_distinct_both_ways(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], "a long, b long")
+    e = bidirectional_edges(pairs, "a", "b")
+    got = {(r["src"], r["dst"]) for r in e.collect()}
+    assert got == {(1, 2), (2, 1)}

@@ -242,3 +242,96 @@ def test_band_join_bucketed_equals_plain_and_prunes_pairs(spark):
         far_left, right, ["k"], "l_date", "r_date", band_days=30, how="left"
     ).collect()
     assert len(lonely) == 1 and lonely[0]["r_date"] is None
+
+
+# --- interval_overlap_join -------------------------------------------
+
+
+def _iv(spark, rows, pre):
+    return spark.createDataFrame(
+        rows, f"{pre}id long, {pre}s date, {pre}e date"
+    )
+
+
+def test_interval_overlap_bucketed_equals_naive(spark):
+    import datetime as dt
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    base = dt.date(2024, 1, 1)
+    a_rows, b_rows = [], []
+    for i in range(60):
+        s = base + dt.timedelta(days=rng.randrange(0, 300))
+        a_rows.append((i, s, s + dt.timedelta(days=rng.randrange(0, 45))))
+    for j in range(40):
+        s = base + dt.timedelta(days=rng.randrange(0, 300))
+        b_rows.append((j, s, s + dt.timedelta(days=rng.randrange(0, 45))))
+    a, b = _iv(spark, a_rows, "a"), _iv(spark, b_rows, "b")
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b, "as", "ae", "bs", "be", bucket_days=20
+        ).collect()
+    }
+    naive = {
+        (ai, bj)
+        for (ai, as_, ae) in a_rows
+        for (bj, bs, be) in b_rows
+        if as_ <= be and bs <= ae
+    }
+    assert got == naive  # exactly once per true pair, none missed
+
+
+def test_interval_overlap_bucketed_no_cartesian_in_plan(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import interval_overlap_join
+
+    d = dt.date(2024, 1, 1)
+    a = _iv(spark, [(1, d, d)], "a")
+    b = _iv(spark, [(2, d, d)], "b")
+    plan = (
+        interval_overlap_join(a, b, "as", "ae", "bs", "be", bucket_days=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_overlap_keyed_left_join_keeps_unmatched(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import interval_overlap_join
+
+    d = dt.date(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, "k1", d, d + dt.timedelta(days=5)),
+         (2, "k2", d, d + dt.timedelta(days=5))],
+        "aid long, k string, as date, ae date",
+    )
+    b = spark.createDataFrame(
+        [("k1", d + dt.timedelta(days=3), d + dt.timedelta(days=9)),
+         ("k2", d + dt.timedelta(days=30), d + dt.timedelta(days=40))],
+        "k string, bs date, be date",
+    )
+    out = interval_overlap_join(
+        a, b, "as", "ae", "bs", "be", on=["k"], how="left"
+    )
+    rows = {r["aid"]: r["bs"] for r in out.collect()}
+    assert rows[1] is not None  # overlapping match joined
+    assert rows[2] is None      # key matches but intervals don't → NULL side
+
+
+def test_interval_overlap_keyless_rejects_outer(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import interval_overlap_join
+
+    d = dt.date(2024, 1, 1)
+    a = _iv(spark, [(1, d, d)], "a")
+    b = _iv(spark, [(2, d, d)], "b")
+    with _pytest.raises(ValueError):
+        interval_overlap_join(a, b, "as", "ae", "bs", "be", how="left")

@@ -94,3 +94,58 @@ def test_cohort_retention_period_zero_counts_every_user(spark):
     out = cohort_retention(ev)
     p0 = out.filter(F.col("period") == 0).agg(F.sum("n_users")).collect()[0][0]
     assert p0 == 5  # everyone is active in their own cohort period
+
+
+# --- built-in session windows vs gap-and-island ----------------------
+
+
+def test_session_window_counts_equals_sessionize_rollup(spark):
+    """Spark's native session_window must reproduce the hand-rolled
+    lag/cumsum sessionization on the real fixture."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.sources.readers import load_table
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        session_window_counts,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts"
+    )
+    native = session_window_counts(ev, gap_seconds=1800)
+    classic = session_stats(sessionize(ev, gap_minutes=30))
+    got = {
+        (r["user_id"], r["n_events"], r["duration_s"] - 1800)
+        for r in native.collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["duration_s"])
+        for r in classic.collect()
+    }
+    # native duration includes the closing gap (end = last + gap)
+    assert got == want
+    assert native.count() == classic.count()
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        session_window_counts,
+    )
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 1, 0, 0, 0)),
+            (1, 2, T(2024, 1, 1, 0, 30, 0)),   # exactly gap later → merges
+            (1, 3, T(2024, 1, 1, 1, 0, 1)),    # gap + 1 s → new session
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = session_window_counts(ev, gap_seconds=1800).orderBy("session_start")
+    rows = out.collect()
+    assert [r["n_events"] for r in rows] == [2, 1]
+    assert rows[0]["duration_s"] == 1800 + 1800  # 30 min span + closing gap
