@@ -269,7 +269,21 @@ def query(name: str, sql: str | None):
 #                             semantics = events_sessionize head,
 #                             proven equivalent by its own oracle;
 #                             promote in r7)                 [new r6, no driver row]
+#   j7_bloom_prefilter      — NEW late-r6, tail-born (leftsemi shape =
+#                             text_heavy_hitters head + j5 tail; the
+#                             fingerprint stage is gated by its own
+#                             fpr/no-false-negative tests; promote
+#                             in r7)                         [new r6, no driver row]
+#   w4_ratio_to_report      — NEW late-r6, tail-born (unordered full-
+#                             partition window = w1/j3 machinery minus
+#                             the sort; promote in r7)       [new r6, no driver row]
+#   w5_cumulative           — NEW late-r6, tail-born (ordered running
+#                             frame = w2_moving_avg's rowsBetween
+#                             machinery; promote in r7)      [new r6, no driver row]
 _TAIL = (
+    "j7_bloom_prefilter",
+    "w4_ratio_to_report",
+    "w5_cumulative",
     "j6_interval_overlap",
     "a17_mad_outliers",
     "graph_pagerank",
@@ -3986,6 +4000,102 @@ def t6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j7_bloom_prefilter",
+    """
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           l.l_extendedprice
+    FROM lineitem l
+    WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+    """,
+)
+def j7_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (beyond-reference): runtime-filter-style two-phase semi-join
+    (operators/joins.bucket_prefilter_semi_join) — the dim's key set
+    compresses to its distinct xxhash64-bucket fingerprint (a one-hash
+    Bloom filter in pure DataFrame ops), broadcasts at a size
+    independent of dim width, and pre-drops non-matching fact rows
+    inside the scan stage before the exact semi-join sees the
+    survivors. Exactly the plain semi-join (no false negatives by
+    construction, false positives removed by the chained exact
+    stage) — which IS the oracle."""
+    from .operators.joins import bucket_prefilter_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_extendedprice",
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bucket_prefilter_semi_join(li, dim, "l_orderkey", num_buckets=1 << 16)
+
+
+@query(
+    "w4_ratio_to_report",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           FLOOR(l_extendedprice / SUM(l_extendedprice)
+                   OVER (PARTITION BY l_orderkey) * 10000 + 0.5) / 10000 AS share
+    FROM lineitem
+    """,
+)
+def w4_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (beyond-reference): percent-of-total within group — each
+    line's share of its order's value via an unordered full-partition
+    window (the classic ratio_to_report). One exchange on the
+    partition key, no sort (the frame is the whole partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    share = F.col("l_extendedprice") / F.sum("l_extendedprice").over(w)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        (F.floor(share * 10000 + F.lit(0.5)) / 10000).alias("share"),
+    )
+
+
+@query(
+    "w5_cumulative",
+    """
+    SELECT o_custkey, o_orderkey,
+           FLOOR(SUM(o_totalprice) OVER w * 100 + 0.5) / 100 AS running_total,
+           FLOOR(MAX(o_totalprice) OVER w * 10000 + 0.5) / 10000 AS running_max,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def w5_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (beyond-reference): running totals — cumulative sum/max and
+    sequence number per customer in order-date order. The prefix sum
+    accumulates in FRAME ORDER (deterministic tie-broken ordering), so
+    both engines add the same doubles in the same sequence and the
+    result is bit-comparable, unlike unordered aggregate sums. One
+    sort-based window, all three functions share it."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(F.sum("o_totalprice").over(w) * 100 + F.lit(0.5)) / 100).alias(
+            "running_total"
+        ),
+        (F.floor(F.max("o_totalprice").over(w) * 10000 + F.lit(0.5)) / 10000).alias(
+            "running_max"
+        ),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4070,4 +4180,7 @@ OPERATOR_MAP = {
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
     "Graph": ["graph_pagerank", "dedup_components"],
     "T6": ["t6_session_window"],  # beyond-reference: native session windows
+    "J7": ["j7_bloom_prefilter"],  # beyond-reference: runtime-filter semi-join
+    "W4": ["w4_ratio_to_report"],  # beyond-reference: percent-of-total window
+    "W5": ["w5_cumulative"],  # beyond-reference: running totals
 }

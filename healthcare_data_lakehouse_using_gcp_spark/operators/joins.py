@@ -342,3 +342,47 @@ def interval_overlap_join(
         .filter(overlap & (F.col("l.__bucket") == canonical))
         .drop("__bucket")
     )
+
+
+def bucket_prefilter_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_buckets: int = 1 << 16,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join a huge fact against a dim's keys with a runtime-
+    filter-style two-phase plan: (1) compress the dim's key set to its
+    DISTINCT hash-bucket fingerprint (≤ ``num_buckets`` rows — xxhash64
+    mod m, a Bloom filter with one hash function expressed in pure
+    DataFrame ops, since Spark's internal bloom_filter_agg isn't in
+    the public registry); (2) broadcast that fingerprint and pre-drop
+    every fact row whose bucket can't match; (3) ``exact=True`` chains
+    the real key semi-join AFTER the prefilter, so only survivors —
+    the true-match fraction plus the false-positive residue — reach
+    the shuffle.
+
+    Guarantee: no false negatives (same hash, same modulus on both
+    sides); with ``exact`` the result is EXACTLY the plain semi-join.
+    False-positive rate ≈ occupied_buckets/num_buckets — size
+    ``num_buckets`` ≫ |dim keys|.
+
+    Scale rationale (100 TB): a plain semi-join shuffles the whole
+    fact by key when the dim is too big to broadcast raw. The bucket
+    fingerprint broadcasts at ≤ 8·num_buckets bytes REGARDLESS of dim
+    width or key count, and the prefilter evaluates inside the fact's
+    scan stage — the shuffle then moves only surviving rows. This is
+    what Spark's runtime bloom-filter rewrite does internally; spelled
+    out here it also composes with keys the optimizer won't cover
+    (expressions, unions of sources).
+    """
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(num_buckets))  # noqa: E731
+    fingerprint = dim.select(bucket(key).alias("__bucket")).distinct()
+    pre = fact.withColumn("__bucket", bucket(key)).join(
+        F.broadcast(fingerprint), "__bucket", "leftsemi"
+    ).drop("__bucket")
+    if not exact:
+        return pre
+    return pre.join(
+        F.broadcast(dim.select(key).distinct()), key, "leftsemi"
+    )

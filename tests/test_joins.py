@@ -335,3 +335,50 @@ def test_interval_overlap_keyless_rejects_outer(spark):
     b = _iv(spark, [(2, d, d)], "b")
     with _pytest.raises(ValueError):
         interval_overlap_join(a, b, "as", "ae", "bs", "be", how="left")
+
+
+# --- bucket_prefilter_semi_join --------------------------------------
+
+
+def test_bucket_prefilter_exact_equals_semi_join(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import (
+        bucket_prefilter_semi_join,
+    )
+
+    fact = spark.range(5000).selectExpr("id AS k", "id * 2 AS payload")
+    dim = spark.range(5000).filter("id % 37 = 0").selectExpr("id AS k")
+    got = {r["k"] for r in bucket_prefilter_semi_join(fact, dim, "k").collect()}
+    want = {r["k"] for r in fact.join(dim, "k", "leftsemi").collect()}
+    assert got == want
+
+
+def test_bucket_prefilter_no_false_negatives_and_bounded_fpr(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import (
+        bucket_prefilter_semi_join,
+    )
+
+    fact = spark.range(20000).selectExpr("id AS k")
+    dim = spark.range(20000).filter("id % 100 = 0").selectExpr("id AS k")  # 200 keys
+    pre = bucket_prefilter_semi_join(fact, dim, "k", num_buckets=1 << 14, exact=False)
+    survivors = {r["k"] for r in pre.collect()}
+    true_keys = {r["k"] for r in dim.collect()}
+    assert true_keys <= survivors  # never drops a real match
+    # fpr ≈ 200/16384 ≈ 1.2%; allow generous slack for hash clumping
+    false_pos = len(survivors - true_keys)
+    assert false_pos <= len(fact.collect()) * 0.05
+
+
+def test_bucket_prefilter_fingerprint_is_broadcast(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import (
+        bucket_prefilter_semi_join,
+    )
+
+    fact = spark.range(100).selectExpr("id AS k")
+    dim = spark.range(10).selectExpr("id AS k")
+    plan = (
+        bucket_prefilter_semi_join(fact, dim, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both stages broadcast; the fact is never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -303,3 +303,52 @@ def test_stream_stream_band_join(spark, tmp_path):
     cb = _prep(spark.read.schema(c_schema).json(cdir), "c_ts")
     batch = stream_stream_band_join(vb, cb, "patient_id", "v_ts", "c_ts", band_seconds=3600)
     assert {(r["claim"]) for r in batch.select("claim").collect()} == {"C1"}
+
+
+def test_session_window_counts_streaming_mode(spark, tmp_path):
+    """Native session windows run as a streaming aggregation: events
+    land in merged sessions once the watermark lets them finalize, and
+    the complete-mode output matches the batch run of the same
+    transform."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        session_window_counts,
+    )
+
+    d = str(tmp_path / "sw")
+    os.makedirs(d)
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": "2024-06-01T10:00:00"},
+        {"user_id": 1, "event_id": 2, "ts": "2024-06-01T10:10:00"},  # merges
+        {"user_id": 1, "event_id": 3, "ts": "2024-06-01T12:00:00"},  # new session
+        {"user_id": 2, "event_id": 4, "ts": "2024-06-01T11:00:00"},
+    ]
+    with open(os.path.join(d, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "user_id bigint, event_id bigint, ts string"
+
+    stream = spark.readStream.schema(schema).json(d)
+    out = session_window_counts(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["duration_s"])
+        for r in spark.sql("select * from sw_out").collect()
+    }
+    batch = session_window_counts(
+        spark.read.schema(schema).json(d), gap_seconds=1800
+    )
+    want = {
+        (r["user_id"], r["n_events"], r["duration_s"]) for r in batch.collect()
+    }
+    assert got == want
+    assert (1, 2, 600 + 1800) in got  # 10-min span + closing gap
