@@ -280,10 +280,21 @@ def query(name: str, sql: str | None):
 #   w5_cumulative           — NEW late-r6, tail-born (ordered running
 #                             frame = w2_moving_avg's rowsBetween
 #                             machinery; promote in r7)      [new r6, no driver row]
+#   j8_asof_backward        — NEW late-r6, tail-born (the union+LOCF
+#                             window mechanism is new; its output
+#                             semantics are the j3 family's as-of;
+#                             DuckDB-native ASOF JOIN oracle;
+#                             promote in r7)                 [new r6, no driver row]
+#   profile_drift_orders    — NEW late-r6, tail-born (profile pass =
+#                             profile_orders head; the drift diff is a
+#                             |columns|-row frame op; promote in r7)
+#                                                            [new r6, no driver row]
 _TAIL = (
     "j7_bloom_prefilter",
     "w4_ratio_to_report",
     "w5_cumulative",
+    "j8_asof_backward",
+    "profile_drift_orders",
     "j6_interval_overlap",
     "a17_mad_outliers",
     "graph_pagerank",
@@ -4096,6 +4107,166 @@ def w5_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j8_asof_backward",
+    """
+    WITH lefts AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type IN ('view', 'click')
+    ), rights AS (
+      SELECT user_id, ts, MAX(value) AS pvalue FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,
+           FLOOR(r.pvalue * 10000 + 0.5) / 10000 AS asof_pvalue
+    FROM lefts l ASOF LEFT JOIN rights r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j8_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (beyond-reference): classic backward as-of join
+    (operators/joins.asof_join_backward) — each view/click gets the
+    user's LATEST preceding purchase ('state as of this moment', the
+    pandas merge_asof / kdb aj convention; DuckDB's native ASOF JOIN
+    is the oracle). The plan is NOT a join: one union + one
+    last(ignorenulls) window pass — linear regardless of how much
+    history precedes each left row, where a band join's candidate set
+    would blow up. Right side pre-deduped per (user, ts) so ties are
+    engine-independent."""
+    from .functions.scalars import round_det
+    from .operators.joins import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    lefts = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    rights = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join_backward(
+        lefts, rights, ["user_id"], "ts", "ts", ["pvalue"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        round_det(F.col("asof_pvalue"), 4).alias("asof_pvalue"),
+    )
+
+
+@query(
+    "profile_drift_orders",
+    """
+    WITH old_src AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    ), new_src AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS VARCHAR) AS o_custkey_str,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_orderdate + INTERVAL 90 DAY
+                  ELSE o_orderdate END AS o_orderdate
+      FROM orders
+    ), old_p AS (
+      SELECT 'o_orderstatus' AS column_name, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS n_nulls,
+             COUNT(DISTINCT o_orderstatus) AS n_distinct,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+      FROM old_src
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM old_src
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM old_src
+    ), new_p AS (
+      SELECT 'o_orderpriority' AS column_name, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS n_nulls,
+             COUNT(DISTINCT o_orderpriority) AS n_distinct,
+             CAST(MIN(o_orderpriority) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderpriority) AS VARCHAR) AS max_value
+      FROM new_src
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM new_src
+      UNION ALL
+      SELECT 'o_custkey_str', COUNT(*),
+             COUNT(*) FILTER (WHERE o_custkey_str IS NULL),
+             COUNT(DISTINCT o_custkey_str),
+             CAST(MIN(o_custkey_str) AS VARCHAR),
+             CAST(MAX(o_custkey_str) AS VARCHAR)
+      FROM new_src
+    )
+    SELECT COALESCE(o.column_name, n.column_name) AS column_name,
+           CASE WHEN o.column_name IS NULL THEN 'added'
+                WHEN n.column_name IS NULL THEN 'removed'
+                WHEN COALESCE(ABS(n.n_nulls::DOUBLE / n.n_rows
+                                  - o.n_nulls::DOUBLE / o.n_rows) > 0.05, FALSE)
+                     OR COALESCE(n.min_value < o.min_value
+                                 OR n.max_value > o.max_value, FALSE)
+                THEN 'drifted' ELSE 'ok' END AS status,
+           FLOOR(o.n_nulls::DOUBLE / o.n_rows * 10000 + 0.5) / 10000
+             AS null_rate_old,
+           FLOOR(n.n_nulls::DOUBLE / n.n_rows * 10000 + 0.5) / 10000
+             AS null_rate_new,
+           COALESCE(ABS(n.n_nulls::DOUBLE / n.n_rows
+                        - o.n_nulls::DOUBLE / o.n_rows) > 0.05, FALSE)
+             AS null_rate_drifted,
+           COALESCE(n.min_value < o.min_value OR n.max_value > o.max_value,
+                    FALSE) AS range_widened,
+           CASE WHEN o.n_distinct > 0
+                THEN FLOOR(n.n_distinct::DOUBLE / o.n_distinct * 10000 + 0.5)
+                       / 10000 END AS distinct_ratio
+    FROM old_p o FULL OUTER JOIN new_p n ON o.column_name = n.column_name
+    """,
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring (beyond-reference): statistics drift between two
+    table profiles (operators/profiling.profile_drift over
+    profile_table outputs) — 'did today's load change shape?'. The
+    fixture injects every drift class: o_orderpriority gains a 20 %
+    null rate, o_orderdate's max widens 90 days, o_custkey_str
+    appears (added), o_orderstatus disappears (removed). String
+    min/max comparison is exact here by column choice (ISO timestamps
+    + enums — lexical order IS semantic order)."""
+    from .operators.profiling import profile_drift, profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    old_src = o.filter(F.col("o_orderkey") % 3 != 0)
+    new_src = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey_str"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        ).otherwise(F.col("o_orderdate")).alias("o_orderdate"),
+    )
+    old_p = profile_table(
+        old_src, ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+    new_p = profile_table(
+        new_src, ["o_orderpriority", "o_orderdate", "o_custkey_str"]
+    )
+    return profile_drift(old_p, new_p, null_rate_tol=0.05)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4183,4 +4354,6 @@ OPERATOR_MAP = {
     "J7": ["j7_bloom_prefilter"],  # beyond-reference: runtime-filter semi-join
     "W4": ["w4_ratio_to_report"],  # beyond-reference: percent-of-total window
     "W5": ["w5_cumulative"],  # beyond-reference: running totals
+    "J8": ["j8_asof_backward"],  # beyond-reference: union+LOCF as-of join
+    "Drift": ["profile_drift_orders"],  # beyond-reference: profile drift
 }

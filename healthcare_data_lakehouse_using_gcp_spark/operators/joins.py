@@ -386,3 +386,72 @@ def bucket_prefilter_semi_join(
     return pre.join(
         F.broadcast(dim.select(key).distinct()), key, "leftsemi"
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Classic backward as-of join (the pandas merge_asof / kdb aj /
+    DuckDB ASOF JOIN convention): for each left row, the LATEST right
+    row with ``right_ts <= left_ts`` within the key — 'state as of
+    this moment'. Complements asof_join (nearest-within-band): no
+    band, no |diff| ranking, strictly backward-looking.
+
+    Returns every left row plus ``asof_<c>`` for each value column and
+    ``asof_ts`` (all NULL when no right row precedes).
+
+    Scale design (100 TB): NOT a join at all — both sides UNION into
+    one frame (right rows carrying their values, left rows NULLs),
+    and one window pass per key in (ts, side) order forward-fills the
+    last-seen right values onto each left row
+    (``last(..., ignorenulls=True)`` over unbounded-preceding; right
+    sorts before left at equal ts so the ≤ convention holds). One
+    shuffle + one sort TOTAL — versus a band join's candidate blow-up
+    when history is dense or the nearest match is far back. This is
+    the sort-merge as-of shape that stays linear regardless of how
+    many right rows precede each left row.
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        F.col(right_ts).alias("asof_ts"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        *keys,
+        "__ts",
+        "__side",
+        *lcols,
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.last("asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .withColumnRenamed("__ts", left_ts)
+        .drop("__side")
+    )

@@ -113,3 +113,70 @@ def key_skew(df: DataFrame, key_cols: Sequence[str], k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
         .limit(k)
     )
+
+
+def profile_drift(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    null_rate_tol: float = 0.05,
+) -> DataFrame:
+    """Schema/statistics drift between two ``profile_table`` outputs —
+    the monitoring primitive for 'did yesterday's load change shape?'
+    (the engine-side generalization of the reference's fixed
+    monitoring checks: this diffs ANY table's profile against its
+    previous run).
+
+    One row per column present in EITHER profile, with:
+    - ``status``: 'added' / 'removed' / 'ok' / 'drifted'
+    - ``null_rate_old`` / ``null_rate_new`` (4 dp) and
+      ``null_rate_drifted`` when the rate moved more than
+      ``null_rate_tol`` absolute
+    - ``range_widened``: new min/max outside the old min/max (string
+      comparison of the profile's casts — exact for same-typed
+      columns' lexical bounds on dates/strings, indicative for
+      numerics; profiles carry strings by design)
+    - ``distinct_ratio``: n_distinct_new / n_distinct_old (4 dp,
+      NULL when old is 0)
+
+    Scale: both inputs are |columns|-row frames — the full-outer join
+    and every comparison are driver-trivial; the expensive pass (the
+    profile itself) already happened upstream, once per snapshot.
+    """
+    o = old_profile.alias("o")
+    n = new_profile.alias("n")
+    joined = o.join(
+        n, F.col("o.column_name") == F.col("n.column_name"), "full_outer"
+    )
+    o_missing = F.col("o.column_name").isNull()
+    n_missing = F.col("n.column_name").isNull()
+    nr_old = F.col("o.n_nulls") / F.col("o.n_rows")
+    nr_new = F.col("n.n_nulls") / F.col("n.n_rows")
+    null_drift = F.abs(nr_new - nr_old) > null_rate_tol
+    range_widened = (F.col("n.min_value") < F.col("o.min_value")) | (
+        F.col("n.max_value") > F.col("o.max_value")
+    )
+    drifted = (
+        F.coalesce(null_drift, F.lit(False))
+        | F.coalesce(range_widened, F.lit(False))
+    )
+    status = (
+        F.when(o_missing, F.lit("added"))
+        .when(n_missing, F.lit("removed"))
+        .when(drifted, F.lit("drifted"))
+        .otherwise(F.lit("ok"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return joined.select(
+        F.coalesce(F.col("o.column_name"), F.col("n.column_name")).alias(
+            "column_name"
+        ),
+        status.alias("status"),
+        r4(nr_old).alias("null_rate_old"),
+        r4(nr_new).alias("null_rate_new"),
+        F.coalesce(null_drift, F.lit(False)).alias("null_rate_drifted"),
+        F.coalesce(range_widened, F.lit(False)).alias("range_widened"),
+        F.when(
+            F.col("o.n_distinct") > 0,
+            r4(F.col("n.n_distinct") / F.col("o.n_distinct")),
+        ).alias("distinct_ratio"),
+    )

@@ -382,3 +382,66 @@ def test_bucket_prefilter_fingerprint_is_broadcast(spark):
     # both stages broadcast; the fact is never shuffled
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+# --- asof_join_backward (union + LOCF) -------------------------------
+
+
+def test_asof_backward_picks_latest_preceding(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import asof_join_backward
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, "u", T(2024, 1, 10)),   # after both rights → picks the later one
+            (2, "u", T(2024, 1, 4)),    # between rights → picks the first
+            (3, "u", T(2024, 1, 1)),    # before any right → NULLs
+            (4, "v", T(2024, 1, 10)),   # key with no rights at all → NULLs
+        ],
+        "lid long, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(2024, 1, 3), 30.0), ("u", T(2024, 1, 7), 70.0)],
+        "k string, rts timestamp, val double",
+    )
+    out = {
+        r["lid"]: (r["asof_val"], r["asof_ts"])
+        for r in asof_join_backward(
+            left, right, ["k"], "lts", "rts", ["val"]
+        ).collect()
+    }
+    T3, T7 = T(2024, 1, 3), T(2024, 1, 7)
+    assert out[1] == (70.0, T7)
+    assert out[2] == (30.0, T3)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_asof_backward_equal_ts_is_inclusive(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import asof_join_backward
+
+    T = dt.datetime
+    left = spark.createDataFrame([(1, "u", T(2024, 1, 5))], "lid long, k string, lts timestamp")
+    right = spark.createDataFrame([("u", T(2024, 1, 5), 9.0)], "k string, rts timestamp, val double")
+    row = asof_join_backward(left, right, ["k"], "lts", "rts", ["val"]).collect()[0]
+    assert row["asof_val"] == 9.0  # right at the same instant IS visible
+
+
+def test_asof_backward_plan_is_single_window_no_join(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import asof_join_backward
+
+    T = dt.datetime
+    left = spark.createDataFrame([(1, "u", T(2024, 1, 5))], "lid long, k string, lts timestamp")
+    right = spark.createDataFrame([("u", T(2024, 1, 4), 1.0)], "k string, rts timestamp, val double")
+    plan = (
+        asof_join_backward(left, right, ["k"], "lts", "rts", ["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # union + window, never a join operator
+    assert plan.count("Window") == 1

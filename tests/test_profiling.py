@@ -75,3 +75,48 @@ def test_partition_skew_detects_hot_partition(spark):
     assert top[0]["n_rows"] == 9_000
     assert abs(top[0]["share"] - 0.9) < 1e-6
     assert all(r["n_rows"] == 1 for r in top[1:])
+
+
+# --- profile_drift ----------------------------------------------------
+
+
+def test_profile_drift_classifies_all_statuses(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z"), ("d", None)],
+        "keep string, gone string",
+    )
+    new = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 3.0), ("zz", 4.0)],
+        "keep string, fresh double",
+    )
+    out = {
+        r["column_name"]: r
+        for r in profile_drift(
+            profile_table(old), profile_table(new), null_rate_tol=0.05
+        ).collect()
+    }
+    assert out["gone"]["status"] == "removed"
+    assert out["fresh"]["status"] == "added"
+    k = out["keep"]
+    # null rate 0 → 0.5 and max 'zz' > 'd' → drifted on both signals
+    assert k["status"] == "drifted"
+    assert k["null_rate_drifted"] and k["range_widened"]
+    assert abs(k["null_rate_new"] - 0.5) < 1e-9
+
+
+def test_profile_drift_stable_profile_is_ok(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, n long")
+    p = profile_table(df)
+    out = profile_drift(p, p)
+    assert {r["status"] for r in out.collect()} == {"ok"}
+    assert all(r["distinct_ratio"] == 1.0 for r in out.collect())
