@@ -289,12 +289,17 @@ def query(name: str, sql: str | None):
 #                             profile_orders head; the drift diff is a
 #                             |columns|-row frame op; promote in r7)
 #                                                            [new r6, no driver row]
+#   w6_time_weighted_avg    — NEW late-r6, tail-born (lead() window =
+#                             events_sessionize head machinery; the
+#                             co-keyed agg = a2's shape; promote in
+#                             r7)                            [new r6, no driver row]
 _TAIL = (
     "j7_bloom_prefilter",
     "w4_ratio_to_report",
     "w5_cumulative",
     "j8_asof_backward",
     "profile_drift_orders",
+    "w6_time_weighted_avg",
     "j6_interval_overlap",
     "a17_mad_outliers",
     "graph_pagerank",
@@ -4267,6 +4272,48 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(old_p, new_p, null_rate_tol=0.05)
 
 
+@query(
+    "w6_time_weighted_avg",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, AVG(value) AS value FROM events GROUP BY user_id, ts
+    ), wgt AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))::DOUBLE
+               AS w
+      FROM dedup
+    )
+    SELECT user_id,
+           FLOOR(COALESCE(SUM(value * w) / SUM(w), AVG(value)) * 10000 + 0.5)
+             / 10000 AS twavg,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(w), 0) AS BIGINT) AS span_s
+    FROM wgt GROUP BY user_id
+    """,
+)
+def w6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (beyond-reference): time-weighted average per user
+    (operators/analytics.time_weighted_avg) — step-interpolated TWAP,
+    the honest mean over irregular sampling (plain AVG over-weights
+    bursts). Input pre-deduped per (user, ts) so the lead() ordering
+    is total and engine-independent. One window pass + one co-keyed
+    hash-agg."""
+    from .functions.scalars import round_det
+    from .operators.analytics import time_weighted_avg
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    out = time_weighted_avg(ev, ["user_id"], "ts", "value")
+    return out.select(
+        "user_id", round_det(F.col("twavg"), 4).alias("twavg"),
+        "n_samples", "span_s",
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4356,4 +4403,5 @@ OPERATOR_MAP = {
     "W5": ["w5_cumulative"],  # beyond-reference: running totals
     "J8": ["j8_asof_backward"],  # beyond-reference: union+LOCF as-of join
     "Drift": ["profile_drift_orders"],  # beyond-reference: profile drift
+    "W6": ["w6_time_weighted_avg"],  # beyond-reference: step-interpolated TWAP
 }

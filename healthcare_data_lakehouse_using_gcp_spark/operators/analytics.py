@@ -371,3 +371,44 @@ def mad_outliers(
         "is_outlier",
         F.abs(v - F.col(med_name)) > F.lit(k) * F.lit(1.4826) * F.col(mad_name),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per group over irregularly-sampled
+    series (the TWAP/sensor-mean): each sample holds its value until
+    the next sample (step interpolation), so
+    ``twavg = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_max − t_min)`` — the honest mean
+    when sampling density varies (a plain AVG over-weights bursts).
+    Single-sample groups fall back to the sample value.
+
+    Output: group_cols + twavg, n_samples, span_s.
+
+    Scale design (100 TB): one window pass (lead(ts) per group — the
+    sessionize sort reused for weights) feeding one hash aggregation
+    on the same key, so the second exchange collapses into the
+    first's partitioning. No self-join against shifted timestamps —
+    the lead() formulation moves each row once.
+    """
+    from .sessions import _epoch_seconds
+
+    w = Window.partitionBy(*group_cols).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w)
+    weight = (_epoch_seconds(nxt) - _epoch_seconds(F.col(ts_col))).cast("double")
+    weighted = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        weight.alias("__w"),
+    )
+    return weighted.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.col("__v") * F.col("__w")) / F.sum("__w"),
+            F.avg("__v"),
+        ).alias("twavg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.coalesce(F.sum("__w"), F.lit(0.0)).cast("bigint").alias("span_s"),
+    )

@@ -296,3 +296,27 @@ def test_mad_outliers_plan_is_broadcast_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_time_weighted_avg_step_interpolation(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    T = dt.datetime
+    # value 10 held for 30 s, then 20 for 10 s, last sample closes:
+    # twavg = (10*30 + 20*10) / 40 = 12.5 — a plain AVG says 16.67
+    rows = [
+        ("g", T(2024, 1, 1, 0, 0, 0), 10.0),
+        ("g", T(2024, 1, 1, 0, 0, 30), 20.0),
+        ("g", T(2024, 1, 1, 0, 0, 40), 99.0),
+        ("solo", T(2024, 1, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r["grp"]: r for r in time_weighted_avg(df, ["grp"], "ts", "v").collect()}
+    assert abs(out["g"]["twavg"] - 12.5) < 1e-9
+    assert out["g"]["n_samples"] == 3 and out["g"]["span_s"] == 40
+    # single-sample group falls back to the value, zero span
+    assert out["solo"]["twavg"] == 7.0 and out["solo"]["span_s"] == 0
