@@ -97,4 +97,8 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final frame so the cached edge frame can be
+    # released before returning (cache lifetime stays inside this call)
+    ranks = ranks.localCheckpoint(eager=True)
+    weighted.unpersist()
     return ranks

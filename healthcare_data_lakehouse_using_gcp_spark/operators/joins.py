@@ -318,9 +318,13 @@ def interval_overlap_join(
         # the equality conjuncts as the shuffle keys and evaluates the
         # overlap as the join's residual predicate.
         cond = overlap
+        r = right.alias("r")
         for k in on:
             cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
-        return left.alias("l").join(right.alias("r"), cond, how)
+        joined = left.alias("l").join(r, cond, how)
+        for k in on:
+            joined = joined.drop(r[k])
+        return joined
     if how != "inner":
         raise ValueError("bucketed interval join supports how='inner' only")
 
@@ -383,9 +387,11 @@ def bucket_prefilter_semi_join(
     ).drop("__bucket")
     if not exact:
         return pre
-    return pre.join(
-        F.broadcast(dim.select(key).distinct()), key, "leftsemi"
-    )
+    # no broadcast hint here: the exact stage only sees prefilter
+    # survivors, but the DIM side may be the big one (that's the whole
+    # motivation) — let AQE pick broadcast when the key set fits and a
+    # shuffle semi-join when it doesn't.
+    return pre.join(dim.select(key).distinct(), key, "leftsemi")
 
 
 def asof_join_backward(
