@@ -139,3 +139,93 @@ def test_hash_jaccard_equals_string_jaccard(spark, texts):
                 union = len(sets[a] | sets[b])
                 want[(a, b)] = round(inter / union, 9) if union else None
     assert got == {k: v for k, v in want.items() if v is not None}
+
+
+snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),           # key
+        st.sampled_from(["a", "b", "c"]),                  # status
+        st.one_of(st.none(), finite_doubles),              # amount
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(snapshot_rows, snapshot_rows)
+def test_snapshot_diff_roundtrip_reconstructs_new(spark, old_rows, new_rows):
+    """CDC soundness: old + diff ≡ new, for ANY pair of keyed
+    snapshots — deletes removed, updates replaced, inserts added,
+    untouched rows carried over. This is the property that makes the
+    diff safe to ship to an incremental consumer."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.scd import snapshot_diff
+
+    schema = "id long, status string, amount double"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    diff = snapshot_diff(old, new, ["id"], ["status", "amount"]).collect()
+    old_map = {r[0]: (r[1], r[2]) for r in old_rows}
+    for row in diff:
+        k, ct = row["id"], row["change_type"]
+        if ct == "delete":
+            old_map.pop(k)
+        else:
+            old_map[k] = (row["new_status"], row["new_amount"])
+    assert old_map == {r[0]: (r[1], r[2]) for r in new_rows}
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100_000), finite_doubles),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_time_weighted_avg_bounded_by_extremes(spark, rows):
+    """TWAP invariant: min(v) ≤ twavg ≤ max(v) per group, for any
+    sampling pattern (weights are non-negative durations)."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # dedupe (group, ts) to keep lead() ordering total
+    seen = {}
+    for g, off, v in rows:
+        seen[(g, off)] = v
+    data = [
+        (str(g), base + dt.timedelta(seconds=off), v)
+        for (g, off), v in seen.items()
+    ]
+    df = spark.createDataFrame(data, "grp string, ts timestamp, v double")
+    out = time_weighted_avg(df, ["grp"], "ts", "v").collect()
+    by_group: dict[str, list[float]] = {}
+    for g, _, v in data:
+        by_group.setdefault(g, []).append(v)
+    for r in out:
+        vs = by_group[r["grp"]]
+        assert min(vs) - 1e-9 <= r["twavg"] <= max(vs) + 1e-9
+
+
+@_settings
+@given(
+    st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    st.lists(st.integers(0, 500), min_size=0, max_size=40),
+)
+def test_bucket_prefilter_equals_semi_join_property(spark, fact_keys, dim_keys):
+    """The two-phase runtime-filter join is EXACTLY the semi-join for
+    any key sets (false positives removed, no false negatives)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import (
+        bucket_prefilter_semi_join,
+    )
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    got = sorted(r["k"] for r in bucket_prefilter_semi_join(fact, dim, "k", num_buckets=64).collect())
+    want = sorted(k for k in fact_keys if k in set(dim_keys))
+    assert got == want
