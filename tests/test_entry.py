@@ -55,7 +55,10 @@ def test_canonical_operators_inside_driver_window():
         # embedded ground-truth containment); the plain dedup_minhash_lsh
         # is the bench.py target and sits past the window (r4 rotation)
         "multimodal_features", "dedup_minhash_checked", "a2_wide_agg",
-        "j1_band_join", "j3_asof_nearest", "t1_tumbling_window",
+        # band-join seat: the bucketed twin (hash-equality-proven
+        # against j1_band_join's oracle) holds it since the late-r6
+        # third wave; plain j1_band_join is tail + bench target
+        "j3_asof_nearest", "t1_tumbling_window",
         # the near-dup twins (identical oracle) swap seats round to
         # round: r6 seats embedding_near_dup_exact (r5 seated the
         # LSH+residual twin; r4 seated exact)
@@ -76,6 +79,10 @@ def test_canonical_operators_inside_driver_window():
         # late-r6 (a6's arithmetic runs inside a2/classifier heads)
         "text_heavy_hitters", "sketch_profile", "layout_zorder_scan",
         "fuzzy_name_match",
+        # late-r6 third wave: two new operator families seated by
+        # twin-demotion (j1_band_join → bucketed twin; events_funnel →
+        # cohort_retention's shared user-keyed min-agg+join anchor)
+        "cdc_snapshot_diff", "cohort_retention",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
