@@ -28,6 +28,16 @@ reps — every query runs at least `reps` times and keeps going (cap
 improves the best by >3%; stable queries stop at the floor, the
 heavies run to convergence.
 
+Protocol note (late r6, closing the "j1 band family x3.2-3.8 sf1
+growth" watch item): the growth was NOT band-match fan-out — the
+64 MB autoBroadcastJoinThreshold was silently broadcasting the pruned
+6M-row lineitem side at sf1 (estimate just under the bar), and the
+single-threaded hash-relation build dominated. At Spark's stock 10 MB
+threshold (session.py) the join plans as a 32-way sort-merge:
+j1 sf1 3.7 s -> 1.3 s isolated, and the sf1/sf0.1 ratio drops from
+~3.2 to ~1.0. Verified at sf3 (x30): every heavy's x3-vs-sf1 ratio is
+1.4-3.1 — at or below linear; no super-linear curve remains.
+
 Protocol note (r6, closing the r5 "a2_wide_agg +52% / lm_perplexity
 +86%" watch items): isolated 7-rep steady state (quiet machine) —
 a2_wide_agg 0.25-0.28 s, BELOW both recorded rounds (r4 0.42 / r5

@@ -49,7 +49,17 @@ def get_spark(
         # refuses by default; read as long and convert (sources/readers)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep the AUTO-broadcast threshold at Spark's stock 10 MB.
+        # r6 measured the earlier 64 MB setting silently broadcasting a
+        # pruned 6M-row fact side (estimate just under 64 MB): the
+        # single-threaded hash-relation build + broadcast lost 2.8x to
+        # the 32-core sort-merge join (j1 at sf1: 3.7 s -> 1.3 s), and
+        # at 1000 executors a 64 MB relation is 64 GB of network. Build
+        # cost scales with ROWS, not bytes — a high byte threshold is
+        # the wrong dial. Every deliberate small-dim broadcast in this
+        # engine uses an explicit F.broadcast() hint, which bypasses
+        # this threshold entirely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
