@@ -293,7 +293,11 @@ def query(name: str, sql: str | None):
 #                             events_sessionize head machinery; the
 #                             co-keyed agg = a2's shape; promote in
 #                             r7)                            [new r6, no driver row]
+#   a18_grouping_sets       — NEW late-r6, tail-born (Expand+hash-agg
+#                             = a11_rollup head, arbitrary-sets form;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "a18_grouping_sets",
     "j7_bloom_prefilter",
     "w4_ratio_to_report",
     "w5_cumulative",
@@ -4314,6 +4318,35 @@ def w6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a18_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (beyond-reference): ARBITRARY grouping sets — the general
+    form rollup (a11) and cube (a15) specialize. Expressed through the
+    SQL API (GROUPING SETS has no DataFrame builder), still one
+    Expand+hash-agg pass; gid disambiguates which set produced each
+    row under the shared leftmost-is-MSB convention."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4404,4 +4437,5 @@ OPERATOR_MAP = {
     "J8": ["j8_asof_backward"],  # beyond-reference: union+LOCF as-of join
     "Drift": ["profile_drift_orders"],  # beyond-reference: profile drift
     "W6": ["w6_time_weighted_avg"],  # beyond-reference: step-interpolated TWAP
+    "A18": ["a18_grouping_sets"],  # beyond-reference: arbitrary grouping sets
 }
