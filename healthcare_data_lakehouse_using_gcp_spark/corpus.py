@@ -296,7 +296,12 @@ def query(name: str, sql: str | None):
 #   a18_grouping_sets       — NEW late-r6, tail-born (Expand+hash-agg
 #                             = a11_rollup head, arbitrary-sets form;
 #                             promote in r7)                 [new r6, no driver row]
+#   sample_weighted         — NEW late-r6, tail-born (md5-uniform
+#                             mechanism = sample_*/pack head twins;
+#                             the A-Res key is a narrow expr;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "sample_weighted",
     "a18_grouping_sets",
     "j7_bloom_prefilter",
     "w4_ratio_to_report",
@@ -4344,6 +4349,39 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
         """
+    )
+
+
+@query(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1.0) / 4294967296.0,
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY k DESC, doc_id ASC) AS rn
+      FROM keyed
+    ) t WHERE rn <= 20
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling family completion (beyond-reference): deterministic
+    weight-proportional sampling without replacement
+    (operators/text.weighted_sample_per_group — Efraimidis–Spirakis
+    A-Res, key = u^(1/w) from the md5-uniform). 20 docs per source
+    weighted by length; same ids win on every engine and run, the
+    property the whole sampling family shares."""
+    from .operators.text import weighted_sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d.select("doc_id", "source", "n_chars"), k=20, weight_col="n_chars"
     )
 
 

@@ -8,7 +8,7 @@ no UDFs anywhere — these run at full codegen speed over 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_det
@@ -910,4 +910,47 @@ def bigram_pmi(
         )
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    group — Efraimidis–Spirakis A-Res: each row draws a reproducible
+    uniform u from md5(id) and keeps key ``u^(1/w)``; the k largest
+    keys per group are a weight-proportional sample. The training-mix
+    primitive when docs should be kept in proportion to a quality or
+    length weight rather than uniformly (contrast stratified_sample's
+    per-stratum RATES).
+
+    Content-addressed like deterministic_sample: same ids win on every
+    engine, run, and partitioning, so mixes are byte-reproducible.
+
+    Scale design (100 TB): the key is a narrow per-row expression
+    inside the scan; selection is one per-group window (top-k per
+    group sorts only each group's rows). For global (ungrouped) top-k
+    pass a constant group column — the plan becomes
+    TakeOrderedAndProject. Weights must be > 0; rows with NULL or
+    non-positive weight are dropped (logged intent: unweightable).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__ares_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ares_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__ares_key", "__rn")
     )

@@ -1191,3 +1191,35 @@ def test_bigram_pmi_single_token_docs_contribute_unigrams_only(spark):
     )
     out = bigram_pmi(docs, min_count=1, k=10).collect()
     assert {(r["w1"], r["w2"]) for r in out} == {("a", "b")}
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        weighted_sample_per_group,
+    )
+
+    # 50 light docs (w=1) + 10 heavy docs (w=1000) in one group: a
+    # k=10 weight-proportional draw should be dominated by heavies
+    rows = [(i, "s", 1.0) for i in range(50)]
+    rows += [(100 + i, "s", 1000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    kept = {r["doc_id"] for r in weighted_sample_per_group(df, 10, "w").collect()}
+    assert len(kept) == 10
+    assert sum(1 for d in kept if d >= 100) >= 8  # heavies dominate
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 7)) for i in range(90)]
+    rows += [(999, "g0", 0.0), (998, "g1", -1.0)]  # unweightable -> dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    a = {r["doc_id"] for r in weighted_sample_per_group(df, 5, "w").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample_per_group(df.repartition(13), 5, "w").collect()
+    }
+    assert a == b  # partitioning-independent
+    assert len(a) == 15 and 999 not in a and 998 not in a
