@@ -122,14 +122,16 @@ def band_join_bucketed(
     keys to be unique rows (true for every dimension-side use; assert
     yourself if reusing on a non-unique left).
 
-    WHEN to use which (measured r6): the pruning pays for its 3×
-    left-explode + wider shuffle only when the per-key candidate
+    WHEN to use which (measured r6, re-measured after the
+    session-level broadcast-threshold fix): the pruning pays for its
+    3× left-explode + wider shuffle only when the per-key candidate
     space dwarfs the band matches — many rows per key, dates spread
     far past the band (test_joins.py pins a ~19× candidate-pair
     collapse on such a shape). On low-multiplicity shapes like
     orders↔lineitem (~4 rows/key, dates clustered near the band) the
-    plain equi-shuffle is ~1.5× faster at sf0.1 AND sf1 — keep
-    band_join there; both are benched side by side (bench.py)."""
+    plain sort-merge equi-join is ~1.5× faster at sf0.1 and ~5× at
+    sf1 — keep band_join there; both are benched side by side
+    (bench.py)."""
     lx, rx, cond, band = _bucketed_candidates(
         left, right, on, left_date, right_date, band_days
     )
