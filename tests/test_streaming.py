@@ -352,3 +352,50 @@ def test_session_window_counts_streaming_mode(spark, tmp_path):
     }
     assert got == want
     assert (1, 2, 600 + 1800) in got  # 10-min span + closing gap
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension (broadcast per batch, no streaming state) — the standard
+    dim-enrichment pattern; streaming result equals the batch run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "ss")
+    os.makedirs(d)
+    rows = [
+        {"event_id": 1, "user_id": 10, "v": 1.5},
+        {"event_id": 2, "user_id": 20, "v": 2.5},
+        {"event_id": 3, "user_id": 99, "v": 9.9},  # no dim row
+    ]
+    with open(os.path.join(d, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id bigint, user_id bigint, v double"
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id bigint, tier string"
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id", "left").select(
+            "event_id", "user_id", "tier"
+        )
+
+    q = (
+        enrich(spark.readStream.schema(schema).json(d))
+        .writeStream.format("memory")
+        .queryName("sse_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("select * from sse_out").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in enrich(spark.read.schema(schema).json(d)).collect()
+    }
+    assert got == want == {(1, "gold"), (2, "silver"), (3, None)}
