@@ -300,7 +300,12 @@ def query(name: str, sql: str | None):
 #                             mechanism = sample_*/pack head twins;
 #                             the A-Res key is a narrow expr;
 #                             promote in r7)                 [new r6, no driver row]
+#   dq_expectations         — NEW late-r6, tail-born (conditional-
+#                             count agg = profile_orders/a5 heads;
+#                             anti-join = j5/decontaminate; promote
+#                             in r7)                         [new r6, no driver row]
 _TAIL = (
+    "dq_expectations",
     "sample_weighted",
     "a18_grouping_sets",
     "j7_bloom_prefilter",
@@ -4385,6 +4390,60 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_expectations",
+    """
+    SELECT 'not_null:o_custkey' AS check,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                   AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range:o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                                   AND o_totalprice NOT BETWEEN 0 AND 400000)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key:o_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (operators/expectations.expect
+    — the dbt-schema-test layer the reference's dbt project implies
+    but never ships): not_null, unique, accepted_values, in_range all
+    compile into ONE conditional-count aggregation pass; referential
+    integrity is a left-anti count against the parent. The fixture
+    deliberately includes checks that FAIL (status 'P' exists beyond
+    the allow-list; some totalprice exceeds the range cap) so both
+    passed=true and passed=false rows are hash-verified."""
+    from .operators.expectations import expect
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    out = expect(
+        o,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F"]},
+        in_range={"o_totalprice": (0.0, 400000.0)},
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+    return out.drop("passed")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4476,4 +4535,5 @@ OPERATOR_MAP = {
     "Drift": ["profile_drift_orders"],  # beyond-reference: profile drift
     "W6": ["w6_time_weighted_avg"],  # beyond-reference: step-interpolated TWAP
     "A18": ["a18_grouping_sets"],  # beyond-reference: arbitrary grouping sets
+    "DQ": ["dq_expectations"],  # beyond-reference: expectations suite
 }
