@@ -201,3 +201,18 @@ def check_staleness(fact: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> dict
             f"> error_if {policy.error_if}"
         )
     return row
+
+
+def expectations_gate(results: DataFrame, policy=None) -> dict:
+    """Feed an operators/expectations.expect() result frame through
+    the dbt-severity machinery: {check: 'pass'|'warn'|'error'} by
+    evaluating each check's violation count against ``policy``
+    (default: any violation is an error — dbt's severity: error).
+    Collects |checks| rows only."""
+    from ..config import GatePolicy
+
+    pol = policy or GatePolicy(warn_if=None, error_if=0)
+    return {
+        r["check"]: gate_status(r["n_violations"], pol)
+        for r in results.collect()
+    }

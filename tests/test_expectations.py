@@ -71,3 +71,24 @@ def test_expect_nulls_do_not_violate_value_checks(spark):
                foreign_keys=[("fk", parent, "pid")])
     )
     assert all(v == (0, True) for v in got.values())
+
+
+def test_expectations_feed_the_severity_gate(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.config import GatePolicy
+    from healthcare_data_lakehouse_using_gcp_spark.plans.reports import (
+        expectations_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "zz")], "id long, status string"
+    )
+    results = expect(df, unique=["id"], accepted_values={"status": ["a"]},
+                     not_null=["id"])
+    # default policy: any violation is an error
+    statuses = expectations_gate(results)
+    assert statuses["unique:id"] == "error"
+    assert statuses["accepted_values:status"] == "error"
+    assert statuses["not_null:id"] == "pass"
+    # tolerant policy: small violation counts only warn
+    lax = expectations_gate(results, GatePolicy(warn_if=0, error_if=10))
+    assert lax["unique:id"] == "warn"
