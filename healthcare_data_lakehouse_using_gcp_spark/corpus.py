@@ -304,7 +304,15 @@ def query(name: str, sql: str | None):
 #                             count agg = profile_orders/a5 heads;
 #                             anti-join = j5/decontaminate; promote
 #                             in r7)                         [new r6, no driver row]
+#   w7_trailing_p95         — NEW late-r6, tail-born (trailing ROWS
+#                             frame = w2 machinery + a10 percentile
+#                             parity; promote in r7)         [new r6, no driver row]
+#   a19_mode                — NEW late-r6, tail-born (count+rank =
+#                             text_vocab/w1 machinery; promote in r7)
+#                                                            [new r6, no driver row]
 _TAIL = (
+    "w7_trailing_p95",
+    "a19_mode",
     "dq_expectations",
     "sample_weighted",
     "a18_grouping_sets",
@@ -4444,6 +4452,73 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("passed")
 
 
+@query(
+    "w7_trailing_p95",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d,
+             FLOOR(AVG(value) * 10000 + 0.5) / 10000 AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, v,
+           FLOOR(quantile_cont(v, 0.95) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000 AS p95_7
+    FROM daily
+    """,
+)
+def w7_trailing_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (beyond-reference): exact trailing-7-row p95 over the daily
+    rollup (operators/analytics.trailing_percentile) — the latency-
+    dashboard staple. The percentile evaluates per ROWS frame on the
+    rolled-up grain (days, not events), buffering only the frame;
+    interpolation parity with quantile_cont is the a10-proven path.
+    Daily values are pre-rounded so the frame contents are
+    bit-identical before the window runs."""
+    from .functions.scalars import round_det
+    from .operators.analytics import trailing_percentile
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(round_det(F.avg("value"), 4).alias("v"))
+    out = trailing_percentile(
+        daily, ["event_type"], "d", "v", prob=0.95, window_rows=7
+    )
+    return out.select(
+        "event_type", "d", "v", round_det(F.col("p95_7"), 4).alias("p95_7")
+    )
+
+
+@query(
+    "a19_mode",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode, n AS n_mode
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM counts
+    ) t WHERE rn = 1
+    """,
+)
+def a19_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 (beyond-reference): deterministic mode per group
+    (operators/analytics.mode_per_group) — most frequent priority per
+    status, ties to the smallest value. Spark's built-in mode() picks
+    ties arbitrarily, which can never hash-verify cross-engine; the
+    count+rank formulation is reproducible everywhere and ranks only
+    the distinct values."""
+    from .operators.analytics import mode_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    return mode_per_group(o, ["o_orderstatus"], "o_orderpriority")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4536,4 +4611,6 @@ OPERATOR_MAP = {
     "W6": ["w6_time_weighted_avg"],  # beyond-reference: step-interpolated TWAP
     "A18": ["a18_grouping_sets"],  # beyond-reference: arbitrary grouping sets
     "DQ": ["dq_expectations"],  # beyond-reference: expectations suite
+    "W7": ["w7_trailing_p95"],  # beyond-reference: trailing exact percentile
+    "A19": ["a19_mode"],  # beyond-reference: deterministic mode
 }

@@ -412,3 +412,61 @@ def time_weighted_avg(
         F.count(F.lit(1)).cast("bigint").alias("n_samples"),
         F.coalesce(F.sum("__w"), F.lit(0.0)).cast("bigint").alias("span_s"),
     )
+
+
+def trailing_percentile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    prob: float = 0.95,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Exact trailing-window percentile over an ordered (pre-rolled)
+    series — the latency-dashboard staple (trailing-7-day p95).
+    Adds ``p<prob*100>_<window_rows>`` beside each row.
+
+    Scale design (100 TB): run on the ROLLED-UP grain (days, not raw
+    events) so the window sorts |days|×|groups| rows; the exact
+    percentile buffers only ``window_rows`` values per frame — O(w)
+    memory, matching DuckDB's quantile_cont window semantics exactly
+    (linear interpolation, a10-proven parity)."""
+    name = f"p{int(prob * 100)}_{window_rows}"
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(name, F.percentile(F.col(value_col), F.lit(prob)).over(w))
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Deterministic mode: the most frequent value per group, ties
+    broken by the smallest value — unlike Spark's ``mode()``, whose
+    tie choice is arbitrary and engine-dependent (useless for
+    cross-engine verification or reproducible pipelines). Output:
+    group_cols + (mode, n_mode).
+
+    Scale design: one hash aggregation to (group, value, n) — map-side
+    partials collapse repeats — then a per-group rank over only the
+    DISTINCT values (|groups × distinct-per-group| rows, not raw
+    data)."""
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("mode"),
+            F.col("__n").alias("n_mode"),
+        )
+    )

@@ -320,3 +320,35 @@ def test_time_weighted_avg_step_interpolation(spark):
     assert out["g"]["n_samples"] == 3 and out["g"]["span_s"] == 40
     # single-sample group falls back to the value, zero span
     assert out["solo"]["twavg"] == 7.0 and out["solo"]["span_s"] == 0
+
+
+def test_trailing_percentile_frame_bounds(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        trailing_percentile,
+    )
+
+    rows = [("g", i, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, d int, v double")
+    out = {
+        r["d"]: r["p50_3"]
+        for r in trailing_percentile(
+            df, ["grp"], "d", "v", prob=0.5, window_rows=3
+        ).collect()
+    }
+    assert out[1] == 1.0          # frame = [1]
+    assert out[2] == 1.5          # median of [1, 2] interpolates
+    assert out[10] == 9.0         # frame = [8, 9, 10]
+
+
+def test_mode_per_group_deterministic_ties(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mode_per_group,
+    )
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+            ("h", "z")]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["grp"]: (r["mode"], r["n_mode"]) for r in
+           mode_per_group(df, ["grp"], "v").collect()}
+    assert out["g"] == ("a", 2)  # tie between a and b -> smallest value
+    assert out["h"] == ("z", 1)
