@@ -310,7 +310,21 @@ def query(name: str, sql: str | None):
 #   a19_mode                — NEW late-r6, tail-born (count+rank =
 #                             text_vocab/w1 machinery; promote in r7)
 #                                                            [new r6, no driver row]
+#   t7_hopping_window       — NEW late-r6, tail-born (window-agg
+#                             machinery = t1_tumbling head with the
+#                             slide param; promote in r7)    [new r6, no driver row]
+#   text_source_divergence  — NEW late-r6, tail-born (explode+hash-agg
+#                             counts = text_vocab/bm25 heads; the
+#                             entropy/KL sums are a2-style aggs;
+#                             promote in r7)                 [new r6, no driver row]
+#   drift_psi               — NEW late-r6, tail-born (bucketing = a13
+#                             histogram shape; spine join = gapfill;
+#                             promote in r7 beside profile_drift)
+#                                                            [new r6, no driver row]
 _TAIL = (
+    "drift_psi",
+    "text_source_divergence",
+    "t7_hopping_window",
     "w7_trailing_p95",
     "a19_mode",
     "dq_expectations",
@@ -4519,6 +4533,148 @@ def a19_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_per_group(o, ["o_orderstatus"], "o_orderpriority")
 
 
+@query(
+    "t7_hopping_window",
+    """
+    WITH ev AS (
+      SELECT event_type, epoch(ts) AS e FROM events
+    ), w AS (
+      SELECT event_type,
+             CAST((FLOOR(e / 300) - i) * 300 AS BIGINT) AS ws
+      FROM ev, UNNEST([0, 1]) AS t(i)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 600) * 1000000) AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def t7_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (beyond-reference): HOPPING event-time windows — 10-minute
+    counts sliding every 5 (streaming/pipeline.hopping_window_counts;
+    each event lands in window/slide = 2 overlapping windows), the
+    smoothed-rate view tumbling T1 can't express. The oracle unrolls
+    the same epoch-aligned window arithmetic with an explicit
+    2-element unnest. Batch run of the batch/stream-dual transform."""
+    from .streaming.pipeline import hopping_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_window_counts(
+        ev.select("event_type", "ts"),
+        window_seconds=600,
+        slide_seconds=300,
+    )
+
+
+@query(
+    "text_source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), tc AS (
+      SELECT source, w, COUNT(*)::DOUBLE AS n
+      FROM toks WHERE w <> '' GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, SUM(n) AS ns FROM tc GROUP BY 1
+    ), marg AS (
+      SELECT w, SUM(n) AS ng FROM tc GROUP BY 1
+    ), gt AS (
+      SELECT SUM(ng) AS g FROM marg
+    )
+    SELECT s.source,
+           CAST(st.ns AS BIGINT) AS n_tokens,
+           FLOOR((-SUM((s.n / st.ns) * LN(s.n / st.ns))) * 10000 + 0.5)
+             / 10000 AS entropy,
+           FLOOR(SUM((s.n / st.ns) * LN((s.n / st.ns) / (gl.ng / gt.g)))
+                 * 10000 + 0.5) / 10000 AS kl_vs_corpus
+    FROM tc s
+    JOIN src_tot st USING (source)
+    JOIN marg gl USING (w)
+    CROSS JOIN gt
+    GROUP BY s.source, st.ns
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-distribution monitoring (operators/text.
+    source_token_divergence): per-source token entropy + KL vs the
+    corpus distribution — 'which source is templated / off-mix?'. KL
+    needs no smoothing (source vocabulary ⊆ corpus vocabulary by
+    construction). One token hash-agg + vocab-keyed marginal joins."""
+    from .functions.scalars import round_det
+    from .operators.text import source_token_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    out = source_token_divergence(d)
+    return out.select(
+        "source",
+        "n_tokens",
+        round_det(F.col("entropy"), 4).alias("entropy"),
+        round_det(F.col("kl_vs_corpus"), 4).alias("kl_vs_corpus"),
+    )
+
+
+@query(
+    "drift_psi",
+    """
+    WITH old_src AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 3 <> 0
+    ), new_src AS (
+      SELECT CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS v FROM orders
+    ), ob AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(v / 60000.0) AS BIGINT))) AS bin,
+             COUNT(*)::DOUBLE AS no FROM old_src GROUP BY 1
+    ), nb AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(v / 60000.0) AS BIGINT))) AS bin,
+             COUNT(*)::DOUBLE AS nn FROM new_src GROUP BY 1
+    ), spine AS (SELECT unnest(range(0, 10)) AS bin),
+    j AS (
+      SELECT s.bin, COALESCE(o.no, 0) AS no, COALESCE(n.nn, 0) AS nn
+      FROM spine s LEFT JOIN ob o USING (bin) LEFT JOIN nb n USING (bin)
+    ), tot AS (SELECT SUM(no) AS t_o, SUM(nn) AS t_n FROM j)
+    SELECT j.bin, CAST(j.bin * 60000.0 AS DOUBLE) AS bin_lo,
+           FLOOR((j.no + 0.5) / (tot.t_o + 5.0) * 10000 + 0.5) / 10000 AS p_old,
+           FLOOR((j.nn + 0.5) / (tot.t_n + 5.0) * 10000 + 0.5) / 10000 AS p_new,
+           FLOOR(((j.nn + 0.5) / (tot.t_n + 5.0)
+                  - (j.no + 0.5) / (tot.t_o + 5.0))
+                 * LN(((j.nn + 0.5) / (tot.t_n + 5.0))
+                      / ((j.no + 0.5) / (tot.t_o + 5.0)))
+                 * 10000 + 0.5) / 10000 AS psi_contrib
+    FROM j CROSS JOIN tot
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-monitoring drift (operators/profiling.psi_drift): per-bin
+    Population Stability Index of o_totalprice between two snapshots
+    (the new one upshifts a quarter of prices 25 %). Σ psi_contrib is
+    the headline drift score (~0.22 here — 'moderate shift', visibly
+    concentrated in the top bins); profile_drift says THAT a column
+    moved, PSI says WHERE and HOW MUCH. +0.5-count smoothing keeps
+    empty bins finite and the score deterministic."""
+    from .functions.scalars import round_det
+    from .operators.profiling import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_totalprice").alias("v")
+    )
+    new = o.select(
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 1.25
+        ).otherwise(F.col("o_totalprice")).alias("v")
+    )
+    out = psi_drift(old, new, "v", bins=10, lo=0.0, hi=600000.0)
+    return out.select(
+        "bin",
+        "bin_lo",
+        round_det(F.col("p_old"), 4).alias("p_old"),
+        round_det(F.col("p_new"), 4).alias("p_new"),
+        round_det(F.col("psi_contrib"), 4).alias("psi_contrib"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4613,4 +4769,6 @@ OPERATOR_MAP = {
     "DQ": ["dq_expectations"],  # beyond-reference: expectations suite
     "W7": ["w7_trailing_p95"],  # beyond-reference: trailing exact percentile
     "A19": ["a19_mode"],  # beyond-reference: deterministic mode
+    "T7": ["t7_hopping_window"],  # beyond-reference: hopping windows
+    "LLM-mix-monitoring": ["text_source_divergence", "drift_psi"],
 }

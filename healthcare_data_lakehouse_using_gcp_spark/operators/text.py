@@ -954,3 +954,55 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__ares_key", "__rn")
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Training-mix distribution monitoring: per-source token-level
+    Shannon entropy and KL divergence against the whole-corpus token
+    distribution — the quantitative answer to 'which source is
+    off-distribution / repetitive?' (low entropy = templated text;
+    high KL = vocabulary far from the corpus mix). Output:
+    (group, n_tokens, entropy, kl_vs_corpus) in nats.
+
+    KL is well-defined without smoothing because every source token
+    is by construction inside the corpus distribution (q > 0
+    wherever p > 0).
+
+    Scale design (100 TB): one explode+hash-agg to (group, token, n)
+    — map-side partials collapse repeats — then |vocab|-sized
+    aggregates for the marginals joined back ON TOKEN (AQE broadcasts
+    when small) and one final per-group sum. No pair space, no
+    windows; the token frame is the only large intermediate.
+    """
+    toks = F.filter(tokens_col(F.lower(F.col(text_col))), lambda t: t != "")
+    tc = (
+        df.select(F.col(group_col), F.explode(toks).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ).persist()
+    src_tot = tc.groupBy(group_col).agg(F.sum("n").alias("__ns"))
+    glob = tc.groupBy("w").agg(F.sum("n").alias("__ng"))
+    gt = glob.agg(F.sum("__ng").alias("__g"))
+    p = F.col("n") / F.col("__ns")
+    q = F.col("__ng") / F.col("__g")
+    out = (
+        tc.join(src_tot, group_col)
+        .join(glob, "w")
+        .crossJoin(F.broadcast(gt))
+        .groupBy(group_col, "__ns")
+        .agg(
+            (-F.sum(p * F.log(p))).alias("entropy"),
+            F.sum(p * F.log(p / q)).alias("kl_vs_corpus"),
+        )
+        .select(
+            group_col,
+            F.col("__ns").cast("bigint").alias("n_tokens"),
+            "entropy",
+            "kl_vs_corpus",
+        )
+    )
+    return out

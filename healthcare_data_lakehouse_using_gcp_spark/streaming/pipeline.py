@@ -275,3 +275,44 @@ def session_window_counts(
             .alias("duration_s"),
         )
     )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_seconds: int = 600,
+    slide_seconds: int = 300,
+    watermark_seconds: int = 3600,
+) -> DataFrame:
+    """Beyond-reference: HOPPING (sliding) event-time windows — each
+    event lands in ``window/slide`` overlapping windows, the standard
+    smoothed-rate view (10-min counts every 5 min) that tumbling
+    windows (T1) can't express. Same batch/stream duality as
+    windowed_counts; streaming state is one row per open window per
+    key, bounded by the watermark.
+
+    Scale note: output volume is ``window/slide`` × the tumbling
+    equivalent — keep the overlap factor small (2-6) at 100 TB; the
+    expansion happens inside the window expression (no explode in the
+    user plan), feeding one hash aggregation with map-side partials.
+    """
+    ts = F.to_timestamp(F.col(ts_col))
+    df = events.withColumn("__event_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("__event_ts", f"{watermark_seconds} seconds")
+    return (
+        df.groupBy(
+            F.window(
+                "__event_ts", f"{window_seconds} seconds", f"{slide_seconds} seconds"
+            ).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )

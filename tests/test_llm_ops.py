@@ -1223,3 +1223,24 @@ def test_weighted_sample_deterministic_and_bounded(spark):
     }
     assert a == b  # partitioning-independent
     assert len(a) == 15 and 999 not in a and 998 not in a
+
+
+def test_source_divergence_flags_templated_source(spark):
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        source_token_divergence,
+    )
+
+    docs = [(i, "varied", f"unique{i} words all over the place {i}") for i in range(10)]
+    docs += [(100 + i, "templated", "same same same same") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in source_token_divergence(df).collect()}
+    # single-token source: entropy exactly 0
+    assert abs(out["templated"]["entropy"]) < 1e-12
+    assert out["varied"]["entropy"] > 1.0
+    # both diverge from the pooled corpus; KL is non-negative
+    assert out["templated"]["kl_vs_corpus"] > 0
+    assert out["varied"]["kl_vs_corpus"] >= 0
+    # hand-check templated KL: p('same')=1, q('same')=40/110
+    assert abs(out["templated"]["kl_vs_corpus"] - math.log(110 / 40)) < 1e-9

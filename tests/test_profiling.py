@@ -120,3 +120,39 @@ def test_profile_drift_stable_profile_is_ok(spark):
     out = profile_drift(p, p)
     assert {r["status"] for r in out.collect()} == {"ok"}
     assert all(r["distinct_ratio"] == 1.0 for r in out.collect())
+
+
+# --- psi_drift --------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    out = psi_drift(df, df, "v", bins=10, lo=0.0, hi=100.0)
+    psi = sum(r["psi_contrib"] for r in out.collect())
+    assert abs(psi) < 1e-12
+    assert out.count() == 10  # full spine even for empty bins
+
+
+def test_psi_detects_shift_and_localizes_it(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import psi_drift
+
+    old = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    # new mass moves to the upper half
+    new = spark.createDataFrame([(50.0 + float(i % 50),) for i in range(1000)], "v double")
+    rows = {r["bin"]: r for r in psi_drift(old, new, "v", bins=10, lo=0.0, hi=100.0).collect()}
+    psi = sum(r["psi_contrib"] for r in rows.values())
+    assert psi > 0.25  # 'investigate' regime
+    # contributions live where the mass moved, both directions
+    assert rows[0]["psi_contrib"] > 0.01 and rows[9]["psi_contrib"] > 0.01
+
+
+def test_psi_outliers_clamp_into_edge_bins(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.profiling import psi_drift
+
+    old = spark.createDataFrame([(5.0,), (-100.0,)], "v double")
+    new = spark.createDataFrame([(5.0,), (999.0,)], "v double")
+    rows = {r["bin"]: r for r in psi_drift(old, new, "v", bins=4, lo=0.0, hi=8.0).collect()}
+    assert rows[0]["p_old"] > rows[0]["p_new"]  # -100 clamps to bin 0
+    assert rows[3]["p_new"] > rows[3]["p_old"]  # 999 clamps to bin 3

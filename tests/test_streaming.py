@@ -399,3 +399,46 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in enrich(spark.read.schema(schema).json(d)).collect()
     }
     assert got == want == {(1, "gold"), (2, "silver"), (3, None)}
+
+
+def test_hopping_window_overlap_and_stream_parity(spark, tmp_path):
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        hopping_window_counts,
+    )
+
+    d = str(tmp_path / "hop")
+    os.makedirs(d)
+    rows = [
+        {"event_type": "a", "ts": "2024-06-01T10:01:00"},
+        {"event_type": "a", "ts": "2024-06-01T10:06:00"},
+    ]
+    with open(os.path.join(d, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "event_type string, ts string"
+    batch = hopping_window_counts(
+        spark.read.schema(schema).json(d), window_seconds=600, slide_seconds=300
+    )
+    got = {(str(r["window_start"]), r["n"]) for r in batch.collect()}
+    # event 1 (10:01) ∈ [09:55,10:05) and [10:00,10:10);
+    # event 2 (10:06) ∈ [10:00,10:10) and [10:05,10:15)
+    assert got == {
+        ("2024-06-01 09:55:00", 1),
+        ("2024-06-01 10:00:00", 2),
+        ("2024-06-01 10:05:00", 1),
+    }
+    q = (
+        hopping_window_counts(
+            spark.readStream.schema(schema).json(d),
+            window_seconds=600, slide_seconds=300,
+        )
+        .writeStream.format("memory").queryName("hop_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.sql("select * from hop_out").collect()
+    }
+    assert stream == got
