@@ -321,7 +321,15 @@ def query(name: str, sql: str | None):
 #                             histogram shape; spine join = gapfill;
 #                             promote in r7 beside profile_drift)
 #                                                            [new r6, no driver row]
+#   a20_higher_moments      — NEW late-r6, tail-born (single-pass
+#                             moment aggs = a12 machinery, estimator
+#                             parity probed; promote in r7)  [new r6, no driver row]
+#   w8_period_over_period   — NEW late-r6, tail-born (lag deltas =
+#                             w2 machinery on the a8 rollup;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "a20_higher_moments",
+    "w8_period_over_period",
     "drift_psi",
     "text_source_divergence",
     "t7_hopping_window",
@@ -4675,6 +4683,76 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a20_higher_moments",
+    """
+    SELECT o_orderstatus,
+           FLOOR(skewness(o_totalprice)
+                 * (COUNT(*) - 2) / SQRT(COUNT(*) * (COUNT(*) - 1.0))
+                 * 10000 + 0.5) / 10000 AS skew,
+           FLOOR(kurtosis_pop(o_totalprice) * 10000 + 0.5) / 10000 AS kurt
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a20_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 (beyond-reference): third/fourth moments per group —
+    completes the moment family beside a12's stddev/var/corr. Spark's
+    skewness is the POPULATION estimator g1 and its kurtosis the
+    population excess g2 (probed against DuckDB: kurtosis_pop matches
+    bit-for-bit; sample skewness converts via G1·(n−2)/√(n(n−1)) —
+    the oracle applies exactly that). Single-pass mergeable
+    aggregates: one hash exchange like any SUM."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        (F.floor(F.skewness("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "skew"
+        ),
+        (F.floor(F.kurtosis("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "kurt"
+        ),
+    )
+
+
+@query(
+    "w8_period_over_period",
+    """
+    WITH daily AS (
+      SELECT ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT d, n,
+           CAST(n - LAG(n) OVER w AS BIGINT) AS dod_delta,
+           FLOOR((n - LAG(n) OVER w) * 10000.0 / LAG(n) OVER w + 0.5) / 10000
+             AS dod_pct,
+           CAST(n - LAG(n, 7) OVER w AS BIGINT) AS wow_delta,
+           FLOOR((n - LAG(n, 7) OVER w) * 10000.0 / LAG(n, 7) OVER w + 0.5)
+             / 10000 AS wow_pct
+    FROM daily
+    WINDOW w AS (ORDER BY d)
+    """,
+)
+def w8_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (beyond-reference): period-over-period deltas — day-over-day
+    and week-over-week change (absolute + fractional) on the daily
+    rollup, the dashboard comparison staple. lag(1)/lag(7) share ONE
+    ordered window over the |days|-row rollup; first rows yield NULLs
+    (no prior period) on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("d")
+    n, l1, l7 = F.col("n"), F.lag("n").over(w), F.lag("n", 7).over(w)
+    return daily.select(
+        "d",
+        "n",
+        (n - l1).cast("bigint").alias("dod_delta"),
+        (F.floor((n - l1) * 10000.0 / l1 + F.lit(0.5)) / 10000).alias("dod_pct"),
+        (n - l7).cast("bigint").alias("wow_delta"),
+        (F.floor((n - l7) * 10000.0 / l7 + F.lit(0.5)) / 10000).alias("wow_pct"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4771,4 +4849,6 @@ OPERATOR_MAP = {
     "A19": ["a19_mode"],  # beyond-reference: deterministic mode
     "T7": ["t7_hopping_window"],  # beyond-reference: hopping windows
     "LLM-mix-monitoring": ["text_source_divergence", "drift_psi"],
+    "A20": ["a20_higher_moments"],  # beyond-reference: skewness/kurtosis
+    "W8": ["w8_period_over_period"],  # beyond-reference: DoD/WoW deltas
 }
