@@ -327,7 +327,16 @@ def query(name: str, sql: str | None):
 #   w8_period_over_period   — NEW late-r6, tail-born (lag deltas =
 #                             w2 machinery on the a8 rollup;
 #                             promote in r7)                 [new r6, no driver row]
+#   w9_rolling_distinct     — NEW late-r6, tail-born (range-frame
+#                             window = w2, collect_set trick; HLL
+#                             scale path = sketch_rollup head twin;
+#                             promote in r7)                 [new r6, no driver row]
+#   emb_component_means     — NEW late-r6, tail-born (posexplode+agg;
+#                             explode machinery = chunk/vocab heads;
+#                             promote in r7)                 [new r6, no driver row]
 _TAIL = (
+    "w9_rolling_distinct",
+    "emb_component_means",
     "a20_higher_moments",
     "w8_period_over_period",
     "drift_psi",
@@ -4753,6 +4762,64 @@ def w8_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w9_rolling_distinct",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT ts::DATE AS d, user_id FROM events
+    )
+    SELECT d, CAST(COUNT(DISTINCT user_id) OVER (
+               ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS n_distinct
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d ORDER BY user_id) = 1
+    """,
+)
+def w9_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (beyond-reference): trailing-7-day distinct active users
+    (operators/analytics.trailing_distinct) — Spark windows take no
+    DISTINCT aggregates, so the engine uses size(collect_set) over an
+    epoch-day RANGE frame at the deduped (day, user) grain; DuckDB's
+    native windowed COUNT(DISTINCT) is the oracle. hll_rollup is the
+    documented big-universe path."""
+    from .operators.analytics import trailing_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return trailing_distinct(
+        ev.select(F.to_date("ts").alias("d"), "user_id"), "d", "user_id",
+        window_days=7,
+    ).select("d", "n_distinct")
+
+
+@query(
+    "emb_component_means",
+    """
+    SELECT vec_id % 4 AS grp, CAST(i - 1 AS BIGINT) AS pos,
+           FLOOR(AVG(embedding[i]) * 10000 + 0.5) / 10000 AS mean_c
+    FROM embeddings,
+         UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def emb_component_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column analytics (beyond-reference): per-position
+    component means over the embedding arrays by pseudo-group — the
+    positional-explode (posexplode) mechanism behind centroid
+    computation and per-dimension normalization stats, hash-checked
+    end to end (the k-means in similarity.py uses the same reduction
+    shape driver-side). Spark: one posexplode + hash-agg with
+    map-side partials; oracle: subscript unnest."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            (F.col("vec_id") % 4).alias("grp"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("grp", F.col("pos").cast("bigint").alias("pos"))
+        .agg((F.floor(F.avg("x") * 10000 + F.lit(0.5)) / 10000).alias("mean_c"))
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4851,4 +4918,6 @@ OPERATOR_MAP = {
     "LLM-mix-monitoring": ["text_source_divergence", "drift_psi"],
     "A20": ["a20_higher_moments"],  # beyond-reference: skewness/kurtosis
     "W8": ["w8_period_over_period"],  # beyond-reference: DoD/WoW deltas
+    "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
+    "LLM-vector-stats": ["emb_component_means"],
 }

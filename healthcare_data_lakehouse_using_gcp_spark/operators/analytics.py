@@ -470,3 +470,42 @@ def mode_per_group(
             F.col("__n").alias("n_mode"),
         )
     )
+
+
+def trailing_distinct(
+    df: DataFrame,
+    date_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-count over a trailing date RANGE — the
+    '7-day active users' dashboard metric, which plain windows can't
+    express (no DISTINCT aggregates over window frames in Spark).
+    The trick: dedupe to (day, id) pairs, then ``size(collect_set)``
+    over a rangeBetween frame keyed on epoch-day — set semantics give
+    the distinct count; every pair row of a day sees the same frame,
+    and a final per-day rollup keeps one row.
+
+    Output: (date_col, n_distinct).
+
+    Scale design (100 TB): the window runs at the (day, id) PAIR
+    grain, already collapsed from raw events by the dedupe hash-agg —
+    days × daily-actives rows, not events. The frame ordering is
+    global (one sort); for very large id universes swap the exact
+    collect_set for the sketches module's hll_rollup +
+    hll_estimate_over (kilobyte mergeable state, any window
+    re-aggregatable) — this exact variant is the small-universe /
+    verification path.
+    """
+    pairs = df.select(
+        F.col(date_col).alias("__d"), F.col(id_col).alias("__id")
+    ).distinct()
+    w = (
+        Window.orderBy(F.unix_date(F.col("__d")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        pairs.withColumn("__n", F.size(F.collect_set("__id").over(w)))
+        .groupBy(F.col("__d").alias(date_col))
+        .agg(F.max("__n").cast("bigint").alias("n_distinct"))
+    )

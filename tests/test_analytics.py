@@ -352,3 +352,24 @@ def test_mode_per_group_deterministic_ties(spark):
            mode_per_group(df, ["grp"], "v").collect()}
     assert out["g"] == ("a", 2)  # tie between a and b -> smallest value
     assert out["h"] == ("z", 1)
+
+
+def test_trailing_distinct_counts_unique_ids_in_window(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        trailing_distinct,
+    )
+
+    D = dt.date
+    rows = [
+        (D(2024, 1, 1), 1), (D(2024, 1, 1), 2), (D(2024, 1, 1), 1),  # dup pair
+        (D(2024, 1, 2), 2), (D(2024, 1, 2), 3),
+        (D(2024, 1, 10), 9),  # outside any earlier 3-day frame
+    ]
+    df = spark.createDataFrame(rows, "d date, uid long")
+    out = {str(r["d"]): r["n_distinct"] for r in
+           trailing_distinct(df, "d", "uid", window_days=3).collect()}
+    assert out["2024-01-01"] == 2          # {1, 2}
+    assert out["2024-01-02"] == 3          # {1, 2, 3} across both days
+    assert out["2024-01-10"] == 1          # frame excludes the old days
