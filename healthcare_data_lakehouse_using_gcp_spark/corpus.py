@@ -334,7 +334,11 @@ def query(name: str, sql: str | None):
 #   emb_component_means     — NEW late-r6, tail-born (posexplode+agg;
 #                             explode machinery = chunk/vocab heads;
 #                             promote in r7)                 [new r6, no driver row]
+#   a21_regression          — NEW late-r6, tail-born (single-pass
+#                             regr_* aggs over the a8 rollup shape,
+#                             parity probed; promote in r7)  [new r6, no driver row]
 _TAIL = (
+    "a21_regression",
     "w9_rolling_distinct",
     "emb_component_means",
     "a20_higher_moments",
@@ -4820,6 +4824,51 @@ def emb_component_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a21_regression",
+    """
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(epoch(o_orderdate) / 86400 AS DOUBLE) AS x,
+             ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY o_orderstatus, o_orderdate
+    )
+    SELECT o_orderstatus,
+           FLOOR(regr_slope(y, x) * 10000 + 0.5) / 10000 AS slope,
+           FLOOR(regr_intercept(y, x) / 1000000 * 10000 + 0.5) / 10000
+             AS intercept_m,
+           FLOOR(regr_r2(y, x) * 10000 + 0.5) / 10000 AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY o_orderstatus
+    """,
+)
+def a21_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (beyond-reference): per-group ordinary-least-squares trend
+    — slope/intercept/R² of daily order value against epoch-day, the
+    'is this metric growing?' primitive (built-in regr_* aggregates,
+    parity probed exact vs DuckDB to the ulp). Daily sums are rounded
+    BEFORE the regression so both engines regress identical inputs;
+    the intercept is reported in millions to keep the rounded
+    magnitude stable. Single-pass mergeable aggregates over the
+    rollup — two hash exchanges total."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderstatus",
+        (F.unix_date(F.to_date("o_orderdate"))).cast("double").alias("x"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    return daily.groupBy("o_orderstatus").agg(
+        (F.floor(F.regr_slope("y", "x") * 10000 + F.lit(0.5)) / 10000).alias(
+            "slope"
+        ),
+        (
+            F.floor(F.regr_intercept("y", "x") / 1000000 * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("intercept_m"),
+        (F.floor(F.regr_r2("y", "x") * 10000 + F.lit(0.5)) / 10000).alias("r2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -4920,4 +4969,5 @@ OPERATOR_MAP = {
     "W8": ["w8_period_over_period"],  # beyond-reference: DoD/WoW deltas
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
     "LLM-vector-stats": ["emb_component_means"],
+    "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
 }
