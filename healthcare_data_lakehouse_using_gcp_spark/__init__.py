@@ -16,8 +16,14 @@ Layout:
   schemas     entity StructTypes (vitals / claims / ehr / envelope)
   sources/    batch + streaming readers, seeded synthetic generator
   functions/  scalar column builders (buckets, flags, dates, scores)
-  operators/  ETL (parse/validate/enrich/demux), band+as-of joins,
-              dedup, similarity, text analysis, multimodal plumbing
+  operators/  ETL (parse/validate/enrich/demux), joins (band, as-of
+              nearest + backward-LOCF, interval-overlap, runtime-
+              filter semi, salted), dedup, similarity/ANN, retrieval,
+              text analysis + sampling/mixing, sessions/cohorts,
+              graph (PageRank, components), sketches, analytics
+              (percentiles, reshape, winsorize, MAD, TWAP, trends),
+              profiling + drift (PSI), expectations, SCD2 + CDC,
+              export, fuzzy matching, multimodal plumbing
   plans/      model runner: staging views, fact table, reports
   streaming/  structured-streaming pipeline (batch/stream parity)
 """
