@@ -337,7 +337,53 @@ def query(name: str, sql: str | None):
 #   a21_regression          — NEW late-r6, tail-born (single-pass
 #                             regr_* aggs over the a8 rollup shape,
 #                             parity probed; promote in r7)  [new r6, no driver row]
+# round-7 rotation, tranche 1 (VERDICT r6 items 1,7): the eight
+# never-driver-checked FAMILY heads promoted — scd2_history,
+# sketch_rollup_union, j6_interval_overlap, graph_pagerank,
+# t6_session_window, j8_asof_backward, dq_expectations,
+# profile_drift_orders — plus the near-dup twin swap
+# (embedding_near_dup takes the r7 seat; exact held r4/r6, LSH twin
+# r3/r5). Nine r6-green heads demoted to make room (every one still
+# oracle-verified in the pytest tail sweep each run):
+#   s2_json_parse           — from_json parse shape runs inside t1's
+#                             streaming JSON parse path (head);
+#                             to_json inside f15 tail twin         [green r1-r6]
+#   p7_demux                — its per-route filters are EXACTLY
+#                             p3_quality_filter's predicates (head);
+#                             multi-sink fan-out in test_streaming  [green r1-r6]
+#   dedup_simhash           — bit-vote oracle swept in tail; the
+#                             hamming-distance pair machinery feeds
+#                             dedup_components (head)               [green r1-r6]
+#   chunk_documents         — sequence+explode grid mechanism is
+#                             gapfill_daily's (tail, oracle-swept)
+#                             and pack_documents' greedy packing
+#                             (head); still a bench.py target       [green r1-r6]
+#   temperature_mixture     — per-source rate computation is
+#                             cap_per_source's (head); md5-uniform
+#                             draw = pack/sample mechanism (head)   [green r2-r6]
+#   scrub_pii               — regexp_replace chain is a narrow
+#                             projection like text_normalize_unicode
+#                             (head); patterns pinned in test_text   [green r2-r6]
+#   events_sessionize       — gap-and-island window is EXACTLY
+#                             t6_session_window's oracle-proven
+#                             equivalent (promoted head this round)  [green r1-r6]
+#   a11_rollup              — Expand+hash-agg ROLLUP plan is the
+#                             grouping-sets family now head-seated
+#                             via a15/a18 twins (tail, oracle-swept)
+#                             and sketch_rollup_union (head)        [green r4-r6]
+#   embedding_near_dup_exact — twin-seat ledger: identical oracle to
+#                             embedding_near_dup which holds the r7
+#                             seat (swap per protocol)              [green r4,r6]
 _TAIL = (
+    "s2_json_parse",
+    "p7_demux",
+    "dedup_simhash",
+    "chunk_documents",
+    "temperature_mixture",
+    "scrub_pii",
+    "events_sessionize",
+    "a11_rollup",
+    "embedding_near_dup_exact",
     "a21_regression",
     "w9_rolling_distinct",
     "emb_component_means",
@@ -348,19 +394,13 @@ _TAIL = (
     "t7_hopping_window",
     "w7_trailing_p95",
     "a19_mode",
-    "dq_expectations",
     "sample_weighted",
     "a18_grouping_sets",
     "j7_bloom_prefilter",
     "w4_ratio_to_report",
     "w5_cumulative",
-    "j8_asof_backward",
-    "profile_drift_orders",
     "w6_time_weighted_avg",
-    "j6_interval_overlap",
     "a17_mad_outliers",
-    "graph_pagerank",
-    "t6_session_window",
     "j1_band_join",
     "events_funnel",
     "tfidf_terms",
@@ -388,7 +428,6 @@ _TAIL = (
     "text_stats",
     "text_fingerprint",
     "sample_deterministic",
-    "embedding_near_dup",
     "f5_case_bucket",
     "dedup_ngram_jaccard",
     "p2_range_anomaly",
@@ -413,8 +452,6 @@ _TAIL = (
     "a14_equidepth",
     "text_bpe_pretokenize",
     "a6_weighted_score",
-    "scd2_history",
-    "sketch_rollup_union",
 )
 
 
@@ -3721,7 +3758,10 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import tfidf_topk_terms
 
     d = _t(spark, sf_dir, "documents")
-    return tfidf_topk_terms(d, k=3)
+    # materialize=False: the driver/bench loop owns cache lifecycle
+    # (clearCache between reps) and the lazy shape keeps the postings
+    # build pipelined with the scoring pass — the lm_perplexity lesson
+    return tfidf_topk_terms(d, k=3, materialize=False)
 
 
 @query(
@@ -4531,7 +4571,7 @@ def w7_trailing_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
       SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2
     )
     SELECT o_orderstatus, o_orderpriority AS mode, n AS n_mode
     FROM (

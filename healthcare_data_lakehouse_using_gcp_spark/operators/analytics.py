@@ -451,12 +451,22 @@ def mode_per_group(
     cross-engine verification or reproducible pipelines). Output:
     group_cols + (mode, n_mode).
 
+    NULL convention: NULL values are excluded before counting — the
+    SQL-standard aggregate convention (DuckDB's mode() likewise
+    ignores NULLs), and the only choice that keeps the tie-break
+    cross-engine-reproducible (Spark sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST — a NULL contender would win ties on one
+    engine and lose on the other). A group whose values are all
+    NULL disappears from the output.
+
     Scale design: one hash aggregation to (group, value, n) — map-side
     partials collapse repeats — then a per-group rank over only the
     DISTINCT values (|groups × distinct-per-group| rows, not raw
     data)."""
-    counts = df.groupBy(*group_cols, value_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__n").desc(), F.col(value_col).asc()

@@ -98,6 +98,7 @@ def band_join_bucketed(
     right_date: str,
     band_days: int = 7,
     how: str = "left",
+    check_unique_left: bool = True,
 ) -> DataFrame:
     """`band_join` with date-bucket pre-partitioning — the scale
     evolution for the band family's super-linear match fan-out
@@ -118,20 +119,29 @@ def band_join_bucketed(
     bucket, so no duplicate pairs; corpus entry j1_band_join_bucketed
     is driver-hash-checked against j1_band_join's oracle). LEFT
     semantics recovered by unioning the anti-join side back with a
-    bounded broadcast-able right-null projection — requires the left
-    keys to be unique rows (true for every dimension-side use; assert
-    yourself if reusing on a non-unique left).
+    bounded broadcast-able right-null projection — this recovery is
+    KEY-granular, so it requires the left side to have at most one
+    row per `on` key (true for every dimension-side use). With
+    ``check_unique_left`` (default) a duplicate left key raises
+    ValueError up front — one map-side-combined count over the left
+    that short-circuits at the first duplicate — instead of silently
+    dropping the duplicate rows that happened not to band-match; pass
+    ``check_unique_left=False`` only when uniqueness is already
+    guaranteed (e.g. the left is a primary-keyed dimension) and the
+    extra aggregation job is unwanted.
 
     WHEN to use which (measured r6, re-measured after the
     session-level broadcast-threshold fix): the pruning pays for its
     3× left-explode + wider shuffle only when the per-key candidate
-    space dwarfs the band matches — many rows per key, dates spread
-    far past the band (test_joins.py pins a ~19× candidate-pair
-    collapse on such a shape). On low-multiplicity shapes like
-    orders↔lineitem (~4 rows/key, dates clustered near the band) the
-    plain sort-merge equi-join is ~1.5× faster at sf0.1 and ~5× at
-    sf1 — keep band_join there; both are benched side by side
-    (bench.py)."""
+    space dwarfs the band matches. Numerically, with `m` = rows per
+    key per side and `s` = the key's date spread in multiples of the
+    band width, plain examines ~m² candidate pairs per key and
+    bucketed ~3·m²/s — switch to bucketed once s ≳ 6 AND m ≳ 50
+    (the pinned test shape, m=80, s≈27, collapses candidates ~19×);
+    below either threshold keep plain band_join as the default: at
+    orders↔lineitem's m≈4, s≈2-3 the plain sort-merge equi-join is
+    ~1.5× faster at sf0.1 and ~5× at sf1. Both are benched side by
+    side (bench.py)."""
     lx, rx, cond, band = _bucketed_candidates(
         left, right, on, left_date, right_date, band_days
     )
@@ -143,6 +153,23 @@ def band_join_bucketed(
         return inner
     if how != "left":
         raise ValueError(f"band_join_bucketed supports inner/left, got {how}")
+    if check_unique_left:
+        dup = (
+            left.groupBy(*[F.col(k) for k in on])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            bad = {k: dup[0][k] for k in on}
+            raise ValueError(
+                "band_join_bucketed(how='left') requires unique left rows per "
+                f"key — duplicate found at {bad} ({dup[0]['count']} rows). The "
+                "key-granular anti-join recovery would silently drop duplicate "
+                "left rows without a band match; dedupe the left side or use "
+                "plain band_join."
+            )
     matched_keys = inner.select(*[F.col(k) for k in on]).distinct()
     unmatched = left.join(matched_keys, list(on), "left_anti")
     for c in right.columns:
@@ -324,9 +351,20 @@ def interval_overlap_join(
         for k in on:
             cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
         joined = left.alias("l").join(r, cond, how)
-        for k in on:
-            joined = joined.drop(r[k])
-        return joined
+        if how.replace("_", "") in ("leftsemi", "semi", "leftanti", "anti"):
+            return joined
+        # right_outer/full_outer emit right-only rows whose LEFT key is
+        # NULL — the surviving key column must coalesce both sides or
+        # those rows surface keyless (for inner/left the left key is
+        # never NULL and the coalesce is the identity).
+        keyset = set(on)
+        out_cols = [
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            if c in keyset
+            else F.col(f"l.{c}").alias(c)
+            for c in left.columns
+        ] + [F.col(f"r.{c}").alias(c) for c in right.columns if c not in keyset]
+        return joined.select(*out_cols)
     if how != "inner":
         raise ValueError("bucketed interval join supports how='inner' only")
 
@@ -373,6 +411,16 @@ def bucket_prefilter_semi_join(
     False-positive rate ≈ occupied_buckets/num_buckets — size
     ``num_buckets`` ≫ |dim keys|.
 
+    Type discipline: Spark's xxhash64 is PHYSICAL-type-sensitive — the
+    same logical key hashes differently as int vs bigint, which would
+    silently drop true matches when the two sides' key types differ.
+    When they do, both sides are widened to the join-equality common
+    type before hashing (integrals → bigint, fractionals → double,
+    matching Spark's own implicit-cast rule for the equi-join); any
+    other mismatch (decimal vs double, string vs int, …) raises
+    instead of guessing, because a lossy cast could diverge from the
+    join's comparison semantics.
+
     Scale rationale (100 TB): a plain semi-join shuffles the whole
     fact by key when the dim is too big to broadcast raw. The bucket
     fingerprint broadcasts at ≤ 8·num_buckets bytes REGARDLESS of dim
@@ -382,7 +430,36 @@ def bucket_prefilter_semi_join(
     out here it also composes with keys the optimizer won't cover
     (expressions, unions of sources).
     """
-    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(num_buckets))  # noqa: E731
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ft, dt = fact.schema[key].dataType, dim.schema[key].dataType
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    fractional = (FloatType, DoubleType)
+    if ft == dt:
+        cast_to = None
+    elif isinstance(ft, integral) and isinstance(dt, integral):
+        cast_to = "bigint"
+    elif isinstance(ft, integral + fractional) and isinstance(dt, integral + fractional):
+        cast_to = "double"
+    else:
+        raise TypeError(
+            f"bucket_prefilter_semi_join: key '{key}' has incompatible types "
+            f"{ft.simpleString()} vs {dt.simpleString()}; cast both sides to a "
+            "common type before calling (xxhash64 is type-sensitive and a "
+            "silent mismatch would drop true matches)"
+        )
+
+    def bucket(c: str) -> Column:
+        k = F.col(c) if cast_to is None else F.col(c).cast(cast_to)
+        return F.pmod(F.xxhash64(k), F.lit(num_buckets))
+
     fingerprint = dim.select(bucket(key).alias("__bucket")).distinct()
     pre = fact.withColumn("__bucket", bucket(key)).join(
         F.broadcast(fingerprint), "__bucket", "leftsemi"

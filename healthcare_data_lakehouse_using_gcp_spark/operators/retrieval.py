@@ -167,6 +167,7 @@ def tfidf_topk_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF:
     ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` (the sklearn-style smooth
@@ -183,6 +184,14 @@ def tfidf_topk_terms(
     corpus-size scalar rides in via a broadcast 1-row crossJoin (the
     bm25_scores pattern). The per-doc top-k window sorts each doc's
     own terms only (dl rows per task after hash partition on id).
+
+    ``materialize`` (default True) eagerly localCheckpoints the k-per-
+    doc result and releases the dl-per-doc postings cache before
+    returning — the build_unigram_lm / pagerank cache-lifecycle
+    discipline, so long-running drivers don't accumulate orphaned
+    cached postings. Pass False for the lazy pipelined shape when a
+    supervising loop owns the cache lifecycle (it must clear the
+    cache itself at the batch boundary).
     """
     idx = build_term_index(docs, text_col, id_col).persist()
     n_docs = docs.select(F.col(id_col)).agg(
@@ -201,7 +210,7 @@ def tfidf_topk_terms(
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf_r").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn(
             "tfidf_r", F.floor(F.col("tfidf") * 10000.0 + 0.5) / 10000.0
         )
@@ -209,3 +218,7 @@ def tfidf_topk_terms(
         .filter(F.col("rn") <= k)
         .select(F.col(id_col), "term", F.col("tfidf_r").alias("tfidf"), "rn")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        idx.unpersist()
+    return out

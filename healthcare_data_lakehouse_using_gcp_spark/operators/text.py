@@ -1005,4 +1005,10 @@ def source_token_divergence(
             "kl_vs_corpus",
         )
     )
+    # the output is |groups| rows — materializing it eagerly costs
+    # nothing, and releasing the corpus-vocabulary-sized token cache
+    # before returning keeps long-running drivers leak-free (the
+    # pagerank/build_unigram_lm lifecycle discipline)
+    out = out.localCheckpoint(eager=True)
+    tc.unpersist()
     return out

@@ -354,6 +354,23 @@ def test_mode_per_group_deterministic_ties(spark):
     assert out["h"] == ("z", 1)
 
 
+def test_mode_per_group_ignores_nulls(spark):
+    """ADVICE r6: NULLs are excluded before counting (SQL aggregate
+    convention) — otherwise Spark's NULLS-FIRST ascending tie-break
+    would let NULL win ties that DuckDB's NULLS-LAST loses, breaking
+    cross-engine reproducibility. All-NULL groups drop out."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mode_per_group,
+    )
+
+    rows = [("g", None), ("g", None), ("g", "a"), ("g", "a"), ("g", "b"),
+            ("n", None)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["grp"]: (r["mode"], r["n_mode"]) for r in
+           mode_per_group(df, ["grp"], "v").collect()}
+    assert out == {"g": ("a", 2)}  # NULL (count 2) never contends; "n" gone
+
+
 def test_trailing_distinct_counts_unique_ids_in_window(spark):
     import datetime as dt
 
