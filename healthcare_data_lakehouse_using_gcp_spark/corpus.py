@@ -2614,6 +2614,20 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(CAST(floor((('0x' || substr(sha256(text), (i-1)*2 + 1, 2))::INT
                                      / 255.0) * 10000 + 0.5) / 10000
                              AS DECIMAL(6,4)) AS VARCHAR)),
+             ',')
+           WHEN doc_id % 4 = 0 THEN array_to_string(
+             list_transform(
+               [128/255.0, 0.0, 64/255.0, 0.0, 32/255.0, 0.0, 0.0, 0.0,
+                (224/3.0)/255.0,
+                sqrt((128.0*128 + 64.0*64 + 32.0*32)/3.0/(255.0*255.0)
+                     - ((224/3.0)/255.0)*((224/3.0)/255.0)),
+                32/255.0, 128/255.0,
+                (doc_id % 64 + 1)/4096.0, ((doc_id * 7) % 64 + 1)/4096.0,
+                0.75,
+                least(doc_id % 64 + 1, (doc_id * 7) % 64 + 1) * 1.0
+                  / greatest(doc_id % 64 + 1, (doc_id * 7) % 64 + 1)],
+               x -> CAST(CAST(floor(x * 10000 + 0.5) / 10000
+                             AS DECIMAL(6,4)) AS VARCHAR)),
              ',') END AS features_csv
     FROM documents
     """,
@@ -2632,10 +2646,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     h*(3w+1)+68 via zlib stored blocks, JPEG 32+3c, WAV 44+64c) from
     doc_id arithmetic, so a green row certifies genuine binary
     parsing, not echoed metadata. The text rows additionally check
-    the sha256-derived stub feature CSV (byte-exact Arrow transfer);
-    media payloads involve CRC/adler bytes SQL can't reproduce, so
-    their features ride unchecked (pixel decode stays a documented
-    stub — no media libs in this container)."""
+    the sha256-derived stub feature CSV (byte-exact Arrow transfer),
+    and since r7 the PNG rows check REAL pixel statistics: the
+    payload is inflated and unfiltered (decode_png_pixels) and the
+    per-channel mean/std + global stats land as features the oracle
+    recomputes arithmetically from the known solid fill (128,64,32)
+    and doc_id-derived dimensions — a green row now certifies a
+    working pixel decoder end-to-end through the Arrow exchange.
+    JPEG/WAV features ride unchecked (sample decode stays a
+    documented stub — no media libs in this container)."""
     import pandas as pd
 
     from .functions.scalars import round_det
@@ -2689,7 +2708,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         "sample_rate",
         "bit_depth",
-        F.when(F.col("modality") == "text", canon).alias("features_csv"),
+        F.when(
+            (F.col("modality") == "text") | (F.col("format") == "png"), canon
+        ).alias("features_csv"),
     )
 
 

@@ -308,10 +308,97 @@ def test_multimodal_features(spark):
 
 
 def test_multimodal_strict_raises():
-    # strict gates ONLY the pixel/sample decode; header parsing is real
+    # strict gates ONLY the non-PNG pixel/sample decode; header
+    # parsing is real, and PNG pixels now decode for real (r7)
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", "image", strict=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(multimodal.build_jpeg(4, 4), "image", strict=True)
     assert multimodal.parse_media_header(multimodal.build_png(4, 4))[0] == "png"
+    # PNG passes strict with real statistics
+    feats = multimodal.decode_stub(multimodal.build_png(4, 4), "image", strict=True)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert feats[0] == pytest.approx(128 / 255)  # default color mean, std 0
+    assert feats[1] == 0.0
+
+
+def test_decode_png_pixels_solid_and_unsupported():
+    import numpy as np
+
+    px = multimodal.decode_png_pixels(multimodal.build_png(7, 5, (10, 20, 30)))
+    assert px.shape == (5, 7, 3)
+    assert (px == np.array([10, 20, 30], dtype=np.uint8)).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_png_pixels(b"not a png")
+    with pytest.raises(ValueError):  # truncated chunk chain
+        multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+
+
+def _encode_png(img, color_type, filters):
+    """Test-side PNG encoder with explicit per-row filter types —
+    the INVERSE direction of decode_png_pixels' reconstruction, so
+    round-trip equality is a genuine two-implementation check."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * c):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return st.pack(">I", len(data)) + body + st.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    assert ctype == color_type
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)]
+)
+def test_decode_png_pixels_all_filters_roundtrip(color_type, channels):
+    """Gradient image encoded with every filter type (0-4 cycling by
+    row) decodes back byte-exact, for each supported color type."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(10, 9, channels), dtype=np.uint8)
+    payload = _encode_png(img, color_type, filters=[0, 1, 2, 3, 4])
+    out = multimodal.decode_png_pixels(payload)
+    assert (out == img).all()
 
 
 def test_vocab_topk(spark, docs):
