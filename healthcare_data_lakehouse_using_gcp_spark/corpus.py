@@ -374,7 +374,52 @@ def query(name: str, sql: str | None):
 #   embedding_near_dup_exact — twin-seat ledger: identical oracle to
 #                             embedding_near_dup which holds the r7
 #                             seat (swap per protocol)              [green r4,r6]
+# round-7 rotation, tranche 2 (VERDICT r6 item 4 — tranche 1 landed
+# early): eight more never-driver-checked entries promoted —
+# a14_equidepth, w3_rank_family, a15_cube (a18_grouping_sets stays
+# tail with a15 as its Expand+hash-agg head twin), t7_hopping_window,
+# w7_trailing_p95, a20_higher_moments, a21_regression, drift_psi.
+# Eight compensating demotions (every one still oracle-verified in
+# the pytest tail sweep, which from r7 runs at sf0.01 — the DRIVER's
+# scale — so tail residency is the same check at the same scale):
+#   p1_required_flags       — boolean-flag projection = p6_bool_flags
+#                             (head); NULL/required predicates = p3's
+#                             WHERE body (head)                  [green r1,r2,r6]
+#   p5_validate_null        — its between() range predicates are
+#                             EXACTLY p3's WHERE (head); the CASE→
+#                             NULL projection is the f5/f6 CASE
+#                             family (tail, oracle-swept)        [green r1,r2,r6]
+#   f1_datetime_extract     — year/month/day/hour extracts run inside
+#                             a8's date rollup (head), t1's tumbling
+#                             key (head), t7_hopping's epoch
+#                             arithmetic (head this round)       [green r1,r2,r6]
+#   a7_max_freshness        — global MAX = profile_orders' per-column
+#                             MIN/MAX (head); the datediff freshness
+#                             expr = j3's band distance (head)   [green r1,r2,r6]
+#   dedup_exact             — md5 hash-groupBy is dedup_components'
+#                             input stage (head) and pack_documents'
+#                             bucket md5 (head); still the bench.py
+#                             exact-dedup target                 [green r1-r6]
+#   ann_ivf_topk            — its coarse-quantize + probe stages run
+#                             head-side inside ann_ivf_pq_rerank;
+#                             recall floors in test_entry.py  [rows-only r2-r6]
+#   dedup_semantic          — cluster machinery = dedup_components'
+#                             pointer jumping (head); cosine pair
+#                             generation = embedding_near_dup (head
+#                             this round)                        [green r3-r6]
+#   decontaminate           — leftsemi/anti plan = text_heavy_hitters'
+#                             candidate recount (head) +
+#                             dq_expectations' anti-join (head this
+#                             round); j5_semi_anti tail twin      [green r2-r6]
 _TAIL = (
+    "p1_required_flags",
+    "p5_validate_null",
+    "f1_datetime_extract",
+    "a7_max_freshness",
+    "dedup_exact",
+    "ann_ivf_topk",
+    "dedup_semantic",
+    "decontaminate",
     "s2_json_parse",
     "p7_demux",
     "dedup_simhash",
@@ -384,15 +429,10 @@ _TAIL = (
     "events_sessionize",
     "a11_rollup",
     "embedding_near_dup_exact",
-    "a21_regression",
     "w9_rolling_distinct",
     "emb_component_means",
-    "a20_higher_moments",
     "w8_period_over_period",
-    "drift_psi",
     "text_source_divergence",
-    "t7_hopping_window",
-    "w7_trailing_p95",
     "a19_mode",
     "sample_weighted",
     "a18_grouping_sets",
@@ -405,9 +445,7 @@ _TAIL = (
     "events_funnel",
     "tfidf_terms",
     "text_bigram_pmi",
-    "a15_cube",
     "a16_winsorize",
-    "w3_rank_family",
     "a3_count_distinct",
     "a1_global_count",
     "f9_coalesce",
@@ -449,7 +487,6 @@ _TAIL = (
     "gapfill_daily",
     "j5_semi_anti",
     "set_ops_nations",
-    "a14_equidepth",
     "text_bpe_pretokenize",
     "a6_weighted_score",
 )
