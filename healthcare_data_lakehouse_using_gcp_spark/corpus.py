@@ -2665,6 +2665,18 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / greatest(doc_id % 64 + 1, (doc_id * 7) % 64 + 1)],
                x -> CAST(CAST(floor(x * 10000 + 0.5) / 10000
                              AS DECIMAL(6,4)) AS VARCHAR)),
+             ',')
+           WHEN doc_id % 4 = 2 THEN array_to_string(
+             list_transform(
+               [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                0.0, 0.0, 0.0,
+                32.0 / (8000 + (doc_id % 8) * 1000),
+                (1 + doc_id % 2) / 4.0,
+                (8000 + (doc_id % 8) * 1000) / 192000.0,
+                0.5,
+                log10(33.0) / 10.0],
+               x -> CAST(CAST(floor(x * 10000 + 0.5) / 10000
+                             AS DECIMAL(6,4)) AS VARCHAR)),
              ',') END AS features_csv
     FROM documents
     """,
@@ -2690,8 +2702,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes arithmetically from the known solid fill (128,64,32)
     and doc_id-derived dimensions — a green row now certifies a
     working pixel decoder end-to-end through the Arrow exchange.
-    JPEG/WAV features ride unchecked (sample decode stays a
-    documented stub — no media libs in this container)."""
+    WAV rows likewise check REAL PCM sample statistics
+    (decode_wav_samples: rms/peak/zcr exactly 0 for the silence
+    fixture, duration = 32/sample_rate from the actual data chunk
+    length). Only JPEG features ride unchecked (entropy decode stays
+    a documented stub — no media libs in this container)."""
     import pandas as pd
 
     from .functions.scalars import round_det
@@ -2746,7 +2761,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "bit_depth",
         F.when(
-            (F.col("modality") == "text") | (F.col("format") == "png"), canon
+            (F.col("modality") == "text") | F.col("format").isin("png", "wav"),
+            canon,
         ).alias("features_csv"),
     )
 

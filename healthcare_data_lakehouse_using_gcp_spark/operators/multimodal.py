@@ -19,13 +19,17 @@ What is REAL here (stdlib-only, no media libraries needed):
 - PNG pixel decode (`decode_png_pixels`): full inflate + scanline
   unfilter (filter types 0-4) with stdlib zlib + numpy — 8-bit
   gray/RGB/±alpha, non-interlaced — feeding real per-channel pixel
-  statistics (`png_pixel_features`), strict-mode safe.
+  statistics (`png_pixel_features`), strict-mode safe;
+- WAV sample decode (`decode_wav_samples`): RIFF chunk walk + PCM
+  8/16-bit sample extraction feeding real audio statistics
+  (rms/peak/zero-crossing-rate/duration, `wav_sample_features`),
+  strict-mode safe.
 
-What is STUBBED (honestly): JPEG/WAV/video sample decode — the
+What is STUBBED (honestly): JPEG entropy / video decode — the
 feature vector there is a deterministic sha256-derived fake
-(`decode_stub`); a real deployment would swap in PIL/librosa/pyav,
-and strict mode raises NotImplementedError for exactly those formats
-(header decoding and PNG pixels never need strict).
+(`decode_stub`); a real deployment would swap in PIL/pyav, and
+strict mode raises NotImplementedError for exactly those formats
+(header decoding, PNG pixels, and WAV samples never need strict).
 
 Scale design: mapInPandas streams Arrow batches through Python, so
 payloads never collect on the driver; `repartition_for_media` sizes
@@ -278,6 +282,88 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray":  # noqa: F821
     return out.reshape(h, w, c)
 
 
+def decode_wav_samples(payload: bytes) -> tuple["np.ndarray", int, int]:  # noqa: F821
+    """REAL WAV sample decode, stdlib struct + numpy: walk the RIFF
+    chunk chain to ``fmt `` and ``data`` and return
+    (samples, sample_rate, bit_depth) with samples shaped
+    (n_frames, channels) as float64 in [-1, 1] (16-bit PCM little-
+    endian /32768; 8-bit PCM is unsigned per spec, (v-128)/128).
+
+    PCM only (audio_format 1, bits 8/16); compressed formats raise
+    ValueError so callers route to a real codec."""
+    import numpy as np
+
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        ln = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        body = p[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); PCM 8/16 only"
+        )
+    if bits == 16:
+        n = len(data) // (2 * channels)
+        raw = np.frombuffer(data[: n * 2 * channels], dtype="<i2")
+        x = raw.astype(np.float64) / 32768.0
+    else:
+        n = len(data) // channels
+        raw = np.frombuffer(data[: n * channels], dtype=np.uint8)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    return x.reshape(n, channels), rate, bits
+
+
+def wav_sample_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM real audio statistics from decoded PCM samples,
+    reproducible arithmetically (the corpus oracle recomputes them
+    for build_wav's silence fixtures): [mean, rms] per channel slot
+    0-3 (absent 0.0), then global rms, peak (max |sample|),
+    zero-crossing rate (sign CHANGES / (frames-1), averaged over
+    channels; zero samples don't cross), duration seconds,
+    channels/4, sample_rate/192000, bit_depth/32,
+    log10(1+frames)/10."""
+    import math
+
+    import numpy as np
+
+    x, rate, bits = decode_wav_samples(payload)
+    n, c = x.shape
+    feats: list[float] = []
+    for ch in range(4):
+        if ch < c:
+            v = x[:, ch]
+            feats += [float(v.mean()), float(np.sqrt((v * v).mean()))]
+        else:
+            feats += [0.0, 0.0]
+    if n > 1:
+        s = np.sign(x)
+        zcr = float((np.abs(np.diff(s, axis=0)) > 1).mean())
+    else:
+        zcr = 0.0
+    feats += [
+        float(np.sqrt((x * x).mean())),
+        float(np.abs(x).max()),
+        zcr,
+        n / rate,
+        c / 4.0,
+        rate / 192000.0,
+        bits / 32.0,
+        math.log10(1.0 + n) / 10.0,
+    ]
+    return feats
+
+
 def png_pixel_features(payload: bytes) -> list[float]:
     """FEATURE_DIM real pixel statistics from a decoded PNG, all
     reproducible by deterministic arithmetic (the corpus oracle
@@ -312,24 +398,32 @@ def png_pixel_features(payload: bytes) -> list[float]:
 
 def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[float]:
     """Pixel/sample decode dispatch: PNG payloads get REAL pixel
-    statistics (decode_png_pixels → png_pixel_features — stdlib zlib
-    + numpy, no media libs needed); everything else is the one
-    remaining genuinely stubbed step — a real implementation would
-    dispatch to PIL/librosa/pyav for JPEG/WAV/video, and those libs
-    aren't in this container. With ``strict`` the non-PNG stub raises
-    instead of faking; header metadata never goes through this path
-    at all — parse_media_header decodes it for real."""
+    statistics (decode_png_pixels → png_pixel_features) and PCM WAV
+    payloads REAL sample statistics (decode_wav_samples →
+    wav_sample_features) — stdlib + numpy, no media libs needed.
+    Everything else (JPEG entropy decode, video) is the one remaining
+    genuinely stubbed step — a real implementation would dispatch to
+    PIL/pyav, and those libs aren't in this container. With
+    ``strict`` the remaining stub raises instead of faking; header
+    metadata never goes through this path at all — parse_media_header
+    decodes it for real."""
     p = payload or b""
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return png_pixel_features(p)
         except ValueError:
             pass  # unsupported PNG subtype → stub/strict below
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        try:
+            return wav_sample_features(p)
+        except ValueError:
+            pass  # non-PCM/compressed WAV → stub/strict below
     if strict:
         raise NotImplementedError(
             f"pixel/sample codec for modality={modality!r} not available "
-            "in this environment (PNG decodes for real; JPEG/WAV remain "
-            "stubbed — header decode works without strict)"
+            "in this environment (PNG pixels and PCM WAV samples decode "
+            "for real; JPEG remains stubbed — header decode never needs "
+            "strict)"
         )
     import hashlib
 

@@ -386,6 +386,53 @@ def _encode_png(img, color_type, filters):
     )
 
 
+def test_decode_wav_samples_silence_and_tone():
+    import struct as st
+
+    import numpy as np
+
+    # silence fixture: zeros, duration from the actual data chunk
+    x, rate, bits = multimodal.decode_wav_samples(multimodal.build_wav(2, 16000))
+    assert x.shape == (32, 2) and rate == 16000 and bits == 16
+    assert (x == 0.0).all()
+    feats = multimodal.wav_sample_features(multimodal.build_wav(1, 8000))
+    assert feats[8] == 0.0 and feats[9] == 0.0 and feats[10] == 0.0
+    assert feats[11] == pytest.approx(32 / 8000)
+    assert feats[14] == 0.5  # 16-bit
+
+    # hand-built alternating square wave: known rms/peak/zcr
+    samples = [10000, -10000] * 16  # 32 frames, mono
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", 16) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    x, rate, bits = multimodal.decode_wav_samples(wav)
+    assert x.shape == (32, 1)
+    f = multimodal.wav_sample_features(wav)
+    amp = 10000 / 32768
+    assert f[9] == pytest.approx(amp)        # peak
+    assert f[8] == pytest.approx(amp)        # rms of a square wave = amp
+    assert f[10] == pytest.approx(1.0)       # every step crosses zero
+    assert f[0] == pytest.approx(0.0)        # mean
+    # strict mode passes on PCM WAV now
+    assert multimodal.decode_stub(wav, "audio", strict=True) == f
+    # 8-bit unsigned path
+    data8 = bytes([128, 255, 0, 128])
+    fmt8 = st.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body8 = (b"WAVE" + b"fmt " + st.pack("<I", 16) + fmt8
+             + b"data" + st.pack("<I", len(data8)) + data8)
+    x8, _, bits8 = multimodal.decode_wav_samples(b"RIFF" + st.pack("<I", len(body8)) + body8)
+    assert bits8 == 8
+    assert x8[:, 0] == pytest.approx([0.0, 127 / 128, -1.0, 0.0])
+    # compressed/non-PCM raises
+    fmt_bad = st.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # MP3-in-WAV
+    body_bad = (b"WAVE" + b"fmt " + st.pack("<I", 16) + fmt_bad
+                + b"data" + st.pack("<I", 0))
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_samples(b"RIFF" + st.pack("<I", len(body_bad)) + body_bad)
+
+
 @pytest.mark.parametrize(
     "color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)]
 )
