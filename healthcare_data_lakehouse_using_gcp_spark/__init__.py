@@ -23,7 +23,9 @@ Layout:
               graph (PageRank, components), sketches, analytics
               (percentiles, reshape, winsorize, MAD, TWAP, trends),
               profiling + drift (PSI), expectations, SCD2 + CDC,
-              export, fuzzy matching, multimodal plumbing
+              export, fuzzy matching, multimodal (real PNG/WAV
+              decode), privacy (k-anonymity / l-diversity audits,
+              generalization, suppression)
   plans/      model runner: staging views, fact table, reports
   streaming/  structured-streaming pipeline (batch/stream parity)
 """

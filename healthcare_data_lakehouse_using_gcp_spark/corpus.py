@@ -411,6 +411,20 @@ def query(name: str, sql: str | None):
 #                             candidate recount (head) +
 #                             dq_expectations' anti-join (head this
 #                             round); j5_semi_anti tail twin      [green r2-r6]
+# round-7 additions (operators/privacy — data-level de-identification,
+# the half of HIPAA the reference's infra checker never touches):
+#   privacy_k_anonymity     — NEW r7, tail-born (hash-agg + HAVING =
+#                             a8/a5 head machinery; promote in r8)
+#                                                            [new r7, no driver row]
+#   privacy_l_diversity     — NEW r7, tail-born (countDistinct agg =
+#                             a2's head machinery; promote in r8)
+#                                                            [new r7, no driver row]
+#   privacy_generalize      — NEW r7, tail-born (narrow CASE/floor/
+#                             substr projections = f5/p6 shapes;
+#                             promote in r8)                 [new r7, no driver row]
+#   privacy_suppress        — NEW r7, tail-born (full-partition
+#                             window = w4_ratio_to_report's machinery;
+#                             promote in r8)                 [new r7, no driver row]
 _TAIL = (
     "p1_required_flags",
     "p5_validate_null",
@@ -489,6 +503,10 @@ _TAIL = (
     "set_ops_nations",
     "text_bpe_pretokenize",
     "a6_weighted_score",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_generalize",
+    "privacy_suppress",
 )
 
 
@@ -4983,6 +5001,119 @@ def a21_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference, domain-aligned): k-anonymity risk
+    audit (operators/privacy.k_anonymity_audit) — quasi-identifier
+    equivalence classes smaller than k=10 over
+    (nation, market-segment), the data-level half the reference's
+    infra-only HIPAA checker (hipaa_compliance_checker.py:37-360)
+    never covers. One hash aggregation; |groups|-sized output."""
+    from .operators.privacy import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        c.select("c_nationkey", "c_mktsegment"), ["c_nationkey", "c_mktsegment"], 10
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct_sensitive
+    FROM customer GROUP BY 1, 2 HAVING COUNT(DISTINCT c_acctbal) < 10
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): distinct-l-diversity audit
+    (operators/privacy.l_diversity_audit) — (nation, segment) classes
+    whose 'sensitive' account-balance attribute shows fewer than 10
+    distinct values (homogeneity-attack exposure that k-anonymity
+    alone misses)."""
+    from .operators.privacy import l_diversity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    return l_diversity_audit(
+        c.select("c_nationkey", "c_mktsegment", "c_acctbal"),
+        ["c_nationkey", "c_mktsegment"],
+        "c_acctbal",
+        10,
+    )
+
+
+@query(
+    "privacy_generalize",
+    """
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice / 10000) * 10000 AS BIGINT) AS o_totalprice,
+           CAST(date_trunc('year', o_orderdate) AS DATE) AS o_orderdate,
+           substr(o_orderpriority, 1, 1) AS o_orderpriority,
+           CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders
+    """,
+)
+def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): column generalization for
+    de-identification (operators/privacy.generalize_columns) — all
+    four rules in one pass: numeric banding (totalprice → 10k bands),
+    Safe-Harbor date coarsening (orderdate → year), string prefix
+    truncation (priority → first char), and full suppression (status
+    → NULL). Pure narrow projections in the scan stage."""
+    from .operators.privacy import generalize_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return generalize_columns(
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_orderstatus",
+        ),
+        {
+            "o_totalprice": ("band", 10000),
+            "o_orderdate": ("year",),
+            "o_orderpriority": ("prefix", 1),
+            "o_orderstatus": ("suppress",),
+        },
+    )
+
+
+@query(
+    "privacy_suppress",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS __n
+      FROM customer
+    ) t WHERE __n >= 12
+    """,
+)
+def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): record suppression
+    (operators/privacy.suppress_rare_groups) — keep only rows whose
+    (nation, segment) class has ≥ 12 members; the survivors are
+    k-anonymous by construction. Single shuffle: the group count is
+    a full-partition window and the filter rides the same
+    exchange."""
+    from .operators.privacy import suppress_rare_groups
+
+    c = _t(spark, sf_dir, "customer")
+    return suppress_rare_groups(
+        c.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        ["c_nationkey", "c_mktsegment"],
+        12,
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -5084,4 +5215,13 @@ OPERATOR_MAP = {
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
     "LLM-vector-stats": ["emb_component_means"],
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
+    # beyond-reference, domain-aligned: data-level privacy (the
+    # reference's HIPAA surface is infra-only)
+    "Privacy": [
+        "privacy_k_anonymity",
+        "privacy_l_diversity",
+        "privacy_generalize",
+        "privacy_suppress",
+        "scrub_pii",
+    ],
 }

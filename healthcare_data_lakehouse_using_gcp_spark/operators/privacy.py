@@ -1,0 +1,140 @@
+"""Data-level privacy / de-identification operators.
+
+Beyond-reference, domain-aligned: the reference ships an
+infrastructure-level HIPAA checker (encryption/IAM/audit-log posture,
+security/compliance/hipaa_compliance_checker.py:37-360) but nothing
+that inspects the DATA for re-identification risk. These operators
+are that missing half — the Safe-Harbor/Expert-Determination toolkit
+a healthcare lakehouse actually runs before sharing a dataset:
+
+- k_anonymity_audit / l_diversity_audit: quasi-identifier group-size
+  and sensitive-diversity risk reports (Sweeney's k-anonymity;
+  Machanavajjhala's l-diversity);
+- generalize_columns: banding / prefix-truncation / date-coarsening
+  — the generalization step that raises k;
+- suppress_rare_groups: drop rows whose quasi-identifier group is
+  smaller than k (suppression, the enforcement counterpart).
+
+They compose: audit → generalize → audit → suppress residual.
+Free-text PHI masking is the separate text.scrub_pii operator.
+
+Scale design (100 TB): every audit is ONE hash aggregation on the
+quasi-identifier columns (map-side partial aggregation collapses
+repeats before the shuffle); the reports are |groups|-sized, never
+row-sized. suppress_rare_groups uses a full-partition window so the
+per-group count and the filter share a single shuffle — no
+agg-then-join second pass over the fact; generalization is pure
+narrow Column expressions in the scan stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Groups of quasi-identifier values with fewer than ``k`` rows —
+    each output row is an equivalence class whose members are
+    re-identifiable below the k-anonymity bar. Empty result ⇒ the
+    dataset is k-anonymous w.r.t. ``quasi_cols``.
+
+    Output: quasi_cols + n (group size, bigint), smallest first."""
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") < k)
+        .orderBy(F.col("n").asc(), *[F.col(c).asc() for c in quasi_cols])
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741  — the literature's name for the parameter
+) -> DataFrame:
+    """Quasi-identifier groups whose sensitive attribute takes fewer
+    than ``l`` distinct values — k-anonymous groups can still leak
+    when everyone in the group shares one diagnosis (homogeneity
+    attack); distinct-l-diversity is the standard first gate.
+
+    NULL sensitive values don't count toward diversity (an absent
+    diagnosis discloses nothing). Output: quasi_cols + n (group
+    size) + n_distinct_sensitive, least-diverse first."""
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("n_distinct_sensitive"),
+        )
+        .filter(F.col("n_distinct_sensitive") < l)
+        .orderBy(
+            F.col("n_distinct_sensitive").asc(),
+            F.col("n").asc(),
+            *[F.col(c).asc() for c in quasi_cols],
+        )
+    )
+
+
+def generalize_columns(
+    df: DataFrame, spec: Mapping[str, tuple]
+) -> DataFrame:
+    """Column generalization for de-identification — each spec entry
+    replaces a column in place with its coarsened form:
+
+    - ``("band", width)``: numeric → left edge of its width-sized
+      band (floor(x/width)*width, bigint) — ages, balances, counts;
+    - ``("prefix", n)``: string → first n characters — ZIP3, phone
+      exchange (Safe Harbor's geographic truncation);
+    - ``("year",)``: date/timestamp → January 1 of its year (Safe
+      Harbor: all date elements except year removed);
+    - ``("suppress",)``: column → NULL (full suppression).
+
+    Pure narrow projections — generalization runs inside the scan
+    stage and never shuffles."""
+    out = df
+    for col, rule in spec.items():
+        kind = rule[0]
+        if kind == "band":
+            width = int(rule[1])
+            out = out.withColumn(
+                col,
+                (F.floor(F.col(col) / F.lit(width)) * F.lit(width)).cast("bigint"),
+            )
+        elif kind == "prefix":
+            out = out.withColumn(col, F.substring(F.col(col), 1, int(rule[1])))
+        elif kind == "year":
+            out = out.withColumn(col, F.trunc(F.col(col), "year"))
+        elif kind == "suppress":
+            out = out.withColumn(col, F.lit(None).cast(df.schema[col].dataType))
+        else:
+            raise ValueError(f"unknown generalization rule {rule!r} for {col!r}")
+    return out
+
+
+def suppress_rare_groups(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Keep only rows whose quasi-identifier group has ≥ ``k``
+    members — record suppression for the residual classes that
+    generalization couldn't merge over the bar. The surviving
+    dataset is k-anonymous w.r.t. ``quasi_cols`` by construction.
+
+    One shuffle: the group count is a full-partition window over the
+    quasi columns (no ORDER BY ⇒ every row sees its group's total),
+    and the filter rides the same exchange — cheaper than the
+    aggregate + join-back alternative, which shuffles twice unless
+    the group list broadcasts."""
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") >= k)
+        .drop("__n")
+    )

@@ -1012,3 +1012,174 @@ def source_token_divergence(
     out = out.localCheckpoint(eager=True)
     tc.unpersist()
     return out
+
+
+def bpe_word_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Phase 1 of BPE training — the only data-proportional step:
+    pre-tokenize the corpus (pretokens_col, the GPT-2-style split)
+    and aggregate to a (word, freq) histogram in ONE explode +
+    hash-aggregate shuffle (map-side partials collapse repeats).
+    Output is |distinct pretokens| rows — bounded by VOCABULARY, not
+    corpus size, which is what makes driver-side merge learning sound
+    at 100 TB (HF tokenizers / sentencepiece train on exactly this
+    capped histogram). ``vocab_cap`` keeps the top-V words by
+    frequency (word asc tie-break) as a hard driver-memory bound."""
+    t = F.col(text_col)
+    toks = pretokens_col(F.lower(t) if lowercase else t)
+    hist = (
+        df.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    if vocab_cap is not None:
+        hist = hist.orderBy(F.desc("freq"), F.asc("word")).limit(vocab_cap)
+    return hist
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    vocab_cap: int | None = 50_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table from a corpus
+    (Sennrich et al. 2016) — the tokenizer-training step every LLM
+    data pipeline runs before token counting means anything.
+
+    Two phases with an honest scale boundary:
+    - distributed: bpe_word_histogram — one shuffle, vocabulary-sized
+      output, the ONLY pass over the corpus;
+    - driver: the classic merge loop over the histogram, with an
+      incrementally-maintained pair-count index (each merge touches
+      only the words containing the merged pair), so the loop is
+      O(n_merges × words-containing-pair), not O(n_merges × vocab).
+      This part is inherently sequential — distributing it buys
+      nothing because the input is already vocabulary-sized.
+
+    Deterministic: ties in pair frequency break lexicographically.
+    Returns the ordered merge list [(left, right), ...] (index =
+    merge rank), the exact format bpe_apply consumes."""
+    from collections import Counter, defaultdict
+
+    rows = bpe_word_histogram(df, text_col, vocab_cap, lowercase).collect()
+    words: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        words[tuple(r["word"])] = words.get(tuple(r["word"]), 0) + int(r["freq"])
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for w, f in words.items():
+        for p in zip(w, w[1:]):
+            pair_counts[p] += f
+            pair_words[p].add(w)
+
+    def _merge_word(w: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+        out, i, merged = [], 0, pair[0] + pair[1]
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == pair[0] and w[i + 1] == pair[1]:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return tuple(out)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = +pair_counts  # drop non-positive entries
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        best = min(p for p, n in pair_counts.items() if n == best_n)
+        merges.append(best)
+        for w in list(pair_words[best]):
+            f = words.pop(w, None)
+            if f is None:
+                continue
+            for p in zip(w, w[1:]):
+                pair_counts[p] -= f
+                if w in pair_words[p] and p != best:
+                    pair_words[p].discard(w)
+            nw = _merge_word(w, best)
+            words[nw] = words.get(nw, 0) + f
+            for p in zip(nw, nw[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(nw)
+        del pair_words[best]
+        pair_counts.pop(best, None)
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode text with a learned merge table: pre-tokenize, then
+    greedily apply the LOWEST-RANK applicable merge per word until
+    none applies (the GPT-2 encode loop). Adds ``out_col``
+    (array<string>) and ``n_bpe_tokens`` — the REAL token count the
+    n_tok whitespace proxy approximates.
+
+    Scale design: the merge table broadcasts with the Arrow-batched
+    mapInPandas closure (vocab-sized, ~MBs); per batch a word→tokens
+    memo collapses the Zipf-heavy repeats, so the merge loop runs
+    roughly once per DISTINCT word per batch, not once per token."""
+    import re as _re
+
+    rank = {p: i for i, p in enumerate(merges)}
+    pretok = _re.compile(r"[^\W\d_]+|\d+|[^\w\s]+", _re.UNICODE)
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            toks_out, counts = [], []
+            for t in pdf[text_col]:
+                t = (t or "").lower() if lowercase else (t or "")
+                toks: list[str] = []
+                for w in pretok.findall(t):
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = _encode_word(w)
+                    toks.extend(enc)
+                toks_out.append(toks)
+                counts.append(len(toks))
+            pdf = pdf.copy()
+            pdf[out_col] = toks_out
+            pdf["n_bpe_tokens"] = pd.array(counts, dtype="int64")
+            yield pdf
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+    return df.mapInPandas(_encode, schema)

@@ -1,0 +1,93 @@
+"""Data-level privacy operators (operators/privacy): k-anonymity /
+l-diversity audits, generalization, suppression. Corpus entries
+privacy_* re-verify each against its DuckDB oracle at driver scale in
+the tail sweep; these tests pin the semantics on hand-built frames."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+    generalize_columns,
+    k_anonymity_audit,
+    l_diversity_audit,
+    suppress_rare_groups,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    rows = [
+        # (zip, age_band) groups: (100, a) ×3, (100, b) ×1, (200, a) ×2
+        (1, "100", "a", "flu"),
+        (2, "100", "a", "flu"),
+        (3, "100", "a", "cold"),
+        (4, "100", "b", "flu"),
+        (5, "200", "a", "flu"),
+        (6, "200", "a", None),
+    ]
+    return spark.createDataFrame(rows, "id long, zip string, band string, dx string")
+
+
+def test_k_anonymity_audit_flags_small_groups(people):
+    out = k_anonymity_audit(people, ["zip", "band"], 3).collect()
+    got = {(r["zip"], r["band"]): r["n"] for r in out}
+    assert got == {("100", "b"): 1, ("200", "a"): 2}
+    # k=1 → always anonymous
+    assert k_anonymity_audit(people, ["zip", "band"], 1).count() == 0
+
+
+def test_l_diversity_nulls_dont_count(people):
+    out = {(r["zip"], r["band"]): r["n_distinct_sensitive"]
+           for r in l_diversity_audit(people, ["zip", "band"], "dx", 2).collect()}
+    # (100,a) has {flu, cold} = 2 → passes l=2; (100,b) has {flu} = 1;
+    # (200,a) has {flu, NULL} → NULL discloses nothing → 1 distinct
+    assert out == {("100", "b"): 1, ("200", "a"): 1}
+
+
+def test_generalize_columns_all_rules(spark):
+    df = spark.createDataFrame(
+        [(1, 37, "02139", dt.date(1987, 6, 15), "secret")],
+        "id long, age long, zip string, dob date, note string",
+    )
+    out = generalize_columns(
+        df,
+        {
+            "age": ("band", 10),
+            "zip": ("prefix", 3),
+            "dob": ("year",),
+            "note": ("suppress",),
+        },
+    ).collect()[0]
+    assert out["age"] == 30
+    assert out["zip"] == "021"
+    assert out["dob"] == dt.date(1987, 1, 1)
+    assert out["note"] is None
+    # negative values band toward -inf (floor semantics, both engines)
+    neg = generalize_columns(
+        spark.createDataFrame([(1, -5)], "id long, bal long"), {"bal": ("band", 10)}
+    ).collect()[0]
+    assert neg["bal"] == -10
+    with pytest.raises(ValueError):
+        generalize_columns(df, {"age": ("hash",)})
+
+
+def test_suppress_rare_groups_is_k_anonymous(people):
+    out = suppress_rare_groups(people, ["zip", "band"], 3)
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+    # survivors are k-anonymous by construction
+    assert k_anonymity_audit(out, ["zip", "band"], 3).count() == 0
+    # single shuffle: one Exchange for the window, no join in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_privacy_pipeline_generalize_raises_k(spark):
+    """The compose story: generalization merges classes, raising k."""
+    rows = [(i, f"0213{i % 4}", 30 + i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, zip string, age long")
+    before = k_anonymity_audit(df, ["zip", "age"], 4).count()
+    gen = generalize_columns(df, {"zip": ("prefix", 3), "age": ("band", 10)})
+    after = k_anonymity_audit(gen, ["zip", "age"], 4).count()
+    assert before > 0 and after == 0
