@@ -425,6 +425,11 @@ def query(name: str, sql: str | None):
 #   privacy_suppress        — NEW r7, tail-born (full-partition
 #                             window = w4_ratio_to_report's machinery;
 #                             promote in r8)                 [new r7, no driver row]
+#   text_bpe_train_apply    — NEW r7, tail-born rows-only (iterative
+#                             BPE merge learning — no SQL oracle;
+#                             invariant columns gated in
+#                             test_entry.py; histogram stage =
+#                             text_vocab/bm25 machinery)     [new r7, no driver row]
 _TAIL = (
     "p1_required_flags",
     "p5_validate_null",
@@ -507,6 +512,7 @@ _TAIL = (
     "privacy_l_diversity",
     "privacy_generalize",
     "privacy_suppress",
+    "text_bpe_train_apply",
 )
 
 
@@ -5114,6 +5120,33 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bpe_train_apply", None)  # iterative merge learning: no SQL oracle
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM tokenizer training end-to-end (operators/text.bpe_train +
+    bpe_apply): learn 50 BPE merges from the documents corpus (one
+    distributed histogram shuffle + driver-side merge loop over the
+    vocabulary-sized counts) and re-encode the corpus with them.
+    Iterative merge learning has no SQL equivalent, so this is a
+    rows-only entry carrying its own invariants as columns, gated in
+    test_entry.py: every doc satisfies n_pretokens ≤ n_bpe_tokens ≤
+    total pretoken characters (merges only ever shrink the char-level
+    split, never below one token per word), and compression > 1 on
+    real text."""
+    from .operators.text import bpe_apply, bpe_train, pretoken_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=50, vocab_cap=20_000)
+    enc = bpe_apply(d.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        pretoken_count_col(F.lower(F.col("text"))).alias("n_pretokens"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", ""))
+        .cast("bigint")
+        .alias("n_chars_nospace"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -5194,6 +5227,7 @@ OPERATOR_MAP = {
     "A16": ["a16_winsorize"],  # beyond-reference: per-group winsorization
     "W3": ["w3_rank_family"],  # beyond-reference: full ranking family
     "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
+    "LLM-tokenizer": ["text_bpe_pretokenize", "text_bpe_train_apply"],
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
     "Graph": ["graph_pagerank", "dedup_components"],

@@ -1137,7 +1137,10 @@ def bpe_apply(
     import re as _re
 
     rank = {p: i for i, p in enumerate(merges)}
-    pretok = _re.compile(r"[^\W\d_]+|\d+|[^\w\s]+", _re.UNICODE)
+    # the SAME pre-tokenization the trainer used (BPE_ISH_PATTERN via
+    # pretokens_col) — a train/apply split mismatch would silently
+    # produce words no merge ever saw
+    pretok = _re.compile(BPE_ISH_PATTERN)
 
     def _encode_word(word: str) -> list[str]:
         syms = list(word)

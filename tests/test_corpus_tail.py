@@ -82,6 +82,7 @@ def test_tail_entry_matches_its_oracle(spark, checker, oracle_con, name):
             "ann_lsh_topk",
             "ann_ivf_pq_topk",
             "ann_ivf_topk",
+            "text_bpe_train_apply",  # iterative; invariants in test_entry
         }, name
         assert detail >= 0
         return

@@ -44,13 +44,16 @@ def test_canonical_operators_inside_driver_window():
     # distinct operator's canonical entry must sit inside that window.
     first50 = set(list(entrymod.queries())[:50])
     canonical = [
-        "scrub_pii", "pack_documents", "curate_corpus", "ann_cosine_topk",
+        # scrub_pii demoted r7 tranche 1 (narrow regex projection =
+        # text_normalize_unicode head; patterns pinned in test_text +
+        # tail-swept at sf0.01)
+        "pack_documents", "curate_corpus", "ann_cosine_topk",
         # ann_lsh_topk / ann_ivf_pq_topk were demoted mid-r6 for the
         # sketch/zorder entries: each has an embedded-truth head twin
         # (ann_lsh_planted — same lsh_topk pipeline; ann_ivf_pq_rerank
-        # — runs the ADC stage head-side) and keeps its recall floor
-        # below plus the tail oracle sweep
-        "ann_ivf_topk",
+        # — runs the ADC + coarse-probe stages head-side) and keeps
+        # its recall floor below plus the tail oracle sweep;
+        # ann_ivf_topk joined them in the r7 tranche-2 demotion
         # minhash's window seat is the checked twin (same pipeline +
         # embedded ground-truth containment); the plain dedup_minhash_lsh
         # is the bench.py target and sits past the window (r4 rotation)
@@ -60,20 +63,26 @@ def test_canonical_operators_inside_driver_window():
         # third wave; plain j1_band_join is tail + bench target
         "j3_asof_nearest", "t1_tumbling_window",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r6 seats embedding_near_dup_exact (r5 seated the
-        # LSH+residual twin; r4 seated exact)
-        "a11_rollup",
-        "embedding_near_dup_exact", "temperature_mixture", "classifier_quality",
-        "cap_per_source", "chunk_documents", "dedup_incremental_index",
+        # round: r7 seats embedding_near_dup (exact held r4/r6)
+        "embedding_near_dup", "classifier_quality",
+        "cap_per_source", "dedup_incremental_index",
         "lm_perplexity",
         "ann_ivf_pq_rerank",
-        # round-6 promotions (VERDICT r5 items 1,3,4,5): the r4-demoted
-        # quartet rotates back, plus the four new operators — every
-        # demoted twin is now ALSO oracle-swept each pytest run by
-        # tests/test_corpus_tail.py
-        "f1_datetime_extract", "a7_max_freshness", "p1_required_flags",
-        "p5_validate_null", "export_ids", "layout_pruned_scan",
+        "export_ids", "layout_pruned_scan",
         "j1_band_join_bucketed", "ann_lsh_planted",
+        # round-7 tranche-1 promotions (VERDICT r6 item 1): the eight
+        # never-driver-checked family heads — each its family's only
+        # driver-row candidate
+        "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
+        "graph_pagerank", "t6_session_window", "j8_asof_backward",
+        "dq_expectations", "profile_drift_orders",
+        # round-7 tranche-2 promotions (VERDICT r6 item 4); the
+        # demoted twins (p1/p5/f1/a7/dedup_exact/ann_ivf_topk/
+        # dedup_semantic/decontaminate and the tranche-1 eight) are
+        # all oracle-swept at sf0.01 every pytest run
+        "a14_equidepth", "w3_rank_family", "a15_cube",
+        "t7_hopping_window", "w7_trailing_p95", "a20_higher_moments",
+        "a21_regression", "drift_psi",
         # round-6 additions (same session): bounded-memory sketches +
         # Z-order layout; fuzzy join took a6_weighted_score's seat
         # late-r6 (a6's arithmetic runs inside a2/classifier heads)
@@ -127,6 +136,27 @@ def test_ann_entries_embed_truth_and_clear_recall_floor(spark):
         # in_exact_topk must be consistent with the recall column
         assert hits == round(sum(10 * v for v in per_q.values()))
     assert avg["ann_ivf_pq_rerank"] >= avg["ann_ivf_pq_topk"]
+
+
+def test_bpe_entry_invariants(spark):
+    """The rows-only text_bpe_train_apply entry carries its own
+    invariants: per doc, n_pretokens ≤ n_bpe_tokens ≤ n_chars_nospace
+    (merges only shrink the char split and never cross word
+    boundaries), and the learned merges actually compress real text
+    corpus-wide (tokens strictly fewer than characters)."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata unavailable")
+    rows = entrymod.queries()["text_bpe_train_apply"](spark, SF_DIR).collect()
+    assert rows
+    bad = [
+        r
+        for r in rows
+        if not (r["n_pretokens"] <= r["n_bpe_tokens"] <= r["n_chars_nospace"])
+    ]
+    assert not bad, bad[:3]
+    total_tok = sum(r["n_bpe_tokens"] for r in rows)
+    total_chars = sum(r["n_chars_nospace"] for r in rows)
+    assert total_tok < 0.9 * total_chars
 
 
 def _norm(v):

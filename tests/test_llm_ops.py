@@ -1378,3 +1378,52 @@ def test_source_divergence_flags_templated_source(spark):
     assert out["varied"]["kl_vs_corpus"] >= 0
     # hand-check templated KL: p('same')=1, q('same')=40/110
     assert abs(out["templated"]["kl_vs_corpus"] - math.log(110 / 40)) < 1e-9
+
+
+# --- BPE tokenizer training + apply ----------------------------------
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """The classic hug/pug/pun/bun/hugs histogram (HF tokenizer-course
+    example) — merge order verified by hand, including the
+    lexicographic tie-break at rank 4: after (h,ug) the hugs word is
+    [hug, s], so (hug,s) ties (p,ug) at 5 and wins lexicographically
+    ('hug' < 'p')."""
+    words = ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=5)
+    assert merges == [("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un"), ("hug", "s")]
+    # exhausting the pair space stops early instead of looping
+    assert len(text.bpe_train(df, n_merges=100)) < 100
+
+
+def test_bpe_word_histogram_is_vocab_sized(spark):
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "to be!")], "doc_id long, text string"
+    )
+    hist = {r["word"]: r["freq"] for r in text.bpe_word_histogram(df).collect()}
+    assert hist == {"to": 3, "be": 3, "or": 1, "not": 1, "!": 1}
+    capped = text.bpe_word_histogram(df, vocab_cap=2).collect()
+    assert {r["word"] for r in capped} == {"to", "be"}
+
+
+def test_bpe_apply_encodes_with_learned_merges(spark):
+    words = ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    train = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges = text.bpe_train(train, n_merges=5)
+    df = spark.createDataFrame([(1, "hugs pun"), (2, "bug")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bpe_apply(df, merges).collect()}
+    # hugs: u+g -> h+ug -> hug+s -> [hugs]; pun: u+n -> p+un -> [pun]
+    assert out[1]["bpe_tokens"] == ["hugs", "pun"]
+    assert out[1]["n_bpe_tokens"] == 2
+    # unseen word: only the (u,g) merge applies
+    assert out[2]["bpe_tokens"] == ["b", "ug"]
+    # empty merge table degrades to characters
+    chars = text.bpe_apply(df, []).collect()
+    assert all(r["n_bpe_tokens"] == len((r["text"]).replace(" ", "")) for r in chars)
+
+
+def test_bpe_train_deterministic_across_runs(spark, docs):
+    m1 = text.bpe_train(docs, n_merges=20)
+    m2 = text.bpe_train(docs, n_merges=20)
+    assert m1 == m2 and len(m1) == 20
