@@ -425,6 +425,10 @@ def query(name: str, sql: str | None):
 #   privacy_suppress        — NEW r7, tail-born (full-partition
 #                             window = w4_ratio_to_report's machinery;
 #                             promote in r8)                 [new r7, no driver row]
+#   incremental_rollup      — NEW r7, tail-born (partial/merge/
+#                             finalize hash-aggs = a2/a8 machinery;
+#                             the merge≡rebuild proof is the oracle;
+#                             promote in r8)                 [new r7, no driver row]
 #   text_bpe_train_apply    — NEW r7, tail-born rows-only (iterative
 #                             BPE merge learning — no SQL oracle;
 #                             invariant columns gated in
@@ -513,6 +517,7 @@ _TAIL = (
     "privacy_generalize",
     "privacy_suppress",
     "text_bpe_train_apply",
+    "incremental_rollup",
 )
 
 
@@ -5120,6 +5125,58 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_rollup",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND((SUM(o_totalprice * o_totalprice)
+                  - SUM(o_totalprice) * SUM(o_totalprice) / COUNT(*))
+                 / COUNT(*) / 1000000, 4) AS var_price_m
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental): orders
+    split deterministically into a base (md5 bucket < 8000) and a
+    delta batch, each reduced to its mergeable count/sum/min/max/
+    sumsq state, states MERGED (union + hash-agg — no recompute of
+    the base), then finalized. The oracle aggregates the whole table
+    directly, so a green row proves merge(partial(A), partial(B)) ≡
+    aggregate(A ∪ B) — the invariant that lets a daily delta update
+    a 100 TB rollup at 1/1000th the cost of a rebuild (the reference
+    rebuilds its dbt rollups from scratch each run). Variance reports
+    in millions so cross-engine IEEE summation-order noise sits far
+    from the rounding boundary."""
+    from .operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        partial_rollup,
+    )
+    from .operators.text import _hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    bucket = _hash_bucket("o_orderkey")
+    keys, vals = ["o_orderstatus"], ["o_totalprice"]
+    base = partial_rollup(o.filter(bucket < 8000), keys, vals)
+    delta = partial_rollup(o.filter(bucket >= 8000), keys, vals)
+    fin = finalize_rollup(
+        merge_rollup_states(base, delta, keys), keys, vals, round_digits=None
+    )
+    return fin.select(
+        "o_orderstatus",
+        "n",
+        F.round("o_totalprice_sum", 2).alias("sum_price"),
+        F.round("o_totalprice_min", 2).alias("min_price"),
+        F.round("o_totalprice_max", 2).alias("max_price"),
+        F.round("o_totalprice_avg", 4).alias("avg_price"),
+        F.round(F.col("o_totalprice_var") / 1000000, 4).alias("var_price_m"),
+    )
+
+
 @query("text_bpe_train_apply", None)  # iterative merge learning: no SQL oracle
 def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM tokenizer training end-to-end (operators/text.bpe_train +
@@ -5228,6 +5285,7 @@ OPERATOR_MAP = {
     "W3": ["w3_rank_family"],  # beyond-reference: full ranking family
     "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
     "LLM-tokenizer": ["text_bpe_pretokenize", "text_bpe_train_apply"],
+    "Incremental-IVM": ["incremental_rollup"],
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
     "Graph": ["graph_pagerank", "dedup_components"],

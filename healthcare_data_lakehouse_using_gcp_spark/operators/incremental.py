@@ -1,0 +1,115 @@
+"""Incremental aggregate maintenance (incremental view maintenance
+for distributive/algebraic rollups).
+
+Beyond-reference scale pattern: the reference rebuilds its daily
+rollups from scratch every dbt run (reports/daily models); at 100 TB
+a daily delta is ~1/1000th of the fact, so recomputing the world is
+a 1000× overspend. These operators keep a MERGEABLE state table —
+count / sum / min / max / sum-of-squares per key — and fold delta
+batches into it associatively, exactly the partial-aggregation
+algebra Spark's own hash aggregate uses map-side, lifted to the
+table level so it persists ACROSS runs:
+
+    state = partial_rollup(base, keys, cols)           # once
+    state = merge_rollup_states(state, partial_rollup(delta, ...))
+    finalize_rollup(state, ...)                        # avg/var views
+
+Invariant (oracle-proven in the corpus entry `incremental_rollup`
+and pytest): merge(partial(A), partial(B)) ≡ partial(A ∪ B) — the
+merged state finalizes to EXACTLY the from-scratch aggregate, to the
+last bit for count/sum/min/max (pure integer/comparison algebra) and
+to IEEE-sum-reordering for doubles.
+
+Scale design: every step is one hash aggregation with map-side
+combine; the state table is |keys|-sized, deltas shuffle only their
+own keys. Retractions (deletes) fold in with ``weight=-1`` — counts
+and sums are groups under +, so deletion is exact; min/max are NOT
+retractable (a semilattice has no inverse), so with deletions
+finalize only count/sum/avg/var or rebuild min/max from the base.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    weight: int = 1,
+) -> DataFrame:
+    """Aggregate a batch to its mergeable state: per key and value
+    column c — __n (row count), c__sum, c__min, c__max, c__sumsq.
+    ``weight=-1`` encodes a retraction batch (see module docstring
+    for what stays exact under deletion)."""
+    w = F.lit(weight)
+    aggs = [F.sum(w).cast("bigint").alias("__n")]
+    for c in value_cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.sum(col * w).alias(f"{c}__sum"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.sum(col * col * w).alias(f"{c}__sumsq"),
+        ]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_rollup_states(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold two state tables into one: sums add, mins min, maxes max
+    — associative and commutative, so states merge in any order and
+    any grouping (tree-merge a year of dailies, fold one delta, …).
+    One union + hash aggregation; no join."""
+    stats = [c for c in a.columns if c not in keys]
+    assert stats == [c for c in b.columns if c not in keys], "state schemas differ"
+    aggs = []
+    for c in stats:
+        if c.endswith("__min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("__max"):
+            aggs.append(F.max(c).alias(c))
+        elif c == "__n":
+            aggs.append(F.sum(c).cast("bigint").alias(c))
+        else:
+            aggs.append(F.sum(c).alias(c))
+    return a.unionByName(b).groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def finalize_rollup(
+    state: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Render a state table as the user-facing aggregate: per value
+    column — n, sum, min, max, avg, var_pop (sum-of-squares form:
+    sumsq/n − (sum/n)², clamped at 0 for the negative-epsilon IEEE
+    cases). ``round_digits`` applies deterministic floor(x·10^d+0.5)
+    rounding so cross-engine comparisons are stable; pass None for
+    raw doubles."""
+
+    def _r(col):
+        if round_digits is None:
+            return col
+        m = 10**round_digits
+        return F.floor(col * m + F.lit(0.5)) / m
+
+    out = [F.col(k) for k in keys] + [F.col("__n").alias("n")]
+    for c in value_cols:
+        s, n = F.col(f"{c}__sum"), F.col("__n")
+        mean = s / n
+        var = F.greatest(F.col(f"{c}__sumsq") / n - mean * mean, F.lit(0.0))
+        out += [
+            _r(s).alias(f"{c}_sum"),
+            _r(F.col(f"{c}__min")).alias(f"{c}_min"),
+            _r(F.col(f"{c}__max")).alias(f"{c}_max"),
+            _r(mean).alias(f"{c}_avg"),
+            _r(var).alias(f"{c}_var"),
+        ]
+    return state.select(*out)
