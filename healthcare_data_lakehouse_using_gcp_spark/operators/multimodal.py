@@ -23,13 +23,18 @@ What is REAL here (stdlib-only, no media libraries needed):
 - WAV sample decode (`decode_wav_samples`): RIFF chunk walk + PCM
   8/16-bit sample extraction feeding real audio statistics
   (rms/peak/zero-crossing-rate/duration, `wav_sample_features`),
-  strict-mode safe.
+  strict-mode safe;
+- JPEG pixel decode (`decode_jpeg_pixels`): baseline-sequential
+  entropy decode — canonical Huffman, DC prediction, dequantize,
+  IDCT, chroma upsample, YCbCr→RGB — with a fixture-grade encoder
+  partner (`encode_jpeg_baseline`) pinning round-trip exactness.
 
-What is STUBBED (honestly): JPEG entropy / video decode — the
-feature vector there is a deterministic sha256-derived fake
-(`decode_stub`); a real deployment would swap in PIL/pyav, and
-strict mode raises NotImplementedError for exactly those formats
-(header decoding, PNG pixels, and WAV samples never need strict).
+What is STUBBED (honestly): video frame decode, and the decode of
+media the real decoders reject (progressive/arithmetic JPEG,
+non-PCM WAV, palette/16-bit PNG) — there the feature vector is a
+deterministic sha256-derived fake (`decode_stub`); a real
+deployment would swap in PIL/pyav, and strict mode raises
+NotImplementedError for exactly those cases.
 
 Scale design: mapInPandas streams Arrow batches through Python, so
 payloads never collect on the driver; `repartition_for_media` sizes
@@ -364,16 +369,13 @@ def wav_sample_features(payload: bytes) -> list[float]:
     return feats
 
 
-def png_pixel_features(payload: bytes) -> list[float]:
-    """FEATURE_DIM real pixel statistics from a decoded PNG, all
-    reproducible by deterministic arithmetic (the corpus oracle
-    recomputes them in SQL for build_png's solid-color fixtures):
+def _image_stat_features(px: "np.ndarray") -> list[float]:  # noqa: F821
+    """FEATURE_DIM pixel statistics shared by every image decoder:
     [mean, std] per channel slot 0-3 (absent channels 0.0), then
     overall mean / population std / min / max (255-normalized), then
     width/4096, height/4096, channels/4, min(w,h)/max(w,h)."""
     import numpy as np
 
-    px = decode_png_pixels(payload)
     h, w, c = px.shape
     x = px.astype(np.float64) / 255.0
     feats: list[float] = []
@@ -396,23 +398,545 @@ def png_pixel_features(payload: bytes) -> list[float]:
     return feats
 
 
+def png_pixel_features(payload: bytes) -> list[float]:
+    """Real pixel statistics from a decoded PNG, all reproducible by
+    deterministic arithmetic (the corpus oracle recomputes them in
+    SQL for build_png's solid-color fixtures); layout per
+    _image_stat_features."""
+    return _image_stat_features(decode_png_pixels(payload))
+
+
+def jpeg_pixel_features(payload: bytes) -> list[float]:
+    """Real pixel statistics from a decoded baseline JPEG; layout per
+    _image_stat_features (identical to the PNG vector, so image
+    features are comparable across container formats)."""
+    return _image_stat_features(decode_jpeg_pixels(payload))
+
+
+# JPEG constants built lazily so numpy stays an in-function import
+# (module style: the JVM-side operators never pull numpy in).
+_JPEG_CONST: dict = {}
+
+
+def _jpeg_const():
+    if not _JPEG_CONST:
+        import numpy as np
+
+        _JPEG_CONST["zigzag"] = np.array([
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ])
+        # orthonormal 8-point DCT-II basis: T[u,x] = c(u) cos((2x+1)u pi/16)
+        t = np.zeros((8, 8))
+        for u in range(8):
+            c = np.sqrt(0.125) if u == 0 else 0.5
+            for x in range(8):
+                t[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+        _JPEG_CONST["T"] = t
+    return _JPEG_CONST["zigzag"], _JPEG_CONST["T"]
+
+
+def _dct2(block):  # spatial -> frequency
+    _, t = _jpeg_const()
+    return t @ block @ t.T
+
+
+def _idct2(coef):  # frequency -> spatial
+    _, t = _jpeg_const()
+    return t.T @ coef @ t
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self):
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v, size):
+    # T.81 F.12: map size-bit magnitude to signed value
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _canonical_codes(counts, symbols):
+    """counts[i] = number of codes of length i+1; returns
+    {symbol: (code, length)} per T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    def __init__(self, counts, symbols):
+        # min/max code per length for fast canonical decode
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, br):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            mx = self.maxcode[length]
+            if mx >= 0 and code <= mx:
+                return self.symbols[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """REAL baseline-sequential JPEG decode, stdlib + numpy — the
+    last multimodal stub retired: DQT/SOF0/DHT/SOS parse, canonical-
+    Huffman + DC-prediction entropy decode (byte unstuffing, restart
+    markers), dequantize, float IDCT, nearest-neighbor chroma
+    upsample, JFIF YCbCr→RGB. Returns (height, width, channels)
+    uint8.
+
+    Scope (honest): baseline sequential 8-bit only — progressive,
+    arithmetic-coded, 12-bit, and truncated inputs raise ValueError
+    so callers can route to a full codec. Round-trip exactness vs
+    encode_jpeg_baseline is pinned in tests (solid/gradient exact at
+    unit quantization; random RGB within ±2 from YCbCr rounding).
+    Note the corpus' build_jpeg fixture is header-only (no scan
+    data) BY DESIGN for its size oracle — it has no pixels to
+    decode, so strict-mode feature extraction still raises on it."""
+    import numpy as np
+
+    p = payload or b""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = p[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(p[pos + 2 : pos + 4], "big")
+        seg = p[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + n])
+                dec = _HuffDecoder(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for ci in range(ns):
+                cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scomps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            data_start = pos + 2 + seg_len
+            return _decode_scan(
+                p, data_start, frame, scomps, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(p, pos, frame, scomps, qt, huff_dc, huff_ac, restart_interval):
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    import numpy as np
+
+    zigzag, _t = _jpeg_const()
+    by_id = {c["id"]: c for c in comps}
+    # per-component pixel planes at full MCU-padded resolution
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    # entropy data: up to next marker that's not stuffing/restart
+    br = _BitReader(p[pos:])
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align and consume RSTn
+                br.nbits = 0
+                d = br.data
+                while br.pos + 1 < len(d) and not (
+                    d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 1
+                br.pos += 2
+                for k in pred:
+                    pred[k] = 0
+            for sc in scomps:
+                comp = by_id[sc["id"]]
+                q = qt[comp["tq"]]
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        s = huff_dc[sc["dc"]].decode(br)
+                        diff = _extend(br.read_bits(s), s)
+                        pred[sc["id"]] += diff
+                        coef[0] = pred[sc["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = huff_ac[sc["ac"]].decode(br)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zigzag] = coef * q
+                        px = _idct2(block.reshape(8, 8)) + 128.0
+                        y0 = (my * comp["v"] + v) * 8
+                        x0 = (mx * comp["h"] + hh) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            n_mcu += 1
+    # upsample to full res and crop
+    out_planes = []
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        out_planes.append(pl[:h, :w])
+    if len(out_planes) == 1:
+        rgb = out_planes[0][:, :, None]
+    elif len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _flat_huff_table(symbols):
+    """Assign every symbol the same code length L with 2^L > n
+    (valid incomplete canonical table; the all-ones code is never
+    used). Returns (counts16, symbols, {sym: (code, len)})."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = n
+    return counts, syms, _canonical_codes(counts, syms)
+
+
+def _mag(v):
+    """(size, magnitude-bits) per T.81 F.1.2.1."""
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    if v >= 0:
+        return size, v
+    return size, v + (1 << size) - 1
+
+
+def encode_jpeg_baseline(img, quant=None) -> bytes:
+    """Fixture-grade baseline JPEG encoder (the decoder's test
+    partner): 4:4:4 or grayscale, per-image flat canonical Huffman
+    tables (every used symbol at one code length — a valid,
+    spec-conformant incomplete table), quant table default all-ones
+    so the only loss is DCT float rounding. Emits a complete
+    SOI/DQT/SOF0/DHT/SOS/EOI stream any baseline decoder reads.
+    img: (h, w, 1|3) uint8."""
+    import numpy as np
+
+    zigzag, _t = _jpeg_const()
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nc = img.shape
+    q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(quant, dtype=np.int32)
+    if nc == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+
+    # pad to multiples of 8 by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for pl in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = pl
+        pp[h:, :w] = pl[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    # quantized coefficient blocks per component (4:4:4 => shared MCU grid)
+    comp_blocks = []
+    for pl in padded:
+        blocks = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                coefs = _dct2(pl[by : by + 8, bx : bx + 8] - 128.0)
+                zz = coefs.reshape(64)[zigzag]
+                blocks.append(np.round(zz / q).astype(np.int32))
+        comp_blocks.append(blocks)
+
+    # gather symbols, build flat tables (luma tables 0, chroma tables 1)
+    def _symbols_for(blocks):
+        dc_syms, ac_syms = [], []
+        prev = 0
+        for blk in blocks:
+            size, _ = _mag(int(blk[0]) - prev)
+            prev = int(blk[0])
+            dc_syms.append(size)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and blk[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    ac_syms.append(0x00)  # EOB
+                    break
+                while run > 15:
+                    ac_syms.append(0xF0)
+                    run -= 16
+                size, _ = _mag(int(blk[k]))
+                ac_syms.append((run << 4) | size)
+                k += 1
+            else:
+                pass
+        return dc_syms, ac_syms
+
+    groups = [[0]] if nc == 1 else [[0], [1, 2]]
+    tables = {}
+    for tid, grp in enumerate(groups):
+        dc_all, ac_all = [], []
+        for ci in grp:
+            d, a = _symbols_for(comp_blocks[ci])
+            dc_all += d
+            ac_all += a
+        # ensure EOB representable even if unused
+        tables[tid] = {
+            "dc": _flat_huff_table(dc_all or [0]),
+            "ac": _flat_huff_table(ac_all + [0x00]),
+        }
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(b"\xff\xdb", bytes([0x00]) + bytes(int(x) for x in q))  # DQT id 0
+    # SOF0
+    sof = bytearray([8])
+    sof += struct.pack(">HH", h, w)
+    sof.append(nc)
+    for ci in range(nc):
+        tq = 0
+        sof += bytes([ci + 1, 0x11, tq])
+    seg(b"\xff\xc0", bytes(sof))
+    # DHT segments
+    for tid, t in tables.items():
+        for cls, key in ((0, "dc"), (1, "ac")):
+            counts, syms, _codes = t[key]
+            seg(
+                b"\xff\xc4",
+                bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms),
+            )
+    # SOS
+    sos = bytearray([nc])
+    for ci in range(nc):
+        tid = 0 if ci == 0 or nc == 1 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(b"\xff\xda", bytes(sos))
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    n_blocks = len(comp_blocks[0])
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            tid = 0 if ci == 0 or nc == 1 else 1
+            dc_codes = tables[tid]["dc"][2]
+            ac_codes = tables[tid]["ac"][2]
+            blk = comp_blocks[ci][bi]
+            size, bits = _mag(int(blk[0]) - preds[ci])
+            preds[ci] = int(blk[0])
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and blk[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    c, ln = ac_codes[0x00]
+                    bw.write(c, ln)
+                    break
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                size, bits = _mag(int(blk[k]))
+                c, ln = ac_codes[(run << 4) | size]
+                bw.write(c, ln)
+                if size:
+                    bw.write(bits, size)
+                k += 1
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+
 def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[float]:
-    """Pixel/sample decode dispatch: PNG payloads get REAL pixel
-    statistics (decode_png_pixels → png_pixel_features) and PCM WAV
-    payloads REAL sample statistics (decode_wav_samples →
-    wav_sample_features) — stdlib + numpy, no media libs needed.
-    Everything else (JPEG entropy decode, video) is the one remaining
-    genuinely stubbed step — a real implementation would dispatch to
-    PIL/pyav, and those libs aren't in this container. With
-    ``strict`` the remaining stub raises instead of faking; header
-    metadata never goes through this path at all — parse_media_header
-    decodes it for real."""
+    """Pixel/sample decode dispatch — all three container formats
+    decode for REAL with stdlib + numpy, no media libs needed: PNG
+    (decode_png_pixels), baseline JPEG (decode_jpeg_pixels), and PCM
+    WAV (decode_wav_samples), each reduced to its FEATURE_DIM
+    statistics vector. Only payloads the real decoders reject —
+    progressive/arithmetic JPEG, header-only fixtures with no scan
+    data, non-PCM WAV, palette/16-bit PNG, video — fall through to
+    the deterministic sha256 stub, and with ``strict`` that fallback
+    raises instead of faking. Header metadata never goes through this
+    path at all — parse_media_header decodes it for real."""
     p = payload or b""
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return png_pixel_features(p)
         except ValueError:
             pass  # unsupported PNG subtype → stub/strict below
+    if p[:2] == b"\xff\xd8":
+        try:
+            return jpeg_pixel_features(p)
+        except ValueError:
+            pass  # progressive / header-only JPEG → stub/strict below
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         try:
             return wav_sample_features(p)
@@ -420,10 +944,9 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
             pass  # non-PCM/compressed WAV → stub/strict below
     if strict:
         raise NotImplementedError(
-            f"pixel/sample codec for modality={modality!r} not available "
-            "in this environment (PNG pixels and PCM WAV samples decode "
-            "for real; JPEG remains stubbed — header decode never needs "
-            "strict)"
+            f"pixel/sample codec for modality={modality!r} not available: "
+            "payload is not decodable PNG / baseline JPEG / PCM WAV "
+            "(header decode never needs strict)"
         )
     import hashlib
 

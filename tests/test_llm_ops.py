@@ -386,6 +386,71 @@ def _encode_png(img, color_type, filters):
     )
 
 
+def test_jpeg_roundtrip_solid_gradient_random():
+    """decode_jpeg_pixels vs encode_jpeg_baseline — two independent
+    directions of the same spec: solid color and smooth gradients
+    round-trip EXACTLY at unit quantization (AC coefficients
+    vanish/are integral), random RGB within ±2 (YCbCr rounding)."""
+    import numpy as np
+
+    solid = np.zeros((16, 24, 3), dtype=np.uint8)
+    solid[:] = [128, 64, 32]
+    dec = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_baseline(solid))
+    assert dec.shape == (16, 24, 3)
+    assert (dec == solid).all()
+
+    gray = np.tile(np.arange(32, dtype=np.uint8)[None, :] * 8, (9, 1))[:, :, None]
+    dec_g = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_baseline(gray))
+    assert dec_g.shape == (9, 32, 1)
+    assert (dec_g == gray).all()
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    dec_r = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_baseline(img))
+    assert np.abs(dec_r.astype(int) - img.astype(int)).max() <= 2
+
+    # lossy quantization still lands near the source
+    q = np.full(64, 16, dtype=np.int32)
+    dec_q = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_baseline(img, quant=q))
+    assert np.abs(dec_q.astype(int) - img.astype(int)).mean() < 16
+
+
+def test_jpeg_decode_rejects_nonbaseline_and_headeronly():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_pixels(b"not a jpeg")
+    # the corpus fixture is header-only: no SOS scan to decode
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_pixels(multimodal.build_jpeg(8, 8))
+    # progressive marker (SOF2) refuses
+    solid = np.zeros((8, 8, 1), dtype=np.uint8)
+    payload = bytearray(multimodal.encode_jpeg_baseline(solid))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_pixels(bytes(payload))
+    # strict decode_stub: real baseline passes, header-only raises
+    feats = multimodal.decode_stub(
+        multimodal.encode_jpeg_baseline(solid), "image", strict=True
+    )
+    assert len(feats) == multimodal.FEATURE_DIM and feats[0] == 0.0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(multimodal.build_jpeg(8, 8), "image", strict=True)
+
+
+def test_jpeg_feature_layout_matches_png():
+    """Identical image stats across container formats: the same solid
+    color through PNG and JPEG yields the same feature vector."""
+    import numpy as np
+
+    solid = np.zeros((12, 20, 3), dtype=np.uint8)
+    solid[:] = [128, 64, 32]
+    jf = multimodal.jpeg_pixel_features(multimodal.encode_jpeg_baseline(solid))
+    pf = multimodal.png_pixel_features(multimodal.build_png(20, 12))
+    assert jf == pytest.approx(pf)
+
+
 def test_decode_wav_samples_silence_and_tone():
     import struct as st
 
