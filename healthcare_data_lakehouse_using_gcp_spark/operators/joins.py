@@ -180,6 +180,55 @@ def band_join_bucketed(
     return inner.unionByName(unmatched)
 
 
+def band_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_date: str,
+    right_date: str,
+    band_days: int = 7,
+    how: str = "left",
+    multiplicity_floor: float = 50.0,
+    spread_floor: float = 6.0,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, str]:
+    """Measured dispatch between band_join and band_join_bucketed,
+    executing the numeric rule the r6/r7 measurements established
+    (band_join_bucketed docstring): with m = rows per key and s =
+    the key's date spread in band widths, plain examines ~m²
+    candidate pairs per key and bucketed ~3·m²/s — bucketed only
+    wins once BOTH m ≳ 50 AND s ≳ 6; below either bar the 3×
+    left-explode + wider shuffle costs more than it prunes.
+
+    Runs ONE cheap profiling aggregation over the right side's
+    (key, date) projection — two map-side-combined hash-aggs
+    producing a single driver row (set ``sample_fraction`` to profile
+    a deterministic sample instead of the full side when even one
+    narrow pass is too much). Returns (result, strategy) so callers
+    and tests can see which plan ran; hot paths that already know
+    their shape should keep calling the specific operator directly
+    and skip the profiling job."""
+    proj = right.select(
+        *[F.col(k) for k in on], F.to_date(F.col(right_date)).alias("__d")
+    )
+    if sample_fraction is not None:
+        proj = proj.sample(fraction=sample_fraction, seed=7)
+    per_key = proj.groupBy(*[F.col(k) for k in on]).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.datediff(F.max("__d"), F.min("__d")).alias("__span"),
+    )
+    prof = per_key.agg(
+        F.avg("__m").alias("m"), F.avg(F.col("__span") / F.lit(band_days)).alias("s")
+    ).first()
+    m, s = float(prof["m"] or 0.0), float(prof["s"] or 0.0)
+    if m >= multiplicity_floor and s >= spread_floor:
+        out = band_join_bucketed(
+            left, right, on, left_date, right_date, band_days, how
+        )
+        return out, "bucketed"
+    return band_join(left, right, on, left_date, right_date, band_days, how), "plain"
+
+
 def proximity_rank(
     df: DataFrame,
     partition_cols: Sequence[str],

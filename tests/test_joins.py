@@ -410,6 +410,47 @@ def test_bucket_prefilter_fingerprint_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_band_join_auto_dispatches_by_measured_shape(spark):
+    """band_join_auto executes the documented numeric rule: plain on
+    low-multiplicity/clustered shapes, bucketed on many-rows-per-key
+    dates-spread-wide shapes — and both paths return band_join's
+    exact rows."""
+    import datetime as dt
+
+    base = dt.date(2020, 1, 1)
+    # low multiplicity (m≈3, s≈1): must pick plain
+    small_l = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=k)) for k in range(10)], "k long, l_date date"
+    )
+    small_r = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=k + i)) for k in range(10) for i in range(3)],
+        "k long, r_date date",
+    )
+    out, strategy = joins.band_join_auto(
+        small_l, small_r, ["k"], "l_date", "r_date", band_days=7, how="inner"
+    )
+    assert strategy == "plain"
+    want = joins.band_join(small_l, small_r, ["k"], "l_date", "r_date", 7, "inner")
+    key = lambda r: (r["k"], r["l_date"], r["r_date"])  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(map(key, want.collect()))
+
+    # the pinned pruning shape (m=80, s≈27): must pick bucketed
+    big_l = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=(i * 20) % 1600)) for k in range(3) for i in range(80)],
+        "k long, l_date date",
+    )
+    big_r = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=(i * 20 + 7) % 1600)) for k in range(3) for i in range(80)],
+        "k long, r_date date",
+    )
+    out2, strategy2 = joins.band_join_auto(
+        big_l, big_r, ["k"], "l_date", "r_date", band_days=30, how="inner"
+    )
+    assert strategy2 == "bucketed"
+    want2 = joins.band_join(big_l, big_r, ["k"], "l_date", "r_date", 30, "inner")
+    assert sorted(map(key, out2.collect())) == sorted(map(key, want2.collect()))
+
+
 def test_bucket_prefilter_mismatched_int_widths_no_false_negatives(spark):
     """ADVICE r6 (medium): xxhash64 is physical-type-sensitive — an
     int-keyed dim against a bigint-keyed fact must still find every
