@@ -425,6 +425,10 @@ def query(name: str, sql: str | None):
 #   privacy_suppress        — NEW r7, tail-born (full-partition
 #                             window = w4_ratio_to_report's machinery;
 #                             promote in r8)                 [new r7, no driver row]
+#   quality_classifier_trained — NEW r7, tail-born rows-only
+#                             (iterative pyspark.ml fit — no SQL
+#                             oracle; teacher-agreement invariant
+#                             gated in test_entry.py)        [new r7, no driver row]
 #   incremental_rollup      — NEW r7, tail-born (partial/merge/
 #                             finalize hash-aggs = a2/a8 machinery;
 #                             the merge≡rebuild proof is the oracle;
@@ -518,6 +522,7 @@ _TAIL = (
     "privacy_suppress",
     "text_bpe_train_apply",
     "incremental_rollup",
+    "quality_classifier_trained",
 )
 
 
@@ -5177,6 +5182,33 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("quality_classifier_trained", None)  # iterative L-BFGS: no SQL oracle
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline learned quality filter end-to-end
+    (operators/mlquality): weak labels from the heuristic quality
+    score (the CCNet recipe: cheap heuristic labels, learned linear
+    model), pyspark.ml logistic regression over hashed bag-of-words
+    features, then corpus scoring. Iterative optimization has no SQL
+    oracle, so this is a rows-only entry whose invariant — the
+    learned model must agree with its own weak teacher on a clear
+    majority of docs — is gated in test_entry.py."""
+    from .operators.mlquality import score_quality, train_quality_classifier
+    from .operators.text import quality_score_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = d.withColumn(
+        "label", (quality_score_col(F.col("text")) >= 0.5).cast("int")
+    )
+    model = train_quality_classifier(labeled, "label", dim=128)
+    out = score_quality(d, model, dim=128, keep_threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.round("quality_prob", 4).alias("quality_prob"),
+        "keep",
+        (quality_score_col(F.col("text")) >= 0.5).cast("int").alias("weak_label"),
+    )
+
+
 @query("text_bpe_train_apply", None)  # iterative merge learning: no SQL oracle
 def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM tokenizer training end-to-end (operators/text.bpe_train +
@@ -5286,6 +5318,7 @@ OPERATOR_MAP = {
     "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
     "LLM-tokenizer": ["text_bpe_pretokenize", "text_bpe_train_apply"],
     "Incremental-IVM": ["incremental_rollup"],
+    "LLM-quality-model": ["quality_classifier_trained", "classifier_quality"],
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
     "Graph": ["graph_pagerank", "dedup_components"],

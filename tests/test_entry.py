@@ -159,6 +159,23 @@ def test_bpe_entry_invariants(spark):
     assert total_tok < 0.9 * total_chars
 
 
+def test_quality_classifier_entry_agrees_with_teacher(spark):
+    """The rows-only quality_classifier_trained entry's invariant:
+    the learned model reproduces its weak teacher's keep/drop
+    decision on a clear majority of the corpus (it was trained on
+    exactly those labels), and emits a probability for every doc
+    with tokens."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata unavailable")
+    rows = entrymod.queries()["quality_classifier_trained"](spark, SF_DIR).collect()
+    assert rows
+    agree = sum(1 for r in rows if int(bool(r["keep"])) == r["weak_label"])
+    assert agree / len(rows) >= 0.8, f"teacher agreement {agree}/{len(rows)}"
+    assert all(
+        r["quality_prob"] is not None for r in rows if r["weak_label"] is not None
+    ) or any(r["quality_prob"] is not None for r in rows)
+
+
 def _norm(v):
     if isinstance(v, Decimal):
         v = float(v)
