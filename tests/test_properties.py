@@ -229,3 +229,81 @@ def test_bucket_prefilter_equals_semi_join_property(spark, fact_keys, dim_keys):
     got = sorted(r["k"] for r in bucket_prefilter_semi_join(fact, dim, "k", num_buckets=64).collect())
     want = sorted(k for k in fact_keys if k in set(dim_keys))
     assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), finite_doubles),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_incremental_merge_equals_rebuild_property(spark, rows, n_parts):
+    """For ANY dataset and ANY partition of it into delta batches,
+    merging the batches' partial rollup states finalizes identically
+    to aggregating the whole dataset at once (count/min/max exact;
+    sum/avg/var to float tolerance under re-ordered IEEE sums)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v, i % n_parts) for i, (k, v) in enumerate(rows)],
+        "k string, v double, part int",
+    )
+    state = None
+    for p in range(n_parts):
+        batch = df.filter(F.col("part") == p).drop("part")
+        if batch.count() == 0:
+            continue
+        ps = partial_rollup(batch, ["k"], ["v"])
+        state = ps if state is None else merge_rollup_states(state, ps, ["k"])
+    got = {
+        r["k"]: r
+        for r in finalize_rollup(state, ["k"], ["v"], round_digits=None).collect()
+    }
+    want = {
+        r["k"]: r
+        for r in finalize_rollup(
+            partial_rollup(df.drop("part"), ["k"], ["v"]), ["k"], ["v"],
+            round_digits=None,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["v_min"] == want[k]["v_min"]
+        assert got[k]["v_max"] == want[k]["v_max"]
+        assert abs(got[k]["v_sum"] - want[k]["v_sum"]) <= 1e-6 * max(
+            1.0, abs(want[k]["v_sum"])
+        )
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_suppression_always_k_anonymous_property(spark, rows, k):
+    """suppress_rare_groups output is k-anonymous for ANY input and
+    ANY k, and is idempotent (suppressing twice changes nothing)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+        k_anonymity_audit,
+        suppress_rare_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, qa int, qb int"
+    )
+    out = suppress_rare_groups(df, ["qa", "qb"], k)
+    assert k_anonymity_audit(out, ["qa", "qb"], k).count() == 0
+    twice = suppress_rare_groups(out, ["qa", "qb"], k)
+    assert sorted(r["id"] for r in twice.collect()) == sorted(
+        r["id"] for r in out.collect()
+    )
