@@ -1186,3 +1186,21 @@ def bpe_apply(
         ]
     )
     return df.mapInPandas(_encode, schema)
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as parquet (rank, left, right) —
+    pickle-free, engine-neutral, so the tokenizer trained in one job
+    is loadable by any later scoring job (the save/load_ivf_pq_index
+    persistence discipline)."""
+    rows = [(i, l, r) for i, (l, r) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank bigint, left string, right string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by save_bpe_merges, in rank order,
+    ready for bpe_apply."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -1492,3 +1492,16 @@ def test_bpe_train_deterministic_across_runs(spark, docs):
     m1 = text.bpe_train(docs, n_merges=20)
     m2 = text.bpe_train(docs, n_merges=20)
     assert m1 == m2 and len(m1) == 20
+
+
+def test_bpe_merges_save_load_roundtrip(spark, docs, tmp_path):
+    merges = text.bpe_train(docs, n_merges=15)
+    path = str(tmp_path / "merges")
+    text.save_bpe_merges(spark, merges, path)
+    assert text.load_bpe_merges(spark, path) == merges
+    # loaded table drives bpe_apply identically
+    a = text.bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens").collect()
+    b = text.bpe_apply(docs, text.load_bpe_merges(spark, path)).select(
+        "doc_id", "n_bpe_tokens"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
