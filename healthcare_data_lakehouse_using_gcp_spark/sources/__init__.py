@@ -1,1 +1,1 @@
-from . import generator, readers  # noqa: F401
+from . import generator, readers, snapshots  # noqa: F401

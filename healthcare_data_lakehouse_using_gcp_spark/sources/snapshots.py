@@ -1,0 +1,326 @@
+"""Snapshot-versioned parquet tables — the Iceberg/Delta-style
+transactional metadata layer over plain parquet files.
+
+The reference gets versioned tables for free from BigQuery (time
+travel via ``FOR SYSTEM_TIME AS OF``; its zones are WRITE_APPEND,
+healthcare_etl_pipeline.py:300-348). On a raw parquet lake nothing
+provides that: a half-finished write is immediately visible to
+readers, a replayed batch duplicates rows, and there is no way back
+from a bad overwrite. This module supplies the missing piece the
+same way Iceberg/Delta do — IMMUTABLE data files + a tiny versioned
+manifest that is the single source of truth for "what is in the
+table".
+
+Layout::
+
+    <root>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <root>/_snapshots/v00000001.json           one manifest per version
+
+A manifest is the COMPLETE table state at that version: the explicit
+list of data files (paths relative to root), per-commit row count
+(summed from parquet footers — metadata-only, no data scan), the
+schema, the operation, the parent version, and an optional
+idempotence token (``txn_id``).
+
+Why this holds at 100 TB:
+
+- **Snapshot isolation for free.** Readers resolve the table by
+  reading ONE small JSON driver-side and passing the explicit file
+  list to ``spark.read.parquet`` — never by listing ``data/``. Files
+  from in-flight or abandoned commits are invisible until their
+  manifest publishes, so a reader can never observe a torn write.
+- **Appends are O(new data).** An append manifest = parent file list
+  + the new files; history is never rewritten. The manifest itself
+  is O(#files) JSON — at very large file counts you shard it into
+  manifest groups (Iceberg's manifest list) but the commit protocol
+  below is unchanged.
+- **Optimistic concurrency, contention on a pointer only.** Data
+  files are written first (invisible); the commit then publishes
+  ``v(N+1).json`` via hard-link-from-temp — ``os.link`` is atomic
+  and fails with EEXIST if a concurrent committer won the race, in
+  which case only the manifest step retries against the new latest;
+  the data files need no rework. On an object store the same step is
+  a conditional create (S3 ``If-None-Match: *`` / GCS
+  ``ifGenerationMatch=0``).
+- **Exactly-once sinks.** ``commit_append(df, txn_id=...)`` is a
+  no-op returning the existing version when that token already
+  committed — pass ``txn_id=f"batch-{batch_id}"`` from a Structured
+  Streaming ``foreachBatch`` and micro-batch redelivery converges
+  instead of duplicating (the same idempotence upsert.merge_upsert
+  gives keyed zones, here for append-only ones).
+- **Deletes happen in exactly one place.** ``vacuum`` removes data
+  files referenced by NO retained snapshot (plus their manifests);
+  everything else only ever adds files. ``min_age_seconds`` guards
+  the classic orphan-GC race: an in-flight commit's files are
+  unreferenced until its manifest lands, so production vacuums keep
+  a grace window (Iceberg's orphan-file age threshold).
+
+``rollback(to_version)`` is non-destructive: it publishes a NEW
+version whose file list equals the target's, so the bad history
+remains auditable (and vacuumable).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+class TxnAlreadyCommitted(Exception):
+    """Raised internally when a txn_id is found mid-commit; carries
+    the version that token originally produced."""
+
+    def __init__(self, version: int):
+        self.version = version
+        super().__init__(f"txn already committed at version {version}")
+
+
+class SnapshotTable:
+    """A snapshot-versioned parquet table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # ---------------------------------------------------------- metadata
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        paths = glob.glob(os.path.join(self.root, _MANIFEST_DIR, "v*.json"))
+        return sorted(int(os.path.basename(p)[1:-5]) for p in paths)
+
+    def latest_version(self) -> int:
+        """Current version; 0 means the table has no commits yet."""
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _load(self, version: int) -> dict:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            have = self.versions()
+            raise ValueError(
+                f"no snapshot v{version} at {self.root} "
+                f"(available: {have or 'none'} — vacuumed or never committed)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """One dict per retained snapshot, oldest first (driver-tiny:
+        |versions| rows, never data-proportional)."""
+        out = []
+        for v in self.versions():
+            m = self._load(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                    "committed_at": m["committed_at"],
+                    "txn_id": m["txn_id"],
+                    "n_files": len(m["files"]),
+                    "n_rows": m["n_rows"],
+                }
+            )
+        return out
+
+    def _txn_version(self, txn_id: str) -> int | None:
+        for v in self.versions():
+            if self._load(v)["txn_id"] == txn_id:
+                return v
+        return None
+
+    # ---------------------------------------------------------- commit
+
+    def _write_data(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write df's rows as a fresh immutable file group; return
+        (root-relative file paths, row count from footers only)."""
+        import pyarrow.parquet as pq
+
+        commit_dir = uuid.uuid4().hex
+        out = os.path.join(self.root, _DATA_DIR, commit_dir)
+        df.write.parquet(out)
+        # the MANIFEST is the commit marker; Spark's _SUCCESS (and any
+        # other non-data artifact) would only confuse vacuum's
+        # referenced-set arithmetic
+        for extra in glob.glob(os.path.join(out, "*")):
+            if not extra.endswith(".parquet"):
+                os.unlink(extra)
+        files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        rel = [os.path.relpath(f, self.root) for f in files]
+        return rel, n_rows
+
+    @staticmethod
+    def _schema_key(schema: T.StructType) -> list[list[str]]:
+        return [[f.name, f.dataType.simpleString()] for f in schema.fields]
+
+    def _publish(self, make_manifest) -> int:
+        """Optimistic-concurrency manifest publish: compute the
+        manifest against the CURRENT latest, attempt an atomic
+        create of v(latest+1), retry on collision."""
+        for _ in range(50):
+            n = self.latest_version() + 1
+            manifest = make_manifest(n)
+            tmp = os.path.join(
+                self.root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                # os.link = atomic create-if-absent (rename would
+                # silently clobber a concurrent winner's manifest).
+                os.link(tmp, self._manifest_path(n))
+                return n
+            except FileExistsError:
+                continue  # lost the race; recompute against new latest
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError("snapshot commit failed: 50 consecutive conflicts")
+
+    def _commit(self, df: DataFrame, operation: str, txn_id: str | None) -> int:
+        if txn_id is not None:
+            seen = self._txn_version(txn_id)
+            if seen is not None:
+                return seen
+        schema_key = self._schema_key(df.schema)
+        files, n_rows = self._write_data(df)
+
+        def mk(n: int) -> dict:
+            parent = n - 1
+            base_files: list[str] = []
+            if parent >= 1:
+                pm = self._load(parent)
+                # re-check txn on every retry: a same-token racer may
+                # have landed between our check and this attempt
+                if txn_id is not None:
+                    seen_now = self._txn_version(txn_id)
+                    if seen_now is not None:
+                        raise TxnAlreadyCommitted(seen_now)
+                if operation == "append":
+                    if pm["schema_key"] != schema_key and pm["files"]:
+                        raise ValueError(
+                            "append schema mismatch: table has "
+                            f"{pm['schema_key']}, batch has {schema_key}"
+                        )
+                    base_files = pm["files"]
+            return {
+                "version": n,
+                "parent": parent,
+                "operation": operation,
+                "committed_at": time.time(),
+                "txn_id": txn_id,
+                "files": base_files + files,
+                "n_rows": n_rows,
+                "schema": df.schema.json(),
+                "schema_key": schema_key,
+            }
+
+        try:
+            return self._publish(mk)
+        except TxnAlreadyCommitted as dup:
+            return dup.version
+
+    def commit_append(self, df: DataFrame, txn_id: str | None = None) -> int:
+        """Append df as a new snapshot; returns the new version.
+        Idempotent under ``txn_id`` replay (see module docstring)."""
+        return self._commit(df, "append", txn_id)
+
+    def commit_overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
+        """Replace the table's contents with df as a new snapshot;
+        prior versions stay readable until vacuumed."""
+        return self._commit(df, "overwrite", txn_id)
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a NEW snapshot whose contents equal ``to_version``
+        (non-destructive undo; the rolled-back history stays)."""
+        target = self._load(to_version)
+
+        def mk(n: int) -> dict:
+            return {
+                "version": n,
+                "parent": n - 1,
+                "operation": "rollback",
+                "rollback_of": to_version,
+                "committed_at": time.time(),
+                "txn_id": None,
+                "files": target["files"],
+                "n_rows": target["n_rows"],
+                "schema": target["schema"],
+                "schema_key": target["schema_key"],
+            }
+
+        return self._publish(mk)
+
+    # ---------------------------------------------------------- read
+
+    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+        """The table at ``version``, at the last version committed
+        ≤ ``as_of`` (unix seconds), or latest. One manifest read
+        driver-side; the scan gets an explicit file list, so orphan /
+        in-flight files are invisible (snapshot isolation)."""
+        if version is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            eligible = [
+                v for v in self.versions() if self._load(v)["committed_at"] <= as_of
+            ]
+            if not eligible:
+                raise ValueError(f"no snapshot committed at or before {as_of}")
+            version = eligible[-1]
+        if version is None:
+            version = self.latest_version()
+            if version == 0:
+                raise ValueError(f"empty table: no snapshots at {self.root}")
+        m = self._load(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in m["files"]]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ---------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (the
+        last ``keep_last`` versions) plus the expired manifests;
+        returns the deleted data-file paths. Files younger than
+        ``min_age_seconds`` survive even if unreferenced — they may
+        belong to a commit whose manifest has not published yet."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        retained = vs[-keep_last:]
+        referenced = set()
+        for v in retained:
+            referenced.update(self._load(v)["files"])
+        now = time.time()
+        deleted = []
+        for f in glob.glob(os.path.join(self.root, _DATA_DIR, "*", "*")):
+            rel = os.path.relpath(f, self.root)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(f) < min_age_seconds:
+                continue
+            os.unlink(f)
+            deleted.append(rel)
+        for d in glob.glob(os.path.join(self.root, _DATA_DIR, "*")):
+            if not os.listdir(d):
+                os.rmdir(d)
+        for v in vs:
+            if v not in retained:
+                os.unlink(self._manifest_path(v))
+        return deleted

@@ -1,0 +1,189 @@
+"""Snapshot-versioned table tests: atomic commits, time travel,
+rollback, exactly-once replay, vacuum safety (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(pairs, "id bigint, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def test_append_and_read_latest(spark, table):
+    v1 = table.commit_append(_mk(spark, [(1, "a"), (2, "b")]))
+    assert v1 == 1
+    v2 = table.commit_append(_mk(spark, [(3, "c")]))
+    assert v2 == 2
+    assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_time_travel_by_version(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.commit_overwrite(_mk(spark, [(9, "z")]))
+    assert _rows(table.read(version=1)) == [(1, "a")]
+    assert _rows(table.read(version=2)) == [(9, "z")]
+    assert _rows(table.read()) == [(9, "z")]
+
+
+def test_time_travel_as_of_timestamp(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    t_between = time.time()
+    time.sleep(0.01)
+    table.commit_append(_mk(spark, [(2, "b")]))
+    assert _rows(table.read(as_of=t_between)) == [(1, "a")]
+    assert _rows(table.read(as_of=time.time())) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        table.read(as_of=t_between - 1000)
+
+
+def test_rollback_is_non_destructive(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.commit_overwrite(_mk(spark, [(9, "z")]))
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert _rows(table.read()) == [(1, "a")]
+    # the bad overwrite is still readable — rollback adds history
+    assert _rows(table.read(version=2)) == [(9, "z")]
+    assert [h["operation"] for h in table.history()] == [
+        "append",
+        "overwrite",
+        "rollback",
+    ]
+
+
+def test_txn_id_replay_is_exactly_once(spark, table):
+    batch = _mk(spark, [(1, "a"), (2, "b")])
+    v1 = table.commit_append(batch, txn_id="batch-0")
+    v_dup = table.commit_append(batch, txn_id="batch-0")  # redelivery
+    assert v_dup == v1
+    assert table.latest_version() == v1
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # a NEW token commits normally
+    assert table.commit_append(_mk(spark, [(3, "c")]), txn_id="batch-1") == v1 + 1
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(1.5, "a")], "id double, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit_append(bad)
+    # overwrite may change the schema
+    assert table.commit_overwrite(bad) == 2
+
+
+def test_reader_never_sees_unpublished_files(spark, table, tmp_path):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    # simulate an in-flight commit: data files exist, no manifest yet
+    orphan_dir = os.path.join(table.root, "data", "inflight00")
+    _mk(spark, [(99, "ghost")]).write.parquet(orphan_dir)
+    assert _rows(table.read()) == [(1, "a")]  # snapshot isolation
+
+
+def test_vacuum_keeps_referenced_deletes_expired(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.commit_overwrite(_mk(spark, [(2, "b")]))
+    deleted = table.vacuum(keep_last=1)
+    assert deleted, "the overwritten v1 files should be removed"
+    assert _rows(table.read()) == [(2, "b")]
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        table.read(version=1)
+
+
+def test_vacuum_append_chain_shares_files(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.commit_append(_mk(spark, [(2, "b")]))
+    # v2 references v1's files too: nothing is deletable
+    assert table.vacuum(keep_last=1) == []
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_min_age_protects_inflight(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    orphan_dir = os.path.join(table.root, "data", "inflight11")
+    _mk(spark, [(99, "ghost")]).write.parquet(orphan_dir)
+    assert table.vacuum(keep_last=1, min_age_seconds=3600) == []
+    removed = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert removed and all(r.startswith("data/inflight11") for r in removed)
+
+
+def test_concurrent_commit_conflict_retries(spark, table):
+    """Two committers racing for the same version number: the loser's
+    os.link hits EEXIST and must retry to the NEXT version with both
+    contents retained (no lost update)."""
+    table.commit_append(_mk(spark, [(1, "a")]))
+    inner = SnapshotTable(spark, table.root)
+    real_latest = inner.latest_version
+    fired = {"done": False}
+
+    def stale_latest():
+        v = real_latest()
+        if not fired["done"]:
+            # rival lands AFTER we read latest → our v2 link collides
+            fired["done"] = True
+            table.commit_append(_mk(spark, [(50, "rival")]))
+        return v
+
+    inner.latest_version = stale_latest
+    v = inner.commit_append(_mk(spark, [(2, "b")]))
+    assert v == 3  # first attempt targeted v2, lost, retried to v3
+    assert _rows(inner.read()) == [(1, "a"), (2, "b"), (50, "rival")]
+
+
+def test_txn_recheck_under_race(spark, table):
+    """A same-txn rival landing mid-commit must not duplicate rows."""
+    batch = _mk(spark, [(1, "a")])
+    table.commit_append(_mk(spark, [(0, "seed")]))
+    inner = SnapshotTable(spark, table.root)
+    real_publish = inner._publish
+    fired = {"done": False}
+
+    def racing_publish(mk):
+        if not fired["done"]:
+            fired["done"] = True
+            table.commit_append(batch, txn_id="batch-7")
+        return real_publish(mk)
+
+    inner._publish = racing_publish
+    v = inner.commit_append(batch, txn_id="batch-7")
+    assert v == table._txn_version("batch-7")
+    assert _rows(inner.read()) == [(0, "seed"), (1, "a")]
+
+
+def test_empty_table_and_empty_overwrite(spark, table):
+    with pytest.raises(ValueError, match="empty table"):
+        table.read()
+    table.commit_append(_mk(spark, [(1, "a")]))
+    empty = spark.createDataFrame([], "id bigint, v string")
+    table.commit_overwrite(empty)
+    got = table.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_history_and_manifest_shape(spark, table):
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b")]), txn_id="t1")
+    h = table.history()
+    assert len(h) == 1
+    assert h[0]["operation"] == "append"
+    assert h[0]["txn_id"] == "t1"
+    assert h[0]["n_rows"] == 2
+    assert h[0]["parent"] == 0
+    with open(table._manifest_path(1)) as f:
+        m = json.load(f)
+    assert m["files"] and all(f_.startswith("data/") for f_ in m["files"])
