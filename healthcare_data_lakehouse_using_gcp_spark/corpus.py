@@ -523,6 +523,10 @@ _TAIL = (
     "text_bpe_train_apply",
     "incremental_rollup",
     "quality_classifier_trained",
+    # r7 late-born (tail until an r8 seat frees up; oracle-swept every
+    # pytest run like all tail entries):
+    #   cms_frequency — count-min sketch build+query, md5 oracle-exact
+    "cms_frequency",
 )
 
 
@@ -3737,6 +3741,72 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_frequency",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest(range(4)) AS row),
+    sketch AS (
+      SELECT row,
+             CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 15))
+                    ::UBIGINT % 1024 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY tok ORDER BY true_cnt DESC, tok ASC LIMIT 20
+    ),
+    probes AS (
+      SELECT t.tok, t.true_cnt, r.row,
+             CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || t.tok), 1, 15))
+                    ::UBIGINT % 1024 AS BIGINT) AS bucket
+      FROM topk t CROSS JOIN rows_ r
+    )
+    SELECT p.tok,
+           p.true_cnt,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est,
+           MIN(COALESCE(s.cnt, 0)) >= p.true_cnt AS no_undercount
+    FROM probes p
+    LEFT JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+    GROUP BY p.tok, p.true_cnt
+    """,
+)
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimation
+    (operators/sketches.cms_build / cms_query): the corpus's token
+    stream compresses to a 4×1024 count table — kilobytes at ANY
+    input size — then the top-20 true-heaviest tokens are estimated
+    back out of it. The md5 hash family is engine-reproducible, so
+    the oracle rebuilds the identical sketch in SQL and every
+    estimate hash-matches exactly; no_undercount pins the CMS
+    one-sided guarantee (est ≥ true, always) as checked data."""
+    from .operators.sketches import cms_build, cms_query
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    sketch = cms_build(toks, "tok", width=1024, depth=4)
+    true_topk = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    est = cms_query(sketch, true_topk, "tok", width=1024, depth=4)
+    return est.select(
+        "tok",
+        "true_cnt",
+        "est",
+        (F.col("est") >= F.col("true_cnt")).alias("no_undercount"),
+    )
+
+
 # =====================================================================
 # Round-6 second wave: CDC, cohort analytics, keyword/collocation
 # mining, winsorization, CUBE, full window-rank family
@@ -5304,7 +5374,12 @@ OPERATOR_MAP = {
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
     "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
-    "Sketches": ["text_heavy_hitters", "sketch_profile", "sketch_rollup_union"],
+    "Sketches": [
+        "text_heavy_hitters",
+        "sketch_profile",
+        "sketch_rollup_union",
+        "cms_frequency",
+    ],
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
     "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
     "Fuzzy-match": ["fuzzy_name_match"],

@@ -21,6 +21,12 @@ Two deliberately different accuracy contracts:
   true top-k of the exact recounts. When the true k-th frequency
   clears the MG threshold the result is EXACTLY the unbounded-memory
   groupBy answer — which is what lets a DuckDB oracle hash-check it.
+- ``cms_build``/``cms_query`` is APPROXIMATE with ONE-SIDED error:
+  a count-min sketch as a (depth × width) count table built from
+  pure Column expressions — point-frequency estimates for ANY key
+  (est ≥ true always, overcount ≤ εN w.h.p.), mergeable across
+  batches (``cms_merge``), md5-hashed so a DuckDB oracle reproduces
+  every estimate bit-for-bit.
 - ``sketch_profile`` is APPROXIMATE with a checked guarantee: Spark's
   built-in mergeable sketches (HyperLogLog++ approx_count_distinct,
   t-digest-style approx_percentile) computed SIDE BY SIDE with the
@@ -44,7 +50,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -199,6 +205,125 @@ def hll_overlap(
         "intersection": inter,
         "jaccard": inter / union if union else 0.0,
     }
+
+
+def _cms_hash(key: Column, row: int, width: int) -> Column:
+    """Row-``row`` count-min hash of ``key`` into [0, width): the
+    first 60 bits of md5 over a row-salted key, mod width. md5 (not
+    xxhash64) so the oracle reproduces it bit-for-bit in DuckDB:
+    ``('0x' || substr(md5(row || ':' || key), 1, 15))::UBIGINT %
+    width`` — same prefix, same radix, same result."""
+    digest = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution as a
+    ``(row, bucket, cnt)`` frame of at most ``depth × width`` rows —
+    kilobytes, regardless of input size or key cardinality.
+
+    The third classic sketch beside Misra-Gries (heavy_hitters_exact)
+    and HLL (hll_rollup), answering the question those don't:
+    "approximately how often does THIS key occur?" for ANY key, not
+    just the heavy ones, without a distinct-key-cardinality shuffle.
+
+    Implementation is pure Column expressions: each input row explodes
+    into ``depth`` (row, bucket) cells (a narrow ×depth fan-out) and
+    one hash-aggregate counts cells — map-side partial aggregation
+    collapses each task to ≤ depth × width rows before the exchange,
+    so the shuffle volume is O(tasks × depth × width) no matter how
+    many input rows or distinct keys. Estimates from ``cms_query``
+    are one-sided: est ≥ true always; est ≤ true + εN with
+    probability ≥ 1 − (1/2)^depth per key, where ε ≈ e/width and N is
+    the total (weighted) row count.
+
+    Sketches with the same (width, depth) MERGE by union + sum
+    (``cms_merge``) — build per day/source, combine at query time,
+    exactly like hll_rollup's union re-aggregation.
+    """
+    key = F.col(key_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    _cms_hash(key, d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.filter(key.isNotNull())
+        .select(cells)
+        .groupBy(
+            F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+
+
+def cms_merge(*sketches: DataFrame, count_name: str = "cnt") -> DataFrame:
+    """Combine count-min sketches built with the SAME (width, depth):
+    cell-wise sum via union + one hash-agg over ≤ depth × width keys.
+    Exact (counts are additive), so build-per-batch + merge equals
+    building over the concatenated input."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum(count_name).alias(count_name)
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+    est_col: str = "est",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Point-estimate frequencies for every row of ``keys`` (extra
+    columns pass through): probe the ``depth`` cells of each key and
+    take the MIN — the count-min estimator. The sketch side is tiny
+    (≤ depth × width rows) and broadcast, so querying any number of
+    keys is one broadcast join, no shuffle of the sketch. Keys absent
+    from the input estimate as ≥ 0 (0 when their cells are empty)."""
+    key = F.col(key_col)
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_hash(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        *keys.columns,
+        F.col("cell.row").alias("row"),
+        F.col("cell.bucket").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(*keys.columns).agg(
+        F.min(F.coalesce(F.col(count_name), F.lit(0)))
+        .cast("bigint")
+        .alias(est_col)
+    )
 
 
 def sketch_profile(

@@ -148,3 +148,53 @@ def test_hll_overlap_estimates_known_intersection(spark):
     assert abs(est["union"] - 1500) <= 75
     assert abs(est["intersection"] - 500) <= 150  # additive error of 3 estimates
     assert 0.2 <= est["jaccard"] <= 0.5  # true 1/3
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_never_undercounts_and_rows_sum_to_n(zipfish):
+    n = zipfish.count()
+    sketch = sketches.cms_build(zipfish, "key", width=256, depth=4)
+    # every CMS row partitions the input: its cells sum to exactly N
+    per_row = {r["row"]: r["s"] for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: n, 1: n, 2: n, 3: n}
+    truth = zipfish.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_query(sketch, truth, "key", width=256, depth=4)
+    bad = est.filter(F.col("est") < F.col("true_cnt")).count()
+    assert bad == 0  # one-sided error: min over rows >= true, always
+
+
+def test_cms_overcount_within_epsilon_bound(zipfish):
+    n = zipfish.count()
+    width, depth = 256, 4
+    sketch = sketches.cms_build(zipfish, "key", width=width, depth=depth)
+    truth = zipfish.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_query(sketch, truth, "key", width=width, depth=depth)
+    eps_n = 2.718281828 * n / width
+    worst = est.select(F.max(F.col("est") - F.col("true_cnt")).alias("w")).first()["w"]
+    # deterministic given the md5 hash family + this fixture; the CMS
+    # guarantee says P[overcount > eps_n] <= (1/2)^depth per key
+    assert worst <= eps_n
+
+
+def test_cms_merge_equals_single_build(zipfish):
+    a = zipfish.filter(F.col("key") < "key_050")
+    b = zipfish.filter(F.col("key") >= "key_050")
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "key", width=128, depth=3),
+        sketches.cms_build(b, "key", width=128, depth=3),
+    )
+    whole = sketches.cms_build(zipfish, "key", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_absent_key_estimates_small_and_empty_cells_zero(spark, zipfish):
+    sketch = sketches.cms_build(zipfish, "key", width=256, depth=4)
+    ghosts = spark.createDataFrame([("never_seen_xyz",)], "key string")
+    est = sketches.cms_query(sketch, ghosts, "key", width=256, depth=4).first()["est"]
+    n = zipfish.count()
+    assert 0 <= est <= 2.718281828 * n / 256
+    empty = sketches.cms_build(zipfish.limit(0), "key", width=256, depth=4)
+    est0 = sketches.cms_query(empty, ghosts, "key", width=256, depth=4).first()["est"]
+    assert est0 == 0
