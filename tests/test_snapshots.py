@@ -187,3 +187,44 @@ def test_history_and_manifest_shape(spark, table):
     with open(table._manifest_path(1)) as f:
         m = json.load(f)
     assert m["files"] and all(f_.startswith("data/") for f_ in m["files"])
+
+
+def test_foreachbatch_exactly_once_sink(spark, tmp_path):
+    """A Structured Streaming foreachBatch sink writing with
+    txn_id=batch_id: restarting the query from the same checkpoint
+    replays the last batch, and the table must converge instead of
+    duplicating (the BigQuery-WRITE_APPEND failure mode upsert-less
+    pipelines hit on redelivery)."""
+    import json as _json
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "a.json", "w") as f:
+        f.write("\n".join(_json.dumps({"k": i}) for i in range(40)))
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("k bigint").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: table.commit_append(df, txn_id=f"batch-{bid}")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert table.read().count() == 40
+    v_after_first = table.latest_version()
+    # simulate redelivery: wipe the checkpoint's commit record so the
+    # restarted query re-emits batch 0 with the SAME batch id
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    run_once()
+    assert table.latest_version() == v_after_first  # txn replay = no-op
+    assert table.read().count() == 40
