@@ -438,6 +438,59 @@ def query(name: str, sql: str | None):
 #                             invariant columns gated in
 #                             test_entry.py; histogram stage =
 #                             text_vocab/bm25 machinery)     [new r7, no driver row]
+# round-8 rotation (VERDICT r7 items 1+3): the four no-oracle heads
+# hand their seats to fixed-schema invariant-summary twins (the
+# *_invariants entries — same pipelines executed head-side, outputs
+# the driver CAN hash), and tranche 3 of the never-driver-checked
+# entries is seated with compensating demotions:
+#   dedup_minhash_checked   — seat → dedup_minhash_invariants (same
+#                             minhash+exact-truth pipeline, summary
+#                             output); detail rows stay pytest-gated
+#                                                       [no_oracle r4-r7]
+#   ann_lsh_planted         — seat → ann_lsh_planted_invariants
+#                             (same lsh_topk + planted fixture);
+#                             recall floor stays in test_entry.py
+#                                                       [no_oracle r6-r7]
+#   ann_ivf_pq_rerank       — seat → ann_ivf_pq_rerank_invariants
+#                             (same two-stage pipeline + score
+#                             recheck); floors in test_entry.py
+#                                                       [no_oracle r6-r7]
+#   dedup_incremental_index — seat → dedup_incremental_invariants
+#                             (same persisted-index flow)
+#                                                       [no_oracle r4-r7]
+#   p3_quality_filter       — drop-filter CASE/null semantics run
+#                             head-side in curate_corpus's quality
+#                             gate; p1/p2/p5 tail twins oracle-swept
+#                                                       [green r1-r7]
+#   j3_asof_nearest         — as-of family head seat is
+#                             j8_asof_backward (green r7); the same
+#                             proximity window ranks inside
+#                             w3_rank_family (head)      [green r1-r7]
+#   ann_cosine_topk         — brute_force_topk executes head-side as
+#                             the truth stage of BOTH new ANN
+#                             invariant entries          [green r1-r7]
+#   dedup_components        — ngram pair machinery head-side in
+#                             dedup_minhash_invariants' truth stage;
+#                             iterative propagation pinned by
+#                             test_llm_ops hand-computed components
+#                                                        [green r1-r7]
+#   t1_tumbling_window      — tumbling agg is the degenerate case of
+#                             t7_hopping_window (head, green r7);
+#                             t6_session_window holds the streaming
+#                             window family seat         [green r1-r7]
+#   profile_orders          — profile machinery runs twice head-side
+#                             inside profile_drift_orders (green r7)
+#                                                        [green r5-r7]
+#   sketch_profile          — HLL accuracy flags head-side in
+#                             sketch_rollup_union; percentile shapes
+#                             in a14_equidepth (both green r7)
+#                                                        [green r6-r7]
+#   layout_pruned_scan      — footer-stats pruning asserted head-side
+#                             by layout_zorder_scan (green r7, both
+#                             dimensions)                [green r6-r7]
+#   embedding_near_dup      — scheduled twin swap (ledger r7): r8
+#                             seats embedding_near_dup_exact
+#                                                        [green r7]
 _TAIL = (
     "p1_required_flags",
     "p5_validate_null",
@@ -455,22 +508,29 @@ _TAIL = (
     "scrub_pii",
     "events_sessionize",
     "a11_rollup",
-    "embedding_near_dup_exact",
+    "dedup_minhash_checked",
+    "ann_lsh_planted",
+    "ann_ivf_pq_rerank",
+    "dedup_incremental_index",
+    "p3_quality_filter",
+    "j3_asof_nearest",
+    "ann_cosine_topk",
+    "dedup_components",
+    "t1_tumbling_window",
+    "profile_orders",
+    "sketch_profile",
+    "layout_pruned_scan",
+    "embedding_near_dup",
     "w9_rolling_distinct",
     "emb_component_means",
     "w8_period_over_period",
     "text_source_divergence",
     "a19_mode",
-    "sample_weighted",
-    "a18_grouping_sets",
-    "j7_bloom_prefilter",
     "w4_ratio_to_report",
     "w5_cumulative",
-    "w6_time_weighted_avg",
     "a17_mad_outliers",
     "j1_band_join",
     "events_funnel",
-    "tfidf_terms",
     "text_bigram_pmi",
     "a16_winsorize",
     "a3_count_distinct",
@@ -516,17 +576,11 @@ _TAIL = (
     "set_ops_nations",
     "text_bpe_pretokenize",
     "a6_weighted_score",
-    "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_generalize",
-    "privacy_suppress",
     "text_bpe_train_apply",
     "incremental_rollup",
     "quality_classifier_trained",
-    # r7 late-born (tail until an r8 seat frees up; oracle-swept every
-    # pytest run like all tail entries):
-    #   cms_frequency — count-min sketch build+query, md5 oracle-exact
-    "cms_frequency",
 )
 
 
@@ -1579,6 +1633,105 @@ def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checked.crossJoin(F.broadcast(recall))
 
 
+def _pair_invariant_summary(pairs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Collapse an (approx pairs ⟂ exact truth pairs) comparison into
+    the fixed one-row invariant schema the driver can hash
+    (VERDICT r7 item 1). ``pairs`` must carry the join keys plus a
+    ``jaccard`` column; ``exact`` the same keys plus ``exact_jaccard``.
+
+      false_positive_count  — emitted pairs absent from the exact
+                              truth (the verify stage is exact, so
+                              this is deterministically 0);
+      jaccard_mismatch_count— emitted pairs whose verified jaccard
+                              differs from the exact one (0);
+      truth_pair_count      — |exact truth| (DuckDB recomputes it);
+      recall_floor_met      — banding recall ≥ 0.9 (the ONLY
+                              approximation in the pipeline; the
+                              specific recall value is hash-dependent
+                              but the floor is deterministic — 1.0
+                              measured at sf0.001/sf0.01).
+    """
+    keys = [c for c in pairs.columns if c != "jaccard"]
+    joined = pairs.join(F.broadcast(exact), keys, "left")
+    in_truth = F.col("exact_jaccard").isNotNull()
+    stats = joined.agg(
+        F.sum((~in_truth).cast("long")).alias("false_positive_count"),
+        F.sum(
+            (in_truth & (F.abs(F.col("jaccard") - F.col("exact_jaccard")) >= 1e-12))
+            .cast("long")
+        ).alias("jaccard_mismatch_count"),
+        F.sum(in_truth.cast("long")).alias("__hits"),
+    )
+    truth_n = exact.agg(F.count(F.lit(1)).alias("truth_pair_count"))
+    return stats.crossJoin(truth_n).select(
+        F.coalesce("false_positive_count", F.lit(0)).cast("bigint").alias(
+            "false_positive_count"
+        ),
+        F.coalesce("jaccard_mismatch_count", F.lit(0)).cast("bigint").alias(
+            "jaccard_mismatch_count"
+        ),
+        F.col("truth_pair_count").cast("bigint").alias("truth_pair_count"),
+        (
+            (F.col("truth_pair_count") == 0)
+            | (
+                F.coalesce("__hits", F.lit(0))
+                / F.greatest("truth_pair_count", F.lit(1))
+                >= 0.9
+            )
+        ).alias("recall_floor_met"),
+    )
+
+
+@query(
+    "dedup_minhash_invariants",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(1, len(toks) - 2) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    )
+    SELECT CAST(0 AS BIGINT) AS false_positive_count,
+           CAST(0 AS BIGINT) AS jaccard_mismatch_count,
+           CAST(COUNT(*) AS BIGINT) AS truth_pair_count,
+           true AS recall_floor_met
+    FROM truth
+    """,
+)
+def dedup_minhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green summary of dedup_minhash_checked (VERDICT r7
+    item 1): the emitted pair SET is MinHash-band-dependent, so the
+    driver could only ever record `no_oracle` for the detail rows —
+    but the pipeline's invariants are deterministic, and this entry
+    emits exactly those as one fixed-schema row the oracle can hash:
+    zero false positives (the verify stage computes exact Jaccard on
+    every candidate), zero jaccard mismatches, the exact truth pair
+    count (which DuckDB independently recomputes with the brute-force
+    O(n²) CTE — the real cross-engine check in this row), and the
+    band-recall 0.9 floor. The hash-dependent detail rows stay
+    pytest-gated in the dedup_minhash_checked tail twin; bench speed
+    is dedup_minhash_lsh's job."""
+    from .operators.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    approx = minhash_dedup(d, threshold=0.5).select("id_a", "id_b", "jaccard")
+    exact = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return _pair_invariant_summary(approx, exact)
+
+
 @query(
     "dedup_components",
     r"""
@@ -2405,23 +2558,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_embed_truth(approx, e, q, k=10)
 
 
-@query("ann_lsh_planted", None)  # approximate: rows-only + embedded truth
-def ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH in its INTENDED regime (VERDICT r5 item 5 / ROADMAP
-    item 3): ann_lsh_topk honestly documents recall ≈0.4 because this
-    corpus's true top-10 sits at cosine 0.25–0.37 — a regime where
-    random-hyperplane agreement is weak by construction. This entry
-    PLANTS the high-cosine regime instead: 10 synthetic near-
-    duplicates of each query vector (copy c adds 0.15 to coordinate
-    c → cosine ≈0.999 vs the source, all ten distinct) are unioned
-    into the corpus under fresh vec_ids, making the exact top-10 a
-    planted high-cosine cluster. Same operator, same dials as
-    ann_lsh_topk — only the data regime changes; the embedded
-    recall_at_k must clear the 0.9 floor gated in test_entry.py,
-    quantifying that the ≈0.4 number is the regime's, not the
-    implementation's."""
-    from .operators.similarity import lsh_topk
-
+def _planted_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The planted high-cosine ANN fixture shared by ann_lsh_planted
+    (detail rows, tail) and ann_lsh_planted_invariants (driver-green
+    summary, head): 10 synthetic near-duplicates of each query vector
+    (copy c adds 0.15 to coordinate c → cosine ≈0.999 vs the source,
+    all ten distinct) unioned into the corpus under fresh vec_ids
+    ≥ 1_000_000, making the exact top-10 a planted high-cosine
+    cluster. Returns (planted_corpus, queries)."""
     e, q = _ann_queries(spark, sf_dir)
     planted = (
         q.select(
@@ -2440,9 +2586,95 @@ def ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("embedding"),
         )
     )
-    corpus2 = e.select("vec_id", "embedding").unionByName(planted)
+    return e.select("vec_id", "embedding").unionByName(planted), q
+
+
+@query("ann_lsh_planted", None)  # approximate: rows-only + embedded truth
+def ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH in its INTENDED regime (VERDICT r5 item 5 / ROADMAP
+    item 3): ann_lsh_topk honestly documents recall ≈0.4 because this
+    corpus's true top-10 sits at cosine 0.25–0.37 — a regime where
+    random-hyperplane agreement is weak by construction. This entry
+    runs the same operator and dials as ann_lsh_topk over the PLANTED
+    high-cosine fixture (_planted_fixture) instead; the embedded
+    recall_at_k must clear the 0.9 floor gated in test_entry.py,
+    quantifying that the ≈0.4 number is the regime's, not the
+    implementation's. r8: the driver-green seat moved to the
+    fixed-schema summary twin ann_lsh_planted_invariants (head); this
+    detail-row entry stays pytest-gated in the tail."""
+    from .operators.similarity import lsh_topk
+
+    corpus2, q = _planted_fixture(spark, sf_dir)
     approx = lsh_topk(corpus2, q, k=10, dim=64, num_tables=12, num_planes=6)
     return _ann_embed_truth(approx, corpus2, q, k=10)
+
+
+@query(
+    "ann_lsh_planted_invariants",
+    """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS emitted_rows,
+           true AS recall_floor_met,
+           CAST(9 AS BIGINT) AS planted_in_truth,
+           CAST(1 AS BIGINT) AS self_in_truth
+    FROM (VALUES (0), (1), (2)) AS t(query_id)
+    """,
+)
+def ann_lsh_planted_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green summary of ann_lsh_planted (VERDICT r7 item 1):
+    the approximate row SET is LSH-hash-dependent, but its INVARIANTS
+    are deterministic — per query, sign-LSH over the planted
+    high-cosine cluster must (a) fill all k=10 slots, (b) recall ≥0.9
+    of the exact brute-force top-10, and (c) that exact top-10 must be
+    exactly the query's own corpus vector (cosine 1.0, rank 1) plus 9
+    of the 10 planted near-duplicates (cosine ≈0.999 each, vs ≤0.37
+    for every organic neighbor) — proving the fixture plants what it
+    claims. The oracle states the same facts as constants, so a
+    hash-green row certifies the whole chain; the detail rows stay in
+    the ann_lsh_planted tail twin. Measured at sf0.001/sf0.01: recall
+    exactly 1.0 per query (floor 0.9 leaves regen slack; per-plane
+    agreement at cosine .999 is ≈0.99, so a 12-table × 6-plane miss
+    has probability ≈(1-0.99^6)^12 ≈ 1e-15)."""
+    from .operators.similarity import brute_force_topk, lsh_topk
+
+    corpus2, q = _planted_fixture(spark, sf_dir)
+    approx = lsh_topk(corpus2, q, k=10, dim=64, num_tables=12, num_planes=6)
+    truth = brute_force_topk(corpus2, q, k=10)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(
+            F.broadcast(truth.select("query_id", "vec_id", F.lit(True).alias("__hit"))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("emitted_rows"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(False)).cast("long"))
+                / F.lit(10.0)
+                >= 0.9
+            ).alias("recall_floor_met"),
+        )
+    )
+    truth_shape = truth.groupBy("query_id").agg(
+        F.sum((F.col("vec_id") >= F.lit(1_000_000)).cast("long"))
+        .cast("bigint")
+        .alias("planted_in_truth"),
+        F.sum((F.col("vec_id") == F.col("query_id")).cast("long"))
+        .cast("bigint")
+        .alias("self_in_truth"),
+    )
+    return (
+        hits.join(truth_shape, "query_id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "emitted_rows",
+            "recall_floor_met",
+            "planted_in_truth",
+            "self_in_truth",
+        )
+    )
 
 
 @query("ann_ivf_topk", None)  # approximate: rows-only + embedded truth
@@ -2529,22 +2761,88 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_embed_truth(approx, e, q, k=10)
 
 
-@query("dedup_incremental_index", None)  # approximate: rows-only + embedded truth
-def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup against a persisted MinHash index
-    (operators/dedup.save_minhash_index + dedup_against_index): the
-    even-id half of the corpus is indexed ONCE (bands partitioned by
+@query(
+    "ann_ivf_pq_rerank_invariants",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_queries,
+           CAST(30 AS BIGINT) AS emitted_rows,
+           true AS avg_recall_floor_met,
+           CAST(0 AS BIGINT) AS rerank_score_mismatches
+    """,
+)
+def ann_ivf_pq_rerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green summary of ann_ivf_pq_rerank (VERDICT r7 item 1):
+    the two-stage IVF-PQ → exact-rerank shortlist is
+    quantization-dependent, but four invariants are deterministic and
+    this entry emits them as one hashable row — every query fills all
+    k=10 slots (3 queries × 10 = 30 rows), the average shortlist
+    recall vs exact brute force clears the 0.55 floor gated in
+    test_entry.py (measured 0.767 at sf0.01), and the reranked cosine
+    of EVERY emitted row equals an independently recomputed
+    full-precision cosine (rerank-is-exact-when-covered: zero
+    mismatches at 1e-9). The full IVF-PQ pipeline — coarse quantize,
+    PQ encode, ADC probe, exact refine — executes head-side inside
+    this entry; detail rows stay in the ann_ivf_pq_rerank tail twin."""
+    from .operators.similarity import (
+        brute_force_topk,
+        cosine_similarity_col,
+        ivf_pq_rerank_topk,
+    )
+
+    e, q = _ann_queries(spark, sf_dir)
+    approx = ivf_pq_rerank_topk(
+        e,
+        q.select("query_id", F.col("embedding").alias("query_vec")),
+        k=10,
+        shortlist_factor=6,
+        n_centroids=16,
+        n_probe=6,
+    ).localCheckpoint(eager=True)  # one run feeds both checks below
+    truth = brute_force_topk(e, q, k=10).select(
+        "query_id", "vec_id", F.lit(True).alias("__hit")
+    )
+    rechecked = (
+        approx.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
+        .join(e.select("vec_id", F.col("embedding").alias("__cvec")), "vec_id")
+        .join(
+            F.broadcast(q.select("query_id", F.col("embedding").alias("__qvec"))),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("__in_topk"),
+            (
+                F.abs(
+                    F.col("cosine")
+                    - cosine_similarity_col(F.col("__cvec"), F.col("__qvec"))
+                )
+                >= 1e-9
+            ).alias("__score_off"),
+        )
+    )
+    per_q = rechecked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        (F.sum(F.col("__in_topk").cast("long")) / F.lit(10.0)).alias("__recall"),
+        F.sum(F.col("__score_off").cast("long")).alias("__mismatch"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("__rows").cast("bigint").alias("emitted_rows"),
+        (F.avg("__recall") >= 0.55).alias("avg_recall_floor_met"),
+        F.sum("__mismatch").cast("bigint").alias("rerank_score_mismatches"),
+    )
+
+
+def _incremental_index_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared fixture for dedup_incremental_index (detail rows, tail)
+    and dedup_incremental_invariants (driver-green summary, head):
+    the even-id half of the corpus is indexed ONCE
+    (operators/dedup.save_minhash_index — bands partitioned by
     band_id + shingle-hash sets), then the odd-id half dedups against
     it WITHOUT re-shingling the indexed half — the daily-crawl-batch
-    flow at 100 TB.
-
-    Ground truth embedded in the output (same contract as
-    dedup_minhash_checked): each emitted (new_id, index_id) pair
-    carries whether it exists in the exact cross-half n-gram Jaccard
-    pair set with a matching value, and the corpus-level band recall
-    rides along as a constant column. A green run shows emitted ⊆
-    truth with identical jaccards; band_recall is the only
-    approximation."""
+    flow at 100 TB. Returns (emitted pairs, exact cross-half truth)."""
     import tempfile
 
     from .operators.dedup import (
@@ -2582,6 +2880,65 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard").alias("exact_jaccard"),
         )
     )
+    return pairs, exact_cross
+
+
+@query(
+    "dedup_incremental_invariants",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(1, len(toks) - 2) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        AND (a.doc_id % 2) <> (b.doc_id % 2)
+    )
+    SELECT CAST(0 AS BIGINT) AS false_positive_count,
+           CAST(0 AS BIGINT) AS jaccard_mismatch_count,
+           CAST(COUNT(*) AS BIGINT) AS truth_pair_count,
+           true AS recall_floor_met
+    FROM truth
+    """,
+)
+def dedup_incremental_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green summary of dedup_incremental_index (VERDICT r7
+    item 1, same contract as dedup_minhash_invariants): one
+    fixed-schema row certifying the incremental-index flow — zero
+    false positives vs the exact CROSS-HALF n-gram truth (DuckDB
+    recomputes that truth count with the parity-filtered brute-force
+    CTE), zero jaccard mismatches, and the 0.9 band-recall floor.
+    The save→load→query roundtrip machinery all executes inside this
+    entry; the hash-dependent detail rows stay pytest-gated in the
+    dedup_incremental_index tail twin."""
+    pairs, exact_cross = _incremental_index_pairs(spark, sf_dir)
+    return _pair_invariant_summary(
+        pairs.select("new_id", "index_id", "jaccard"), exact_cross
+    )
+
+
+@query("dedup_incremental_index", None)  # approximate: rows-only + embedded truth
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash index — detail
+    rows (see _incremental_index_pairs for the fixture). Ground truth
+    embedded in the output (same contract as dedup_minhash_checked):
+    each emitted (new_id, index_id) pair carries whether it exists in
+    the exact cross-half n-gram Jaccard pair set with a matching
+    value, and the corpus-level band recall rides along as a constant
+    column. A green run shows emitted ⊆ truth with identical
+    jaccards; band_recall is the only approximation. r8: the
+    driver-green seat moved to dedup_incremental_invariants (head)."""
+    pairs, exact_cross = _incremental_index_pairs(spark, sf_dir)
     checked = (
         pairs.join(F.broadcast(exact_cross), ["new_id", "index_id"], "left")
         .withColumn("in_exact_truth", F.col("exact_jaccard").isNotNull())

@@ -92,7 +92,12 @@ def finalize_rollup(
     sumsq/n − (sum/n)², clamped at 0 for the negative-epsilon IEEE
     cases). ``round_digits`` applies deterministic floor(x·10^d+0.5)
     rounding so cross-engine comparisons are stable; pass None for
-    raw doubles."""
+    raw doubles.
+
+    Keys whose rows were FULLY retracted (weight=-1 folding __n to 0)
+    are dropped, not emitted (ADVICE r7): finalizing them would yield
+    n=0 with NULL avg/var (non-ANSI x/0 → NULL), which downstream
+    consumers could misread as a real group."""
 
     def _r(col):
         if round_digits is None:
@@ -112,4 +117,4 @@ def finalize_rollup(
             _r(mean).alias(f"{c}_avg"),
             _r(var).alias(f"{c}_var"),
         ]
-    return state.select(*out)
+    return state.filter(F.col("__n") > 0).select(*out)

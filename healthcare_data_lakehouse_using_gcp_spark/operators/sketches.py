@@ -293,14 +293,23 @@ def cms_query(
     est_col: str = "est",
     count_name: str = "cnt",
 ) -> DataFrame:
-    """Point-estimate frequencies for every row of ``keys`` (extra
-    columns pass through): probe the ``depth`` cells of each key and
-    take the MIN — the count-min estimator. The sketch side is tiny
-    (≤ depth × width rows) and broadcast, so querying any number of
-    keys is one broadcast join, no shuffle of the sketch. Keys absent
-    from the input estimate as ≥ 0 (0 when their cells are empty)."""
+    """Point-estimate frequencies for EVERY row of ``keys`` (extra
+    columns pass through, duplicate rows each get their own estimate):
+    probe the ``depth`` cells of each key and take the MIN — the
+    count-min estimator. The sketch side is tiny (≤ depth × width
+    rows) and broadcast, so querying any number of keys is one
+    broadcast join, no shuffle of the sketch. Keys absent from the
+    input estimate as ≥ 0 (0 when their cells are empty)."""
+    # ADVICE r7: tag each input row so (a) duplicate key rows don't
+    # collapse in the regroup and (b) the probe columns can't collide
+    # with caller columns named "row"/"bucket"
+    tag, rowc, bukc, cntc = "__cms_tag", "__cms_row", "__cms_bucket", "__cms_cnt"
+    for reserved in (tag, rowc, bukc, cntc):
+        if reserved in keys.columns:
+            raise ValueError(f"keys column {reserved!r} is reserved by cms_query")
     key = F.col(key_col)
-    probes = keys.select(
+    tagged = keys.withColumn(tag, F.monotonically_increasing_id())
+    probes = tagged.select(
         "*",
         F.explode(
             F.array(
@@ -314,15 +323,22 @@ def cms_query(
             )
         ).alias("cell"),
     ).select(
-        *keys.columns,
-        F.col("cell.row").alias("row"),
-        F.col("cell.bucket").alias("bucket"),
+        *tagged.columns,
+        F.col("cell.row").alias(rowc),
+        F.col("cell.bucket").alias(bukc),
     )
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return joined.groupBy(*keys.columns).agg(
-        F.min(F.coalesce(F.col(count_name), F.lit(0)))
-        .cast("bigint")
-        .alias(est_col)
+    sketch_probe = sketch.select(
+        F.col("row").alias(rowc),
+        F.col("bucket").alias(bukc),
+        F.col(count_name).alias(cntc),
+    )
+    joined = probes.join(F.broadcast(sketch_probe), [rowc, bukc], "left")
+    return (
+        joined.groupBy(tag, *keys.columns)
+        .agg(
+            F.min(F.coalesce(F.col(cntc), F.lit(0))).cast("bigint").alias(est_col)
+        )
+        .drop(tag)
     )
 
 

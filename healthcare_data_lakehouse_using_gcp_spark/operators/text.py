@@ -37,6 +37,11 @@ def token_count_col(text: Column) -> Column:
 # is unambiguous across engines.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
+# Fail-loud driver bound for bpe_train(vocab_cap=None) (VERDICT r7
+# §wrong 2): the merge loop is driver-side over the full histogram, so
+# an uncapped web-scale vocabulary must raise, not OOM.
+MAX_UNCAPPED_VOCAB = 50_000
+
 
 def pretokens_col(text: Column) -> Column:
     """BPE-ish pre-tokenization (the split every byte-pair tokenizer
@@ -1065,10 +1070,31 @@ def bpe_train(
 
     Deterministic: ties in pair frequency break lexicographically.
     Returns the ordered merge list [(left, right), ...] (index =
-    merge rank), the exact format bpe_apply consumes."""
+    merge rank), the exact format bpe_apply consumes.
+
+    ``vocab_cap=None`` is guarded (VERDICT r7 §wrong 2): the merge
+    loop needs the WHOLE histogram driver-side, and at web-corpus
+    scale an uncapped distinct-word histogram is a driver OOM. If the
+    uncapped histogram exceeds the default cap, this raises with the
+    bounded alternative instead of silently collecting — the same
+    fail-loud discipline as band_join_bucketed's duplicate-left
+    guard."""
     from collections import Counter, defaultdict
 
-    rows = bpe_word_histogram(df, text_col, vocab_cap, lowercase).collect()
+    hist = bpe_word_histogram(df, text_col, vocab_cap, lowercase)
+    if vocab_cap is None:
+        # one cheap count before the unbounded collect; the default
+        # cap is the documented safe driver size
+        n_words = hist.count()
+        if n_words > MAX_UNCAPPED_VOCAB:
+            raise ValueError(
+                f"bpe_train(vocab_cap=None) would collect {n_words} distinct "
+                f"words driver-side (bound {MAX_UNCAPPED_VOCAB}); pass "
+                "vocab_cap (default 50_000 keeps the top-V by frequency — "
+                "the HF/sentencepiece training recipe) or pre-filter the "
+                "corpus"
+            )
+    rows = hist.collect()
     words: dict[tuple[str, ...], int] = {}
     for r in rows:
         words[tuple(r["word"])] = words.get(tuple(r["word"]), 0) + int(r["freq"])
@@ -1133,14 +1159,16 @@ def bpe_apply(
     Scale design: the merge table broadcasts with the Arrow-batched
     mapInPandas closure (vocab-sized, ~MBs); per batch a word→tokens
     memo collapses the Zipf-heavy repeats, so the merge loop runs
-    roughly once per DISTINCT word per batch, not once per token."""
-    import re as _re
+    roughly once per DISTINCT word per batch, not once per token.
 
+    Pre-tokenization runs through the SAME Spark expression the
+    trainer used (pretokens_col over F.lower), not a Python re —
+    Java's ``\\s`` is ASCII-only while Python's matches Unicode
+    whitespace (NBSP, U+2028, …), and str.lower diverges from
+    F.lower on some codepoints, so a Python-side re-split could
+    produce words no merge ever saw and break the documented
+    n_pretokens ≤ n_bpe_tokens invariant (ADVICE r7)."""
     rank = {p: i for i, p in enumerate(merges)}
-    # the SAME pre-tokenization the trainer used (BPE_ISH_PATTERN via
-    # pretokens_col) — a train/apply split mismatch would silently
-    # produce words no merge ever saw
-    pretok = _re.compile(BPE_ISH_PATTERN)
 
     def _encode_word(word: str) -> list[str]:
         syms = list(word)
@@ -1155,23 +1183,24 @@ def bpe_apply(
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    pretok_col = "__bpe_pretoks"
+
     def _encode(batches):
         import pandas as pd
 
         for pdf in batches:
             memo: dict[str, list[str]] = {}
             toks_out, counts = [], []
-            for t in pdf[text_col]:
-                t = (t or "").lower() if lowercase else (t or "")
+            for words in pdf[pretok_col]:
                 toks: list[str] = []
-                for w in pretok.findall(t):
+                for w in words:
                     enc = memo.get(w)
                     if enc is None:
                         enc = memo[w] = _encode_word(w)
                     toks.extend(enc)
                 toks_out.append(toks)
                 counts.append(len(toks))
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=[pretok_col])
             pdf[out_col] = toks_out
             pdf["n_bpe_tokens"] = pd.array(counts, dtype="int64")
             yield pdf
@@ -1185,7 +1214,11 @@ def bpe_apply(
             T.StructField("n_bpe_tokens", T.LongType()),
         ]
     )
-    return df.mapInPandas(_encode, schema)
+    t = F.col(text_col)
+    pre = df.withColumn(
+        pretok_col, pretokens_col(F.lower(t) if lowercase else t)
+    )
+    return pre.mapInPandas(_encode, schema)
 
 
 def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:

@@ -155,10 +155,13 @@ class SnapshotTable:
         df.write.parquet(out)
         # the MANIFEST is the commit marker; Spark's _SUCCESS (and any
         # other non-data artifact) would only confuse vacuum's
-        # referenced-set arithmetic
-        for extra in glob.glob(os.path.join(out, "*")):
-            if not extra.endswith(".parquet"):
-                os.unlink(extra)
+        # referenced-set arithmetic. os.listdir, not glob: Hadoop
+        # LocalFS checksum dotfiles (.part-*.parquet.crc, ._SUCCESS.crc)
+        # are invisible to glob('*') and would otherwise accumulate and
+        # keep vacuumed commit dirs non-empty forever (ADVICE r7).
+        for name in os.listdir(out):
+            if not name.endswith(".parquet") or name.startswith("."):
+                os.unlink(os.path.join(out, name))
         files = sorted(glob.glob(os.path.join(out, "*.parquet")))
         n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         rel = [os.path.relpath(f, self.root) for f in files]
@@ -294,12 +297,20 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- vacuum
 
-    def vacuum(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained snapshot (the
         last ``keep_last`` versions) plus the expired manifests;
         returns the deleted data-file paths. Files younger than
         ``min_age_seconds`` survive even if unreferenced — they may
-        belong to a commit whose manifest has not published yet."""
+        belong to a commit whose manifest has not published yet. The
+        default grace window is one hour (Iceberg's orphan-file age
+        threshold): a vacuum racing an in-flight commit must NOT
+        delete its not-yet-referenced data files, or the commit then
+        publishes a manifest pointing at nothing (ADVICE r7). Pass an
+        explicit ``min_age_seconds=0`` only when no writer can be
+        active (tests, single-writer maintenance windows)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
@@ -309,15 +320,21 @@ class SnapshotTable:
             referenced.update(self._load(v)["files"])
         now = time.time()
         deleted = []
-        for f in glob.glob(os.path.join(self.root, _DATA_DIR, "*", "*")):
-            rel = os.path.relpath(f, self.root)
-            if rel in referenced:
-                continue
-            if now - os.path.getmtime(f) < min_age_seconds:
-                continue
-            os.unlink(f)
-            deleted.append(rel)
-        for d in glob.glob(os.path.join(self.root, _DATA_DIR, "*")):
+        data_root = os.path.join(self.root, _DATA_DIR)
+        # os.scandir, not glob: checksum dotfiles must be walked too
+        # (ADVICE r7) or commit dirs never empty out
+        commit_dirs = [e.path for e in os.scandir(data_root) if e.is_dir()]
+        for d in commit_dirs:
+            for entry in os.scandir(d):
+                rel = os.path.relpath(entry.path, self.root)
+                if rel in referenced:
+                    continue
+                if now - entry.stat().st_mtime < min_age_seconds:
+                    continue
+                os.unlink(entry.path)
+                if not os.path.basename(entry.path).startswith("."):
+                    deleted.append(rel)
+        for d in commit_dirs:
             if not os.listdir(d):
                 os.rmdir(d)
         for v in vs:

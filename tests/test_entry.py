@@ -44,54 +44,52 @@ def test_canonical_operators_inside_driver_window():
     # distinct operator's canonical entry must sit inside that window.
     first50 = set(list(entrymod.queries())[:50])
     canonical = [
-        # scrub_pii demoted r7 tranche 1 (narrow regex projection =
-        # text_normalize_unicode head; patterns pinned in test_text +
-        # tail-swept at sf0.01)
-        "pack_documents", "curate_corpus", "ann_cosine_topk",
-        # ann_lsh_topk / ann_ivf_pq_topk were demoted mid-r6 for the
-        # sketch/zorder entries: each has an embedded-truth head twin
-        # (ann_lsh_planted — same lsh_topk pipeline; ann_ivf_pq_rerank
-        # — runs the ADC + coarse-probe stages head-side) and keeps
-        # its recall floor below plus the tail oracle sweep;
-        # ann_ivf_topk joined them in the r7 tranche-2 demotion
-        # minhash's window seat is the checked twin (same pipeline +
-        # embedded ground-truth containment); the plain dedup_minhash_lsh
-        # is the bench.py target and sits past the window (r4 rotation)
-        "multimodal_features", "dedup_minhash_checked", "a2_wide_agg",
+        "pack_documents", "curate_corpus",
+        # r8 (VERDICT r7 item 1): the four no-oracle heads handed
+        # their seats to fixed-schema invariant-summary twins — same
+        # pipelines executing head-side (minhash+exact truth, planted
+        # LSH, IVF-PQ+rerank, persisted incremental index), outputs
+        # the driver CAN hash. Detail-row twins keep their pytest
+        # floors below. ann_cosine_topk demoted r8: brute_force_topk
+        # is the truth stage inside both ANN invariant entries.
+        "dedup_minhash_invariants", "ann_lsh_planted_invariants",
+        "ann_ivf_pq_rerank_invariants", "dedup_incremental_invariants",
+        "multimodal_features", "a2_wide_agg",
         # band-join seat: the bucketed twin (hash-equality-proven
         # against j1_band_join's oracle) holds it since the late-r6
-        # third wave; plain j1_band_join is tail + bench target
-        "j3_asof_nearest", "t1_tumbling_window",
+        # third wave; plain j1_band_join is tail + bench target.
+        # j3_asof_nearest demoted r8 (j8_asof_backward holds the
+        # as-of seat; its window ranks inside w3_rank_family);
+        # t1_tumbling_window demoted r8 (t7_hopping_window head is
+        # the generalization; t6_session_window holds streaming)
+        "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r7 seats embedding_near_dup (exact held r4/r6)
-        "embedding_near_dup", "classifier_quality",
-        "cap_per_source", "dedup_incremental_index",
-        "lm_perplexity",
-        "ann_ivf_pq_rerank",
-        "export_ids", "layout_pruned_scan",
-        "j1_band_join_bucketed", "ann_lsh_planted",
-        # round-7 tranche-1 promotions (VERDICT r6 item 1): the eight
-        # never-driver-checked family heads — each its family's only
-        # driver-row candidate
+        # round: r8 seats embedding_near_dup_exact (LSH twin held r7)
+        "embedding_near_dup_exact", "classifier_quality",
+        "cap_per_source", "lm_perplexity",
+        "export_ids", "layout_zorder_scan",
+        # round-7 tranche-1 promotions (VERDICT r6 item 1); r8
+        # demotes profile_orders (drift entry profiles twice) and
+        # sketch_profile / layout_pruned_scan (head twins
+        # sketch_rollup_union + layout_zorder_scan assert the same
+        # guarantees)
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
         "graph_pagerank", "t6_session_window", "j8_asof_backward",
         "dq_expectations", "profile_drift_orders",
-        # round-7 tranche-2 promotions (VERDICT r6 item 4); the
-        # demoted twins (p1/p5/f1/a7/dedup_exact/ann_ivf_topk/
-        # dedup_semantic/decontaminate and the tranche-1 eight) are
-        # all oracle-swept at sf0.01 every pytest run
+        # round-7 tranche-2 promotions (VERDICT r6 item 4)
         "a14_equidepth", "w3_rank_family", "a15_cube",
         "t7_hopping_window", "w7_trailing_p95", "a20_higher_moments",
         "a21_regression", "drift_psi",
-        # round-6 additions (same session): bounded-memory sketches +
-        # Z-order layout; fuzzy join took a6_weighted_score's seat
-        # late-r6 (a6's arithmetic runs inside a2/classifier heads)
-        "text_heavy_hitters", "sketch_profile", "layout_zorder_scan",
-        "fuzzy_name_match",
-        # late-r6 third wave: two new operator families seated by
-        # twin-demotion (j1_band_join → bucketed twin; events_funnel →
-        # cohort_retention's shared user-keyed min-agg+join anchor)
+        "text_heavy_hitters", "fuzzy_name_match",
         "cdc_snapshot_diff", "cohort_retention",
+        # round-8 tranche-3 promotions (VERDICT r7 item 3): the eight
+        # never-driver-checked entries seated with compensating
+        # demotions (p3_quality_filter → curate_corpus's quality gate;
+        # dedup_components → minhash-invariants' ngram truth stage;
+        # plus the four above) — each its family's only candidate
+        "privacy_k_anonymity", "privacy_suppress", "cms_frequency",
+        "tfidf_terms", "w6_time_weighted_avg", "a18_grouping_sets",
+        "j7_bloom_prefilter", "sample_weighted",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

@@ -75,6 +75,21 @@ def test_retraction_exact_for_count_sum(spark, sales):
         assert out[k][4] == pytest.approx(want[k][4])
 
 
+def test_fully_retracted_key_disappears(spark, sales):
+    """ADVICE r7: a key whose rows were ALL retracted (__n folds to 0)
+    must not finalize to a ghost n=0 / NULL-avg row — downstream
+    consumers would misread it as a real group."""
+    only_c = sales.filter("k = 'c'")
+    state = merge_rollup_states(
+        partial_rollup(sales, ["k"], ["v"]),
+        partial_rollup(only_c, ["k"], ["v"], weight=-1),
+        ["k"],
+    )
+    out = _final_map(state)
+    assert "c" not in out
+    assert set(out) == {"a", "b"}
+
+
 def test_merge_rejects_mismatched_state_schemas(spark, sales):
     a = partial_rollup(sales, ["k"], ["v"])
     b = partial_rollup(sales.withColumnRenamed("v", "w"), ["k"], ["w"])

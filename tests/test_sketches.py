@@ -189,6 +189,30 @@ def test_cms_merge_equals_single_build(zipfish):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
 
+def test_cms_query_keeps_duplicate_rows_and_survives_column_collisions(
+    spark, zipfish
+):
+    """ADVICE r7: the docstring promises an estimate for EVERY row of
+    keys — duplicate rows must not collapse in the regroup, and caller
+    columns literally named 'row'/'bucket' must not corrupt the probe
+    join."""
+    sketch = sketches.cms_build(zipfish, "key", width=256, depth=4)
+    dups = spark.createDataFrame(
+        [("key_001", 1), ("key_001", 1), ("key_002", 7)], "key string, row int"
+    )
+    out = sketches.cms_query(sketch, dups, "key", width=256, depth=4)
+    rows = out.collect()
+    assert len(rows) == 3, "duplicate key rows must each keep their own estimate"
+    assert set(out.columns) == {"key", "row", "est"}
+    ests = {(r["key"], r["row"], r["est"]) for r in rows}
+    # the two identical input rows get identical estimates
+    assert len({e for k, rw, e in ests if k == "key_001"}) == 1
+    # reserved internal names fail loudly instead of silently corrupting
+    bad = spark.createDataFrame([("key_001",)], "__cms_tag string")
+    with pytest.raises(ValueError, match="reserved"):
+        sketches.cms_query(sketch, bad, "__cms_tag", width=256, depth=4)
+
+
 def test_cms_absent_key_estimates_small_and_empty_cells_zero(spark, zipfish):
     sketch = sketches.cms_build(zipfish, "key", width=256, depth=4)
     ghosts = spark.createDataFrame([("never_seen_xyz",)], "key string")

@@ -98,7 +98,10 @@ def test_reader_never_sees_unpublished_files(spark, table, tmp_path):
 def test_vacuum_keeps_referenced_deletes_expired(spark, table):
     table.commit_append(_mk(spark, [(1, "a")]))
     table.commit_overwrite(_mk(spark, [(2, "b")]))
-    deleted = table.vacuum(keep_last=1)
+    # explicit min_age_seconds=0: the DEFAULT is a 1-hour grace window
+    # (ADVICE r7) so a vacuum can't race an in-flight commit; tests are
+    # single-writer so they opt out
+    deleted = table.vacuum(keep_last=1, min_age_seconds=0)
     assert deleted, "the overwritten v1 files should be removed"
     assert _rows(table.read()) == [(2, "b")]
     with pytest.raises(ValueError, match="vacuumed or never committed"):
@@ -109,7 +112,7 @@ def test_vacuum_append_chain_shares_files(spark, table):
     table.commit_append(_mk(spark, [(1, "a")]))
     table.commit_append(_mk(spark, [(2, "b")]))
     # v2 references v1's files too: nothing is deletable
-    assert table.vacuum(keep_last=1) == []
+    assert table.vacuum(keep_last=1, min_age_seconds=0) == []
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
 
 
@@ -120,6 +123,37 @@ def test_vacuum_min_age_protects_inflight(spark, table):
     assert table.vacuum(keep_last=1, min_age_seconds=3600) == []
     removed = table.vacuum(keep_last=1, min_age_seconds=0)
     assert removed and all(r.startswith("data/inflight11") for r in removed)
+
+
+def test_vacuum_default_is_grace_window(spark, table):
+    """ADVICE r7: the DEFAULT vacuum must not delete freshly-written
+    unreferenced files — a concurrent commit's data lands before its
+    manifest, and a zero-grace default would eat it."""
+    table.commit_append(_mk(spark, [(1, "a")]))
+    orphan_dir = os.path.join(table.root, "data", "inflight22")
+    _mk(spark, [(99, "ghost")]).write.parquet(orphan_dir)
+    assert table.vacuum(keep_last=1) == []  # default grace protects it
+    assert os.path.isdir(orphan_dir)
+
+
+def test_write_and_vacuum_clean_checksum_dotfiles(spark, table):
+    """ADVICE r7: Hadoop LocalFS writes .part-*.parquet.crc dotfiles
+    that glob('*') never matches. Commit cleanup must remove them, and
+    vacuum must delete them from foreign dirs so emptied commit dirs
+    actually rmdir."""
+    table.commit_append(_mk(spark, [(1, "a")]))
+    data_root = os.path.join(table.root, "data")
+    for d in os.listdir(data_root):
+        hidden = [
+            n for n in os.listdir(os.path.join(data_root, d)) if n.startswith(".")
+        ]
+        assert not hidden, f"checksum dotfiles survived commit cleanup: {hidden}"
+    # a torn write with dotfiles: vacuum at zero grace must empty+rmdir it
+    orphan_dir = os.path.join(data_root, "inflight33")
+    _mk(spark, [(99, "ghost")]).write.parquet(orphan_dir)
+    assert any(n.startswith(".") for n in os.listdir(orphan_dir))
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    assert not os.path.exists(orphan_dir)
 
 
 def test_concurrent_commit_conflict_retries(spark, table):
