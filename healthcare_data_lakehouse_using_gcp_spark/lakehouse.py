@@ -56,17 +56,41 @@ class HealthcareLakehouse:
         return os.path.join(self.warehouse, zone, table)
 
     def read_processed(self, entity: str) -> DataFrame:
-        return self.spark.read.parquet(self.zone_path("processed", entity))
+        """Resolve a processed-zone entity table. Zones written in
+        snapshot mode (run_etl(txn_id=...) or the streaming snapshot
+        sink) resolve through their manifest — explicit file list, so
+        torn/orphan commits are invisible; plain zones read the
+        directory as before."""
+        path = self.zone_path("processed", entity)
+        if os.path.isdir(os.path.join(path, "_snapshots")):
+            from .sources.snapshots import SnapshotTable
+
+            return SnapshotTable(self.spark, path).read()
+        return self.spark.read.parquet(path)
 
     # --- ingestion → processed (the Beam pipeline, batch mode) -------
 
-    def run_etl(self, raw_path: str | None = None, raw_df: DataFrame | None = None) -> dict:
+    def run_etl(
+        self,
+        raw_path: str | None = None,
+        raw_df: DataFrame | None = None,
+        txn_id: str | None = None,
+    ) -> dict:
         """Parse/validate/filter/enrich/demux raw JSON messages and
         append each route into the processed zone (date-partitioned).
 
         Counterpart of `python healthcare_etl_pipeline.py` in batch
         mode (healthcare_etl_pipeline.py:248-249). Returns per-route
         row counts (the Count.Globally metric, :351-355).
+
+        ``txn_id`` (VERDICT r7 item 6) switches the entity-zone writes
+        from plain append parquet to SnapshotTable.commit_append with
+        a per-entity idempotence token — re-running the same batch
+        (orchestrator retry, backfill replay) converges instead of
+        duplicating rows; the counts still report THIS run's routed
+        rows either way. Mixing modes on one warehouse is rejected by
+        SnapshotTable itself (a plain zone has no manifest dir and a
+        snapshot zone ignores directory listings).
         """
         if raw_df is None:
             raw_df = read_json_batch(self.spark, raw_path)
@@ -79,9 +103,16 @@ class HealthcareLakehouse:
                 df = routed[name].withColumn(
                     "event_date", F.to_date(F.col(date_col))
                 )
-                df.write.mode("append").partitionBy("event_date").parquet(
-                    self.zone_path("processed", name)
-                )
+                if txn_id is not None:
+                    from .sources.snapshots import SnapshotTable
+
+                    SnapshotTable(
+                        self.spark, self.zone_path("processed", name)
+                    ).commit_append(df, txn_id=f"{txn_id}-{name}")
+                else:
+                    df.write.mode("append").partitionBy("event_date").parquet(
+                        self.zone_path("processed", name)
+                    )
                 # Count THIS batch's routed rows (from the cached
                 # enriched frame), not the re-read table: the
                 # reference's Count.Globally metric is run-scoped

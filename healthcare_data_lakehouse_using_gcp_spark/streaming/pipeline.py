@@ -45,22 +45,46 @@ UPSERT_KEYS = {
 }
 
 
-def make_etl_sink(warehouse: str, cfg: EngineConfig = DEFAULT_CONFIG, upsert: bool = False):
+def make_etl_sink(
+    warehouse: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    upsert: bool = False,
+    mode: str | None = None,
+):
     """The per-micro-batch multi-sink fan-out (T5), as a reusable
-    foreachBatch function.
+    foreachBatch function. Three sink modes (``mode`` wins; the
+    legacy ``upsert`` flag maps False→"append", True→"upsert"):
 
-    ``upsert=False``: plain append, byte-faithful to the reference's
-    WRITE_APPEND sinks — a replayed batch duplicates rows, exactly as
-    the reference would.
-    ``upsert=True``: each route merges through
-    sources/upsert.merge_upsert on its natural key (latest
-    processed_at wins), so at-least-once delivery and micro-batch
-    replays converge to the same processed zone — the engine-side
-    answer to Pub/Sub redelivery the reference leaves unsolved. Only
-    the date partitions present in the batch are rewritten.
+    - ``"append"``: plain append, byte-faithful to the reference's
+      WRITE_APPEND sinks — a replayed batch duplicates rows, exactly
+      as the reference would.
+    - ``"upsert"``: each route merges through
+      sources/upsert.merge_upsert on its natural key (latest
+      processed_at wins), so at-least-once delivery and micro-batch
+      replays converge — the keyed answer to Pub/Sub redelivery. Only
+      the date partitions present in the batch are rewritten.
+    - ``"snapshot"`` (VERDICT r7 item 6): each route commits through
+      sources/snapshots.SnapshotTable.commit_append with
+      ``txn_id=f"etl-batch-{batch_id}"`` — the exactly-once append
+      sink for KEYLESS zones. foreachBatch retries redeliver the same
+      batch_id, the token matches an already-published manifest, and
+      the commit no-ops: kill-and-replay converges with no natural
+      key needed and no partition rewrites (O(new data) per batch).
+      Readers must resolve the zone via SnapshotTable.read (or
+      HealthcareLakehouse.read_processed, which auto-detects) —
+      listing the directory would see torn/orphan files.
+
+    The errors/ JSON route stays at-least-once in every mode — it is
+    a diagnostic stream, and duplicated error rows are preferable to
+    buffering arbitrary corrupt payloads through a keyed merge.
     """
+    if mode is None:
+        mode = "upsert" if upsert else "append"
+    if mode not in ("append", "upsert", "snapshot"):
+        raise ValueError(f"unknown sink mode {mode!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.snapshots import SnapshotTable
         from ..sources.upsert import merge_upsert
 
         batch_df.persist()
@@ -68,14 +92,21 @@ def make_etl_sink(warehouse: str, cfg: EngineConfig = DEFAULT_CONFIG, upsert: bo
             routed = build_etl(batch_df, cfg)
             for name in ("vitals", "claims", "ehr"):
                 path = os.path.join(warehouse, "processed", name)
-                if upsert:
-                    keys, date_col = UPSERT_KEYS[name]
+                keys, date_col = UPSERT_KEYS[name]
+                if mode == "upsert":
                     df = routed[name].withColumn(
                         "event_date", F.to_date(F.col(date_col))
                     )
                     merge_upsert(
                         batch_df.sparkSession, df, path, keys,
                         version_col="processed_at", partition_col="event_date",
+                    )
+                elif mode == "snapshot":
+                    df = routed[name].withColumn(
+                        "event_date", F.to_date(F.col(date_col))
+                    )
+                    SnapshotTable(batch_df.sparkSession, path).commit_append(
+                        df, txn_id=f"etl-batch-{batch_id}"
                     )
                 else:
                     routed[name].write.mode("append").parquet(path)
@@ -96,6 +127,7 @@ def start_etl_stream(
     trigger_seconds: int = 30,
     checkpoint: str | None = None,
     upsert: bool = False,
+    mode: str | None = None,
 ) -> StreamingQuery:
     """T4+T5: streaming ETL with per-micro-batch multi-sink fan-out.
 
@@ -103,11 +135,12 @@ def start_etl_stream(
     routes — the Spark analogue of Beam's TaggedOutput multi-sink
     (healthcare_etl_pipeline.py:290-348). The 30 s processing-time
     trigger mirrors AfterProcessingTime(30) (:261). See make_etl_sink
-    for the append vs idempotent-upsert sink modes.
+    for the append / idempotent-upsert / exactly-once-snapshot sink
+    modes.
     """
     raw = read_json_stream(spark, input_path)
     return (
-        raw.writeStream.foreachBatch(make_etl_sink(warehouse, cfg, upsert))
+        raw.writeStream.foreachBatch(make_etl_sink(warehouse, cfg, upsert, mode))
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .option(
             "checkpointLocation",

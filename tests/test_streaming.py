@@ -190,6 +190,68 @@ def test_etl_sink_upsert_replay_idempotent(spark, cfg, tmp_path):
     assert n_vitals == 2 * counts1["vitals"]  # reference append semantics
 
 
+def test_etl_sink_snapshot_mode_exactly_once_kill_and_replay(spark, cfg, tmp_path):
+    """VERDICT r7 item 6: the snapshot sink gives exactly-once ZONE
+    writes for keyless appends. foreachBatch's contract on recovery is
+    'same batch_id, same data, possibly delivered again' — replaying
+    batch 0 (the kill-and-replay path) must no-op via the txn token,
+    while a genuinely NEW batch id appends. The lakehouse read side
+    resolves the zone through the manifest."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.lakehouse import HealthcareLakehouse
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import SnapshotTable
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import make_etl_sink
+
+    gen = HealthcareDataGenerator(seed=29)
+    msgs = gen.generate_messages(120)
+    batch0 = spark.createDataFrame([(m,) for m in msgs[:60]], "value string")
+    batch1 = spark.createDataFrame([(m,) for m in msgs[60:]], "value string")
+
+    wh = str(tmp_path / "snap")
+    sink = make_etl_sink(wh, cfg, mode="snapshot")
+    sink(batch0, 0)
+    lake = HealthcareLakehouse(spark, wh, cfg)
+    counts1 = {e: lake.read_processed(e).count() for e in ("vitals", "claims", "ehr")}
+    assert all(v > 0 for v in counts1.values())
+
+    sink(batch0, 0)  # kill-and-replay: same batch id redelivered
+    counts2 = {e: lake.read_processed(e).count() for e in ("vitals", "claims", "ehr")}
+    assert counts2 == counts1, "replayed micro-batch must not duplicate rows"
+    # the no-op is a txn match, not a silent drop: version count unchanged
+    vit = SnapshotTable(spark, os.path.join(wh, "processed", "vitals"))
+    assert vit.latest_version() == 1
+
+    sink(batch1, 1)  # a real new batch appends
+    counts3 = {e: lake.read_processed(e).count() for e in ("vitals", "claims", "ehr")}
+    assert sum(counts3.values()) > sum(counts1.values())
+    assert vit.latest_version() == 2
+
+
+def test_lakehouse_run_etl_txn_id_replay_converges(spark, cfg, tmp_path):
+    """Batch-mode twin of the snapshot sink: run_etl(txn_id=...) must
+    make an orchestrator retry of the same batch converge, and the
+    model DAG must build the curated fact from the snapshot-resolved
+    zones with no duplicate encounters."""
+    from healthcare_data_lakehouse_using_gcp_spark.lakehouse import HealthcareLakehouse
+
+    gen = HealthcareDataGenerator(seed=31)
+    msgs = gen.generate_messages(150)
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+
+    wh = str(tmp_path / "wh")
+    lake = HealthcareLakehouse(spark, wh, cfg)
+    c1 = lake.run_etl(raw_df=raw, txn_id="load-2024-06-01")
+    c2 = lake.run_etl(raw_df=raw, txn_id="load-2024-06-01")  # retry
+    assert c1 == c2  # run-scoped counts identical
+    for e in ("vitals", "claims", "ehr"):
+        assert lake.read_processed(e).count() == c1[e], e
+    # downstream models consume the snapshot zones transparently
+    frames = lake.run_models()
+    fact = frames["fact_patient_encounters"]
+    assert fact.count() == fact.dropDuplicates().count()
+
+
 def test_dedup_stream_across_microbatches(spark, cfg, tmp_path):
     """Streaming exact dedup: redelivered ids in LATER micro-batches
     are dropped (state persists across batches, bounded by the
