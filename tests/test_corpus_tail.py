@@ -73,17 +73,22 @@ def test_tail_entry_matches_its_oracle(spark, checker, oracle_con, name):
         spark, oracle_con, SF_DIR, name, qs[name], oracles.get(name)
     )
     if status == "rows_only":
-        # oracle-less tail entries: the minhash bench twin plus the
-        # approximate-ANN variants demoted in r6/r7 — every one has
-        # an embedded-ground-truth head twin AND its own recall floor
-        # still gated in test_entry.py
+        # oracle-less tail entries: every one is an explicit DETAIL or
+        # BENCH twin of an oracle-checked invariant entry (r8, VERDICT
+        # r7 items 1+7) — the *_invariants twins hash-check the same
+        # pipelines' deterministic facts, and the detail rows keep
+        # their recall/containment floors gated in test_entry.py
         assert name in {
-            "dedup_minhash_lsh",
-            "ann_lsh_topk",
-            "ann_ivf_pq_topk",
-            "ann_ivf_topk",
-            "text_bpe_train_apply",  # iterative; invariants in test_entry
-            "quality_classifier_trained",  # iterative ml fit; gated in test_entry
+            "dedup_minhash_lsh",  # bench twin of dedup_minhash_invariants
+            "dedup_minhash_checked",  # detail twin (head seat moved r8)
+            "dedup_incremental_index",  # detail twin of *_incremental_invariants
+            "ann_lsh_planted",  # detail twin of ann_lsh_planted_invariants
+            "ann_ivf_pq_rerank",  # detail twin of *_pq_rerank_invariants
+            "ann_lsh_topk",  # detail twin of ann_lsh_invariants
+            "ann_ivf_topk",  # detail twin of ann_ivf_invariants
+            "ann_ivf_pq_topk",  # detail twin of ann_ivf_pq_invariants
+            "text_bpe_train_apply",  # detail twin of text_bpe_invariants
+            "quality_classifier_trained",  # detail twin of classifier_trained_invariants
         }, name
         assert detail >= 0
         return
