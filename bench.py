@@ -102,6 +102,10 @@ HEADLINE = [
     # stay the cross-round unit
     "tfidf_terms",
     "cdc_snapshot_diff",
+    # round-8 (VERDICT r7 item 8): the sketch family gets a bench row —
+    # count-min build (explode ×depth + cell hash-agg) + broadcast
+    # probe join; headline sum covers 21 queries from r8 on
+    "cms_frequency",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -224,8 +228,12 @@ def main() -> None:
                 check=True,
                 capture_output=True,
             )
-        reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
-        max_reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_MAX_REPS", "4"))
+        # r8 (VERDICT r7 item 8): floor raised 2→3 and cap 4→5 so the
+        # token-explode heavies' still-declining codegen curves don't
+        # masquerade as round-over-round regressions (the r7 cluster
+        # adjudicated as rep-spread noise at reps=2)
+        reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "3"))
+        max_reps1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_MAX_REPS", "5"))
         sf1_timings: dict[str, float] = {}
         sf1_runs: dict[str, list[float]] = {}
         for name in SF1_SUBSET:

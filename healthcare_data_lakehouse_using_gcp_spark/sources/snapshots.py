@@ -268,6 +268,36 @@ class SnapshotTable:
 
         return self._publish(mk)
 
+    def compact(
+        self, target_file_bytes: int = 128 * 1024 * 1024, txn_id: str | None = None
+    ) -> int:
+        """Rewrite the CURRENT snapshot's rows into fewer, larger
+        immutable files and publish the result as a new ``compact``
+        snapshot — the small-file maintenance op every append-heavy
+        zone needs (streaming micro-batches write one file group per
+        batch; a day of 30 s triggers is ~2880 tiny file groups whose
+        per-file open/footer cost dominates scans at 100 TB).
+
+        Same transactional rules as any commit: the rewrite lands as
+        invisible data files first, the manifest publishes atomically,
+        concurrent readers of ANY version are unaffected, and a
+        concurrent append simply wins or loses the version race and
+        retries — nothing is mutated in place. The compacted-away
+        files stay on disk for time travel until ``vacuum`` expires
+        them. Returns the new version."""
+        v = self.latest_version()
+        if v == 0:
+            raise ValueError(f"empty table: nothing to compact at {self.root}")
+        m = self._load(v)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in m["files"]
+        )
+        n_files = max(1, round(n_bytes / float(target_file_bytes)))
+        if len(m["files"]) <= n_files:
+            return v  # already at or below the target layout: no-op
+        df = self.read(version=v).repartition(n_files)
+        return self._commit(df, "compact", txn_id)
+
     # ---------------------------------------------------------- read
 
     def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:

@@ -125,6 +125,39 @@ def test_vacuum_min_age_protects_inflight(spark, table):
     assert removed and all(r.startswith("data/inflight11") for r in removed)
 
 
+def test_compact_rewrites_small_files_transactionally(spark, table):
+    """compact() folds an append-heavy zone's many small file groups
+    into one new snapshot: same rows, fewer files, prior versions
+    still time-travelable, and the small files reclaimable by vacuum
+    afterwards."""
+    for i in range(4):
+        table.commit_append(_mk(spark, [(i, f"r{i}")]))
+    v4 = table.latest_version()
+    files_before = len(table._load(v4)["files"])
+    assert files_before >= 4
+    rows_before = _rows(table.read())
+
+    v5 = table.compact(target_file_bytes=1 << 30)  # everything into one file
+    assert v5 == v4 + 1
+    m = table._load(v5)
+    assert m["operation"] == "compact"
+    assert len(m["files"]) < files_before
+    assert _rows(table.read()) == rows_before
+    assert _rows(table.read(version=v4)) == rows_before  # time travel intact
+
+    # idempotent under txn replay, and a no-op when already compact
+    assert table.compact(target_file_bytes=1 << 30) == v5
+    # vacuum reclaims the compacted-away small files
+    deleted = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert len(deleted) >= files_before
+    assert _rows(table.read()) == rows_before
+
+
+def test_compact_empty_table_raises(spark, table):
+    with pytest.raises(ValueError, match="nothing to compact"):
+        table.compact()
+
+
 def test_vacuum_default_is_grace_window(spark, table):
     """ADVICE r7: the DEFAULT vacuum must not delete freshly-written
     unreferenced files — a concurrent commit's data lands before its
