@@ -38,6 +38,24 @@ j1 sf1 3.7 s -> 1.3 s isolated, and the sf1/sf0.1 ratio drops from
 ~3.2 to ~1.0. Verified at sf3 (x30): every heavy's x3-vs-sf1 ratio is
 1.4-3.1 — at or below linear; no super-linear curve remains.
 
+Protocol note (r8, closing the r7 "sf1 token-explode cluster" watch
+item — dedup_spans +29% / j1_band_join_bucketed +22% /
+text_heavy_hitters & tfidf_terms +16% / dedup_minhash_lsh +14% vs
+r6): isolated 7-rep fresh-process runs per query found NO code
+regression. Two confounds explained the whole cluster: (a) the r7
+driver's sf1 numbers ran at reps=2 on curves still declining at rep
+3-4 (this session's rep-1 walls were 4.5-9.7 s converging to 2.0-5.2
+by rep 4), and (b) absolute walls track machine state — the CONTROL
+queries (plain j1 1.11 s vs r7's 0.918; dedup_exact 0.44 vs 0.304)
+were inflated 20-45% in the same session with identical code, so
+cross-round deltas must be read against a same-session control.
+Ratio-normalized (bucketed-j1 / plain-j1: 4.55 this session vs r7's
+5.23), every cluster query is at or below its r7 level. The
+check_unique_left guard was also measured and acquitted (min 5.051 s
+with vs 4.999 s without at sf1 — noise). Fixes: sf1 rep floor raised
+2→3 (cap 4→5), and j1_band_join stays in the sf1 basket as the
+permanent same-session control.
+
 Protocol note (r6, closing the r5 "a2_wide_agg +52% / lm_perplexity
 +86%" watch items): isolated 7-rep steady state (quiet machine) —
 a2_wide_agg 0.25-0.28 s, BELOW both recorded rounds (r4 0.42 / r5

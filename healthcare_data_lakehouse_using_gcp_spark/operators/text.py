@@ -159,6 +159,25 @@ def deterministic_sample(
     return df.filter(_hash_bucket(id_col) < cut)
 
 
+def sample_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic bounded sample: at most ``n`` rows per group —
+    the distributed reservoir for per-source eval/inspection samples
+    (the rate-based samplers above bound a FRACTION; audits and eval
+    sets need a fixed COUNT regardless of group size). Uniform case
+    of weighted_sample_per_group (all weights 1 — the A-Res key
+    u^(1/1) reduces to the md5-uniform itself), sharing its balanced
+    two-phase top-k plan."""
+    return weighted_sample_per_group(
+        df.withColumn("__w1", F.lit(1.0)), k=n,
+        weight_col="__w1", group_col=group_col, id_col=id_col,
+    ).drop("__w1")
+
+
 def stratified_sample(
     df: DataFrame, rates: dict[str, float], strata_col: str = "source",
     id_col: str = "doc_id", default_rate: float = 0.0,
@@ -937,11 +956,18 @@ def weighted_sample_per_group(
     engine, run, and partitioning, so mixes are byte-reproducible.
 
     Scale design (100 TB): the key is a narrow per-row expression
-    inside the scan; selection is one per-group window (top-k per
-    group sorts only each group's rows). For global (ungrouped) top-k
-    pass a constant group column — the plan becomes
-    TakeOrderedAndProject. Weights must be > 0; rows with NULL or
-    non-positive weight are dropped (logged intent: unweightable).
+    inside the scan. Selection is a balanced TWO-PHASE top-k (r8 —
+    the brute_force_topk reduction): a single per-group window would
+    ship EVERY row of a group to one reducer — a monster task for any
+    popular source — so rows first rank per (group, input partition)
+    under the SAME total order and keep k, provably containing the
+    global per-group top-k; the global rank then sees at most
+    |partitions| × k rows per group. Output rows are identical to the
+    single-window plan (the driver-seated sample_weighted entry
+    hash-checks this against DuckDB's single-window oracle). For
+    global (ungrouped) top-k pass a constant group column. Weights
+    must be > 0; rows with NULL or non-positive weight are dropped
+    (logged intent: unweightable).
     """
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
@@ -949,13 +975,17 @@ def weighted_sample_per_group(
         + F.lit(1.0)
     ) / F.lit(4294967296.0)
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("__ares_key").desc(), F.col(id_col).asc()
+    order = [F.col("__ares_key").desc(), F.col(id_col).asc()]
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("__ares_key", key)
+    w_local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        keyed.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
     )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("__ares_key", key)
-        .withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__ares_key", "__rn")
     )

@@ -1424,6 +1424,26 @@ def test_weighted_sample_deterministic_and_bounded(spark):
     assert len(a) == 15 and 999 not in a and 998 not in a
 
 
+def test_sample_per_group_uniform_reservoir(spark):
+    """r8: fixed-COUNT per-group sampling (the distributed reservoir)
+    — exactly n rows per group when the group is big enough, all rows
+    when smaller, identical ids under any partitioning (two-phase
+    balanced top-k shares weighted_sample_per_group's plan)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        sample_per_group,
+    )
+
+    rows = [(i, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_per_group(df, 7)
+    assert out.columns == ["doc_id", "source"]
+    assert all(r["count"] == 7 for r in out.groupBy("source").count().collect())
+    out2 = sample_per_group(df.repartition(17), 7)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert sample_per_group(small, 7).count() == 2
+
+
 def test_source_divergence_flags_templated_source(spark):
     import math
 
