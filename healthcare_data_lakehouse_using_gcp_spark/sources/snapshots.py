@@ -194,7 +194,13 @@ class SnapshotTable:
                 os.unlink(tmp)
         raise RuntimeError("snapshot commit failed: 50 consecutive conflicts")
 
-    def _commit(self, df: DataFrame, operation: str, txn_id: str | None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        txn_id: str | None,
+        merge_schema: bool = False,
+    ) -> int:
         if txn_id is not None:
             seen = self._txn_version(txn_id)
             if seen is not None:
@@ -215,10 +221,31 @@ class SnapshotTable:
                         raise TxnAlreadyCommitted(seen_now)
                 if operation == "append":
                     if pm["schema_key"] != schema_key and pm["files"]:
-                        raise ValueError(
-                            "append schema mismatch: table has "
-                            f"{pm['schema_key']}, batch has {schema_key}"
-                        )
+                        if not merge_schema:
+                            raise ValueError(
+                                "append schema mismatch: table has "
+                                f"{pm['schema_key']}, batch has {schema_key} "
+                                "(pass merge_schema=True for additive "
+                                "column evolution)"
+                            )
+                        # additive evolution (Iceberg add-column): the
+                        # batch schema must contain EVERY existing
+                        # field at its existing type; old data files
+                        # read NULL for the added columns (parquet is
+                        # schema-on-read). Drops/retypes stay errors —
+                        # they would corrupt, not evolve.
+                        old = dict(map(tuple, pm["schema_key"]))
+                        new = dict(map(tuple, schema_key))
+                        bad = [
+                            (name, typ, new.get(name))
+                            for name, typ in old.items()
+                            if new.get(name) != typ
+                        ]
+                        if bad:
+                            raise ValueError(
+                                "merge_schema only ADDS columns; batch "
+                                f"drops or retypes existing fields: {bad}"
+                            )
                     base_files = pm["files"]
             return {
                 "version": n,
@@ -237,10 +264,17 @@ class SnapshotTable:
         except TxnAlreadyCommitted as dup:
             return dup.version
 
-    def commit_append(self, df: DataFrame, txn_id: str | None = None) -> int:
+    def commit_append(
+        self, df: DataFrame, txn_id: str | None = None, merge_schema: bool = False
+    ) -> int:
         """Append df as a new snapshot; returns the new version.
-        Idempotent under ``txn_id`` replay (see module docstring)."""
-        return self._commit(df, "append", txn_id)
+        Idempotent under ``txn_id`` replay (see module docstring).
+        ``merge_schema=True`` permits ADDITIVE schema evolution: the
+        batch may introduce new columns (old rows read as NULL there
+        from that version on; time travel to older versions keeps the
+        old schema), but dropping or retyping existing columns stays
+        an error."""
+        return self._commit(df, "append", txn_id, merge_schema=merge_schema)
 
     def commit_overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Replace the table's contents with df as a new snapshot;

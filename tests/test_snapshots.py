@@ -125,6 +125,31 @@ def test_vacuum_min_age_protects_inflight(spark, table):
     assert removed and all(r.startswith("data/inflight11") for r in removed)
 
 
+def test_merge_schema_appends_additive_column(spark, table):
+    """Additive schema evolution: a batch may ADD columns
+    (merge_schema=True) — old rows read NULL for them from the new
+    version on, time travel keeps the old schema, and drops/retypes
+    stay errors."""
+    table.commit_append(_mk(spark, [(1, "a")]))
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit_append(wide)
+    v2 = table.commit_append(wide, merge_schema=True)
+    got = {r["id"]: (r["v"], r["score"]) for r in table.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel: v1 still reads with the ORIGINAL two-column schema
+    assert table.read(version=v2 - 1).columns == ["id", "v"]
+    # drops/retypes rejected even under merge_schema
+    dropped = spark.createDataFrame([(3,)], "id bigint")
+    with pytest.raises(ValueError, match="drops or retypes"):
+        table.commit_append(dropped, merge_schema=True)
+    retyped = spark.createDataFrame([(4, 5)], "id bigint, v int")
+    with pytest.raises(ValueError, match="drops or retypes"):
+        table.commit_append(retyped, merge_schema=True)
+
+
 def test_compact_rewrites_small_files_transactionally(spark, table):
     """compact() folds an append-heavy zone's many small file groups
     into one new snapshot: same rows, fewer files, prior versions
