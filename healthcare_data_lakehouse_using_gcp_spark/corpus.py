@@ -591,6 +591,10 @@ _TAIL = (
     "ann_ivf_pq_invariants",
     "text_bpe_invariants",
     "classifier_trained_invariants",
+    # r8 late-born (tail until an r9 seat frees; oracle-swept every
+    # pytest run): seeded-Laplace DP count release — the noise itself
+    # is hash-checked cross-engine
+    "privacy_dp_counts",
 )
 
 
@@ -5691,6 +5695,40 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         12,
     )
+
+
+@query(
+    "privacy_dp_counts",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ), keyed AS (
+      SELECT o_orderpriority, n,
+             (('0x' || substr(md5(concat_ws('§', '7', o_orderpriority)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0 AS u
+      FROM agg
+    )
+    SELECT o_orderpriority,
+           GREATEST(
+             CAST(round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+                  AS BIGINT),
+             0) AS noisy_count
+    FROM keyed
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): ε-differentially-private count
+    release (operators/privacy.dp_noisy_counts) — Laplace(1/ε) noise
+    on per-priority order counts, ε=0.5, seeded so the release is
+    reproducible (re-running publishes the SAME numbers instead of
+    spending fresh ε budget). The md5-seeded inverse-CDF draw is
+    engine-reproducible, so the oracle rebuilds the identical noise
+    and the driver hash-checks the mechanism end to end."""
+    from .operators.privacy import dp_noisy_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_noisy_counts(o, ["o_orderpriority"], epsilon=0.5, seed=7)
 
 
 @query(

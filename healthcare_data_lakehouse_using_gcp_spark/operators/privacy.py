@@ -119,6 +119,63 @@ def generalize_columns(
     return out
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: int = 0,
+    count_name: str = "noisy_count",
+) -> DataFrame:
+    """ε-differentially-private group counts — the release mechanism
+    for publishing aggregate statistics (cohort sizes, per-diagnosis
+    tallies) when even exact COUNTs leak membership: Laplace noise
+    with scale 1/ε added to every group's count (sensitivity of a
+    count under add/remove-one is 1, so scale b = 1/ε gives ε-DP).
+
+    Noise is drawn by inverse-CDF from an md5-derived uniform keyed
+    on (seed, group values): u ∈ (0,1) → b·sign(u−½)·ln(1−2|u−½|).
+    Seeding makes a release REPRODUCIBLE — re-running the job
+    publishes the same numbers instead of leaking a fresh sample of
+    the noise each run (repeated fresh draws of the same statistic
+    compose their ε budgets; a fixed-seed re-release does not). For a
+    new release under a new budget, change ``seed``. The md5 path
+    also makes the mechanism engine-reproducible (DuckDB rebuilds the
+    identical noise), which is how the corpus entry hash-checks it.
+
+    Noisy counts are clamped at 0; the TRUE count is deliberately not
+    emitted alongside — callers wanting utility metrics should join
+    back to the exact aggregate under their own access controls.
+
+    Scale: one hash aggregation (map-side partials) + narrow noise
+    projection; output is |groups|-sized."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    b = 1.0 / float(epsilon)
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__true_n")
+    )
+    # u in (0,1): (first-8-hex-of-md5 + 0.5) / 2^32 — never exactly
+    # 0, 1/2, or 1, so the inverse CDF below is finite
+    key = F.concat_ws(
+        "§", F.lit(str(seed)), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return agg.select(
+        *group_cols,
+        F.greatest(
+            F.round(F.col("__true_n") + noise).cast("bigint"), F.lit(0)
+        ).alias(count_name),
+    )
+
+
 def suppress_rare_groups(
     df: DataFrame, quasi_cols: Sequence[str], k: int
 ) -> DataFrame:

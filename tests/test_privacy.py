@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+    dp_noisy_counts,
     generalize_columns,
     k_anonymity_audit,
     l_diversity_audit,
@@ -91,3 +92,42 @@ def test_privacy_pipeline_generalize_raises_k(spark):
     gen = generalize_columns(df, {"zip": ("prefix", 3), "age": ("band", 10)})
     after = k_anonymity_audit(gen, ["zip", "age"], 4).count()
     assert before > 0 and after == 0
+
+
+def test_dp_noisy_counts_reproducible_and_clamped(spark):
+    """Seeded Laplace release: identical numbers across runs and
+    partitionings (fixed-seed re-release spends no fresh budget),
+    never-negative counts, and a different seed gives a different
+    release."""
+    rows = [(i, f"g{i % 3}") for i in range(60)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    a = {r["grp"]: r["noisy_count"] for r in dp_noisy_counts(df, ["grp"], 0.5, seed=1).collect()}
+    b = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_noisy_counts(df.repartition(13), ["grp"], 0.5, seed=1).collect()
+    }
+    assert a == b
+    assert all(v >= 0 for v in a.values())
+    c = {r["grp"]: r["noisy_count"] for r in dp_noisy_counts(df, ["grp"], 0.5, seed=2).collect()}
+    assert a != c  # a new seed is a new draw
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["grp"], 0.0)
+
+
+def test_dp_noisy_counts_error_scales_with_epsilon(spark):
+    """Utility law: mean absolute noise ~ 1/epsilon. With many groups
+    the empirical mean |noisy - true| at eps=0.1 (b=10) must exceed
+    the one at eps=10 (b=0.1), and the tight regime should stay close
+    to the true counts."""
+    rows = [(i * 1000 + j, f"g{i:03d}") for i in range(200) for j in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    true_n = 50
+
+    def mean_abs_err(eps):
+        out = dp_noisy_counts(df, ["grp"], eps, seed=3).collect()
+        return sum(abs(r["noisy_count"] - true_n) for r in out) / len(out)
+
+    loose, tight = mean_abs_err(0.1), mean_abs_err(10.0)
+    assert loose > tight
+    assert tight <= 1.0  # b=0.1: rounding keeps most groups exact
+    assert 3.0 <= loose <= 40.0  # b=10: E|noise| = 10
