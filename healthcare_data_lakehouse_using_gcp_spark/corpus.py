@@ -595,6 +595,7 @@ _TAIL = (
     # pytest run): seeded-Laplace DP count release — the noise itself
     # is hash-checked cross-engine
     "privacy_dp_counts",
+    "privacy_dp_sums",
 )
 
 
@@ -5729,6 +5730,41 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return dp_noisy_counts(o, ["o_orderpriority"], epsilon=0.5, seed=7)
+
+
+@query(
+    "privacy_dp_sums",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority,
+             SUM(LEAST(GREATEST(o_totalprice::DOUBLE, 0), 1000.0)) AS s
+      FROM orders GROUP BY o_orderpriority
+    ), keyed AS (
+      SELECT o_orderpriority, s,
+             (('0x' || substr(md5(concat_ws('§', '7', 'sum', o_orderpriority)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0 AS u
+      FROM agg
+    )
+    SELECT o_orderpriority,
+           GREATEST(
+             FLOOR((s + (-1000.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+                   * 100 + 0.5) / 100,
+             0) AS noisy_sum
+    FROM keyed
+    """,
+)
+def privacy_dp_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): ε-DP SUM release with bounded
+    contribution (operators/privacy.dp_noisy_sums) — per-row clip to
+    [0, 1000] caps sensitivity, Laplace(clip/ε) noise at ε=1, seeded
+    and engine-reproducible like privacy_dp_counts so the driver
+    hash-checks clip + noise end to end."""
+    from .operators.privacy import dp_noisy_sums
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_noisy_sums(
+        o, ["o_orderpriority"], "o_totalprice", clip=1000.0, epsilon=1.0, seed=7
+    )
 
 
 @query(

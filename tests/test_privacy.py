@@ -131,3 +131,26 @@ def test_dp_noisy_counts_error_scales_with_epsilon(spark):
     assert loose > tight
     assert tight <= 1.0  # b=0.1: rounding keeps most groups exact
     assert 3.0 <= loose <= 40.0  # b=10: E|noise| = 10
+
+
+def test_dp_noisy_sums_clip_bounds_sensitivity(spark):
+    """Clipped DP sums: values clip to [0, C] before aggregation (one
+    row moves the release by at most C), the release is reproducible
+    under the seed, and noise is independent of the counts release
+    (different statistic key)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+        dp_noisy_sums,
+    )
+
+    rows = [(i, "g0", 10.0) for i in range(50)] + [(99, "g0", 1e9), (98, "g0", -5.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = dp_noisy_sums(df, ["grp"], "v", clip=100.0, epsilon=10.0, seed=1).collect()
+    # true clipped sum = 50*10 + 100 (outlier clipped) + 0 (negative) = 600;
+    # at eps=10, b=10 the noise is small
+    assert abs(out[0]["noisy_sum"] - 600.0) < 100.0
+    rerun = dp_noisy_sums(
+        df.repartition(7), ["grp"], "v", clip=100.0, epsilon=10.0, seed=1
+    ).collect()
+    assert rerun[0]["noisy_sum"] == out[0]["noisy_sum"]
+    with pytest.raises(ValueError, match="clip"):
+        dp_noisy_sums(df, ["grp"], "v", clip=0.0)
