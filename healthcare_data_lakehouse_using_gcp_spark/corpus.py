@@ -596,6 +596,7 @@ _TAIL = (
     # is hash-checked cross-engine
     "privacy_dp_counts",
     "privacy_dp_sums",
+    "export_shuffled",
 )
 
 
@@ -3717,6 +3718,31 @@ def export_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_contiguous_ids(
         li, "example_id", order_by=["l_orderkey", "l_linenumber"]
     )
+
+
+@query(
+    "export_shuffled",
+    """
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5(concat_ws('§', '11', CAST(doc_id AS VARCHAR))),
+                           doc_id) - 1 AS BIGINT) AS example_id
+    FROM documents
+    """,
+)
+def export_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle
+    (operators/export.shuffle_for_training): contiguous example ids
+    following a reproducible md5(seed,id) permutation — the training
+    order every run/engine reproduces with the same seed, a fresh
+    permutation per epoch with a new one. The oracle's naive
+    global-window ROW_NUMBER proves the two-phase range-repartition +
+    prefix-sum plan equivalent to the single-reducer semantics it
+    refuses to execute."""
+    from .operators.export import shuffle_for_training
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_for_training(d, seed=11)
 
 
 def _layout_scratch_write(spark: SparkSession, sf_dir: str) -> str:

@@ -78,6 +78,33 @@ def assign_contiguous_ids(
     )
 
 
+def shuffle_for_training(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    id_name: str = "example_id",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training order: contiguous
+    example ids that follow md5(seed, id) — i.e. a reproducible
+    random permutation of the corpus. Every epoch/run/engine that
+    uses the same seed sees the identical order (orderBy(rand()) does
+    not survive re-runs or partition changes); a new seed is a fresh
+    permutation for the next epoch.
+
+    Plan: the shuffle key is a narrow scan-stage expression; ordering
+    + numbering ride assign_contiguous_ids' range-repartition +
+    per-partition prefix-sum (no single-reducer global sort). Compose
+    with write_training_shards(order_by=[key]) to land shuffled
+    shards directly."""
+    key = F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = assign_contiguous_ids(
+        df.withColumn("__shuffle_key", key),
+        id_name,
+        order_by=["__shuffle_key", id_col],
+    )
+    return out.drop("__shuffle_key")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -82,3 +82,25 @@ def test_shard_files_internally_sorted(spark, tmp_path):
         f = [x for x in glob.glob(os.path.join(d, "*.parquet")) if os.path.getsize(x)][0]
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks) and len(ks) > 0
+
+
+def test_shuffle_for_training_reproducible_permutation(spark):
+    """r8: deterministic global training shuffle — a reproducible
+    permutation (same seed = same order under any partitioning, new
+    seed = different order), ids still exactly 0..n-1."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.export import (
+        shuffle_for_training,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["example_id"] for r in shuffle_for_training(df, seed=1).collect()}
+    b = {
+        r["doc_id"]: r["example_id"]
+        for r in shuffle_for_training(df.repartition(13), seed=1).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(200))
+    c = {r["doc_id"]: r["example_id"] for r in shuffle_for_training(df, seed=2).collect()}
+    assert c != a and sorted(c.values()) == list(range(200))
+    # it actually shuffles: order differs from the identity order
+    assert [a[i] for i in range(200)] != list(range(200))
