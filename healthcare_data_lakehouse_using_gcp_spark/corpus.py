@@ -597,6 +597,7 @@ _TAIL = (
     "privacy_dp_counts",
     "privacy_dp_sums",
     "export_shuffled",
+    "kll_quantiles",
 )
 
 
@@ -5722,6 +5723,54 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         12,
     )
+
+
+@query(
+    "kll_quantiles",
+    """
+    SELECT 0.25 AS q, ROUND(quantile_cont(o_totalprice, 0.25), 4) AS exact_value,
+           true AS kll_rank_ok
+    FROM orders
+    UNION ALL
+    SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 4), true FROM orders
+    UNION ALL
+    SELECT 0.75, ROUND(quantile_cont(o_totalprice, 0.75), 4), true FROM orders
+    """,
+)
+def kll_quantiles_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketches.kll_quantiles —
+    the fourth classic sketch beside MG/HLL/CMS): per-partition KLL
+    summaries with deterministic even-index compaction, merged
+    driver-side from bounded (level, value) rows. The estimate itself
+    is partitioning-dependent, so the entry emits the sketch's
+    CONTRACT instead: per quantile, the exact value (DuckDB
+    recomputes it — Spark `percentile` ≡ quantile_cont) and a boolean
+    asserting the KLL estimate's true rank lands within ±2 rank-% of
+    the target — the O(log(n/k)/k) envelope that holds under ANY
+    partitioning."""
+    from .functions.scalars import round_det
+    from .operators.sketches import kll_quantiles
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [0.25, 0.5, 0.75]
+    ests = kll_quantiles(o, "o_totalprice", qs, k=200)
+    n = o.count()
+    rows = []
+    for q in qs:
+        true_rank = o.filter(F.col("o_totalprice") <= ests[q]).count()
+        rows.append((q, abs(true_rank / n - q) <= 0.02))
+    flags = spark.createDataFrame(rows, "q double, kll_rank_ok boolean")
+    exact = o.agg(
+        *[
+            round_det(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"__p{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    exact_df = spark.createDataFrame(
+        [(q, float(exact[f"__p{i}"])) for i, q in enumerate(qs)],
+        "q double, exact_value double",
+    )
+    return flags.join(exact_df, "q").select("q", "exact_value", "kll_rank_ok")
 
 
 @query(

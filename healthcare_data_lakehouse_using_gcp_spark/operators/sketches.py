@@ -390,3 +390,105 @@ def sketch_profile(
             (F.col("__pq") >= F.col("__p_lo")) & (F.col("__pq") <= F.col("__p_hi"))
         ).alias("pq_ok"),
     )
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def _kll_compact(levels: list[list[float]], k: int) -> None:
+    """Deterministic KLL compaction in place: whenever a level holds
+    more than ``k`` items, sort it and promote the EVEN-index items to
+    the next level (each promoted item's implicit weight doubles),
+    discarding the odd ones. The randomized original flips a coin for
+    even/odd; fixing it keeps the sketch reproducible for a given
+    input order at ~the same rank-error envelope (each compaction
+    shifts any rank by at most 2^level/2 · #compactions — the classic
+    O(log(n/k)/k) uniform-capacity bound)."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            levels[i].sort()
+            promoted = levels[i][0::2]
+            levels[i] = []
+            if i + 1 == len(levels):
+                levels.append([])
+            levels[i + 1].extend(promoted)
+        i += 1
+
+
+def kll_partition_sketches(
+    df: DataFrame, value_col: str, k: int = 200
+) -> DataFrame:
+    """Phase 1 of mergeable quantile sketching — the fourth classic
+    sketch beside Misra-Gries, HLL, and count-min: each task folds its
+    rows into a KLL summary (levels of ≤ k samples, level i weighing
+    2^i) and emits it as (level, value) rows — O(k·log(n_part/k))
+    rows per task regardless of partition size. NULLs are skipped.
+
+    Use kll_quantiles for the one-shot build→merge→query path, or
+    merge the emitted rows yourself (they are just weighted samples:
+    concatenate per level and re-compact — associative, so daily
+    sketches tree-merge into monthly ones without touching raw data).
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        levels: list[list[float]] = [[]]
+        for pdf in batches:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            # bulk insert per Arrow batch, then cascade-compact: fewer
+            # compactions than item-at-a-time (strictly less discarded
+            # weight), and the hot path stays vectorized
+            levels[0].extend(float(v) for v in vals.to_numpy())
+            _kll_compact(levels, k)
+        _kll_compact(levels, k)
+        out_lv, out_v = [], []
+        for lv, items in enumerate(levels):
+            out_lv.extend([lv] * len(items))
+            out_v.extend(items)
+        yield pd.DataFrame(
+            {"level": pd.Series(out_lv, dtype="int32"),
+             "value": pd.Series(out_v, dtype="float64")}
+        )
+
+    return df.select(value_col).mapInPandas(build, schema="level int, value double")
+
+
+def kll_quantiles(
+    df: DataFrame, value_col: str, qs: Sequence[float], k: int = 200
+) -> dict[float, float]:
+    """Mergeable quantile estimates: build per-partition KLL sketches
+    distributed (one corpus pass), collect the bounded sketch rows
+    (≤ partitions · k · log levels — driver-tiny), merge them with
+    the same deterministic compaction, and answer each quantile from
+    the weighted sample (smallest value whose cumulative weight
+    reaches q·W). Rank error is O(log(n/k)/k) — k=200 keeps the
+    estimate within ~1-2 rank-percent at any n that fits a cluster;
+    the corpus entry checks exactly that invariant against the true
+    rank."""
+    rows = kll_partition_sketches(df, value_col, k).collect()
+    levels: list[list[float]] = []
+    for r in rows:
+        lv = r["level"]
+        while len(levels) <= lv:
+            levels.append([])
+        levels[lv].append(r["value"])
+    _kll_compact(levels, k)
+    weighted = [
+        (v, 1 << lv) for lv, items in enumerate(levels) for v in items
+    ]
+    if not weighted:
+        return {float(q): None for q in qs}
+    weighted.sort()
+    total = sum(w for _, w in weighted)
+    out: dict[float, float] = {}
+    for q in qs:
+        target = q * total
+        acc = 0
+        est = weighted[-1][0]
+        for v, w in weighted:
+            acc += w
+            if acc >= target:
+                est = v
+                break
+        out[float(q)] = est
+    return out

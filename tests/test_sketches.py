@@ -222,3 +222,59 @@ def test_cms_absent_key_estimates_small_and_empty_cells_zero(spark, zipfish):
     empty = sketches.cms_build(zipfish.limit(0), "key", width=256, depth=4)
     est0 = sketches.cms_query(empty, ghosts, "key", width=256, depth=4).first()["est"]
     assert est0 == 0
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def test_kll_quantiles_within_rank_envelope(spark):
+    """KLL estimates land within the documented rank envelope on a
+    skewed distribution, under any partitioning, and an all-NULL /
+    empty input degrades to None."""
+    import math
+
+    rows = [(float(math.exp(i / 500.0)),) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "v double")
+    n = len(rows)
+    for reparted in (df, df.repartition(17)):
+        est = sketches.kll_quantiles(reparted, "v", [0.1, 0.5, 0.9], k=200)
+        for q, e in est.items():
+            true_rank = sum(1 for (x,) in rows if x <= e) / n
+            assert abs(true_rank - q) <= 0.02, (q, e, true_rank)
+    empty = sketches.kll_quantiles(df.limit(0), "v", [0.5], k=200)
+    assert empty[0.5] is None
+
+
+def test_kll_partition_sketches_are_mergeable_and_bounded(spark):
+    """The (level, value) rows are a mergeable summary: sketching two
+    halves and merging answers as accurately as sketching the whole,
+    and the per-task output stays O(k log n), never row-proportional."""
+    rows = [(float(i),) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "v double").repartition(8)
+    sk = sketches.kll_partition_sketches(df, "v", k=100)
+    n_rows = sk.count()
+    assert n_rows < 8 * 100 * 12  # tasks x k x levels, << 20k inputs
+    # tree-merge property: halves' sketch rows, merged by the same
+    # compaction, hit the same envelope
+    a = df.filter("v < 10000")
+    b = df.filter("v >= 10000")
+    merged_rows = sketches.kll_partition_sketches(a, "v", k=100).unionByName(
+        sketches.kll_partition_sketches(b, "v", k=100)
+    ).collect()
+    levels = []
+    for r in merged_rows:
+        while len(levels) <= r["level"]:
+            levels.append([])
+        levels[r["level"]].append(r["value"])
+    sketches._kll_compact(levels, 100)
+    weighted = sorted(
+        (v, 1 << lv) for lv, items in enumerate(levels) for v in items
+    )
+    total = sum(w for _, w in weighted)
+    acc, est = 0, weighted[-1][0]
+    for v, w in weighted:
+        acc += w
+        if acc >= 0.5 * total:
+            est = v
+            break
+    assert abs(est / 20_000 - 0.5) <= 0.05  # uniform: value ~ rank
