@@ -41,11 +41,21 @@ def partial_rollup(
     keys: Sequence[str],
     value_cols: Sequence[str],
     weight: int = 1,
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Aggregate a batch to its mergeable state: per key and value
     column c — __n (row count), c__sum, c__min, c__max, c__sumsq.
     ``weight=-1`` encodes a retraction batch (see module docstring
-    for what stays exact under deletion)."""
+    for what stays exact under deletion).
+
+    ``distinct_cols`` (r8) adds mergeable APPROXIMATE distinct counts:
+    exact COUNT(DISTINCT) has no bounded mergeable state (its state IS
+    the distinct set), so each listed column keeps a binary
+    HyperLogLog sketch (``d__hll``, Spark's native hll_sketch_agg) —
+    states union associatively (merge ≡ rebuild within the HLL
+    envelope), finalize estimates with ~2-5% relative error, and the
+    state stays O(1) per key. Like min/max, sketches are NOT
+    retractable (set union has no inverse)."""
     w = F.lit(weight)
     aggs = [F.sum(w).cast("bigint").alias("__n")]
     for c in value_cols:
@@ -56,6 +66,8 @@ def partial_rollup(
             F.max(col).alias(f"{c}__max"),
             F.sum(col * col * w).alias(f"{c}__sumsq"),
         ]
+    for d in distinct_cols:
+        aggs.append(F.hll_sketch_agg(F.col(d)).alias(f"{d}__hll"))
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
 
@@ -74,6 +86,8 @@ def merge_rollup_states(
             aggs.append(F.min(c).alias(c))
         elif c.endswith("__max"):
             aggs.append(F.max(c).alias(c))
+        elif c.endswith("__hll"):
+            aggs.append(F.hll_union_agg(c).alias(c))
         elif c == "__n":
             aggs.append(F.sum(c).cast("bigint").alias(c))
         else:
@@ -86,6 +100,7 @@ def finalize_rollup(
     keys: Sequence[str],
     value_cols: Sequence[str],
     round_digits: int | None = 4,
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Render a state table as the user-facing aggregate: per value
     column — n, sum, min, max, avg, var_pop (sum-of-squares form:
@@ -117,4 +132,10 @@ def finalize_rollup(
             _r(mean).alias(f"{c}_avg"),
             _r(var).alias(f"{c}_var"),
         ]
+    for d in distinct_cols:
+        out.append(
+            F.hll_sketch_estimate(F.col(f"{d}__hll"))
+            .cast("bigint")
+            .alias(f"{d}_approx_distinct")
+        )
     return state.filter(F.col("__n") > 0).select(*out)

@@ -4,6 +4,7 @@ The corpus entry incremental_rollup re-proves merge ≡ rebuild against
 the DuckDB oracle at driver scale on every tail sweep."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
     finalize_rollup,
@@ -95,3 +96,37 @@ def test_merge_rejects_mismatched_state_schemas(spark, sales):
     b = partial_rollup(sales.withColumnRenamed("v", "w"), ["k"], ["w"])
     with pytest.raises(AssertionError):
         merge_rollup_states(a, b, ["k"])
+
+
+def test_hll_distinct_state_merges_like_rebuild(spark):
+    """r8: mergeable approximate distinct counts — exact
+    COUNT(DISTINCT) has no bounded state, so distinct_cols keeps an
+    HLL sketch per key that unions associatively. Merged halves must
+    estimate within the HLL envelope of the from-scratch rebuild, and
+    overlapping deltas must NOT double-count (the failure mode of
+    summing per-batch distincts)."""
+    rows = [(f"k{i % 2}", f"u{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, u string")
+    a = df.filter("u < 'u2'")   # users overlap across the halves
+    b = df.filter("u >= 'u2'")
+    merged = merge_rollup_states(
+        partial_rollup(a, ["k"], [], distinct_cols=["u"]),
+        partial_rollup(b, ["k"], [], distinct_cols=["u"]),
+        ["k"],
+    )
+    got = {
+        r["k"]: r["u_approx_distinct"]
+        for r in finalize_rollup(merged, ["k"], [], distinct_cols=["u"]).collect()
+    }
+    rebuilt = {
+        r["k"]: r["u_approx_distinct"]
+        for r in finalize_rollup(
+            partial_rollup(df, ["k"], [], distinct_cols=["u"]), ["k"], [],
+            distinct_cols=["u"],
+        ).collect()
+    }
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.countDistinct("u").alias("n")).collect()}
+    for k in true:
+        assert abs(got[k] - true[k]) <= max(2, 0.05 * true[k]), (k, got[k], true[k])
+        assert abs(got[k] - rebuilt[k]) <= max(2, 0.05 * true[k])
