@@ -119,6 +119,48 @@ def make_etl_sink(
     return _sink
 
 
+def make_rollup_sink(
+    state_root: str,
+    keys: list[str],
+    value_cols: list[str],
+    distinct_cols: list[str] = (),
+):
+    """foreachBatch sink maintaining an INCREMENTAL ROLLUP STATE
+    TABLE with exactly-once semantics — the streaming face of
+    operators/incremental: per micro-batch, fold
+    partial_rollup(batch) into the current state
+    (merge_rollup_states) and publish the merged state as a snapshot
+    commit whose ``txn_id`` is the batch id. A replayed batch
+    (foreachBatch's at-least-once recovery contract) finds its token
+    already committed and no-ops, so the state NEVER double-counts a
+    delta; finalize_rollup over the state at any time equals the
+    from-scratch aggregate of everything delivered so far.
+
+    Composition of three engine pieces: mergeable aggregation algebra
+    (incremental), atomic versioned publish + idempotence
+    (sources/snapshots), and foreachBatch (this module). Single
+    streaming writer assumed (Structured Streaming guarantees one
+    foreachBatch at a time per query). The state is |keys|-sized and
+    rewritten per batch — at very large key spaces, shard the state
+    by key range and merge only the shards a batch touches."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import merge_rollup_states, partial_rollup
+        from ..sources.snapshots import SnapshotTable
+
+        st = SnapshotTable(batch_df.sparkSession, state_root)
+        delta = partial_rollup(
+            batch_df, keys, value_cols, distinct_cols=distinct_cols
+        )
+        if st.latest_version() > 0:
+            new_state = merge_rollup_states(st.read(), delta, keys)
+        else:
+            new_state = delta
+        st.commit_overwrite(new_state, txn_id=f"rollup-batch-{batch_id}")
+
+    return _sink
+
+
 def start_etl_stream(
     spark: SparkSession,
     input_path: str,

@@ -6,6 +6,9 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
+from pyspark.sql import functions as F
+
 from healthcare_data_lakehouse_using_gcp_spark.operators.etl import build_etl, parse_envelope
 from healthcare_data_lakehouse_using_gcp_spark.sources.generator import HealthcareDataGenerator
 from healthcare_data_lakehouse_using_gcp_spark.sources.readers import read_json_stream
@@ -250,6 +253,58 @@ def test_lakehouse_run_etl_txn_id_replay_converges(spark, cfg, tmp_path):
     frames = lake.run_models()
     fact = frames["fact_patient_encounters"]
     assert fact.count() == fact.dropDuplicates().count()
+
+
+def test_rollup_sink_state_converges_under_replay(spark, tmp_path):
+    """make_rollup_sink: the streaming incremental-rollup state must
+    equal the from-scratch aggregate after N batches, stay unchanged
+    when any batch replays (exactly-once via the snapshot txn token),
+    and keep the approximate-distinct sketch un-double-counted."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        finalize_rollup,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        make_rollup_sink,
+    )
+
+    all_rows = [(f"k{i % 2}", float(i), f"u{i % 25}") for i in range(300)]
+    df = spark.createDataFrame(all_rows, "k string, v double, u string")
+    batches = [df.filter(f"v >= {i * 100} and v < {(i + 1) * 100}") for i in range(3)]
+
+    root = str(tmp_path / "rollup_state")
+    sink = make_rollup_sink(root, ["k"], ["v"], distinct_cols=["u"])
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)  # kill-and-replay of batch 1
+    sink(batches[2], 2)
+    sink(batches[0], 0)  # very late redelivery of an old batch
+
+    st = SnapshotTable(spark, root)
+    assert st.latest_version() == 3  # three real commits, two no-ops
+    got = {
+        r["k"]: (r["n"], r["v_sum"], r["u_approx_distinct"])
+        for r in finalize_rollup(
+            st.read(), ["k"], ["v"], distinct_cols=["u"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["d"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("s"),
+            F.countDistinct("u").alias("d"),
+        )
+        .collect()
+    }
+    for k in want:
+        n, s, d = want[k]
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(s)
+        assert abs(got[k][2] - d) <= max(2, 0.05 * d)
 
 
 def test_dedup_stream_across_microbatches(spark, cfg, tmp_path):
