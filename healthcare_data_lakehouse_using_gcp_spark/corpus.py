@@ -598,6 +598,7 @@ _TAIL = (
     "privacy_dp_sums",
     "export_shuffled",
     "kll_quantiles",
+    "j9_join_cardinality",
 )
 
 
@@ -5723,6 +5724,39 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         12,
     )
+
+
+@query(
+    "j9_join_cardinality",
+    """
+    SELECT c_custkey, n_left, n_right, pairs
+    FROM (
+      SELECT l.c_custkey, l.n_left, r.n_right,
+             CAST(l.n_left * r.n_right AS BIGINT) AS pairs,
+             ROW_NUMBER() OVER (ORDER BY l.n_left * r.n_right DESC,
+                                         l.c_custkey ASC) AS rn
+      FROM (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_left
+            FROM customer GROUP BY c_custkey) l
+      JOIN (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_right
+            FROM orders GROUP BY o_custkey) r USING (c_custkey)
+    ) t WHERE rn <= 20
+    """,
+)
+def j9_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference join tooling: pre-flight cardinality profile
+    (operators/joins.join_cardinality) — the exact per-key output
+    size (m_left × m_right) of customer⋈orders WITHOUT running the
+    join; top-20 contributors, deterministically ranked. Two
+    map-side-combined count aggs + a count-table join — shuffles
+    |distinct keys| rows, never the data. guard_join_explosion builds
+    its circuit breaker on the same profile."""
+    from .operators.joins import join_cardinality
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return join_cardinality(c, o, ["c_custkey"], top_n=20)
 
 
 @query(

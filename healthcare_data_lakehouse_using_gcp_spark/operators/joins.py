@@ -319,6 +319,82 @@ def salted_join(
     return l_s.join(r_s, [*on, "__salt"], how).drop("__salt")
 
 
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-flight cardinality profile of an equi-join WITHOUT running
+    it: per-key multiplicities of both sides joined into a
+    |shared keys|-sized frame with the exact per-key output size
+    (m_left × m_right) — the number every join-explosion postmortem
+    wishes it had looked at first. Output: on-keys + n_left, n_right,
+    pairs — the ``top_n`` largest contributors by pairs (rank
+    tie-broken on the keys for determinism).
+
+    Cost: one map-side-combined count per side + a join of the two
+    count tables — shuffles |distinct keys| rows, never the data.
+    At 100 TB this is the cheap query you run BEFORE the 6-hour join,
+    not after it dies."""
+    lc = left.groupBy(*[F.col(k) for k in on]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(*[F.col(k) for k in on]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    prof = lc.join(rc, list(on)).withColumn(
+        "pairs", (F.col("n_left") * F.col("n_right")).cast("bigint")
+    )
+    return prof.orderBy(
+        F.col("pairs").desc(), *[F.col(k).asc() for k in on]
+    ).limit(top_n)
+
+
+def guard_join_explosion(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    max_rows: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Fail-loud equi-join: estimate the inner-match row count from
+    the per-key multiplicity profile (exact: Σ m_l·m_r over shared
+    keys — two count aggs + a count-table join, no data-sized work)
+    and raise BEFORE executing if it exceeds ``max_rows``, naming the
+    worst key. The runaway-join circuit breaker: a duplicate-ridden
+    dimension or an unexpected hot key turns a linear join into a
+    quadratic one, and at scale the cheap pre-check beats discovering
+    it six hours in. On success returns the ordinary join (Catalyst
+    plans it as if the guard never existed)."""
+    lc = left.groupBy(*[F.col(k) for k in on]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nl")
+    )
+    rc = right.groupBy(*[F.col(k) for k in on]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nr")
+    )
+    prof = lc.join(rc, list(on)).select(
+        *on, (F.col("__nl") * F.col("__nr")).cast("bigint").alias("__pairs")
+    )
+    stats = prof.agg(
+        F.sum("__pairs").alias("total"),
+        F.max(F.struct(F.col("__pairs").alias("p"), *[F.col(k) for k in on])).alias(
+            "worst"
+        ),
+    ).first()
+    total = int(stats["total"] or 0)
+    if total > max_rows:
+        worst = stats["worst"].asDict()
+        worst_key = {k: worst[k] for k in on}
+        raise ValueError(
+            f"join on {list(on)} would produce {total} matched rows "
+            f"> max_rows={max_rows}; worst key {worst_key} alone contributes "
+            f"{worst['p']} pairs. Deduplicate the offending side, add a more "
+            "selective key, or raise max_rows if the explosion is intended."
+        )
+    return left.join(right, list(on), how)
+
+
 def asof_select_min_by(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from healthcare_data_lakehouse_using_gcp_spark.operators import joins
 
 
@@ -568,3 +570,31 @@ def test_asof_backward_plan_is_single_window_no_join(spark):
     )
     assert "Join" not in plan  # union + window, never a join operator
     assert plan.count("Window") == 1
+
+
+def test_join_cardinality_profile_and_explosion_guard(spark):
+    """r8: the pre-flight cardinality profile reports exact per-key
+    pair counts, and guard_join_explosion raises BEFORE executing an
+    exploding join — naming the worst key — while passing benign ones
+    through unchanged."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.joins import (
+        guard_join_explosion,
+        join_cardinality,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 0), ("only_left", 0)],
+        "k string, lv int",
+    )
+    right = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 1), ("only_right", 1)],
+        "k string, rv int",
+    )
+    prof = {r["k"]: (r["n_left"], r["n_right"], r["pairs"])
+            for r in join_cardinality(left, right, ["k"]).collect()}
+    assert prof == {"hot": (100, 50, 5000), "cold": (1, 1, 1)}  # shared keys only
+
+    with pytest.raises(ValueError, match="hot"):
+        guard_join_explosion(left, right, ["k"], max_rows=1000)
+    ok = guard_join_explosion(left, right, ["k"], max_rows=10_000)
+    assert ok.count() == 5001  # guard passed; result is the plain join
