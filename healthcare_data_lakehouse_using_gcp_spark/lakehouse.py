@@ -55,17 +55,23 @@ class HealthcareLakehouse:
     def zone_path(self, zone: str, table: str = "") -> str:
         return os.path.join(self.warehouse, zone, table)
 
-    def read_processed(self, entity: str) -> DataFrame:
+    def read_processed(
+        self, entity: str, prune: tuple[str, str, object] | None = None
+    ) -> DataFrame:
         """Resolve a processed-zone entity table. Zones written in
         snapshot mode (run_etl(txn_id=...) or the streaming snapshot
         sink) resolve through their manifest — explicit file list, so
-        torn/orphan commits are invisible; plain zones read the
-        directory as before."""
+        torn/orphan commits are invisible — and accept a
+        ``prune=(col, op, value)`` manifest-level file-skipping
+        predicate (SnapshotTable.prune_files): a lookback scan opens
+        only the files whose footer range can match. Plain zones read
+        the directory as before (hive partition pruning applies
+        there); ``prune`` is ignored for them."""
         path = self.zone_path("processed", entity)
         if os.path.isdir(os.path.join(path, "_snapshots")):
             from .sources.snapshots import SnapshotTable
 
-            return SnapshotTable(self.spark, path).read()
+            return SnapshotTable(self.spark, path).read(prune=prune)
         return self.spark.read.parquet(path)
 
     # --- ingestion → processed (the Beam pipeline, batch mode) -------

@@ -145,9 +145,62 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- commit
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], int]:
+    @staticmethod
+    def _stat_value(v):
+        """Normalize a parquet footer min/max into a JSON-storable,
+        order-preserving value: numbers/strings/bools pass through,
+        dates/timestamps become ISO strings (lexicographic order ==
+        chronological order), anything else (bytes, decimals, nested)
+        is skipped — pruning then conservatively keeps the file."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        return None
+
+    def _collect_file_stats(self, path: str) -> dict:
+        """Per-column [min, max] from a parquet file's footer — the
+        manifest-level pruning index (Iceberg's per-file stats). Only
+        top-level primitive columns with footer statistics are
+        recorded; absence means 'cannot prune'."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested — skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                lo = self._stat_value(st.min)
+                hi = self._stat_value(st.max)
+                if lo is None or hi is None:
+                    continue
+                if rg == 0 or name not in mins:
+                    mins[name], maxs[name] = lo, hi
+                else:
+                    try:
+                        mins[name] = min(mins[name], lo)
+                        maxs[name] = max(maxs[name], hi)
+                    except TypeError:
+                        mins.pop(name, None)
+                        maxs.pop(name, None)
+        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+    def _write_data(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Write df's rows as a fresh immutable file group; return
-        (root-relative file paths, row count from footers only)."""
+        (root-relative file paths, row count, per-file column stats)
+        — all from footers only, no data scan."""
         import pyarrow.parquet as pq
 
         commit_dir = uuid.uuid4().hex
@@ -165,7 +218,10 @@ class SnapshotTable:
         files = sorted(glob.glob(os.path.join(out, "*.parquet")))
         n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         rel = [os.path.relpath(f, self.root) for f in files]
-        return rel, n_rows
+        stats = {
+            r: self._collect_file_stats(os.path.join(self.root, r)) for r in rel
+        }
+        return rel, n_rows, stats
 
     @staticmethod
     def _schema_key(schema: T.StructType) -> list[list[str]]:
@@ -206,11 +262,12 @@ class SnapshotTable:
             if seen is not None:
                 return seen
         schema_key = self._schema_key(df.schema)
-        files, n_rows = self._write_data(df)
+        files, n_rows, new_stats = self._write_data(df)
 
         def mk(n: int) -> dict:
             parent = n - 1
             base_files: list[str] = []
+            base_stats: dict = {}
             if parent >= 1:
                 pm = self._load(parent)
                 # re-check txn on every retry: a same-token racer may
@@ -247,6 +304,7 @@ class SnapshotTable:
                                 f"drops or retypes existing fields: {bad}"
                             )
                     base_files = pm["files"]
+                    base_stats = pm.get("file_stats", {})
             return {
                 "version": n,
                 "parent": parent,
@@ -254,6 +312,7 @@ class SnapshotTable:
                 "committed_at": time.time(),
                 "txn_id": txn_id,
                 "files": base_files + files,
+                "file_stats": {**base_stats, **new_stats},
                 "n_rows": n_rows,
                 "schema": df.schema.json(),
                 "schema_key": schema_key,
@@ -295,6 +354,7 @@ class SnapshotTable:
                 "committed_at": time.time(),
                 "txn_id": None,
                 "files": target["files"],
+                "file_stats": target.get("file_stats", {}),
                 "n_rows": target["n_rows"],
                 "schema": target["schema"],
                 "schema_key": target["schema_key"],
@@ -334,11 +394,67 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- read
 
-    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+    @staticmethod
+    def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
+        """True unless the file's [min, max] for ``col`` PROVES no row
+        can satisfy ``col op value``. Missing stats ⇒ may match."""
+        rng = stats.get(col)
+        if not rng:
+            return True
+        lo, hi = rng
+        try:
+            if op == ">=":
+                return hi >= value
+            if op == ">":
+                return hi > value
+            if op == "<=":
+                return lo <= value
+            if op == "<":
+                return lo < value
+            if op in ("==", "="):
+                return lo <= value <= hi
+        except TypeError:
+            return True  # incomparable predicate value: keep the file
+        raise ValueError(f"unsupported prune op {op!r} (use >=, >, <=, <, ==)")
+
+    def prune_files(
+        self, version: int, predicate: tuple[str, str, object]
+    ) -> tuple[list[str], int]:
+        """Manifest-level file skipping (Iceberg's core scan win): the
+        (col, op, value) predicate is tested against each file's
+        footer [min, max] recorded at commit time, driver-side, with
+        ZERO file opens. Returns (surviving root-relative paths,
+        total file count). Date/timestamp stats are stored as ISO
+        strings — pass the predicate value in the same form
+        (lexicographic == chronological)."""
+        m = self._load(version)
+        stats = m.get("file_stats", {})
+        col, op, value = predicate
+        keep = [
+            f
+            for f in m["files"]
+            if self._file_may_match(stats.get(f, {}), col, op, value)
+        ]
+        return keep, len(m["files"])
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of: float | None = None,
+        prune: tuple[str, str, object] | None = None,
+    ) -> DataFrame:
         """The table at ``version``, at the last version committed
         ≤ ``as_of`` (unix seconds), or latest. One manifest read
         driver-side; the scan gets an explicit file list, so orphan /
-        in-flight files are invisible (snapshot isolation)."""
+        in-flight files are invisible (snapshot isolation).
+
+        ``prune=(col, op, value)`` applies manifest-level file
+        skipping BEFORE the scan (see prune_files) — at 100 TB this
+        is the difference between opening every footer and opening
+        only the day's files. Pruning is advisory about FILES only:
+        apply the same predicate as a .filter() too (surviving files
+        may still hold non-matching rows; Spark's row-group pushdown
+        finishes the job)."""
         if version is not None and as_of is not None:
             raise ValueError("pass version OR as_of, not both")
         if as_of is not None:
@@ -354,9 +470,12 @@ class SnapshotTable:
                 raise ValueError(f"empty table: no snapshots at {self.root}")
         m = self._load(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
+        files = m["files"]
+        if prune is not None:
+            files, _total = self.prune_files(version, prune)
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in m["files"]]
+        paths = [os.path.join(self.root, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
     # ---------------------------------------------------------- vacuum

@@ -125,6 +125,33 @@ def test_vacuum_min_age_protects_inflight(spark, table):
     assert removed and all(r.startswith("data/inflight11") for r in removed)
 
 
+def test_manifest_file_skipping_prunes_without_opening_files(spark, table):
+    """r8: per-file [min, max] recorded at commit time enable
+    Iceberg-style file skipping — a range predicate drops whole
+    commits' files driver-side (zero footer opens at read), while
+    pruned + filter stays row-identical to full-scan + filter."""
+    for lo in (0, 100, 200):
+        table.commit_append(_mk(spark, [(lo + i, f"x{lo + i:03d}") for i in range(10)]))
+    v = table.latest_version()
+    keep, total = table.prune_files(v, ("id", ">=", 200))
+    assert total >= 3 and 0 < len(keep) < total
+    pruned = table.read(prune=("id", ">=", 200))
+    assert len(pruned.inputFiles()) == len(keep)
+    got = sorted(map(tuple, pruned.filter("id >= 200").collect()))
+    want = sorted(map(tuple, table.read().filter("id >= 200").collect()))
+    assert got == want and len(got) == 10
+    # string stats prune too, and an impossible predicate empties the scan
+    keep_s, _ = table.prune_files(v, ("v", "==", "x000"))
+    assert 0 < len(keep_s) < total
+    assert table.read(prune=("id", ">", 10_000)).count() == 0
+    # stats survive append chains and rollback
+    table.rollback(v)
+    keep2, total2 = table.prune_files(table.latest_version(), ("id", ">=", 200))
+    assert (len(keep2), total2) == (len(keep), total)
+    with pytest.raises(ValueError, match="unsupported prune op"):
+        table.prune_files(v, ("id", "!=", 5))
+
+
 def test_merge_schema_appends_additive_column(spark, table):
     """Additive schema evolution: a batch may ADD columns
     (merge_schema=True) — old rows read NULL for them from the new
