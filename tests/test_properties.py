@@ -307,3 +307,61 @@ def test_suppression_always_k_anonymous_property(spark, rows, k):
     assert sorted(r["id"] for r in twice.collect()) == sorted(
         r["id"] for r in out.collect()
     )
+
+
+@_settings
+@given(
+    st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=1, max_size=15),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([">=", ">", "<=", "<", "=="]),
+    st.integers(-1000, 1000),
+)
+def test_file_skipping_never_loses_rows_property(spark, tmp_path_factory, commits, op, value):
+    """Manifest file skipping is CONSERVATIVE for any commits and any
+    range predicate: pruned-scan + filter ≡ full-scan + filter (a
+    pruned file can only be one the predicate provably cannot match)."""
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("skip"))
+    table = SnapshotTable(spark, root)
+    for batch in commits:
+        table.commit_append(
+            spark.createDataFrame([(v,) for v in batch], "id bigint")
+        )
+    cond = f"id {'=' if op == '==' else op} {value}"
+    want = sorted(
+        r["id"] for r in table.read().filter(cond).collect()
+    )
+    got = sorted(
+        r["id"]
+        for r in table.read(prune=("id", op, value)).filter(cond).collect()
+    )
+    assert got == want
+
+
+@_settings
+@given(
+    st.lists(finite_doubles, min_size=50, max_size=400),
+    st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_kll_envelope_property(spark, xs, q):
+    """The KLL estimate's true rank stays inside the envelope for any
+    finite-double input and any quantile."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sketches import (
+        kll_quantiles,
+    )
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    est = kll_quantiles(df, "v", [q], k=100)[q]
+    true_rank = sum(1 for x in xs if x <= est) / len(xs)
+    assert true_rank >= q - 0.05
+    # at least one value strictly below est must NOT be needed: the
+    # previous distinct value's rank sits below q + slack
+    below = [x for x in xs if x < est]
+    prev_rank = len(below) / len(xs)
+    assert prev_rank <= q + 0.05
