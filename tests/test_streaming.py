@@ -307,6 +307,67 @@ def test_rollup_sink_state_converges_under_replay(spark, tmp_path):
         assert abs(got[k][2] - d) <= max(2, 0.05 * d)
 
 
+def test_sharded_rollup_sink_touches_only_delta_shards(spark, tmp_path):
+    """Sharded state: a batch rewrites only the shards its keys hash
+    into (untouched shards keep their version), mid-loop replays
+    converge per shard, and the unioned state finalizes to the
+    from-scratch aggregate."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        finalize_rollup,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        make_sharded_rollup_sink,
+        read_sharded_rollup_state,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 8}", float(i)) for i in range(240)], "k string, v double"
+    )
+    b0 = df.filter("v < 120")  # all 8 keys
+    b1 = df.filter("v >= 120 and k in ('k0', 'k1')")  # 2 keys only
+
+    root = str(tmp_path / "sharded")
+    sink = make_sharded_rollup_sink(root, ["k"], ["v"], n_shards=8)
+    sink(b0, 0)
+    versions_after_b0 = {
+        d: SnapshotTable(spark, os.path.join(root, d)).latest_version()
+        for d in os.listdir(root)
+        if d.startswith("shard=")
+    }
+    sink(b1, 1)
+    sink(b1, 1)  # replay
+    bumped = 0
+    for d, v0 in versions_after_b0.items():
+        v1 = SnapshotTable(spark, os.path.join(root, d)).latest_version()
+        assert v1 in (v0, v0 + 1)  # replay never double-bumps
+        bumped += v1 - v0
+    # k0/k1 hash into at most 2 distinct shards; the rest untouched
+    assert 1 <= bumped <= 2
+
+    got = {
+        r["k"]: (r["n"], r["v_sum"])
+        for r in finalize_rollup(
+            read_sharded_rollup_state(spark, root), ["k"], ["v"]
+        ).collect()
+    }
+    delivered = b0.unionByName(b1)
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in delivered.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1])
+
+
 def test_dedup_stream_across_microbatches(spark, cfg, tmp_path):
     """Streaming exact dedup: redelivered ids in LATER micro-batches
     are dropped (state persists across batches, bounded by the
