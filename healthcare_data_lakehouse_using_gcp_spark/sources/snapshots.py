@@ -363,7 +363,10 @@ class SnapshotTable:
         return self._publish(mk)
 
     def compact(
-        self, target_file_bytes: int = 128 * 1024 * 1024, txn_id: str | None = None
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        txn_id: str | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Rewrite the CURRENT snapshot's rows into fewer, larger
         immutable files and publish the result as a new ``compact``
@@ -378,7 +381,17 @@ class SnapshotTable:
         concurrent append simply wins or loses the version race and
         retries — nothing is mutated in place. The compacted-away
         files stay on disk for time travel until ``vacuum`` expires
-        them. Returns the new version."""
+        them. Returns the new version.
+
+        ``sort_by`` re-clusters while compacting (range-repartition +
+        per-file sort on those columns): micro-batch appends interleave
+        key ranges so every file's [min, max] spans everything and
+        manifest file skipping prunes nothing — a sorted compaction
+        restores disjoint per-file ranges, turning read(prune=...)
+        back into an O(matching files) scan. The maintenance pairing
+        is compact nightly with sort_by=the hot predicate column."""
+        from pyspark.sql import functions as _F
+
         v = self.latest_version()
         if v == 0:
             raise ValueError(f"empty table: nothing to compact at {self.root}")
@@ -387,9 +400,15 @@ class SnapshotTable:
             os.path.getsize(os.path.join(self.root, f)) for f in m["files"]
         )
         n_files = max(1, round(n_bytes / float(target_file_bytes)))
-        if len(m["files"]) <= n_files:
-            return v  # already at or below the target layout: no-op
-        df = self.read(version=v).repartition(n_files)
+        if sort_by is None and len(m["files"]) <= n_files:
+            return v  # already at the target layout: no-op
+        df = self.read(version=v)
+        if sort_by:
+            df = df.repartitionByRange(
+                n_files, *[_F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(n_files)
         return self._commit(df, "compact", txn_id)
 
     # ---------------------------------------------------------- read

@@ -205,6 +205,38 @@ def test_compact_rewrites_small_files_transactionally(spark, table):
     assert _rows(table.read()) == rows_before
 
 
+def test_sorted_compaction_restores_file_skipping(spark, table):
+    """Interleaved appends give every file a full-range [min, max], so
+    pruning keeps everything; compact(sort_by=...) re-clusters into
+    disjoint ranges and the same predicate then skips most files."""
+    import random
+
+    rng = random.Random(5)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    for c in range(4):  # each commit spans the whole id range
+        table.commit_append(
+            _mk(spark, [(i, f"v{i}") for i in ids[c * 100 : (c + 1) * 100]])
+        )
+    v = table.latest_version()
+    keep_before, total_before = table.prune_files(v, ("id", ">=", 300))
+    frac_before = len(keep_before) / total_before
+
+    v2 = table.compact(target_file_bytes=20_000, sort_by=["id"])
+    assert v2 > v
+    keep_after, total_after = table.prune_files(v2, ("id", ">=", 300))
+    assert total_after > 1
+    frac_after = len(keep_after) / total_after
+    # sorted layout: only the top-quarter range's files survive the
+    # predicate, far fewer (proportionally) than the shuffled layout
+    assert frac_after < frac_before
+    assert frac_after <= 0.5
+    got = sorted(
+        r["id"] for r in table.read(prune=("id", ">=", 300)).filter("id >= 300").collect()
+    )
+    assert got == list(range(300, 400))
+
+
 def test_compact_empty_table_raises(spark, table):
     with pytest.raises(ValueError, match="nothing to compact"):
         table.compact()
