@@ -599,6 +599,7 @@ _TAIL = (
     "export_shuffled",
     "kll_quantiles",
     "j9_join_cardinality",
+    "multimodal_video_plan",
 )
 
 
@@ -5723,6 +5724,66 @@ def privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_nationkey", "c_mktsegment"),
         ["c_nationkey", "c_mktsegment"],
         12,
+    )
+
+
+@query(
+    "multimodal_video_plan",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             160 + (doc_id % 8) * 16 AS width,
+             96 + (doc_id % 5) * 32 AS height,
+             1000 + (doc_id % 7) * 700 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, 'mp4' AS vid_format,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(FLOOR((duration_ms - 1) / 1000) + 1 AS BIGINT) AS n_frames
+    FROM v
+    """,
+)
+def multimodal_video_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-curation metadata pipeline, oracle-checked end to end
+    (r8 — retires the metadata half of the video boundary): every
+    third document synthesizes a VALID ISO-BMFF container
+    (multimodal.build_mp4 — ftyp + moov{mvhd, trak{tkhd}}) with
+    doc_id-derived dims/duration, the bytes cross the Arrow exchange,
+    and parse_video_metadata walks the real box tree to recover
+    width (16.16 fixed-point tkhd), height, and duration
+    (mvhd timescale arithmetic); the frame-sample plan count rides
+    along as built-in sequence arithmetic. The oracle recomputes
+    every field from doc_id, so a green row certifies genuine binary
+    container parsing — frame DECODE stays the documented stub (no
+    codecs in this container)."""
+    from .operators.multimodal import build_mp4, parse_video_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id"
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                build_mp4(
+                    160 + (int(i) % 8) * 16,
+                    96 + (int(i) % 5) * 32,
+                    1000 + (int(i) % 7) * 700,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield out
+
+    vids = d.mapInPandas(_synth, schema="doc_id bigint, payload binary")
+    meta = parse_video_metadata(vids, id_col="doc_id")
+    return meta.withColumn(
+        "n_frames",
+        F.size(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(1000))
+        ).cast("bigint"),
     )
 
 

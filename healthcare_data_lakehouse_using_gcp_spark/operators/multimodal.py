@@ -129,6 +129,9 @@ def parse_media_header(
                     return ("wav", None, None, ch, sr, bits)
                 i += 8 + clen + (clen & 1)  # chunks are word-aligned
             return ("wav", None, None, None, None, None)
+        if len(p) >= 12 and p[4:8] == b"ftyp":
+            w, h, _dur = parse_mp4_header(p)
+            return ("mp4", w, h, None, None, None)
     except (struct.error, IndexError):
         pass
     return ("unknown", None, None, None, None, None)
@@ -205,6 +208,96 @@ def build_wav(
         + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _mp4_box(box_type: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + box_type + payload
+
+
+def build_mp4(width: int, height: int, duration_ms: int) -> bytes:
+    """Synthesize a minimal VALID ISO-BMFF (MP4) metadata container:
+    ftyp + moov{mvhd, trak{tkhd}} with a 1000-unit timescale (so mvhd
+    duration == milliseconds) and 16.16 fixed-point track dimensions.
+    No media samples — this is the metadata skeleton every real MP4
+    carries, which is exactly the part a 100 TB video-curation
+    pipeline reads per file (duration/dims gating, frame-sample
+    planning) before any expensive frame decode."""
+    dur = int(duration_ms)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)              # version 0 + flags
+        + struct.pack(">II", 0, 0)        # creation/modification time
+        + struct.pack(">II", 1000, dur)   # timescale, duration
+        + struct.pack(">i", 0x00010000)   # rate 1.0
+        + struct.pack(">h", 0x0100)       # volume 1.0
+        + b"\x00" * 10                    # reserved
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                    # pre_defined
+        + struct.pack(">I", 2),           # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)       # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)            # track_id
+        + b"\x00" * 4                     # reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/alt-group/volume/reserved
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", int(width) << 16, int(height) << 16),
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", p[i : i + 4])[0]
+        if size < 8 or i + size > end:
+            return
+        yield p[i + 4 : i + 8], i + 8, i + size
+        i += size
+
+
+def parse_mp4_header(
+    payload: bytes,
+) -> tuple[int | None, int | None, int | None]:
+    """REAL ISO-BMFF metadata parse, stdlib struct only: walk the box
+    tree to mvhd (timescale + duration → duration_ms) and the first
+    trak/tkhd (16.16 fixed-point width/height). Returns
+    (width, height, duration_ms); Nones on truncated/absent boxes —
+    never raises on arbitrary bytes."""
+    p = payload or b""
+    width = height = duration_ms = None
+    try:
+        for typ, s, e in _mp4_boxes(p, 0, len(p)):
+            if typ != b"moov":
+                continue
+            for ityp, is_, ie in _mp4_boxes(p, s, e):
+                if ityp == b"mvhd" and ie - is_ >= 20:
+                    ver = p[is_]
+                    if ver == 0:
+                        ts, dur = struct.unpack(">II", p[is_ + 12 : is_ + 20])
+                    else:  # version 1: 64-bit times
+                        ts = struct.unpack(">I", p[is_ + 20 : is_ + 24])[0]
+                        dur = struct.unpack(">Q", p[is_ + 24 : is_ + 32])[0]
+                    if ts:
+                        duration_ms = int(dur * 1000 // ts)
+                elif ityp == b"trak":
+                    for ttyp, ts_, te in _mp4_boxes(p, is_, ie):
+                        if ttyp == b"tkhd" and te - ts_ >= 84:
+                            w_fx, h_fx = struct.unpack(">II", p[te - 8 : te])
+                            width, height = w_fx >> 16, h_fx >> 16
+    except (struct.error, IndexError):
+        pass
+    return (width, height, duration_ms)
 
 
 def decode_png_pixels(payload: bytes) -> "np.ndarray":  # noqa: F821
@@ -1009,6 +1102,43 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
     return ensure_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
         _extract, schema=FEATURES_SCHEMA
+    )
+
+
+def parse_video_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL video-container metadata extraction (r8 — retires the
+    metadata half of the video boundary): Arrow-batched parse of each
+    payload's ISO-BMFF box tree (parse_mp4_header) into
+    (vid_format, width, height, duration_ms). This is the per-file
+    read a video-curation pipeline does at scale — duration/dims
+    gating and frame-sample planning — while FRAME decode remains the
+    documented stub (no codecs in this container)."""
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf in batches:
+            fmts, ws, hs, ds = [], [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                is_mp4 = len(b) >= 12 and b[4:8] == b"ftyp"
+                w, h, dur = parse_mp4_header(b) if is_mp4 else (None, None, None)
+                fmts.append("mp4" if is_mp4 else "unknown")
+                ws.append(w)
+                hs.append(h)
+                ds.append(dur)
+            out = pdf[[id_col]].copy()
+            out["vid_format"] = fmts
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            out["duration_ms"] = pd.array(ds, dtype="Int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _parse,
+        schema=f"{id_col} bigint, vid_format string, width int, "
+        "height int, duration_ms bigint",
     )
 
 

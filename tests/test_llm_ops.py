@@ -307,6 +307,30 @@ def test_multimodal_features(spark):
     assert len(frames) == 5  # 5000 ms video → 5 sampled frames
 
 
+def test_mp4_build_parse_roundtrip_and_video_metadata(spark):
+    """r8: real ISO-BMFF metadata parse — build_mp4's box tree parses
+    back exactly (16.16 dims, timescale-normalized duration), the
+    sniffer classifies it, garbage/truncation degrade to Nones, and
+    parse_video_metadata carries it through the Arrow exchange."""
+    p = multimodal.build_mp4(320, 240, 2500)
+    assert multimodal.parse_mp4_header(p) == (320, 240, 2500)
+    assert multimodal.parse_media_header(p) == ("mp4", 320, 240, None, None, None)
+    assert multimodal.parse_mp4_header(b"not mp4") == (None, None, None)
+    assert multimodal.parse_mp4_header(p[:20]) == (None, None, None)
+
+    rows = [
+        (1, multimodal.build_mp4(640, 480, 3000)),
+        (2, multimodal.build_mp4(160, 96, 1)),
+        (3, b"junk payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    meta = {r["media_id"]: r for r in multimodal.parse_video_metadata(df).collect()}
+    assert (meta[1]["vid_format"], meta[1]["width"], meta[1]["height"],
+            meta[1]["duration_ms"]) == ("mp4", 640, 480, 3000)
+    assert meta[2]["duration_ms"] == 1
+    assert meta[3]["vid_format"] == "unknown" and meta[3]["width"] is None
+
+
 def test_multimodal_strict_raises():
     # strict gates ONLY the non-PNG pixel/sample decode; header
     # parsing is real, and PNG pixels now decode for real (r7)
