@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(name)
         if name in ("etl", "all", "stream"):
             s.add_argument("--raw", required=True)
+        if name in ("etl", "all"):
+            s.add_argument(
+                "--txn-id", default=None,
+                help="exactly-once zone writes via SnapshotTable: re-running "
+                "the same batch with the same token converges instead of "
+                "duplicating (e.g. --txn-id load-2024-06-01)",
+            )
         if name == "demo-stream":
             s.add_argument("--seconds", type=int, default=30)
             s.add_argument("--rate", type=int, default=1, help="publisher ticks/second")
@@ -49,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument(
                 "--upsert", action="store_true",
                 help="idempotent merge sink (replayed micro-batches converge)",
+            )
+            s.add_argument(
+                "--snapshot", action="store_true",
+                help="exactly-once keyless zone sink (SnapshotTable commits "
+                "keyed on micro-batch id; kill-and-replay converges)",
             )
         if name in ("models", "all"):
             s.add_argument(
@@ -83,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     lh = HealthcareLakehouse(spark, args.warehouse, cfg)
 
     if args.cmd == "etl":
-        print(json.dumps({"etl_counts": lh.run_etl(args.raw)}))
+        print(json.dumps({"etl_counts": lh.run_etl(args.raw, txn_id=args.txn_id)}))
     elif args.cmd == "models":
         out = lh.run_models()
         print(json.dumps({name: df.count() for name, df in out.items()}))
@@ -91,13 +103,15 @@ def main(argv: list[str] | None = None) -> int:
         out = lh.run_reports()
         print(json.dumps({k: str(v) for k, v in out.items()}))
     elif args.cmd == "all":
-        out = lh.run_all(args.raw)
+        out = lh.run_all(args.raw, txn_id=args.txn_id)
         print(json.dumps({k: str(v) for k, v in out.items()}))
     elif args.cmd == "stream":
         from .streaming.pipeline import start_etl_stream
 
         q = start_etl_stream(
-            spark, args.raw, args.warehouse, cfg, trigger_seconds=5, upsert=args.upsert
+            spark, args.raw, args.warehouse, cfg, trigger_seconds=5,
+            upsert=args.upsert,
+            mode="snapshot" if args.snapshot else None,
         )
         deadline = time.time() + args.seconds
         while time.time() < deadline and q.isActive:

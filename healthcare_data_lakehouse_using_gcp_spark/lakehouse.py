@@ -230,8 +230,8 @@ class HealthcareLakehouse:
 
     # --- one-shot pipeline (the full DAG run) ------------------------
 
-    def run_all(self, raw_path: str) -> dict[str, object]:
-        etl_counts = self.run_etl(raw_path)
+    def run_all(self, raw_path: str, txn_id: str | None = None) -> dict[str, object]:
+        etl_counts = self.run_etl(raw_path, txn_id=txn_id)
         self.run_models()
         out = self.run_reports()
         out["etl_counts"] = etl_counts
