@@ -69,6 +69,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_snapshots"
@@ -339,6 +340,118 @@ class SnapshotTable:
         """Replace the table's contents with df as a new snapshot;
         prior versions stay readable until vacuumed."""
         return self._commit(df, "overwrite", txn_id)
+
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        txn_id: str | None = None,
+    ) -> int:
+        """Delta-style copy-on-write MERGE: upsert ``batch`` by key —
+        existing rows with a matching key are replaced, new keys
+        append — as ONE atomic snapshot commit. The rewrite is
+        file-pruned: the batch's per-key-column [min, max] (one tiny
+        driver agg) selects only the data files whose recorded stats
+        can overlap; every other file carries into the new manifest
+        AS-IS (zero rewrite). At 100 TB a daily CDC batch touching
+        one day's key range rewrites that day's files, not the table.
+
+        Rows: affected-files ⟕anti batch (drop overwritten) ∪ batch.
+        Duplicate keys WITHIN the batch are the caller's contract to
+        resolve first (pair with operators/scd.snapshot_diff or a
+        groupBy-last — this primitive does not pick a winner).
+        Idempotent under ``txn_id`` replay like every commit; readers
+        of prior versions see the pre-merge table (copy-on-write
+        never mutates a published file)."""
+        v = self.latest_version()
+        if v == 0:
+            return self._commit(batch, "merge", txn_id)
+        m = self._load(v)
+        stats = m.get("file_stats", {})
+        # batch key envelope: one driver row of 2×|keys| scalars
+        bounds = batch.agg(
+            *[
+                agg_col
+                for k in keys
+                for agg_col in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).first()
+        affected, carried = [], []
+        for f in m["files"]:
+            fstats = stats.get(f, {})
+            overlap = True
+            for k in keys:
+                lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+                rng = fstats.get(k)
+                if rng is None or lo is None:
+                    continue  # no stats / empty batch: conservative
+                flo, fhi = rng
+                try:
+                    if fhi < self._stat_value(lo) or flo > self._stat_value(hi):
+                        overlap = False
+                        break
+                except TypeError:
+                    continue
+            (affected if overlap else carried).append(f)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if affected:
+            old = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in affected]
+            )
+            survivors = old.join(
+                batch.select(*keys).distinct(), keys, "left_anti"
+            )
+            rewritten = survivors.unionByName(batch.select(*old.columns))
+        else:
+            rewritten = batch
+        if txn_id is not None:
+            seen = self._txn_version(txn_id)
+            if seen is not None:
+                return seen
+        files, n_rows, new_stats = self._write_data(rewritten)
+
+        def mk(n: int) -> dict:
+            pm = self._load(n - 1)
+            if txn_id is not None:
+                seen_now = self._txn_version(txn_id)
+                if seen_now is not None:
+                    raise TxnAlreadyCommitted(seen_now)
+            # carried files must still exist in the current latest (a
+            # concurrent merge may have rewritten them): restrict to
+            # the intersection, and recompute nothing — a lost race on
+            # overlapping files surfaces as missing carried entries
+            cur = set(pm["files"])
+            missing = [f for f in carried if f not in cur]
+            if missing:
+                raise RuntimeError(
+                    "concurrent rewrite invalidated carried files "
+                    f"{missing[:3]}...; retry the merge against the new version"
+                )
+            carried_stats = {
+                f: pm.get("file_stats", {}).get(f)
+                for f in carried
+                if pm.get("file_stats", {}).get(f)
+            }
+            return {
+                "version": n,
+                "parent": n - 1,
+                "operation": "merge",
+                "committed_at": time.time(),
+                "txn_id": txn_id,
+                "files": carried + files,
+                "file_stats": {**carried_stats, **new_stats},
+                "n_rows": n_rows,
+                "schema": m["schema"],
+                "schema_key": m["schema_key"],
+            }
+
+        try:
+            return self._publish(mk)
+        except TxnAlreadyCommitted as dup:
+            return dup.version
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW snapshot whose contents equal ``to_version``

@@ -177,6 +177,50 @@ def test_merge_schema_appends_additive_column(spark, table):
         table.commit_append(retyped, merge_schema=True)
 
 
+def test_merge_upsert_rewrites_only_overlapping_files(spark, table):
+    """r8 copy-on-write MERGE: a keyed batch replaces matching rows
+    and appends new keys in ONE atomic version, rewriting only the
+    files whose stats overlap the batch's key envelope — files
+    outside the range carry into the new manifest byte-identical."""
+    for lo in (0, 100, 200):
+        table.commit_append(
+            _mk(spark, [(lo + i, f"old{lo + i}") for i in range(10)])
+        )
+    v = table.latest_version()
+    files_before = table._load(v)["files"]
+
+    batch = _mk(spark, [(200, "NEW200"), (205, "NEW205"), (999, "NEW999")])
+    v2 = table.merge_upsert(batch, ["id"], txn_id="cdc-1")
+    assert v2 == v + 1
+    m2 = table._load(v2)
+    assert m2["operation"] == "merge"
+    carried = [f for f in m2["files"] if f in files_before]
+    # the 0-99 and 100-109 commits' files are untouched; only the
+    # 200-range files were rewritten
+    lo_files = [f for f in files_before if f in carried]
+    assert len(carried) >= 1 and len(carried) < len(files_before)
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got[200] == "NEW200" and got[205] == "NEW205" and got[999] == "NEW999"
+    assert got[201] == "old201"  # same-file neighbors survive the rewrite
+    assert got[0] == "old0" and len(got) == 31  # 30 originals + 1 new key
+    # time travel: pre-merge version still shows the old values
+    assert {r["id"]: r["v"] for r in table.read(version=v).collect()}[200] == "old200"
+    # txn replay no-ops
+    assert table.merge_upsert(batch, ["id"], txn_id="cdc-1") == v2
+    assert table.latest_version() == v2
+    # merge into an empty table is a plain first commit
+    import os as _os
+    import tempfile as _tf
+
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t2 = SnapshotTable(spark, _os.path.join(_tf.mkdtemp(), "t2"))
+    assert t2.merge_upsert(batch, ["id"]) == 1
+    assert t2.read().count() == 3
+
+
 def test_compact_rewrites_small_files_transactionally(spark, table):
     """compact() folds an append-heavy zone's many small file groups
     into one new snapshot: same rows, fewer files, prior versions
