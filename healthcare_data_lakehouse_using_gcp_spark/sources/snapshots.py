@@ -217,6 +217,16 @@ class SnapshotTable:
             if not name.endswith(".parquet") or name.startswith("."):
                 os.unlink(os.path.join(out, name))
         files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        # drop zero-row part files (empty upstream partitions): they
+        # carry no data but also no column stats, so they would sit in
+        # every manifest as permanently unprunable scan work
+        kept = []
+        for f in files:
+            if pq.ParquetFile(f).metadata.num_rows == 0:
+                os.unlink(f)
+            else:
+                kept.append(f)
+        files = kept
         n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         rel = [os.path.relpath(f, self.root) for f in files]
         stats = {
@@ -439,6 +449,78 @@ class SnapshotTable:
                 "version": n,
                 "parent": n - 1,
                 "operation": "merge",
+                "committed_at": time.time(),
+                "txn_id": txn_id,
+                "files": carried + files,
+                "file_stats": {**carried_stats, **new_stats},
+                "n_rows": n_rows,
+                "schema": m["schema"],
+                "schema_key": m["schema_key"],
+            }
+
+        try:
+            return self._publish(mk)
+        except TxnAlreadyCommitted as dup:
+            return dup.version
+
+    def delete_where(
+        self, predicate: tuple[str, str, object], txn_id: str | None = None
+    ) -> int:
+        """Copy-on-write row-level DELETE — the right-to-erasure /
+        retention primitive (for healthcare data, the HIPAA
+        data-subject deletion the reference's infra checker can only
+        attest about, not perform): rows matching the (col, op,
+        value) predicate disappear in ONE atomic version. File-pruned
+        both ways — files whose stats CANNOT match carry into the new
+        manifest byte-identical (prune_files machinery), only
+        overlapping files rewrite with the predicate inverted. Prior
+        versions still contain the rows until ``vacuum`` expires them
+        — run vacuum to complete a hard erasure. Ops as in
+        prune_files: >=, >, <=, <, ==."""
+        v = self.latest_version()
+        if v == 0:
+            raise ValueError(f"empty table: nothing to delete at {self.root}")
+        if txn_id is not None:
+            seen = self._txn_version(txn_id)
+            if seen is not None:
+                return seen
+        affected, _total = self.prune_files(v, predicate)
+        if not affected:
+            return v  # stats prove no row matches: no-op
+        m = self._load(v)
+        carried = [f for f in m["files"] if f not in set(affected)]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        col, op, value = predicate
+        sql_op = "=" if op == "==" else op
+        survivors = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, f) for f in affected])
+            .filter(~F.expr(f"{col} {sql_op} {json.dumps(value)}"))
+        )
+        files, n_rows, new_stats = self._write_data(survivors)
+
+        def mk(n: int) -> dict:
+            pm = self._load(n - 1)
+            if txn_id is not None:
+                seen_now = self._txn_version(txn_id)
+                if seen_now is not None:
+                    raise TxnAlreadyCommitted(seen_now)
+            cur = set(pm["files"])
+            missing = [f for f in carried if f not in cur]
+            if missing:
+                raise RuntimeError(
+                    "concurrent rewrite invalidated carried files "
+                    f"{missing[:3]}...; retry the delete against the new version"
+                )
+            carried_stats = {
+                f: pm.get("file_stats", {}).get(f)
+                for f in carried
+                if pm.get("file_stats", {}).get(f)
+            }
+            return {
+                "version": n,
+                "parent": n - 1,
+                "operation": "delete",
                 "committed_at": time.time(),
                 "txn_id": txn_id,
                 "files": carried + files,

@@ -221,6 +221,39 @@ def test_merge_upsert_rewrites_only_overlapping_files(spark, table):
     assert t2.read().count() == 3
 
 
+def test_delete_where_erases_rows_with_pruned_rewrite(spark, table):
+    """r8 copy-on-write DELETE: predicate rows disappear atomically,
+    non-overlapping files carry byte-identical, stats-proven-clean
+    predicates no-op, prior versions retain the rows until vacuum —
+    the right-to-erasure flow end to end."""
+    for lo in (0, 100, 200):
+        table.commit_append(_mk(spark, [(lo + i, f"v{lo + i}") for i in range(10)]))
+    v = table.latest_version()
+    files_before = table._load(v)["files"]
+
+    v2 = table.delete_where(("id", ">=", 205), txn_id="erase-1")
+    assert v2 == v + 1
+    m2 = table._load(v2)
+    assert m2["operation"] == "delete"
+    carried = [f for f in m2["files"] if f in set(files_before)]
+    assert len(carried) >= 1  # 0- and 100-range files untouched
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == list(range(0, 10)) + list(range(100, 110)) + [200, 201, 202, 203, 204]
+    # history keeps the rows until vacuumed (then hard-erased)
+    assert table.read(version=v).filter("id >= 205").count() == 5
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    with pytest.raises(ValueError):
+        table.read(version=v)
+    # replay + stats-proven no-op
+    assert table.delete_where(("id", ">=", 205), txn_id="erase-1") == v2
+    assert table.delete_where(("id", ">", 99_999)) == v2
+    # string equality delete
+    v3 = table.delete_where(("v", "==", "v0"))
+    assert v3 > v2
+    assert table.read().filter("id = 0").count() == 0
+    assert table.read().count() == 24
+
+
 def test_compact_rewrites_small_files_transactionally(spark, table):
     """compact() folds an append-heavy zone's many small file groups
     into one new snapshot: same rows, fewer files, prior versions
