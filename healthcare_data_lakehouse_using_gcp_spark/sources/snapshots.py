@@ -58,6 +58,23 @@ Why this holds at 100 TB:
 ``rollback(to_version)`` is non-destructive: it publishes a NEW
 version whose file list equals the target's, so the bad history
 remains auditable (and vacuumable).
+
+Beyond the append/overwrite core, the table format carries the full
+lifecycle (all copy-on-write, all one atomic version, all
+txn-idempotent):
+
+- **File skipping**: every commit records per-file column [min, max]
+  from the footers it already reads; ``read(prune=(col, op, value))``
+  drops files driver-side with zero opens.
+- **DML**: ``merge_upsert(batch, keys)`` (keyed upsert rewriting only
+  stat-overlapping files) and ``delete_where(predicate)``
+  (right-to-erasure; stats-proven-clean deletes no-op; vacuum
+  completes hard erasure of history).
+- **Maintenance**: ``compact()`` bin-packs small files;
+  ``compact(sort_by=...)`` additionally restores the disjoint
+  per-file ranges that make skipping effective.
+- **Evolution**: ``commit_append(merge_schema=True)`` adds columns
+  (old files read NULL); drops/retypes stay errors.
 """
 
 from __future__ import annotations
