@@ -600,6 +600,7 @@ _TAIL = (
     "kll_quantiles",
     "j9_join_cardinality",
     "multimodal_video_plan",
+    "sample_per_group_docs",
 )
 
 
@@ -5176,6 +5177,35 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         d.select("doc_id", "source", "n_chars"), k=20, weight_col="n_chars"
     )
+
+
+@query(
+    "sample_per_group_docs",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        DESC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) t WHERE rn <= 25
+    """,
+)
+def sample_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling family: the fixed-COUNT per-group reservoir
+    (operators/text.sample_per_group — uniform case of the A-Res
+    sampler, 25 docs per source). The oracle's single-window
+    ROW_NUMBER over the md5 key doubles as the equivalence proof that
+    the balanced two-phase top-k plan (local rank per (group,
+    partition) before the global rank — no popular-source monster
+    reducer) selects exactly the naive plan's rows."""
+    from .operators.text import sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_per_group(d.select("doc_id", "source"), 25)
 
 
 @query(
