@@ -601,6 +601,12 @@ _TAIL = (
     "j9_join_cardinality",
     "multimodal_video_plan",
     "sample_per_group_docs",
+    # late-r8 batch 2 (tail-born; oracle-swept every pytest run):
+    # graph family completion + time-series smoothing/interpolation
+    "graph_triangles",
+    "graph_kcore",
+    "ts_interpolate",
+    "w10_ewma",
 )
 
 
@@ -6129,6 +6135,235 @@ def classifier_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS x,
+                      CAST(b.l_partkey AS BIGINT) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0
+    ), tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.x = e1.y
+      JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (beyond-reference): per-node triangle counts
+    (operators/graph.triangle_count) over the part co-purchase graph
+    (parts sharing an order; a quarter of orders to bound the sweep).
+    The engine runs the degree-ORIENTED compact-forward algorithm —
+    wedges only fan out from each edge's lower-(degree,id) endpoint,
+    capping hub wedge blowup at O(sqrt(|E|)) out-degree — while the
+    oracle enumerates the same triangle set with the naive id-ordered
+    triple self-join; identical counts prove the orientation
+    optimization is invisible to semantics. Triangle density is the
+    classic community-structure signal used in crawl/link curation."""
+    from .operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").cast("bigint").alias("x"))
+    b = li.select("l_orderkey", F.col("l_partkey").cast("bigint").alias("y"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    return triangle_count(pairs, "x", "y")
+
+
+@query(
+    "graph_kcore",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS x,
+                      CAST(b.l_partkey AS BIGINT) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0
+    ),
+    d1 AS (SELECT node, COUNT(*) AS deg
+           FROM (SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0)
+           GROUP BY node),
+    a1 AS (SELECT node FROM d1 WHERE deg >= 20),
+    e1 AS (SELECT x, y FROM e0
+           WHERE x IN (SELECT node FROM a1) AND y IN (SELECT node FROM a1)),
+    d2 AS (SELECT node, COUNT(*) AS deg
+           FROM (SELECT x AS node FROM e1 UNION ALL SELECT y FROM e1)
+           GROUP BY node),
+    a2 AS (SELECT node FROM d2 WHERE deg >= 20),
+    e2 AS (SELECT x, y FROM e1
+           WHERE x IN (SELECT node FROM a2) AND y IN (SELECT node FROM a2)),
+    d3 AS (SELECT node, COUNT(*) AS deg
+           FROM (SELECT x AS node FROM e2 UNION ALL SELECT y FROM e2)
+           GROUP BY node),
+    a3 AS (SELECT node FROM d3 WHERE deg >= 20),
+    e3 AS (SELECT x, y FROM e2
+           WHERE x IN (SELECT node FROM a3) AND y IN (SELECT node FROM a3))
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT x AS node FROM e3 UNION ALL SELECT y FROM e3)
+    GROUP BY node
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (beyond-reference): k-core peeling
+    (operators/graph.k_core, k=20, 3 fixed peels) on the same part
+    co-purchase graph as graph_triangles — iteratively dropping
+    nodes whose degree in the SURVIVING subgraph is < k, the standard
+    dense-backbone extraction for link-graph curation. Fixed peel
+    count makes the oracle an exact 3-level CTE unroll of the same
+    degree-filter-subgraph loop; each engine round is one degree agg
+    + two semi-joins, localCheckpointed against plan growth."""
+    from .operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").cast("bigint").alias("x"))
+    b = li.select("l_orderkey", F.col("l_partkey").cast("bigint").alias("y"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    return k_core(pairs, k=20, src="x", dst="y", peels=3)
+
+
+@query(
+    "ts_interpolate",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ), holey AS (
+      SELECT event_type, d,
+             CASE WHEN EXTRACT(day FROM d) % 3 = 0 THEN NULL ELSE v END AS v
+      FROM daily
+    ), anch AS (
+      SELECT event_type, d, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS prev_v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wp AS prev_t,
+        FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wn AS next_t
+      FROM holey
+      WINDOW wp AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, d,
+      FLOOR((CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * date_diff('day', prev_t, d)
+                       / date_diff('day', prev_t, next_t)
+             END) * 10000 + 0.5) / 10000 AS v_interp,
+      v IS NULL AS was_gap
+    FROM anch
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series family (beyond-reference): linear interpolation of
+    NULL holes (operators/analytics.interpolate_linear) in the daily
+    per-event-type value series — every third calendar day is blanked,
+    then reconstructed as the date-weighted straight line between its
+    nearest observed neighbors (edges clamp to the available side).
+    Two ignore-nulls windows carry the anchor value AND its date; the
+    oracle is the identical LAST_VALUE/FIRST_VALUE IGNORE NULLS
+    construction, proving the aligned-pair trick against DuckDB's
+    native IGNORE NULLS."""
+    from .operators.analytics import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    holey = daily.withColumn(
+        "v",
+        F.when(F.dayofmonth("d") % 3 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("v")
+        ),
+    )
+    out = interpolate_linear(holey, ["event_type"], "d", "v")
+    return out.select(
+        "event_type",
+        "d",
+        (F.floor(F.col("v_interp") * 10000 + F.lit(0.5)) / 10000).alias("v_interp"),
+        "was_gap",
+    )
+
+
+@query(
+    "w10_ewma",
+    """
+    SELECT user_id, event_id,
+      FLOOR((
+          1.0 * value
+        + 0.7 * COALESCE(LAG(value, 1) OVER w, 0)
+        + 0.48999999999999994 * COALESCE(LAG(value, 2) OVER w, 0)
+        + 0.3429999999999999 * COALESCE(LAG(value, 3) OVER w, 0)
+        + 0.24009999999999995 * COALESCE(LAG(value, 4) OVER w, 0)
+        + 0.16806999999999994 * COALESCE(LAG(value, 5) OVER w, 0)
+        + 0.11764899999999996 * COALESCE(LAG(value, 6) OVER w, 0)
+        + 0.08235429999999996 * COALESCE(LAG(value, 7) OVER w, 0)
+      ) / (
+          CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+        + CASE WHEN LAG(value, 1) OVER w IS NOT NULL
+               THEN 0.7 ELSE 0.0 END
+        + CASE WHEN LAG(value, 2) OVER w IS NOT NULL
+               THEN 0.48999999999999994 ELSE 0.0 END
+        + CASE WHEN LAG(value, 3) OVER w IS NOT NULL
+               THEN 0.3429999999999999 ELSE 0.0 END
+        + CASE WHEN LAG(value, 4) OVER w IS NOT NULL
+               THEN 0.24009999999999995 ELSE 0.0 END
+        + CASE WHEN LAG(value, 5) OVER w IS NOT NULL
+               THEN 0.16806999999999994 ELSE 0.0 END
+        + CASE WHEN LAG(value, 6) OVER w IS NOT NULL
+               THEN 0.11764899999999996 ELSE 0.0 END
+        + CASE WHEN LAG(value, 7) OVER w IS NOT NULL
+               THEN 0.08235429999999996 ELSE 0.0 END
+      ) * 1000000 + 0.5) / 1000000 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (beyond-reference): windowed exponentially-weighted moving
+    average (operators/analytics.ewma_smooth, alpha=0.3, 8 terms) of
+    each user's event values — pandas ewm(adjust=True) semantics
+    truncated to a fixed horizon so the whole smoother is 8 LAG
+    expressions in ONE window sort (codegen, no recursion/UDF/state;
+    the dropped tail carries (1-alpha)^8 ~ 6% of the weight). The
+    oracle unrolls the identical weighted sum with the same float64
+    literals in the same association order, so the values — not just
+    the shape — are bit-comparable before the 6-dp round."""
+    from .operators.analytics import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma_smooth(ev, ["user_id"], ["ts", "event_id"], "value",
+                      alpha=0.3, terms=8)
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("value_ewma") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("ewma"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6203,7 +6438,8 @@ OPERATOR_MAP = {
         "sketch_rollup_union",
         "cms_frequency",
     ],
-    "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem", "gapfill_daily"],
+    "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem",
+                           "gapfill_daily", "ts_interpolate"],
     "Semi-anti-set": ["j5_semi_anti", "set_ops_nations"],
     "Fuzzy-match": ["fuzzy_name_match"],
     "SCD2": ["scd2_history"],
@@ -6219,7 +6455,8 @@ OPERATOR_MAP = {
     "LLM-quality-model": ["quality_classifier_trained", "classifier_quality"],
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
-    "Graph": ["graph_pagerank", "dedup_components"],
+    "Graph": ["graph_pagerank", "dedup_components", "graph_triangles",
+              "graph_kcore"],
     "T6": ["t6_session_window"],  # beyond-reference: native session windows
     "J7": ["j7_bloom_prefilter"],  # beyond-reference: runtime-filter semi-join
     "W4": ["w4_ratio_to_report"],  # beyond-reference: percent-of-total window
@@ -6236,6 +6473,7 @@ OPERATOR_MAP = {
     "A20": ["a20_higher_moments"],  # beyond-reference: skewness/kurtosis
     "W8": ["w8_period_over_period"],  # beyond-reference: DoD/WoW deltas
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
+    "W10": ["w10_ewma"],  # beyond-reference: windowed EWMA smoothing
     "LLM-vector-stats": ["emb_component_means"],
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
     # beyond-reference, domain-aligned: data-level privacy (the

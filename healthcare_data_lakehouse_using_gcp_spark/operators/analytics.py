@@ -519,3 +519,96 @@ def trailing_distinct(
         .groupBy(F.col("__d").alias(date_col))
         .agg(F.max("__n").cast("bigint").alias("n_distinct"))
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of NULL holes in a per-group dated series:
+    each missing value becomes the straight line between the nearest
+    non-NULL observation BEFORE and AFTER it (by date distance, so
+    irregular spacing interpolates correctly); leading/trailing holes
+    clamp to the single available neighbor. Adds ``<value>_interp``
+    (double) and ``was_gap``; rows with a value pass through exactly.
+
+    Plan: two ignore-nulls windows per group — ``last(..)`` over
+    unbounded-preceding for the previous anchor and ``first(..)`` over
+    unbounded-following for the next — carrying BOTH the anchor value
+    and its date (a ``when(value isNotNull, date)`` column keeps the
+    pair aligned without a struct). One sort per group partition,
+    no joins, no loops; a group's series must fit one task's sort
+    (days-granularity history — fine for decades)."""
+    gcols = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    known_date = F.when(v.isNotNull(), F.col(date_col))
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*gcols)
+        .orderBy(date_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_prev).cast("double")
+    prev_t = F.last(known_date, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next).cast("double")
+    next_t = F.first(known_date, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col(date_col), prev_t) / F.datediff(next_t, prev_t)
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.select(
+        *group_cols,
+        date_col,
+        value_col,
+        interp.alias(f"{value_col}_interp"),
+        v.isNull().alias("was_gap"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    terms: int = 8,
+) -> DataFrame:
+    """Windowed exponentially-weighted moving average: for each row,
+    the decay-weighted mean of the last ``terms`` observations in the
+    group (weights (1-alpha)^j for the j-th most recent row, j=0 for
+    the current one), renormalized over the terms actually available —
+    pandas ``ewm(alpha, adjust=True)`` semantics truncated to a fixed
+    horizon. Adds ``<value>_ewma`` (double).
+
+    The truncation is the SCALE decision: the textbook recursive EWMA
+    needs either a sequential per-key scan or the (1-alpha)^(-i)
+    cumsum trick, which overflows double past ~700·alpha⁻¹ rows. A
+    fixed horizon instead unrolls to ``terms`` LAG column expressions
+    inside ONE window sort per group — wholly inside codegen, no UDF,
+    no state — and for any alpha the dropped tail's weight is
+    (1-alpha)^terms (≈ 6 % at the 0.3/8 defaults; pass more terms for
+    smaller alpha). Out-of-frame lags (series head) and NULL
+    observations are skipped by the renormalization, not zero-filled.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(terms):
+        weight = (1.0 - alpha) ** j
+        lagged = F.lag(F.col(value_col), j).over(w) if j else F.col(value_col)
+        num = num + F.lit(weight) * F.coalesce(lagged.cast("double"), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.withColumn(f"{value_col}_ewma", num / den)

@@ -102,3 +102,125 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     weighted.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list; returns
+    (node, triangles) for every node in ≥ 1 triangle.
+
+    Scale design (the classic degree-orientation / compact-forward
+    algorithm, the standard distributed formulation — cf. Cohen,
+    "Graph Twiddling in a MapReduce World", CiSE 2009):
+
+    - Edges canonicalize to (a, b) with a < b, distinct — one shuffle.
+    - Each edge is ORIENTED from its lower-(degree, id) endpoint to
+      the higher one. Every triangle {x,y,z} then has exactly one
+      "pivot" node with two out-edges, so each triangle is counted
+      once, and — the scale point — wedge generation is
+      Σ out_deg(v)², where orientation caps out-degree at O(√|E|)
+      even for power-law hubs. Without orientation a single
+      degree-10⁶ hub yields 10¹² wedges; with it the same hub's
+      edges point INTO it and generate none.
+    - Wedges close via one equi-join against the oriented edge list
+      on BOTH endpoints — no cartesian anywhere; the plan is three
+      keyed shuffles (degree agg, wedge self-join, closing join).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))  # drops self-loops
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: u -> v where (deg_u, u) < (deg_v, v); struct comparison
+    # gives the lexicographic (degree, id) total order directly
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = e.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("deg_a"), F.col("a"))
+    kb = F.struct(F.col("deg_b"), F.col("b"))
+    oriented = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).persist()
+    # wedges at pivot u: two out-neighbors v < ' w in orientation order
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
+    wedges = e1.join(e2, "u").where(
+        F.struct(F.col("deg_x"), F.col("x")) < F.struct(F.col("deg_y"), F.col("y"))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    counts = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("x").alias("node")))
+        .union(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    ).localCheckpoint(eager=True)
+    oriented.unpersist()
+    return counts
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    peels: int = 3,
+) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop nodes whose CURRENT
+    degree is < k (each peel recomputes degrees over the surviving
+    subgraph). Returns (node, degree) for nodes alive after ``peels``
+    rounds, with their degree in the surviving subgraph.
+
+    ``peels`` is FIXED (not convergence-tested) so the output is
+    deterministic and a SQL oracle unrolling the same number of
+    rounds is bit-comparable; the true k-core is the fixpoint
+    (peels → ∞), and callers can pass a larger ``peels`` — each round
+    is one degree aggregation + one semi-join per side, all keyed
+    shuffles, localCheckpointed to stop per-round plan growth.
+
+    This is the standard corpus-curation / spam-filtering primitive:
+    the k-core of a link or co-occurrence graph is its stable densely
+    connected backbone.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(peels):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "a"), "a", "semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

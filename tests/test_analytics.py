@@ -390,3 +390,70 @@ def test_trailing_distinct_counts_unique_ids_in_window(spark):
     assert out["2024-01-01"] == 2          # {1, 2}
     assert out["2024-01-02"] == 3          # {1, 2, 3} across both days
     assert out["2024-01-10"] == 1          # frame excludes the old days
+
+
+def test_interpolate_linear_fills_holes(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        interpolate_linear,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 2), None),   # midpoint of 10 → 30
+        ("a", d(2024, 1, 3), 30.0),
+        ("a", d(2024, 1, 6), None),   # irregular spacing: 30 + (60-30)*3/4
+        ("a", d(2024, 1, 7), 60.0),
+        ("b", d(2024, 1, 1), None),   # leading hole clamps to next
+        ("b", d(2024, 1, 2), 5.0),
+        ("b", d(2024, 1, 3), None),   # trailing hole clamps to prev
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    out = {
+        (r["g"], r["d"].isoformat()): (r["v_interp"], r["was_gap"])
+        for r in interpolate_linear(df, ["g"], "d", "v").collect()
+    }
+    assert out[("a", "2024-01-01")] == (10.0, False)
+    assert out[("a", "2024-01-02")] == (20.0, True)
+    assert abs(out[("a", "2024-01-06")][0] - (30.0 + 30.0 * 3 / 4)) < 1e-12
+    assert out[("b", "2024-01-01")] == (5.0, True)
+    assert out[("b", "2024-01-03")] == (5.0, True)
+
+
+def test_ewma_smooth_matches_pandas_adjust(spark):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        ewma_smooth,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "g string, i long, v double"
+    )
+    out = ewma_smooth(df, ["g"], ["i"], "v", alpha=0.3, terms=10)
+    got = {r["i"]: r["v_ewma"] for r in out.collect()}
+    # terms=10 > series length → exact pandas ewm(adjust=True) parity
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+
+
+def test_ewma_smooth_skips_nulls_and_validates_alpha(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 2.0), ("k", 1, None), ("k", 2, 4.0)], "g string, i long, v double"
+    )
+    got = {r["i"]: r["v_ewma"] for r in ewma_smooth(df, ["g"], ["i"], "v").collect()}
+    # row 2: NULL at lag-1 is skipped by renormalization, not zero-filled
+    w2 = (1 - 0.3) ** 2
+    assert abs(got[2] - (4.0 + w2 * 2.0) / (1.0 + w2)) < 1e-12
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, ["g"], ["i"], "v", alpha=0.0)

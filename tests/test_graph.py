@@ -70,3 +70,43 @@ def test_bidirectional_edges_distinct_both_ways(spark):
     e = bidirectional_edges(pairs, "a", "b")
     got = {(r["src"], r["dst"]) for r in e.collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import triangle_count
+
+    # K4 on 1-4 (4 triangles, each node in 3) + pendant 5 + a dup /
+    # reversed edge + a self-loop, all of which must be ignored
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (5, 1), (2, 1), (3, 3)],
+        "src long, dst long",
+    )
+    got = {(r["node"], r["triangles"]) for r in triangle_count(e).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_triangle_count_bipartite_is_empty(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import triangle_count
+
+    # bipartite graphs are triangle-free by construction
+    e = spark.createDataFrame(
+        [(u, v) for u in (1, 2, 3) for v in (10, 20)], "src long, dst long"
+    )
+    assert triangle_count(e).count() == 0
+
+
+def test_k_core_peels_cascade(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import k_core
+
+    # chain 1-2-3 hanging off K4 {4,5,6,7}: peeling k=2 removes the
+    # chain one node per round (degree cascades), K4 survives
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)],
+        "src long, dst long",
+    )
+    got = {(r["node"], r["degree"]) for r in k_core(e, k=2, peels=3).collect()}
+    assert got == {(4, 3), (5, 3), (6, 3), (7, 3)}
+    # one peel is not enough for the cascade: node 2 still alive
+    one = {r["node"] for r in k_core(e, k=2, peels=1).collect()}
+    assert 2 in one and 1 not in one
