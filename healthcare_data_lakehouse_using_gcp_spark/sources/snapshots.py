@@ -65,7 +65,13 @@ txn-idempotent):
 
 - **File skipping**: every commit records per-file column [min, max]
   from the footers it already reads; ``read(prune=(col, op, value))``
-  drops files driver-side with zero opens.
+  drops files driver-side with zero opens. Tables opened with
+  ``bloom_cols=[...]`` additionally record a per-file BLOOM FILTER
+  per listed column (Delta's bloom index, computed distributedly over
+  the new files only), so equality lookups on high-cardinality
+  unsorted keys — where every file's [min, max] spans the domain —
+  still prune. Readers need no configuration; files committed
+  without blooms simply never bloom-prune.
 - **DML**: ``merge_upsert(batch, keys)`` (keyed upsert rewriting only
   stat-overlapping files) and ``delete_where(predicate)``
   (right-to-erasure; stats-proven-clean deletes no-op; vacuum
@@ -93,6 +99,54 @@ _MANIFEST_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+def _bloom_canon(value) -> str | None:
+    """Canonical string form a bloom indexes — must equal Spark's
+    CAST(col AS STRING) for the value's type, because the commit-side
+    positions hash exactly that. Supported: int, str, bool, date
+    (Spark prints all four identically to Python). Anything else
+    (float's scientific-notation divergence, timestamps' session-zone
+    rendering, bytes, NULL) returns None ⇒ the bloom abstains and
+    pruning falls back to [min, max] only."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        return value.isoformat()
+    return None
+
+
+def _bloom_positions(col: str, canon: str, n_hashes: int, n_bits: int) -> list[int]:
+    """The k bit positions for one value — md5 of ``"col:i:value"``
+    truncated to 60 bits, mod the filter width. Mirrors the Spark
+    expression in _collect_file_blooms term for term (md5 is the one
+    hash both engines spell identically); any drift between the two
+    would surface as false NEGATIVES, which the conservativeness
+    property test would catch."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{col}:{i}:{canon}".encode()).hexdigest()[:15], 16
+        )
+        % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def _bloom_test(hex_words: str, positions: list[int]) -> bool:
+    """True iff every position's bit is set (value may be present)."""
+    for p in positions:
+        word = int(hex_words[(p // 64) * 16 : (p // 64 + 1) * 16], 16)
+        if not (word >> (p % 64)) & 1:
+            return False
+    return True
+
+
 class TxnAlreadyCommitted(Exception):
     """Raised internally when a txn_id is found mid-commit; carries
     the version that token originally produced."""
@@ -105,9 +159,32 @@ class TxnAlreadyCommitted(Exception):
 class SnapshotTable:
     """A snapshot-versioned parquet table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 2048,
+        bloom_hashes: int = 4,
+    ):
+        """``bloom_cols`` opts commits made through THIS instance into
+        per-file bloom filters on those columns (Delta's bloom index):
+        min/max stats cannot prune point lookups on high-cardinality
+        UNSORTED keys (every file's [min, max] spans the domain), a
+        bloom can. Readers need no configuration — the manifest
+        carries each file's filters, and files committed without
+        blooms simply never bloom-prune (conservative by absence).
+        ``bloom_bits`` is per file per column (2048 bits = 32 words =
+        512 hex chars of manifest JSON); size it ≳ 10× the expected
+        DISTINCT values per file for a low false-positive rate —
+        an undersized bloom costs only pruning power, never rows."""
         self.spark = spark
         self.root = root
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        if bloom_bits % 64 != 0 or bloom_bits <= 0:
+            raise ValueError("bloom_bits must be a positive multiple of 64")
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
 
@@ -215,10 +292,78 @@ class SnapshotTable:
                         maxs.pop(name, None)
         return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], int, dict]:
+    def _collect_file_blooms(self, rel_files: list[str]) -> dict:
+        """Per-(file, column) bloom bitsets for ``self.bloom_cols``,
+        computed DISTRIBUTEDLY over the just-written files (one extra
+        scan of the new commit's data only — never the table). Plan
+        per column: project (input_file_name, cast-to-string), explode
+        the k md5 positions, distinct, fold position → word/bit, and
+        bit_or-aggregate per (file, word) — the driver collects only
+        |files| × |words| rows, never values. Returns
+        {rel_path: {col: hex}} with words big-endian-hex concatenated
+        in index order."""
+        if not self.bloom_cols or not rel_files:
+            return {}
+        paths = [os.path.join(self.root, r) for r in rel_files]
+        base = {os.path.basename(r): r for r in rel_files}
+        df = self.spark.read.parquet(*paths)
+        m, k = self.bloom_bits, self.bloom_hashes
+        n_words = m // 64
+        out: dict = {r: {} for r in rel_files}
+        for col in self.bloom_cols:
+            if col not in df.columns:
+                continue
+            s = F.col(col).cast("string")
+            positions = [
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{col}:{i}:"), s)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(m),
+                )
+                for i in range(k)
+            ]
+            words = (
+                df.where(F.col(col).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.array(*positions)).alias("__p"),
+                )
+                .distinct()
+                .select(
+                    "__f",
+                    F.floor(F.col("__p") / 64).cast("int").alias("__w"),
+                    F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"),
+                )
+                .groupBy("__f", "__w")
+                .agg(F.expr("bit_or(__m)").alias("__bits"))
+                .collect()
+            )
+            acc: dict = {}
+            for row in words:
+                rel = base.get(os.path.basename(row["__f"]))
+                if rel is None:
+                    continue
+                acc.setdefault(rel, [0] * n_words)[row["__w"]] = (
+                    row["__bits"] & 0xFFFFFFFFFFFFFFFF
+                )
+            for rel, wlist in acc.items():
+                out[rel][col] = "".join(f"{w:016x}" for w in wlist)
+        return {
+            r: {"bits": m, "hashes": k, "cols": cols}
+            for r, cols in out.items()
+            if cols
+        }
+
+    def _write_data(self, df: DataFrame) -> tuple[list[str], int, dict, dict]:
         """Write df's rows as a fresh immutable file group; return
-        (root-relative file paths, row count, per-file column stats)
-        — all from footers only, no data scan."""
+        (root-relative file paths, row count, per-file column stats,
+        per-file blooms) — stats from footers only; blooms (when
+        configured) from one distributed scan of the new files."""
         import pyarrow.parquet as pq
 
         commit_dir = uuid.uuid4().hex
@@ -249,7 +394,7 @@ class SnapshotTable:
         stats = {
             r: self._collect_file_stats(os.path.join(self.root, r)) for r in rel
         }
-        return rel, n_rows, stats
+        return rel, n_rows, stats, self._collect_file_blooms(rel)
 
     @staticmethod
     def _schema_key(schema: T.StructType) -> list[list[str]]:
@@ -290,12 +435,13 @@ class SnapshotTable:
             if seen is not None:
                 return seen
         schema_key = self._schema_key(df.schema)
-        files, n_rows, new_stats = self._write_data(df)
+        files, n_rows, new_stats, new_blooms = self._write_data(df)
 
         def mk(n: int) -> dict:
             parent = n - 1
             base_files: list[str] = []
             base_stats: dict = {}
+            base_blooms: dict = {}
             if parent >= 1:
                 pm = self._load(parent)
                 # re-check txn on every retry: a same-token racer may
@@ -333,6 +479,7 @@ class SnapshotTable:
                             )
                     base_files = pm["files"]
                     base_stats = pm.get("file_stats", {})
+                    base_blooms = pm.get("file_blooms", {})
             return {
                 "version": n,
                 "parent": parent,
@@ -341,6 +488,7 @@ class SnapshotTable:
                 "txn_id": txn_id,
                 "files": base_files + files,
                 "file_stats": {**base_stats, **new_stats},
+                "file_blooms": {**base_blooms, **new_blooms},
                 "n_rows": n_rows,
                 "schema": df.schema.json(),
                 "schema_key": schema_key,
@@ -438,7 +586,7 @@ class SnapshotTable:
             seen = self._txn_version(txn_id)
             if seen is not None:
                 return seen
-        files, n_rows, new_stats = self._write_data(rewritten)
+        files, n_rows, new_stats, new_blooms = self._write_data(rewritten)
 
         def mk(n: int) -> dict:
             pm = self._load(n - 1)
@@ -462,6 +610,11 @@ class SnapshotTable:
                 for f in carried
                 if pm.get("file_stats", {}).get(f)
             }
+            carried_blooms = {
+                f: pm.get("file_blooms", {}).get(f)
+                for f in carried
+                if pm.get("file_blooms", {}).get(f)
+            }
             return {
                 "version": n,
                 "parent": n - 1,
@@ -470,6 +623,7 @@ class SnapshotTable:
                 "txn_id": txn_id,
                 "files": carried + files,
                 "file_stats": {**carried_stats, **new_stats},
+                "file_blooms": {**carried_blooms, **new_blooms},
                 "n_rows": n_rows,
                 "schema": m["schema"],
                 "schema_key": m["schema_key"],
@@ -514,7 +668,7 @@ class SnapshotTable:
             .parquet(*[os.path.join(self.root, f) for f in affected])
             .filter(~F.expr(f"{col} {sql_op} {json.dumps(value)}"))
         )
-        files, n_rows, new_stats = self._write_data(survivors)
+        files, n_rows, new_stats, new_blooms = self._write_data(survivors)
 
         def mk(n: int) -> dict:
             pm = self._load(n - 1)
@@ -534,6 +688,11 @@ class SnapshotTable:
                 for f in carried
                 if pm.get("file_stats", {}).get(f)
             }
+            carried_blooms = {
+                f: pm.get("file_blooms", {}).get(f)
+                for f in carried
+                if pm.get("file_blooms", {}).get(f)
+            }
             return {
                 "version": n,
                 "parent": n - 1,
@@ -542,6 +701,7 @@ class SnapshotTable:
                 "txn_id": txn_id,
                 "files": carried + files,
                 "file_stats": {**carried_stats, **new_stats},
+                "file_blooms": {**carried_blooms, **new_blooms},
                 "n_rows": n_rows,
                 "schema": m["schema"],
                 "schema_key": m["schema_key"],
@@ -567,6 +727,7 @@ class SnapshotTable:
                 "txn_id": None,
                 "files": target["files"],
                 "file_stats": target.get("file_stats", {}),
+                "file_blooms": target.get("file_blooms", {}),
                 "n_rows": target["n_rows"],
                 "schema": target["schema"],
                 "schema_key": target["schema_key"],
@@ -648,6 +809,25 @@ class SnapshotTable:
             return True  # incomparable predicate value: keep the file
         raise ValueError(f"unsupported prune op {op!r} (use >=, >, <=, <, ==)")
 
+    @staticmethod
+    def _bloom_may_match(bloom: dict | None, col: str, value) -> bool:
+        """False only when the file's bloom filter PROVES ``value``
+        absent from ``col``. No bloom for the file or column, or a
+        value type whose string rendering Spark and Python may
+        disagree on (``_bloom_canon`` abstains) ⇒ may match."""
+        if not bloom:
+            return True
+        hex_words = bloom.get("cols", {}).get(col)
+        if hex_words is None:
+            return True
+        canon = _bloom_canon(value)
+        if canon is None:
+            return True
+        return _bloom_test(
+            hex_words,
+            _bloom_positions(col, canon, bloom["hashes"], bloom["bits"]),
+        )
+
     def prune_files(
         self, version: int, predicate: tuple[str, str, object]
     ) -> tuple[list[str], int]:
@@ -657,15 +837,26 @@ class SnapshotTable:
         ZERO file opens. Returns (surviving root-relative paths,
         total file count). Date/timestamp stats are stored as ISO
         strings — pass the predicate value in the same form
-        (lexicographic == chronological)."""
+        (lexicographic == chronological).
+
+        Equality predicates additionally test each file's bloom
+        filter when the manifest carries one (tables built with
+        ``bloom_cols=[...]``): [min, max] cannot prune point lookups
+        on high-cardinality UNSORTED keys — every file spans the
+        domain — but a bloom proves absence per file."""
         m = self._load(version)
         stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
         col, op, value = predicate
-        keep = [
-            f
-            for f in m["files"]
-            if self._file_may_match(stats.get(f, {}), col, op, value)
-        ]
+        keep = []
+        for f in m["files"]:
+            if not self._file_may_match(stats.get(f, {}), col, op, value):
+                continue
+            if op in ("==", "=") and not self._bloom_may_match(
+                blooms.get(f), col, value
+            ):
+                continue
+            keep.append(f)
         return keep, len(m["files"])
 
     def read(

@@ -456,3 +456,135 @@ def test_foreachbatch_exactly_once_sink(spark, tmp_path):
     run_once()
     assert table.latest_version() == v_after_first  # txn replay = no-op
     assert table.read().count() == 40
+
+
+# ------------------------------------------------------------------
+# bloom-filter file index (r8)
+
+
+def _bloom_table(spark, tmp_path, **kw):
+    return SnapshotTable(spark, str(tmp_path / "bloom_tbl"), **kw)
+
+
+_INTERLEAVED = [
+    [(1, "a1"), (500, "m1"), (999, "z1")],
+    [(2, "a2"), (501, "m2"), (998, "z2")],
+    [(3, "a3"), (502, "m3"), (997, "z3")],
+]
+
+
+def test_bloom_index_prunes_point_lookups_stats_cannot(spark, tmp_path):
+    """r8: every commit's [min, max] spans the id domain (interleaved
+    keys), so footer stats keep ALL files for an equality probe — the
+    per-file bloom recorded at commit time is what prunes. Probes on
+    bigint and string columns, absent-key probes emptying the scan
+    with zero file opens, and conservativeness over every committed
+    value."""
+    t = _bloom_table(spark, tmp_path, bloom_cols=["id", "v"])
+    for b in _INTERLEAVED:
+        t.commit_append(_mk(spark, b).coalesce(1))
+    v = t.latest_version()
+    m = t._load(v)
+    total = len(m["files"])
+    assert total == 3  # one file per commit; each spans the id domain
+    # stats alone keep every file for the point probe
+    stats_kept = [
+        f
+        for f in m["files"]
+        if SnapshotTable._file_may_match(m["file_stats"].get(f, {}), "id", "==", 501)
+    ]
+    assert len(stats_kept) == total
+    # the bloom prunes to the commit(s) that can hold the key
+    keep, tot = t.prune_files(v, ("id", "==", 501))
+    assert tot == total and 0 < len(keep) < total
+    got = sorted(
+        map(tuple, t.read(prune=("id", "==", 501)).filter("id = 501").collect())
+    )
+    assert got == [(501, "m2")]
+    # absent key: all files proven clean, scan empties driver-side
+    keep_none, _ = t.prune_files(v, ("id", "==", 123456))
+    assert keep_none == []
+    assert t.read(prune=("id", "==", 123456)).count() == 0
+    # string-column blooms prune too
+    keep_s, _ = t.prune_files(v, ("v", "==", "m3"))
+    assert 0 < len(keep_s) < total
+    assert t.read(prune=("v", "==", "zz_missing")).count() == 0
+    # conservativeness: no committed value is ever bloom-pruned away
+    for b in _INTERLEAVED:
+        for id_, v_ in b:
+            assert (
+                t.read(prune=("id", "==", id_)).filter(f"id = {id_}").count() == 1
+            )
+            assert (
+                t.read(prune=("v", "==", v_)).filter(f"v = '{v_}'").count() == 1
+            )
+
+
+def test_bloom_readers_need_no_configuration(spark, tmp_path):
+    """Blooms live in the manifest: a reader instance opened WITHOUT
+    bloom_cols still bloom-prunes, and range predicates are untouched
+    (blooms only ever serve equality)."""
+    w = _bloom_table(spark, tmp_path, bloom_cols=["v"])
+    for b in _INTERLEAVED:
+        w.commit_append(_mk(spark, b).coalesce(1))
+    r = SnapshotTable(spark, w.root)
+    v = r.latest_version()
+    keep, total = r.prune_files(v, ("v", "==", "m2"))
+    assert 0 < len(keep) < total
+    # range probe ignores blooms entirely — stats semantics unchanged
+    keep_rng, _ = r.prune_files(v, ("id", ">=", 997))
+    assert len(keep_rng) == total  # every commit holds a 99x id
+
+
+def test_bloom_abstains_on_unsupported_value_types(spark, tmp_path):
+    """_bloom_canon abstains for value types whose string form Spark
+    and Python may render differently (floats etc.) — the probe falls
+    back to stats-only and keeps the file (conservative, never
+    wrong)."""
+    t = _bloom_table(spark, tmp_path, bloom_cols=["id"])
+    for b in _INTERLEAVED:
+        t.commit_append(_mk(spark, b).coalesce(1))
+    v = t.latest_version()
+    total = len(t._load(v)["files"])
+    keep_float, _ = t.prune_files(v, ("id", "==", 501.0))
+    assert len(keep_float) == total  # abstained: stats keep all
+    keep_int, _ = t.prune_files(v, ("id", "==", 501))
+    assert len(keep_int) < total
+
+
+def test_bloom_validates_bits(spark, tmp_path):
+    with pytest.raises(ValueError, match="multiple of 64"):
+        _bloom_table(spark, tmp_path, bloom_cols=["v"], bloom_bits=100)
+
+
+def test_bloom_survives_dml_and_maintenance(spark, tmp_path):
+    """merge_upsert / delete_where / compact / rollback all keep the
+    bloom index coherent: carried files keep their recorded blooms,
+    rewritten files get fresh ones, and absent-key probes still empty
+    the scan at every version."""
+    t = _bloom_table(spark, tmp_path, bloom_cols=["v"])
+    for b in _INTERLEAVED:
+        t.commit_append(_mk(spark, b).coalesce(1))
+
+    def absent_prunes_all():
+        vv = t.latest_version()
+        keep, _ = t.prune_files(vv, ("v", "==", "nope"))
+        assert keep == []
+
+    absent_prunes_all()
+    t.merge_upsert(_mk(spark, [(501, "M2"), (777, "new")]), keys=["id"])
+    absent_prunes_all()
+    # the rewritten value is findable, the overwritten one is gone
+    assert t.read(prune=("v", "==", "M2")).filter("v = 'M2'").count() == 1
+    assert t.read(prune=("v", "==", "m2")).filter("v = 'm2'").count() == 0
+    t.delete_where(("id", "==", 999))
+    absent_prunes_all()
+    assert t.read(prune=("v", "==", "z1")).filter("v = 'z1'").count() == 0
+    assert t.read(prune=("v", "==", "m1")).filter("v = 'm1'").count() == 1
+    v_before = t.latest_version()
+    t.compact(target_file_bytes=1)  # force a rewrite; blooms recomputed
+    absent_prunes_all()
+    assert t.read(prune=("v", "==", "new")).filter("v = 'new'").count() == 1
+    t.rollback(v_before)
+    absent_prunes_all()
+    assert t.read(prune=("v", "==", "M2")).filter("v = 'M2'").count() == 1
