@@ -607,6 +607,10 @@ _TAIL = (
     "graph_kcore",
     "ts_interpolate",
     "w10_ewma",
+    # late-r8 batch 3 (tail-born; oracle-swept every pytest run):
+    # hybrid-retrieval fusion of the lexical (BM25) and LM (Dirichlet
+    # QL) signals — integer-rank RRF, bit-exact across engines
+    "retrieval_rrf_fusion",
 )
 
 
@@ -6364,6 +6368,104 @@ def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retrieval_rrf_fusion",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+             CAST(ANY_VALUE(dl) AS DOUBLE) AS dl
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+      FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM idx GROUP BY doc_id)
+    ), dfs AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM idx
+      WHERE term IN ('table', 'join', 'query') GROUP BY term
+    ), bm_scored AS (
+      SELECT i.doc_id,
+             SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (i.tf * 2.2)
+                 / (i.tf + 1.2 * (1 - 0.75 + 0.75 * i.dl / s.avgdl))) AS score
+      FROM idx i JOIN dfs d USING (term) CROSS JOIN stats s
+      WHERE i.term IN ('table', 'join', 'query')
+      GROUP BY i.doc_id
+    ), bm_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
+             ) AS rnk
+      FROM bm_scored QUALIFY rnk <= 50
+    ), coll AS (
+      SELECT CAST(SUM(tf) AS DOUBLE) AS coll_len FROM idx
+    ), cf AS (
+      SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM idx
+      WHERE term IN ('table', 'join', 'query') GROUP BY term
+    ), cand AS (
+      SELECT doc_id, CAST(ANY_VALUE(dl) AS DOUBLE) AS dl FROM idx
+      WHERE term IN ('table', 'join', 'query') GROUP BY doc_id
+    ), ql_scored AS (
+      SELECT c.doc_id,
+             SUM(ln((COALESCE(i.tf, 0) + 2000.0 * f.cf / t.coll_len)
+                    / (c.dl + 2000.0))) AS score
+      FROM cand c
+      CROSS JOIN cf f
+      CROSS JOIN coll t
+      LEFT JOIN idx i ON i.doc_id = c.doc_id AND i.term = f.term
+      GROUP BY c.doc_id
+    ), ql_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(score * 10000 + 0.5) / 10000 DESC, doc_id
+             ) AS rnk
+      FROM ql_scored QUALIFY rnk <= 50
+    ), fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             FLOOR((COALESCE(1.0 / (60 + a.rnk), 0)
+                    + COALESCE(1.0 / (60 + b.rnk), 0)) * 1000000 + 0.5)
+               / 1000000 AS rrf_score,
+             CAST((a.doc_id IS NOT NULL)::INT
+                  + (b.doc_id IS NOT NULL)::INT AS BIGINT) AS n_lists
+      FROM bm_ranked a FULL JOIN ql_ranked b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= 20
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-retrieval (beyond-reference): HYBRID retrieval via
+    reciprocal-rank fusion (Cormack 2009) of two independent signals
+    for the same query — Okapi BM25 (term-saturation bonus sum) and
+    Dirichlet query likelihood (Zhai & Lafferty 2001 smoothed LM
+    score) — rrf(d) = Σ 1/(60 + rank). The calibration-free fusion
+    every hybrid (lexical + dense) search stack uses; here both legs
+    share one persisted inverted index, so the corpus is tokenized
+    exactly once. Ranks are integers (scores rounded BEFORE ranking,
+    bm25_topk discipline), making the fused score bit-exact across
+    engines: 1/(60+r) terms are identical doubles and 2-term IEEE
+    addition is order-free. Plan: one explode+hash-agg postings
+    build, broadcast side stats for both scorers, TakeOrdered top-50
+    legs, then a |2·50|-row union + hash-agg — fusion cost is
+    O(lists × k), independent of corpus size."""
+    from .operators.retrieval import bm25_topk, build_term_index, ql_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["table", "join", "query"]
+    idx = build_term_index(docs).persist()
+    bm = bm25_topk(docs, terms, k=50, index=idx)
+    ql = ql_topk(docs, terms, k=50, index=idx)
+    out = rrf_fuse([bm, ql], topk=20).localCheckpoint(eager=True)
+    idx.unpersist()
+    return out
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6427,7 +6529,7 @@ OPERATOR_MAP = {
         "chunk_documents", "lm_perplexity", "text_embed_components",
         "epoch_upsample", "text_bpe_pretokenize",
     ],
-    "LLM-retrieval": ["text_bm25_topk"],
+    "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],

@@ -222,3 +222,154 @@ def tfidf_topk_terms(
         out = out.localCheckpoint(eager=True)
         idx.unpersist()
     return out
+
+
+def ql_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood score per candidate
+    document — the classic language-modelling retrieval signal that
+    pairs with BM25 in hybrid stacks (Zhai & Lafferty 2001):
+
+        score(d) = Σ_t ln( (tf_{t,d} + μ·P(t|C)) / (dl_d + μ) )
+
+    with P(t|C) = collection frequency / collection length. Candidate
+    set = documents containing ≥1 query term (the inverted-index
+    property: work proportional to the query terms' postings, never a
+    corpus scan); absent terms still contribute their smoothed
+    background mass via tf=0, which is what makes QL a proper LM
+    score rather than a sum of per-term bonuses.
+
+    Scale design mirrors bm25_scores: the per-term collection stats
+    are a |q|-row broadcast, the 1-row collection length rides in via
+    a broadcast crossJoin, and the only shuffle is the candidate
+    groupBy(id).
+    """
+    idx = (
+        index
+        if index is not None
+        else build_term_index(docs, text_col, id_col).persist()
+    )
+    terms = list(query_terms)
+    coll = idx.agg(F.sum("tf").cast("double").alias("coll_len"))
+    cf = (
+        idx.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    cand = (
+        idx.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.first("dl").cast("double").alias("dl"))
+    )
+    postings = idx.filter(F.col("term").isin(terms)).select(
+        id_col, "term", "tf"
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(coll))
+        .join(postings, [id_col, "term"], "left")
+        .withColumn(
+            "w",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0.0)) + mu * F.col("cf") / F.col("coll_len"))
+                / (F.col("dl") + mu)
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("w").alias("score"))
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+    index: DataFrame | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Top-k by query likelihood, same rounding-before-ranking and
+    TakeOrderedAndProject discipline as bm25_topk."""
+    from ..functions.scalars import round_det
+
+    s = ql_scores(docs, query_terms, text_col, id_col, mu, index)
+    score = (
+        round_det(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
+    top = (
+        s.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .cast("bigint"),
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009) — the standard way to
+    combine heterogeneous retrieval signals (lexical BM25 + dense
+    ANN, or BM25 + query likelihood) without score calibration:
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Input frames need (id, rank) columns; a document missing from a
+    list simply contributes nothing (fusion over the union). Returns
+    (id, rrf_score, n_lists, rank), optionally truncated to ``topk``.
+
+    Scale design: one union + one hash aggregate on id — no join
+    chain, no window over the corpus; each input is already a top-k
+    frame, so the whole fusion is |lists|·k rows. Ranks are integers,
+    so 1/(k+rank) is bit-identical everywhere; the fused sum is over
+    ≤|lists| terms per doc (IEEE addition is commutative, so 2-list
+    fusion is bit-exact regardless of aggregation order) and is
+    rounded before the final ranking as usual."""
+    from functools import reduce
+
+    from ..functions.scalars import round_det
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(id_col)
+        .agg(
+            round_det(F.sum("__contrib"), round_digits).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    if topk is not None:
+        out = (
+            fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(topk)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        )
+    return out

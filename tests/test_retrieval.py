@@ -147,3 +147,78 @@ def test_tfidf_rn_bounded_and_scores_monotone(spark):
         assert scores == sorted(scores, reverse=True)
         # the thrice-repeated unique token dominates
         assert len(pairs) == 3
+
+
+# ------------------------------------------------------------------
+# query likelihood + reciprocal-rank fusion (r8)
+
+
+def test_ql_hand_computed(spark):
+    """Dirichlet QL against the hand-evaluated Zhai-Lafferty formula
+    for a single-term query: score(d) = ln((tf + mu*cf/C)/(dl + mu)),
+    candidates restricted to docs containing >=1 query term."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import ql_scores
+
+    docs = _docs(spark)
+    mu = 100.0
+    got = {r["doc_id"]: r["score"] for r in ql_scores(docs, ["join"], mu=mu).collect()}
+    # collection: 5 + 2 + 3 + 1 = 11 tokens, cf(join) = 4
+    p_c = 4.0 / 11.0
+    assert set(got) == {1, 4}  # docs 2 and 3 hold no query term: not candidates
+    for doc_id, tf, dl in ((1, 3.0, 5.0), (4, 1.0, 1.0)):
+        want = math.log((tf + mu * p_c) / (dl + mu))
+        assert abs(got[doc_id] - want) < 1e-12
+
+
+def test_ql_absent_term_contributes_background(spark):
+    """A candidate missing one of two query terms still gets that
+    term's smoothed background mass (tf=0), not a dropped term — the
+    property that makes QL an LM score, not a bonus sum."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import ql_scores
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ql_scores(docs, ["join", "scan"], mu=50.0).collect()
+    }
+    # doc 3 (has scan, not join) and doc 4 (has join, not scan) both
+    # score over BOTH terms: two log-terms each, strictly negative
+    coll_len, cf_join, cf_scan, mu = 11.0, 4.0, 1.0, 50.0
+
+    def ql(tf_join, tf_scan, dl):
+        return math.log((tf_join + mu * cf_join / coll_len) / (dl + mu)) + math.log(
+            (tf_scan + mu * cf_scan / coll_len) / (dl + mu)
+        )
+
+    assert abs(got[3] - ql(0.0, 1.0, 3.0)) < 1e-12
+    assert abs(got[4] - ql(1.0, 0.0, 1.0)) < 1e-12
+
+
+def test_rrf_fuse_union_and_missing_lists(spark):
+    """RRF fuses over the UNION of lists: a doc present in both gets
+    both 1/(k+rank) terms, a doc in one list gets one; ranking is by
+    fused score with id tiebreak."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id bigint, rank bigint")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id bigint, rank bigint")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    assert out[20]["n_lists"] == 2 and out[10]["n_lists"] == 1
+    assert abs(out[20]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert abs(out[10]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # consensus doc 20 outranks either single-list doc
+    assert out[20]["rank"] == 1
+    ranks = {d: out[d]["rank"] for d in out}
+    assert ranks[10] == 2 and ranks[30] == 3  # same score 1/61 vs 1/62? no:
+    # 10 has 1/61 (rank 1 in a), 30 has 1/62 (rank 2 in b)
+
+
+def test_rrf_topk_truncates_after_fusion(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 8)], "doc_id bigint, rank bigint"
+    )
+    out = rrf_fuse([a], topk=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert len(out) == 3
