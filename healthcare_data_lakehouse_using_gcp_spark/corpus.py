@@ -609,8 +609,10 @@ _TAIL = (
     "w10_ewma",
     # late-r8 batch 3 (tail-born; oracle-swept every pytest run):
     # hybrid-retrieval fusion of the lexical (BM25) and LM (Dirichlet
-    # QL) signals — integer-rank RRF, bit-exact across engines
+    # QL) signals — integer-rank RRF, bit-exact across engines — and
+    # the SQ8 vector-compression tier, hash-checked end to end
     "retrieval_rrf_fusion",
+    "emb_quantize_int8",
 )
 
 
@@ -6466,6 +6468,87 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "emb_quantize_int8",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), sc AS (
+      SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM ex GROUP BY vec_id
+    ), c AS (
+      SELECT e.vec_id, e.pos, e.x, s.scale,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(e.x / s.scale + 0.5))) AS BIGINT)
+             END AS code
+      FROM ex e JOIN sc s USING (vec_id)
+    ), d AS (
+      SELECT vec_id, pos, scale, code, x - code * scale AS err
+      FROM c
+    )
+    SELECT vec_id,
+           FLOOR(ANY_VALUE(scale) * 10000000000 + 0.5) / 10000000000
+             AS scale_r,
+           MAX(CASE WHEN pos = 0 THEN code END) AS code_0,
+           MAX(CASE WHEN pos = 1 THEN code END) AS code_1,
+           FLOOR(SUM(err * err) / COUNT(*) * 10000000000 + 0.5)
+             / 10000000000 AS mse,
+           FLOOR(MAX(ABS(err)) * 10000000000 + 0.5) / 10000000000
+             AS max_abs_err
+    FROM d GROUP BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-vector-compression (beyond-reference): symmetric int8
+    scalar quantization of the embedding column (FAISS SQ8 / Lucene
+    int8 — the 4× format vector stores actually serve), hash-checked
+    END TO END: per-vector scale, the first two codes, reconstruction
+    MSE, and the max absolute element error all match the oracle's
+    re-derivation. scale and max_abs_err are bit-exact by
+    construction (max folds are order-free and the per-element
+    arithmetic is identical IEEE ops in both engines); the MSE sum is
+    rounded 8 orders above its reassociation noise. Plan: pure
+    per-row array expressions (transform/aggregate folds) — zero
+    shuffle, zero UDF; the oracle re-derives via subscript unnest +
+    re-aggregation, so the code path is checked against a completely
+    different plan shape."""
+    from .operators.similarity import dequantize_int8_col, quantize_embeddings_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(e)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rec = dequantize_int8_col(F.col("codes"), F.col("scale"))
+    err2 = F.zip_with(v, rec, lambda a, b: (a - b) * (a - b))
+    abserr = F.zip_with(v, rec, lambda a, b: F.abs(a - b))
+    r10 = 10000000000.0
+    return q.select(
+        "vec_id",
+        (F.floor(F.col("scale") * r10 + F.lit(0.5)) / r10).alias("scale_r"),
+        F.element_at("codes", 1).cast("bigint").alias("code_0"),
+        F.element_at("codes", 2).cast("bigint").alias("code_1"),
+        (
+            F.floor(
+                F.aggregate(err2, F.lit(0.0), lambda a, x: a + x)
+                / F.size("codes")
+                * r10
+                + F.lit(0.5)
+            )
+            / r10
+        ).alias("mse"),
+        (
+            F.floor(
+                F.aggregate(abserr, F.lit(0.0), lambda a, x: F.greatest(a, x))
+                * r10
+                + F.lit(0.5)
+            )
+            / r10
+        ).alias("max_abs_err"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6577,6 +6660,7 @@ OPERATOR_MAP = {
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
     "W10": ["w10_ewma"],  # beyond-reference: windowed EWMA smoothing
     "LLM-vector-stats": ["emb_component_means"],
+    "LLM-vector-compression": ["emb_quantize_int8"],  # SQ8 tier (PQ: ann_ivf_pq_*)
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)

@@ -1607,3 +1607,57 @@ def test_bpe_merges_save_load_roundtrip(spark, docs, tmp_path):
         "doc_id", "n_bpe_tokens"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_int8_quantize_bound_and_roundtrip(spark):
+    """SQ8 contract: codes are tinyint in [-127, 127], the max
+    element at +/-max|x| quantizes to +/-127 exactly, per-element
+    reconstruction error <= scale/2, and all-zero vectors round-trip
+    to exact zeros with scale 0."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.1, 0.0]),
+            (2, [-1.0, 0.5, 0.25, -0.125]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = similarity.quantize_embeddings_int8(df)
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == pytest.approx(0.5 / 127)
+    assert rows[1]["codes"][0] == 127  # the max element saturates exactly
+    assert rows[2]["codes"][0] == -127
+    assert rows[3]["codes"] == [0, 0, 0, 0] and rows[3]["scale"] == 0.0
+    for vid in (1, 2):
+        s = rows[vid]["scale"]
+        rec = [c * s for c in rows[vid]["codes"]]
+        orig = dict((r["vec_id"], r["embedding"]) for r in df.collect())[vid]
+        for a, b in zip(orig, rec):
+            assert abs(a - b) <= s / 2 + 1e-12
+        # near-exact cosine: the SQ8 selling point
+        dot = sum(a * b for a, b in zip(orig, rec))
+        na = math.sqrt(sum(a * a for a in orig))
+        nb = math.sqrt(sum(b * b for b in rec))
+        assert dot / (na * nb) > 0.999
+
+
+def test_int8_dequantize_col(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.0, 0.125])], "vec_id long, embedding array<double>"
+    )
+    q = similarity.quantize_embeddings_int8(df)
+    rec = q.select(
+        "vec_id",
+        similarity.dequantize_int8_col(
+            q["codes"], q["scale"]
+        ).alias("rec"),
+    ).first()["rec"]
+    s = 0.5 / 127
+    assert rec[0] == pytest.approx(127 * s)
+    assert rec[2] == 0.0
+    # quantization is pure column expressions: no UDF, no shuffle
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
