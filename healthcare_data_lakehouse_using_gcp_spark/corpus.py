@@ -613,6 +613,7 @@ _TAIL = (
     # the SQ8 vector-compression tier, hash-checked end to end
     "retrieval_rrf_fusion",
     "emb_quantize_int8",
+    "ann_sq8_topk",
 )
 
 
@@ -6549,6 +6550,80 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_sq8_topk",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), sc AS (
+      SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM ex GROUP BY vec_id
+    ), c AS (
+      SELECT e.vec_id, e.pos,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(e.x / s.scale + 0.5))) AS BIGINT)
+             END AS code
+      FROM ex e JOIN sc s USING (vec_id)
+    ), norms AS (
+      SELECT vec_id, SUM(code * code) AS nn FROM c GROUP BY vec_id
+    ), dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id, SUM(q.code * c.code) AS dot
+      FROM c q JOIN c ON q.pos = c.pos
+      WHERE q.vec_id < 3
+      GROUP BY q.vec_id, c.vec_id
+    ), scored AS (
+      SELECT d.query_id, d.vec_id,
+             CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(nq.nn AS DOUBLE)) * SQRT(CAST(nc.nn AS DOUBLE)))
+               AS cos_raw
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.vec_id
+      WHERE nq.nn > 0 AND nc.nn > 0
+    )
+    SELECT query_id, vec_id,
+           FLOOR(cos_raw * 1000000 + 0.5) / 1000000 AS cosine,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-vector-compression (beyond-reference): cosine top-k SEARCH
+    over the int8-quantized corpus — the serving half of the SQ8
+    story (emb_quantize_int8 is the storage half). Because symmetric
+    per-vector scales cancel out of the cosine, scoring is exact
+    integer dot products over the code arrays: associative, order-
+    free, bit-identical across engines, so even the pre-rounding
+    ranks agree (the oracle re-derives the very same codes from the
+    raw floats and ranks on the raw quotient). Plan: broadcast the 3
+    quantized queries, scan the code column (4× less I/O than the
+    float corpus at scale), balanced two-phase top-k reduction — the
+    brute_force_topk shape with a quarter of the bytes."""
+    from .operators.similarity import quantize_embeddings_int8, sq8_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(e)
+    corpus_codes = q.select("vec_id", "codes")
+    queries = q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "codes"
+    )
+    out = sq8_topk(corpus_codes, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        (F.floor(F.col("cosine") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cosine"
+        ),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6660,7 +6735,7 @@ OPERATOR_MAP = {
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct
     "W10": ["w10_ewma"],  # beyond-reference: windowed EWMA smoothing
     "LLM-vector-stats": ["emb_component_means"],
-    "LLM-vector-compression": ["emb_quantize_int8"],  # SQ8 tier (PQ: ann_ivf_pq_*)
+    "LLM-vector-compression": ["emb_quantize_int8", "ann_sq8_topk"],  # SQ8 tier (PQ: ann_ivf_pq_*)
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)

@@ -702,6 +702,79 @@ def dequantize_int8_col(codes, scale):
     return F.transform(codes, lambda c: c.cast("double") * scale)
 
 
+def sq8_cosine_col(codes_a, codes_b):
+    """Cosine similarity between two int8 code arrays in EXACT
+    integer arithmetic: with per-vector symmetric scaling the scales
+    cancel out of the cosine (cos(s_a·a, s_b·b) = cos(a, b)), so the
+    dot product and squared norms are integer sums — associative,
+    order-free, bit-identical in every engine — and the only float
+    ops are two sqrts and one division on exact inputs. This is why
+    SQ8 search needs no rescaling at query time."""
+    ai = F.transform(codes_a, lambda c: c.cast("long"))
+    bi = F.transform(codes_b, lambda c: c.cast("long"))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(ai, bi, lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+    na = F.aggregate(ai, zero, lambda acc, v: acc + v * v)
+    nb = F.aggregate(bi, zero, lambda acc, v: acc + v * v)
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (FAISS SQ8 search):
+    both sides are ``quantize_embeddings_int8`` outputs, scoring runs
+    entirely on the 4×-smaller code arrays, and — because symmetric
+    scales cancel — the scores are the EXACT cosines of the code
+    vectors (integer dots), deterministic across engines with no
+    float-sum rounding discipline needed.
+
+    Returns (query_id, vec_id, cosine, rank); zero-norm vectors on
+    either side are excluded (cosine undefined). Same
+    broadcast-queries × scan-corpus + balanced two-phase reduction
+    plan as brute_force_topk: rank locally per (query, partition)
+    first so the final per-query rank sees |partitions|·k rows, not
+    the corpus."""
+    from pyspark.sql import Window
+
+    from .dedup import ensure_parallelism
+
+    q = query_codes.select(
+        F.col(query_id_col), F.col(codes_col).alias("__qcodes")
+    )
+    scored = (
+        ensure_parallelism(corpus_codes)
+        .join(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            sq8_cosine_col(F.col(codes_col), F.col("__qcodes")).alias("cosine"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__local_rank", F.row_number().over(w_local))
+        .filter(F.col("__local_rank") <= k)
+        .drop("__pid", "__local_rank")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------
 # Product quantization (IVF-PQ compression path)
 # ---------------------------------------------------------------------

@@ -1661,3 +1661,33 @@ def test_int8_dequantize_col(spark):
     # quantization is pure column expressions: no UDF, no shuffle
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_sq8_topk_matches_exact_search(spark):
+    """SQ8 search contract on the real embeddings: self-match ranks
+    first with cosine ~1, and recall@10 vs exact float brute force is
+    near-perfect (the 'near-exact cosines' claim, measured)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.quantize_embeddings_int8(e)
+    queries = q.filter("vec_id < 3").selectExpr("vec_id as query_id", "codes")
+    got = similarity.sq8_topk(q.select("vec_id", "codes"), queries, k=10)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r
+    for qid, ranks in by_q.items():
+        assert ranks[1]["vec_id"] == qid  # self-match first
+        assert ranks[1]["cosine"] > 0.9999
+    exact = similarity.brute_force_topk(
+        e, e.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding"),
+        k=10,
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, ranks in by_q.items():
+        ids = {r["vec_id"] for r in ranks.values()}
+        hits += len(ids & exact_sets[qid])
+        total += len(exact_sets[qid])
+    assert hits / total >= 0.9
