@@ -588,3 +588,79 @@ def test_bloom_survives_dml_and_maintenance(spark, tmp_path):
     t.rollback(v_before)
     absent_prunes_all()
     assert t.read(prune=("v", "==", "M2")).filter("v = 'M2'").count() == 1
+
+
+# ------------------------------------------------------------------
+# change data feed (r8)
+
+
+def _changes(t, v_from, v_to):
+    out = {}
+    for r in t.changes_between(v_from, v_to).collect():
+        out.setdefault(r["_change_type"], []).append((r["id"], r["v"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_cdf_append_is_inserts_only(spark, table):
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b")]))
+    table.commit_append(_mk(spark, [(3, "c")]))
+    assert _changes(table, 1, 2) == {"insert": [(3, "c")]}
+    # from the empty table: everything is an insert
+    assert _changes(table, 0, 2) == {"insert": [(1, "a"), (2, "b"), (3, "c")]}
+    # no-op span
+    assert _changes(table, 2, 2) == {}
+
+
+def test_cdf_merge_emits_delete_plus_insert_for_changed_rows_only(spark, table):
+    """merge_upsert rewrites whole files, but the CDF's exceptAll
+    cancels rewritten-but-unchanged rows: only the truly updated key
+    shows (as delete + insert) plus the genuinely new key."""
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    v1 = table.latest_version()
+    table.merge_upsert(_mk(spark, [(2, "B"), (9, "new")]), keys=["id"])
+    got = _changes(table, v1, table.latest_version())
+    assert got == {"delete": [(2, "b")], "insert": [(2, "B"), (9, "new")]}
+
+
+def test_cdf_delete_where_emits_deletes_only(spark, table):
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    v1 = table.latest_version()
+    table.delete_where(("id", "==", 2))
+    assert _changes(table, v1, table.latest_version()) == {"delete": [(2, "b")]}
+
+
+def test_cdf_compact_reports_zero_changes(spark, table):
+    for i in range(3):
+        table.commit_append(_mk(spark, [(i, f"x{i}")]))
+    v = table.latest_version()
+    table.compact(target_file_bytes=10**9)
+    assert table.latest_version() > v  # a real rewrite happened
+    assert table.changes_between(v, table.latest_version()).count() == 0
+
+
+def test_cdf_overwrite_is_full_delete_plus_insert(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.commit_overwrite(_mk(spark, [(9, "z")]))
+    assert _changes(table, 1, 2) == {"delete": [(1, "a")], "insert": [(9, "z")]}
+
+
+def test_cdf_schema_evolution_reads_under_target_schema(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    df2 = spark.createDataFrame([(2, "b", 7.5)], "id bigint, v string, w double")
+    table.commit_append(df2, merge_schema=True)
+    rows = {
+        (r["id"], r["v"], r["w"], r["_change_type"])
+        for r in table.changes_between(1, 2).collect()
+    }
+    assert rows == {(2, "b", 7.5, "insert")}
+    # span covering the old commit: its rows surface with w = NULL
+    rows0 = {
+        (r["id"], r["w"]) for r in table.changes_between(0, 2).collect()
+    }
+    assert rows0 == {(1, None), (2, 7.5)}
+
+
+def test_cdf_rejects_inverted_span(spark, table):
+    table.commit_append(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="v_from"):
+        table.changes_between(1, 0)
