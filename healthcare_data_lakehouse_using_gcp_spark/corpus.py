@@ -614,6 +614,8 @@ _TAIL = (
     "retrieval_rrf_fusion",
     "emb_quantize_int8",
     "ann_sq8_topk",
+    # z-set join IVM: the maintain-don't-recompute path for join views
+    "j10_join_delta",
 )
 
 
@@ -6624,6 +6626,85 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j10_join_delta",
+    """
+    WITH r_old AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, 1 AS w
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), dr AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, 1 AS w
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderpriority, -1 AS w
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+    ), s_old AS (
+      SELECT c_custkey AS o_custkey, c_mktsegment, 1 AS w
+      FROM customer WHERE c_custkey % 3 <> 0
+    ), ds AS (
+      SELECT c_custkey AS o_custkey, c_mktsegment, 1 AS w
+      FROM customer WHERE c_custkey % 3 = 0
+    ), parts AS (
+      SELECT a.o_orderkey, a.o_custkey, a.o_orderpriority,
+             b.c_mktsegment, a.w * b.w AS w
+      FROM dr a JOIN s_old b USING (o_custkey)
+      UNION ALL
+      SELECT a.o_orderkey, a.o_custkey, a.o_orderpriority,
+             b.c_mktsegment, a.w * b.w AS w
+      FROM r_old a JOIN ds b USING (o_custkey)
+      UNION ALL
+      SELECT a.o_orderkey, a.o_custkey, a.o_orderpriority,
+             b.c_mktsegment, a.w * b.w AS w
+      FROM dr a JOIN ds b USING (o_custkey)
+    )
+    SELECT o_orderkey, o_custkey, o_orderpriority, c_mktsegment,
+           CAST(SUM(w) AS BIGINT) AS weight
+    FROM parts
+    GROUP BY 1, 2, 3, 4
+    HAVING SUM(w) <> 0
+    """,
+)
+def j10_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (beyond-reference): incremental JOIN view maintenance —
+    the signed delta of orders ⋈ customer under a simultaneous batch
+    update to BOTH inputs (inserts of the held-out orders, retraction
+    of every 5th existing order, inserts of the held-out customers),
+    via the DBSP bilinearity Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS over
+    z-sets (operators/incremental.join_delta). Weights are exact
+    integer products/sums, so the whole delta hash-checks. At 100 TB
+    this is the maintain-don't-recompute path for materialized join
+    views: the three terms' smaller sides are delta-sized; pair with
+    snapshots.changes_between for the deltas (pytest proves the
+    apply_delta(old_view, Δ) ≡ recompute identity end to end)."""
+    from .operators.incremental import join_delta, zset
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    r_old = zset(o.filter(F.col("o_orderkey") % 7 != 0))
+    dr = zset(o.filter(F.col("o_orderkey") % 7 == 0)).unionByName(
+        zset(
+            o.filter(
+                (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0)
+            ),
+            weight=-1,
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    s_old = zset(c.filter(F.col("o_custkey") % 3 != 0))
+    ds = zset(c.filter(F.col("o_custkey") % 3 == 0))
+    d = join_delta(r_old, dr, s_old, ds, on=["o_custkey"])
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "c_mktsegment",
+        F.col("__weight").cast("bigint").alias("weight"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6711,7 +6792,7 @@ OPERATOR_MAP = {
     "W3": ["w3_rank_family"],  # beyond-reference: full ranking family
     "LLM-keywords": ["tfidf_terms", "text_bigram_pmi"],
     "LLM-tokenizer": ["text_bpe_pretokenize", "text_bpe_train_apply"],
-    "Incremental-IVM": ["incremental_rollup"],
+    "Incremental-IVM": ["incremental_rollup", "j10_join_delta"],
     "LLM-quality-model": ["quality_classifier_trained", "classifier_quality"],
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers

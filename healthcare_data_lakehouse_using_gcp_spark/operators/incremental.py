@@ -139,3 +139,90 @@ def finalize_rollup(
             .alias(f"{d}_approx_distinct")
         )
     return state.filter(F.col("__n") > 0).select(*out)
+
+
+# ---------------------------------------------------------------------
+# Incremental JOIN maintenance (z-sets / DBSP bilinearity)
+# ---------------------------------------------------------------------
+
+
+def zset(df: DataFrame, weight: int = 1, weight_col: str = "__weight") -> DataFrame:
+    """Lift a plain frame to a z-set: every row annotated with a
+    signed multiplicity (+1 batch of inserts, -1 batch of
+    retractions). The z-set representation (DBSP / differential
+    dataflow) is what makes JOIN views incrementally maintainable the
+    same way the rollup states above make aggregates maintainable."""
+    return df.withColumn(weight_col, F.lit(int(weight)).cast("long"))
+
+
+def consolidate(z: DataFrame, weight_col: str = "__weight") -> DataFrame:
+    """Canonical z-set: identical rows folded to one row with the
+    summed weight, zero-weight rows dropped (a fully retracted row
+    disappears — the finalize_rollup __n>0 discipline for joins).
+    One hash aggregate on the row itself."""
+    cols = [c for c in z.columns if c != weight_col]
+    return (
+        z.groupBy(*cols)
+        .agg(F.sum(weight_col).cast("long").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+    )
+
+
+def join_delta(
+    r_old: DataFrame,
+    delta_r: DataFrame,
+    s_old: DataFrame,
+    delta_s: DataFrame,
+    on: Sequence[str],
+    weight_col: str = "__weight",
+) -> DataFrame:
+    """Signed delta of an inner equi-join under simultaneous batch
+    updates to both inputs — the join bilinearity identity:
+
+        Δ(R ⋈ S) = ΔR ⋈ S  ∪  R ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+    (R, S = OLD states; all five frames are z-sets; output weights
+    are the products of the matched rows' weights, consolidated).
+    Retractions compose for free: a -1 delta row cancels exactly the
+    join outputs it produced, because multiplication distributes the
+    sign. Maintaining a 100 TB materialized join view then costs
+    three joins whose smaller sides are DELTA-sized (the ΔR⋈S term
+    shuffles the delta and probes the state — broadcast the delta
+    when it fits), never a from-scratch recompute.
+
+    Non-key columns of R and S must be disjoint (standard equi-join
+    hygiene); pair with sources/snapshots.changes_between to derive
+    the signed deltas directly from snapshot-table history."""
+    from functools import reduce
+
+    on = list(on)
+    overlap = (set(r_old.columns) & set(s_old.columns)) - set(on) - {weight_col}
+    if overlap:
+        raise ValueError(
+            f"non-key columns appear on both sides: {sorted(overlap)}; "
+            "rename before join_delta"
+        )
+
+    def wjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+        a2 = a.withColumnRenamed(weight_col, "__wl")
+        b2 = b.withColumnRenamed(weight_col, "__wr")
+        return (
+            a2.join(b2, on)
+            .withColumn(weight_col, F.col("__wl") * F.col("__wr"))
+            .drop("__wl", "__wr")
+        )
+
+    parts = [wjoin(delta_r, s_old), wjoin(r_old, delta_s), wjoin(delta_r, delta_s)]
+    return consolidate(
+        reduce(lambda x, y: x.unionByName(y), parts), weight_col
+    )
+
+
+def apply_delta(
+    state: DataFrame, delta: DataFrame, weight_col: str = "__weight"
+) -> DataFrame:
+    """Fold a signed delta into a materialized z-set view:
+    consolidate(state ∪ delta). The state stays weight-annotated;
+    read it as a plain table by repeating rows per weight (or, for
+    the common weight≤1 case, dropping the column)."""
+    return consolidate(state.unionByName(delta), weight_col)

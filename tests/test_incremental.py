@@ -130,3 +130,133 @@ def test_hll_distinct_state_merges_like_rebuild(spark):
     for k in true:
         assert abs(got[k] - true[k]) <= max(2, 0.05 * true[k]), (k, got[k], true[k])
         assert abs(got[k] - rebuilt[k]) <= max(2, 0.05 * true[k])
+
+
+# ------------------------------------------------------------------
+# z-set join IVM (r8)
+
+
+def _z_rows(z):
+    return sorted(tuple(r) for r in z.collect())
+
+
+def test_join_delta_equals_recompute(spark):
+    """The bilinearity identity, end to end: applying join_delta to
+    the old materialized join view yields EXACTLY the consolidated
+    join of the new states — inserts, retractions, and the ΔR⋈ΔS
+    cross term all included."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        apply_delta,
+        consolidate,
+        join_delta,
+        zset,
+    )
+
+    r0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, rv string"
+    )
+    s0 = spark.createDataFrame([(1, "X"), (2, "Y")], "k bigint, sv string")
+    # delta: insert (4,d), retract (2,b) on R; insert (3,Z), (4,W) on S
+    dr = zset(
+        spark.createDataFrame([(4, "d")], "k bigint, rv string")
+    ).unionByName(
+        zset(spark.createDataFrame([(2, "b")], "k bigint, rv string"), -1)
+    )
+    ds = zset(spark.createDataFrame([(3, "Z"), (4, "W")], "k bigint, sv string"))
+    old_view = consolidate(zset(r0.join(s0, "k")))
+    delta = join_delta(zset(r0), dr, zset(s0), ds, on=["k"])
+    maintained = apply_delta(old_view, delta)
+    r1 = spark.createDataFrame(
+        [(1, "a"), (3, "c"), (4, "d")], "k bigint, rv string"
+    )
+    s1 = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "Z"), (4, "W")], "k bigint, sv string"
+    )
+    recomputed = consolidate(zset(r1.join(s1, "k")))
+    assert _z_rows(maintained) == _z_rows(recomputed)
+    # the ΔR⋈ΔS cross term is real: (4,d)⋈(4,W) exists in neither
+    # ΔR⋈S_old nor R_old⋈ΔS
+    assert (4, "d", "W", 1) in {tuple(r) for r in maintained.collect()}
+
+
+def test_join_delta_duplicates_and_weights_multiply(spark):
+    """Multiset semantics: duplicate rows carry weight > 1 and join
+    output weights are products."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        consolidate,
+        join_delta,
+        zset,
+    )
+
+    r0 = spark.createDataFrame([(1, "a"), (1, "a")], "k bigint, rv string")
+    s0 = spark.createDataFrame([(1, "X")], "k bigint, sv string")
+    dr = zset(spark.createDataFrame([(1, "a")], "k bigint, rv string"))
+    ds = zset(spark.createDataFrame([(1, "X")], "k bigint, sv string"))
+    delta = join_delta(
+        consolidate(zset(r0)), dr, consolidate(zset(s0)), ds, on=["k"]
+    )
+    # ΔR⋈S (1·1=1, consolidated r0 weight 2 → 2·... wait: ΔR⋈S uses
+    # Δ weight 1 × S weight 1 = 1; R⋈ΔS = 2×1 = 2; ΔR⋈ΔS = 1×1 = 1
+    rows = {tuple(r) for r in delta.collect()}
+    assert rows == {(1, "a", "X", 4)}
+
+
+def test_join_delta_rejects_ambiguous_columns(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        join_delta,
+        zset,
+    )
+
+    r = zset(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    s = zset(spark.createDataFrame([(1, "b")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="both sides"):
+        join_delta(r, r, s, s, on=["k"])
+
+
+def test_join_view_maintained_from_snapshot_cdf(spark, tmp_path):
+    """The full lakehouse loop: two snapshot tables receive commits
+    (append + keyed merge), changes_between supplies the signed
+    deltas, join_delta + apply_delta maintain a materialized join
+    z-set that matches a from-scratch recompute of the new join."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.incremental import (
+        apply_delta,
+        consolidate,
+        join_delta,
+        zset,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    rt = SnapshotTable(spark, str(tmp_path / "r"))
+    st = SnapshotTable(spark, str(tmp_path / "s"))
+    rt.commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, rv string").coalesce(1)
+    )
+    st.commit_append(
+        spark.createDataFrame([(1, "X"), (3, "W")], "k bigint, sv string").coalesce(1)
+    )
+    rv, sv = rt.latest_version(), st.latest_version()
+    view = consolidate(zset(rt.read(version=rv).join(st.read(version=sv), "k")))
+
+    rt.commit_append(spark.createDataFrame([(3, "c")], "k bigint, rv string"))
+    st.merge_upsert(
+        spark.createDataFrame([(1, "X2")], "k bigint, sv string"), keys=["k"]
+    )
+
+    def cdf_zset(t, v_from, v_to):
+        ch = t.changes_between(v_from, v_to)
+        w = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        return ch.withColumn("__weight", w.cast("long")).drop("_change_type")
+
+    dr = cdf_zset(rt, rv, rt.latest_version())
+    ds = cdf_zset(st, sv, st.latest_version())
+    delta = join_delta(
+        zset(rt.read(version=rv)), dr, zset(st.read(version=sv)), ds, on=["k"]
+    )
+    maintained = apply_delta(view, delta)
+    recomputed = consolidate(zset(rt.read().join(st.read(), "k")))
+    assert _z_rows(maintained) == _z_rows(recomputed)
+    got = {tuple(r) for r in maintained.collect()}
+    assert (1, "a", "X2", 1) in got and (3, "c", "W", 1) in got
+    assert not any(r[2] == "X" for r in got)  # the pre-merge value is gone
