@@ -365,3 +365,60 @@ def test_kll_envelope_property(spark, xs, q):
     below = [x for x in xs if x < est]
     prev_rank = len(below) / len(xs)
     assert prev_rank <= q + 0.05
+
+
+@_settings
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.integers(-100, 100),
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_characters="'\"\\"
+                    ),
+                    min_size=0,
+                    max_size=8,
+                ),
+            ).map(str),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(-100, 100),
+)
+def test_bloom_pruning_conservative_property(
+    spark, tmp_path_factory, commits, probe_int
+):
+    """Bloom file pruning is CONSERVATIVE for arbitrary committed
+    string values (incl. unicode) and probes: every value actually
+    present survives pruning with all its rows, and the Spark-side
+    bit positions agree with the Python-side probe (a cross-engine
+    hash drift would surface as a lost row here)."""
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("bloomprop"))
+    t = SnapshotTable(spark, root, bloom_cols=["v"], bloom_bits=256)
+    for batch in commits:
+        t.commit_append(
+            spark.createDataFrame([(v,) for v in batch], "v string").coalesce(1)
+        )
+    all_vals = [v for batch in commits for v in batch]
+    for v in set(all_vals):
+        pred = ("v", "==", v)
+        got = [
+            r["v"]
+            for r in t.read(prune=pred).collect()
+            if r["v"] == v
+        ]
+        assert len(got) == all_vals.count(v), (v, got)
+    # an integer probe against the string column must not crash and
+    # must stay conservative (abstain or prove absence, never lose)
+    keep, total = t.prune_files(t.latest_version(), ("v", "==", probe_int))
+    present = str(probe_int) in all_vals
+    if present:
+        assert keep, "present value's file was bloom-pruned"
