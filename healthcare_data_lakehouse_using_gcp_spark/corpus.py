@@ -616,6 +616,8 @@ _TAIL = (
     "ann_sq8_topk",
     # z-set join IVM: the maintain-don't-recompute path for join views
     "j10_join_delta",
+    # word-order-aware quality filter: add-k bigram LM perplexity
+    "lm_bigram_perplexity",
 )
 
 
@@ -6705,6 +6707,62 @@ def j10_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lm_bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+      WHERE len(ts) >= 2
+    ), pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+      FROM pairs GROUP BY w1, w2
+    ), uni AS (
+      SELECT tok AS w, CAST(COUNT(*) AS DOUBLE) AS c1
+      FROM (SELECT unnest(ts) AS tok FROM toks)
+      WHERE tok <> '' GROUP BY tok
+    ), vs AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), scored AS (
+      SELECT p.doc_id,
+             ln((COALESCE(c.c12, 0) + 0.5)
+                / (COALESCE(u.c1, 0) + 0.5 * vs.v)) AS logp
+      FROM pairs p
+      LEFT JOIN pc c USING (w1, w2)
+      LEFT JOIN uni u ON u.w = p.w1
+      CROSS JOIN vs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(-SUM(logp) / COUNT(*) * 10000 + 0.5) / 10000
+             AS avg_neg_logprob,
+           FLOOR(EXP(-SUM(logp) / COUNT(*)) * 10000 + 0.5) / 10000
+             AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-quality (beyond-reference): per-document perplexity under
+    an add-k-smoothed BIGRAM language model — the word-order-aware
+    rung above lm_perplexity's unigram filter (scrambled or
+    template-stitched text scores high here even when its unigram mix
+    is clean). Bigrams are built inside the token array (zip_with
+    over two slices — no positional self-join), the count frames
+    broadcast into the scorer, and unseen bigrams/contexts are
+    well-defined through the smoothing. Hash-checked end to end
+    against DuckDB's subscript-pairing re-derivation (same counts,
+    same ln arguments, round-before-compare)."""
+    from .operators.text import bigram_perplexity, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    pc, uni, vocab = train_bigram_lm(d)
+    return bigram_perplexity(d, pc, uni, vocab)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6765,8 +6823,8 @@ OPERATOR_MAP = {
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
-        "chunk_documents", "lm_perplexity", "text_embed_components",
-        "epoch_upsample", "text_bpe_pretokenize",
+        "chunk_documents", "lm_perplexity", "lm_bigram_perplexity",
+        "text_embed_components", "epoch_upsample", "text_bpe_pretokenize",
     ],
     "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],
     "Profiling": ["profile_orders"],

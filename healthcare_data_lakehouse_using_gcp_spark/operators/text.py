@@ -937,6 +937,109 @@ def bigram_pmi(
     )
 
 
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a bigram language model's sufficient statistics:
+    (pair_counts (w1, w2, c12), unigram_counts (w, c), vocab_size).
+    Probabilities are rendered at SCORING time (bigram_perplexity)
+    from these counts, because add-k smoothing needs the context
+    count c(w1) for every scored bigram — including unseen ones — so
+    a precomputed (pair → logp) table could never cover the query
+    distribution.
+
+    Same plan shape as bigram_pmi's count phase: bigrams built inside
+    the token array (zip_with over two slices — no positional
+    self-join), two hash aggregations with map-side partials. The
+    unigram frame is |vocab|-sized and broadcasts into the scorer;
+    vocab_size is a driver-side scalar (one count of a vocab-sized
+    frame, the bpe_train boundedness class)."""
+    toks = F.filter(tokens_col(F.lower(F.col(text_col))), lambda t: t != "")
+    arr = df.select(toks.alias("__ts"))
+    pairs_col = F.zip_with(
+        F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+        F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pair_counts = (
+        arr.filter(F.size("__ts") >= 2)
+        .select(F.explode(pairs_col).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    )
+    uni_counts = (
+        arr.select(F.explode("__ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    if materialize:
+        pair_counts = pair_counts.localCheckpoint(eager=True)
+        uni_counts = uni_counts.localCheckpoint(eager=True)
+    vocab_size = uni_counts.count()
+    return pair_counts, uni_counts, vocab_size
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    pair_counts: DataFrame,
+    uni_counts: DataFrame,
+    vocab_size: int,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM:
+
+        p(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+
+    — the next quality-filter rung above unigram_perplexity (word-
+    order-aware: scrambled or template-stitched text scores high
+    bigram perplexity even when its unigram mix looks clean). Unseen
+    bigrams and unseen contexts are both well-defined through the
+    smoothing (c terms coalesce to 0). Documents with fewer than two
+    tokens emit no row. Returns (id, n_bigrams, avg_neg_logprob,
+    perplexity), rounded for cross-engine comparison.
+
+    Plan: bigrams inside the token array (zip_with slices), LEFT
+    joins against the broadcast count frames, one hash aggregate per
+    doc — the unigram_perplexity shape with a pair-keyed join."""
+    toks = F.filter(tokens_col(F.lower(F.col(text_col))), lambda t: t != "")
+    arr = df.select(F.col(id_col), toks.alias("__ts")).filter(
+        F.size("__ts") >= 2
+    )
+    pairs_col = F.zip_with(
+        F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+        F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = arr.select(F.col(id_col), F.explode(pairs_col).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    kv = float(k_smooth) * float(vocab_size)
+    scored = (
+        exploded.join(F.broadcast(pair_counts), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("w", "w1")), ["w1"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0.0)) + F.lit(float(k_smooth)))
+                / (F.coalesce(F.col("c1"), F.lit(0.0)) + F.lit(kv))
+            ).alias("logp"),
+        )
+    )
+    nll = -F.sum("logp") / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        round_det(nll, 4).alias("avg_neg_logprob"),
+        round_det(F.exp(nll), 4).alias("perplexity"),
+    )
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     k: int,

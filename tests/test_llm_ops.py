@@ -1691,3 +1691,57 @@ def test_sq8_topk_matches_exact_search(spark):
         hits += len(ids & exact_sets[qid])
         total += len(exact_sets[qid])
     assert hits / total >= 0.9
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-k bigram LM against hand-evaluated probabilities on a
+    3-doc corpus, including an unseen bigram of seen words and an
+    excluded one-token doc."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "a")],
+        "doc_id bigint, text string",
+    )
+    pc, uni, v = text.train_bigram_lm(df)
+    assert v == 2
+    pcs = {(r["w1"], r["w2"]): r["c12"] for r in pc.collect()}
+    # doc1: (a,b) (b,a) (a,b); doc2: (b,a)
+    assert pcs == {("a", "b"): 2.0, ("b", "a"): 2.0}
+    unis = {r["w"]: r["c1"] for r in uni.collect()}
+    assert unis == {"a": 4.0, "b": 3.0}  # doc3's lone 'a' counts in unigrams
+    out = {
+        r["doc_id"]: r
+        for r in text.bigram_perplexity(df, pc, uni, v, k_smooth=0.5).collect()
+    }
+    assert set(out) == {1, 2}  # one-token doc emits no row
+    k, kv = 0.5, 0.5 * 2
+
+    def lp(c12, c1):
+        return math.log((c12 + k) / (c1 + kv))
+
+    want1 = -(lp(2, 4) + lp(2, 3) + lp(2, 4)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_neg_logprob"] == pytest.approx(want1, abs=1e-4)
+    assert out[1]["perplexity"] == pytest.approx(math.exp(want1), abs=1e-3)
+    assert out[2]["avg_neg_logprob"] == pytest.approx(-lp(2, 3), abs=1e-4)
+
+
+def test_bigram_lm_flags_scrambled_text(spark):
+    """The word-order signal: a document whose tokens are a clean
+    doc's tokens REVERSED (same unigram mix) scores strictly higher
+    bigram perplexity when trained on the clean corpus."""
+    clean = "the cat sat on the mat " * 5
+    scrambled = " ".join(reversed(clean.split()))
+    train = spark.createDataFrame(
+        [(i, clean) for i in range(10)], "doc_id bigint, text string"
+    )
+    pc, uni, v = text.train_bigram_lm(train)
+    score = spark.createDataFrame(
+        [(100, clean), (101, scrambled)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in text.bigram_perplexity(score, pc, uni, v).collect()
+    }
+    assert out[101] > out[100] * 1.5
