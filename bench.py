@@ -124,6 +124,11 @@ HEADLINE = [
     # count-min build (explode ×depth + cell hash-agg) + broadcast
     # probe join; headline sum covers 21 queries from r8 on
     "cms_frequency",
+    # late-r8: incremental join-view maintenance — three delta-sized
+    # joins + one consolidation hash-agg; the maintain-don't-recompute
+    # path's cost is the number to watch against a full join rebuild.
+    # Headline sum covers 22 queries from here on
+    "j10_join_delta",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -159,6 +164,10 @@ SF1_SUBSET = [
     # near-linearly; super-linear growth here would mean the df join
     # stopped broadcasting
     "tfidf_terms",
+    # late-r8: join IVM at scale — the three bilinearity terms keyed on
+    # o_custkey; super-linear growth would mean the delta sides
+    # stopped behaving delta-sized (plan regressed to a full rebuild)
+    "j10_join_delta",
 ]
 
 
