@@ -226,3 +226,41 @@ def apply_delta(
     read it as a plain table by repeating rows per weight (or, for
     the common weight≤1 case, dropping the column)."""
     return consolidate(state.unionByName(delta), weight_col)
+
+
+def partial_rollup_zset(
+    z: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    weight_col: str = "__weight",
+) -> DataFrame:
+    """partial_rollup for a z-set: each row contributes its OWN
+    signed multiplicity (__n = Σw, c__sum = Σ w·x, c__sumsq =
+    Σ w·x²) instead of a batch-wide ±1. This is the composition
+    piece that makes an AGGREGATE OVER A JOIN incrementally
+    maintainable end to end:
+
+        Δview  = join_delta(R, ΔR, S, ΔS, on)        # signed join rows
+        state' = merge_rollup_states(state,
+                     partial_rollup_zset(Δview, keys, cols), keys)
+        finalize_rollup(state', keys, cols)           # == recompute
+
+    — the grouped SUM/COUNT/AVG/VAR over a 100 TB join stays current
+    for the cost of three delta-sized joins plus one delta-sized
+    aggregation. The state schema matches partial_rollup's so the two
+    merge freely, but the delta's c__min/c__max are emitted NULL
+    (min/max are not retractable — module docstring — and a z-set
+    delta's whole point is carrying retractions): after folding a
+    delta, the merged min/max are as-of-the-last-full-rebuild bounds,
+    exact only for count/sum/avg/var."""
+    w = F.col(weight_col).cast("double")
+    aggs = [F.sum(w).cast("bigint").alias("__n")]
+    for c in value_cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.sum(col * w).alias(f"{c}__sum"),
+            F.min(F.lit(None).cast("double")).alias(f"{c}__min"),
+            F.max(F.lit(None).cast("double")).alias(f"{c}__max"),
+            F.sum(col * col * w).alias(f"{c}__sumsq"),
+        ]
+    return z.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
