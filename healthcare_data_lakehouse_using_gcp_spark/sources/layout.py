@@ -84,16 +84,19 @@ def zorder_value(
     return z.alias(out_name)
 
 
-def write_zorder(
+def zorder_layout(
     df: DataFrame,
-    path: str,
     cols: list[str],
     bits: int = 10,
     num_files: int | None = None,
     quantize: str = "minmax",
-) -> None:
-    """Write ``df`` Z-order-clustered on numeric ``cols`` (cast dates
-    to epoch days/seconds first).
+) -> DataFrame:
+    """``df`` re-laid-out along the Z-order curve on numeric ``cols``
+    (repartitionByRange + in-partition sort on the interleaved
+    Z-value) — the clustering half of ``write_zorder``, exposed so
+    other writers (snapshot-table compaction) can commit a Z-ordered
+    layout through their own transactional path. Cast dates to epoch
+    days/seconds first.
 
     Quantization maps each column onto [0, 2^bits) before the bits
     interleave:
@@ -152,14 +155,30 @@ def write_zorder(
             ).cast("long")
             scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    (
+    return (
         df.withColumn("__z", zorder_value(scaled, bits))
         .repartitionByRange(n, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+    quantize: str = "minmax",
+) -> None:
+    """Write ``df`` Z-order-clustered on numeric ``cols`` (cast dates
+    to epoch days/seconds first) — ``zorder_layout`` + an overwrite
+    parquet write. The audit functions below show whether the
+    resulting per-file rectangles came out tight.
+    """
+    zorder_layout(df, cols, bits, num_files, quantize).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def _column_chunk_stats(rg_meta, column: str):

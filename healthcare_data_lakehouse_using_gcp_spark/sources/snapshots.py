@@ -744,6 +744,9 @@ class SnapshotTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         txn_id: str | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 10,
+        zorder_quantize: str = "minmax",
     ) -> int:
         """Rewrite the CURRENT snapshot's rows into fewer, larger
         immutable files and publish the result as a new ``compact``
@@ -766,9 +769,21 @@ class SnapshotTable:
         manifest file skipping prunes nothing — a sorted compaction
         restores disjoint per-file ranges, turning read(prune=...)
         back into an O(matching files) scan. The maintenance pairing
-        is compact nightly with sort_by=the hot predicate column."""
+        is compact nightly with sort_by=the hot predicate column.
+
+        ``zorder_by`` re-clusters along the Z-order curve instead —
+        the MULTI-column layout (Delta's OPTIMIZE ZORDER BY): linear
+        sort_by gives one column perfect ranges and the others none,
+        Z-interleaving gives every listed column partially tight
+        per-file rectangles, so prune_files stays effective whichever
+        column the predicate hits. Numeric columns only (cast dates
+        to epoch days first); ``zorder_quantize="quantile"`` for
+        heavy-tailed columns (see sources/layout.zorder_layout).
+        Mutually exclusive with sort_by."""
         from pyspark.sql import functions as _F
 
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         v = self.latest_version()
         if v == 0:
             raise ValueError(f"empty table: nothing to compact at {self.root}")
@@ -777,13 +792,23 @@ class SnapshotTable:
             os.path.getsize(os.path.join(self.root, f)) for f in m["files"]
         )
         n_files = max(1, round(n_bytes / float(target_file_bytes)))
-        if sort_by is None and len(m["files"]) <= n_files:
+        if sort_by is None and zorder_by is None and len(m["files"]) <= n_files:
             return v  # already at the target layout: no-op
         df = self.read(version=v)
         if sort_by:
             df = df.repartitionByRange(
                 n_files, *[_F.col(c) for c in sort_by]
             ).sortWithinPartitions(*sort_by)
+        elif zorder_by:
+            from .layout import zorder_layout
+
+            df = zorder_layout(
+                df,
+                zorder_by,
+                bits=zorder_bits,
+                num_files=n_files,
+                quantize=zorder_quantize,
+            )
         else:
             df = df.repartition(n_files)
         return self._commit(df, "compact", txn_id)

@@ -8,6 +8,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import SnapshotTable
 
@@ -664,3 +665,37 @@ def test_cdf_rejects_inverted_span(spark, table):
     table.commit_append(_mk(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="v_from"):
         table.changes_between(1, 0)
+
+
+def test_zorder_compaction_improves_multicolumn_pruning(spark, table):
+    """compact(zorder_by=[a, b]): after interleaved appends destroy
+    per-file locality, a Z-ordered compaction makes equality/range
+    prunes on BOTH clustered columns drop files — where a linear
+    sort_by=[a] would leave b unclustered — and the rows survive
+    byte-identical."""
+    import random
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)],
+        "a bigint, b bigint",
+    )
+    t = SnapshotTable(spark, table.root + "_z")
+    # interleaved commits: every file spans both domains
+    for i in range(4):
+        t.commit_append(df.filter(F.col("a") % 4 == i).coalesce(1))
+    v0 = t.latest_version()
+    for col in ("a", "b"):
+        keep, total = t.prune_files(v0, (col, "<", 100))
+        assert len(keep) == total  # nothing prunable pre-compaction
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact(target_file_bytes=4000, zorder_by=["a", "b"], zorder_bits=8)
+    v1 = t.latest_version()
+    total1 = len(t._load(v1)["files"])
+    assert total1 >= 4
+    for col in ("a", "b"):
+        keep, _ = t.prune_files(v1, (col, "<", 100))
+        assert len(keep) < total1, f"z-order gave no pruning on {col}"
+    assert sorted(map(tuple, t.read().collect())) == before
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(sort_by=["a"], zorder_by=["b"])
