@@ -208,6 +208,74 @@ def make_sharded_rollup_sink(
     return _sink
 
 
+def make_join_view_sink(
+    view_root: str,
+    dim: DataFrame,
+    on: list[str],
+    weight_col: str | None = None,
+):
+    """foreachBatch sink maintaining a MATERIALIZED JOIN VIEW
+    incrementally — the streaming face of operators/incremental's
+    z-set join IVM: per micro-batch the view delta is ΔR ⋈ dim (the
+    only surviving bilinearity term when the dimension side is
+    static for the batch), committed as an exactly-once APPEND to a
+    z-set snapshot table keyed by the batch txn token. Appending the
+    delta instead of rewriting the view keeps per-batch write work
+    O(batch × matches) — the view itself is the un-consolidated
+    union of deltas; ``read_join_view`` consolidates at read time
+    and ``consolidate_join_view`` folds the table back down as a
+    transactional overwrite (run it on a maintenance cadence, like
+    compact).
+
+    ``weight_col`` names a ±1 multiplicity column already on the
+    stream (a CDC feed — e.g. snapshots.changes_between's insert/
+    delete rows mapped to ±1): retractions then delete their join
+    outputs on consolidation. Without it every row is an insert.
+    Replayed batches no-op on the token, so the view never
+    double-counts a delivery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import consolidate, zset
+        from ..sources.snapshots import SnapshotTable
+
+        if weight_col is None:
+            z = zset(batch_df)
+        else:
+            z = batch_df.withColumnRenamed(weight_col, "__weight").withColumn(
+                "__weight", F.col("__weight").cast("long")
+            )
+        if "__weight" in dim.columns:
+            raise ValueError(
+                "dim carries a __weight column; for a two-sided z-set "
+                "delta use operators/incremental.join_delta directly"
+            )
+        delta = consolidate(z.join(dim, on))
+        st = SnapshotTable(batch_df.sparkSession, view_root)
+        st.commit_append(delta, txn_id=f"joinview-batch-{batch_id}")
+
+    return _sink
+
+
+def read_join_view(spark: SparkSession, view_root: str) -> DataFrame:
+    """The maintained join view, consolidated: identical rows folded
+    to one with summed multiplicity, retracted rows gone."""
+    from ..operators.incremental import consolidate
+    from ..sources.snapshots import SnapshotTable
+
+    return consolidate(SnapshotTable(spark, view_root).read())
+
+
+def consolidate_join_view(spark: SparkSession, view_root: str) -> int:
+    """Fold the appended deltas down to the consolidated z-set as a
+    new snapshot version (vacuum reclaims the old delta files later)
+    — the join-view analogue of compact(); read_join_view results are
+    identical before and after."""
+    from ..sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, view_root)
+    return st.commit_overwrite(read_join_view(spark, view_root))
+
+
 def read_sharded_rollup_state(
     spark: SparkSession, state_root: str
 ) -> DataFrame:

@@ -620,3 +620,52 @@ def test_hopping_window_overlap_and_stream_parity(spark, tmp_path):
         for r in spark.sql("select * from hop_out").collect()
     }
     assert stream == got
+
+
+def test_join_view_sink_maintains_materialized_join(spark, tmp_path):
+    """make_join_view_sink: after N batches (with a replay), the
+    consolidated view equals the batch join of everything delivered;
+    a CDC batch with a -1 weight retracts its join outputs; and
+    consolidate_join_view folds the delta chain without changing the
+    read."""
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.pipeline import (
+        consolidate_join_view,
+        make_join_view_sink,
+        read_join_view,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "Z")], "k bigint, dv string"
+    )
+    root = str(tmp_path / "join_view")
+    sink = make_join_view_sink(root, dim, on=["k"])
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, rv string")
+    b1 = spark.createDataFrame([(3, "c"), (9, "nomatch")], "k bigint, rv string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay: must no-op on the txn token
+    view = {tuple(r) for r in read_join_view(spark, root).collect()}
+    assert view == {
+        (1, "a", "X", 1),
+        (2, "b", "Y", 1),
+        (3, "c", "Z", 1),
+    }  # the unmatched row joins nothing; the replay added nothing
+
+    # CDC retraction batch: remove (1, a)
+    cdc_sink = make_join_view_sink(root, dim, on=["k"], weight_col="w")
+    retract = spark.createDataFrame([(1, "a", -1)], "k bigint, rv string, w int")
+    cdc_sink(retract, 2)
+    view2 = {tuple(r) for r in read_join_view(spark, root).collect()}
+    assert view2 == {(2, "b", "Y", 1), (3, "c", "Z", 1)}
+
+    v_before = SnapshotTable(spark, root).latest_version()
+    consolidate_join_view(spark, root)
+    st = SnapshotTable(spark, root)
+    assert st.latest_version() == v_before + 1
+    assert {tuple(r) for r in read_join_view(spark, root).collect()} == view2
+    # consolidation really shrank the stored row set: the folded table
+    # no longer carries the (1, a, X) +1/-1 pair
+    assert st.read().count() == 2
