@@ -618,6 +618,8 @@ _TAIL = (
     "j10_join_delta",
     # word-order-aware quality filter: add-k bigram LM perplexity
     "lm_bigram_perplexity",
+    # A/B experimentation: grouped Welch two-sample t-test
+    "a22_welch_ttest",
 )
 
 
@@ -6763,6 +6765,74 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(d, pc, uni, vocab)
 
 
+@query(
+    "a22_welch_ttest",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 <> 0) AS DOUBLE) AS na,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS nb,
+             SUM(CAST(o_totalprice AS DOUBLE))
+               FILTER (WHERE o_orderkey % 2 <> 0) AS sa,
+             SUM(CAST(o_totalprice AS DOUBLE))
+               FILTER (WHERE o_orderkey % 2 = 0) AS sb,
+             SUM(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE))
+               FILTER (WHERE o_orderkey % 2 <> 0) AS qa,
+             SUM(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE))
+               FILTER (WHERE o_orderkey % 2 = 0) AS qb
+      FROM orders GROUP BY o_orderpriority
+    ), d AS (
+      SELECT o_orderpriority, na, nb,
+             sa / na AS ma, sb / nb AS mb,
+             GREATEST((qa - na * (sa / na) * (sa / na)) / (na - 1), 0)
+               / na AS sea,
+             GREATEST((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1), 0)
+               / nb AS seb
+      FROM s
+    )
+    SELECT o_orderpriority,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           FLOOR(ma * 10000 + 0.5) / 10000 AS mean_a,
+           FLOOR(mb * 10000 + 0.5) / 10000 AS mean_b,
+           FLOOR((mb - ma) * 10000 + 0.5) / 10000 AS mean_diff,
+           FLOOR((mb - ma) / SQRT(sea + seb) * 10000 + 0.5) / 10000
+             AS t_stat,
+           FLOOR((sea + seb) * (sea + seb)
+                 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                 * 10000 + 0.5) / 10000 AS df_welch
+    FROM d
+    """,
+)
+def a22_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 (beyond-reference): per-group Welch two-sample t-test —
+    the A/B experimentation primitive (order price by key parity per
+    priority class; parity is the deterministic stand-in for an
+    assignment column). ONE hash aggregation computes all six
+    conditional moments per group (map-side combined); the
+    t-statistic and Welch–Satterthwaite df are per-row scalar math
+    on the aggregate. Rounded at 1e4, far above the sums'
+    reassociation noise. operators/analytics.welch_ttest."""
+    from .operators.analytics import welch_ttest
+
+    o = _t(spark, sf_dir, "orders")
+    out = welch_ttest(
+        o, ["o_orderpriority"], F.col("o_orderkey") % 2 == 0, "o_totalprice"
+    )
+    r4 = 10000.0
+    rd = lambda c: (F.floor(F.col(c) * r4 + F.lit(0.5)) / r4).alias(c)  # noqa: E731
+    return out.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        rd("mean_a"),
+        rd("mean_b"),
+        rd("mean_diff"),
+        rd("t_stat"),
+        rd("df_welch"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6876,6 +6946,7 @@ OPERATOR_MAP = {
     "LLM-vector-stats": ["emb_component_means"],
     "LLM-vector-compression": ["emb_quantize_int8", "ann_sq8_topk"],  # SQ8 tier (PQ: ann_ivf_pq_*)
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
+    "A22": ["a22_welch_ttest"],  # beyond-reference: Welch two-sample t-test
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

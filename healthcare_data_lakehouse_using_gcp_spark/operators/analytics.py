@@ -612,3 +612,60 @@ def ewma_smooth(
         num = num + F.lit(weight) * F.coalesce(lagged.cast("double"), F.lit(0.0))
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
     return df.withColumn(f"{value_col}_ewma", num / den)
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test — the experimentation
+    primitive (unequal-variance arms are the default in the wild, so
+    Welch, not Student):
+
+        t  = (x̄_b − x̄_a) / sqrt(s²_a/n_a + s²_b/n_b)
+        df = (s²_a/n_a + s²_b/n_b)² /
+             ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    with s² the UNBIASED sample variance (sumsq − n·mean²)/(n−1).
+    ``arm_col`` is a boolean Column/expression splitting rows into
+    arm a (false) and arm b (true). Returns per group: n_a, n_b,
+    mean_a, mean_b, mean_diff, t_stat, df_welch (NULL when an arm has
+    <2 rows — the statistic is undefined, not zero).
+
+    Scale design: ONE hash aggregation — six conditional sums per
+    group (count/sum/sumsq × 2 arms, map-side combined); the t and df
+    arithmetic is per-output-row scalar math. No second pass, no
+    join, no window."""
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.when(~arm, 1)).cast("double").alias("__na"),
+        F.count(F.when(arm, 1)).cast("double").alias("__nb"),
+        F.sum(F.when(~arm, v)).alias("__sa"),
+        F.sum(F.when(arm, v)).alias("__sb"),
+        F.sum(F.when(~arm, v * v)).alias("__qa"),
+        F.sum(F.when(arm, v * v)).alias("__qb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    ma, mb = F.col("__sa") / na, F.col("__sb") / nb
+    va = (F.col("__qa") - na * ma * ma) / (na - 1)
+    vb = (F.col("__qb") - nb * mb * mb) / (nb - 1)
+    # clamp the sumsq-form variances at 0 (IEEE negative epsilon)
+    va, vb = F.greatest(va, F.lit(0.0)), F.greatest(vb, F.lit(0.0))
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (mb - ma) / F.sqrt(se2)
+    dfw = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    defined = (na >= 2) & (nb >= 2)
+    return agg.select(
+        *group_cols,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (mb - ma).alias("mean_diff"),
+        F.when(defined, t).alias("t_stat"),
+        F.when(defined, dfw).alias("df_welch"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
@@ -457,3 +458,44 @@ def test_ewma_smooth_skips_nulls_and_validates_alpha(spark):
     assert abs(got[2] - (4.0 + w2 * 2.0) / (1.0 + w2)) < 1e-12
     with _pytest.raises(ValueError):
         ewma_smooth(df, ["g"], ["i"], "v", alpha=0.0)
+
+
+def test_welch_ttest_hand_computed(spark):
+    """Welch t and df against a hand-evaluated reference on a 2-group
+    frame, plus the undefined-arm NULL contract."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        welch_ttest,
+    )
+
+    rows = [
+        ("g", False, 1.0), ("g", False, 2.0), ("g", False, 3.0),
+        ("g", True, 2.0), ("g", True, 4.0), ("g", True, 6.0), ("g", True, 8.0),
+        ("h", False, 5.0), ("h", True, 7.0),  # one row per arm: undefined
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm boolean, x double")
+    out = {
+        r["grp"]: r for r in welch_ttest(df, ["grp"], "arm", "x").collect()
+    }
+    a, b = [1.0, 2.0, 3.0], [2.0, 4.0, 6.0, 8.0]
+    ma, mb = sum(a) / 3, sum(b) / 4
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 3
+    sea, seb = va / 3, vb / 4
+    t = (mb - ma) / math.sqrt(sea + seb)
+    dfw = (sea + seb) ** 2 / (sea**2 / 2 + seb**2 / 3)
+    g = out["g"]
+    assert (g["n_a"], g["n_b"]) == (3, 4)
+    assert g["mean_diff"] == pytest.approx(mb - ma)
+    assert g["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert g["df_welch"] == pytest.approx(dfw, rel=1e-12)
+    h = out["h"]
+    assert h["t_stat"] is None and h["df_welch"] is None
+    assert (h["n_a"], h["n_b"]) == (1, 1)
+    # symmetric arms: swapping the arm flips the sign exactly
+    flipped = {
+        r["grp"]: r
+        for r in welch_ttest(df, ["grp"], ~F.col("arm"), "x").collect()
+    }
+    assert flipped["g"]["t_stat"] == pytest.approx(-t, rel=1e-12)
