@@ -620,6 +620,8 @@ _TAIL = (
     "lm_bigram_perplexity",
     # A/B experimentation: grouped Welch two-sample t-test
     "a22_welch_ttest",
+    # MOSS winnowing: local position-robust copy-detection fingerprints
+    "text_winnow_fingerprint",
 )
 
 
@@ -6833,6 +6835,58 @@ def a22_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_winnow_fingerprint",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i,
+             ('0x' || substr(
+                md5(array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15
+              ))::BIGINT AS h
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 6
+    ), wstarts AS (
+      SELECT doc_id, i AS ws
+      FROM toks, UNNEST(generate_series(1, len(ts) - 5)) AS t(i)
+      WHERE len(ts) >= 6
+    ), mins AS (
+      SELECT w.doc_id, w.ws, MIN(g.h) AS mh
+      FROM wstarts w
+      JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws AND w.ws + 3
+      GROUP BY w.doc_id, w.ws
+    ), winners AS (
+      SELECT m.doc_id, MAX(g.i) AS pos, m.mh AS fp_hash
+      FROM mins m
+      JOIN g ON g.doc_id = m.doc_id
+            AND g.i BETWEEN m.ws AND m.ws + 3
+            AND g.h = m.mh
+      GROUP BY m.doc_id, m.ws, m.mh
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp_hash
+    FROM winners
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-dedup (beyond-reference): WINNOWING fingerprints
+    (Schleimer 2003 / MOSS; k=3 token-grams, window w=4, rightmost-
+    min tie-break) — the local, position-robust fingerprint that
+    guarantees a shared selection with any copied passage of ≥ w+k-1
+    tokens, at ~2/(w+1) density. Spark side is one zero-shuffle array
+    projection (k-gram md5 hashes + per-window rightmost argmin,
+    array_distinct, explode); the oracle re-derives the same
+    selections relationally (window-start × gram band join, MIN per
+    window, rightmost position attaining it) — two completely
+    different plan shapes, hash-equal output."""
+    from .operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -6884,6 +6938,7 @@ OPERATOR_MAP = {
     "LLM-dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_checked",
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dedup_semantic",
+        "text_winnow_fingerprint",
         "dedup_incremental_index",
     ],
     "LLM-similarity": [

@@ -937,6 +937,68 @@ def bigram_pmi(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token k-gram, slide a
+    window of ``w`` consecutive hashes, and select each window's
+    minimum (rightmost on ties). The selected (position, hash) set is
+    the fingerprint: guaranteed to share a selection with any copy of
+    a passage ≥ w+k-1 tokens long, at expected density 2/(w+1) —
+    the local, position-robust upgrade over fingerprint()'s global
+    prefix/whole-doc hashes for plagiarism/near-copy detection.
+
+    Pure array Column expressions — the k-gram strings, their md5→
+    60-bit hashes, and the per-window rightmost-argmin all run inside
+    one projection (O(n·w) work per doc, w is small); array_distinct
+    collapses the window overlaps, one explode emits (id, pos,
+    fp_hash). No shuffle at all until whatever the caller aggregates.
+    Documents shorter than k+w-1 tokens emit nothing (no full window
+    exists — match the boundary rather than inventing one).
+
+    Returns (id, pos, fp_hash); pos is the 1-based k-gram index."""
+    toks = F.filter(tokens_col(F.lower(F.col(text_col))), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__ts")).filter(
+        F.size("__ts") >= k + w - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__ts") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__ts"), i, k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    hb = base.select(F.col(id_col), hashes.alias("__hs"))
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("__hs") - (w - 1)),
+        lambda i: F.struct(
+            (
+                i
+                + w
+                - F.array_position(
+                    F.reverse(F.slice(F.col("__hs"), i, w)),
+                    F.array_min(F.slice(F.col("__hs"), i, w)),
+                )
+            ).alias("pos"),
+            F.array_min(F.slice(F.col("__hs"), i, w)).alias("fp_hash"),
+        ),
+    )
+    return (
+        hb.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.pos").cast("bigint").alias("pos"),
+            F.col("__s.fp_hash").alias("fp_hash"),
+        )
+    )
+
+
 def train_bigram_lm(
     df: DataFrame,
     text_col: str = "text",

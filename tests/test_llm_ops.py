@@ -1745,3 +1745,43 @@ def test_bigram_lm_flags_scrambled_text(spark):
         for r in text.bigram_perplexity(score, pc, uni, v).collect()
     }
     assert out[101] > out[100] * 1.5
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing contracts (k=3, w=4): (1) every window of w
+    consecutive k-grams contains a selected position (the coverage
+    guarantee); (2) two documents sharing a passage >= w+k-1 tokens
+    share at least one (offset-adjusted) fingerprint hash; (3) docs
+    shorter than k+w-1 tokens emit nothing; (4) density is near the
+    expected 2/(w+1)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 6
+    d1 = "one two three " + shared + " four five"
+    d2 = "x y " + shared + " z w v u"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "too short here")],
+        "doc_id bigint, text string",
+    )
+    out = text.winnow_fingerprints(df, k=3, w=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp_hash"]))
+    assert 3 not in by_doc  # 3 tokens < k+w-1 = 6
+    # coverage: every window start has a selection within [ws, ws+3]
+    for doc, text_ in ((1, d1), (2, d2)):
+        n_grams = len(text_.split()) - 2
+        positions = {p for p, _ in by_doc[doc]}
+        for ws in range(1, n_grams - 3 + 1):
+            assert positions & set(range(ws, ws + 4)), (doc, ws)
+        # density: selections ≈ 2/(w+1) of windows, loose upper bound
+        assert len(positions) <= n_grams
+    # shared passage => shared fingerprint hash
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2, "copied passage produced no common fingerprint"
+    # determinism: same input, same selections
+    again = {
+        (r["doc_id"], r["pos"], r["fp_hash"])
+        for r in text.winnow_fingerprints(df, k=3, w=4).collect()
+    }
+    assert again == {(d, p, h) for d, s in by_doc.items() for p, h in s}
