@@ -622,6 +622,8 @@ _TAIL = (
     "a22_welch_ttest",
     # MOSS winnowing: local position-robust copy-detection fingerprints
     "text_winnow_fingerprint",
+    # skew-attack privacy refinement: t-closeness TVD audit
+    "privacy_t_closeness",
 )
 
 
@@ -6887,6 +6889,63 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=3, w=4)
 
 
+@query(
+    "privacy_t_closeness",
+    """
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS cgv
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer
+    ), gp AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS pv
+      FROM customer GROUP BY c_mktsegment
+    ), grp AS (
+      SELECT c_nationkey, SUM(cgv) AS ng FROM cell GROUP BY c_nationkey
+    ), d AS (
+      SELECT cell.c_nationkey,
+             ANY_VALUE(grp.ng) AS ng,
+             SUM(ABS(cell.cgv / grp.ng - gp.pv)) AS abs_sum,
+             SUM(gp.pv) AS p_present
+      FROM cell
+      JOIN grp USING (c_nationkey)
+      JOIN gp USING (c_mktsegment)
+      GROUP BY cell.c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(ng AS BIGINT) AS n,
+           FLOOR(0.5 * (abs_sum + (1 - p_present)) * 1000000 + 0.5)
+             / 1000000 AS t_distance,
+           FLOOR(0.5 * (abs_sum + (1 - p_present)) * 1000000 + 0.5)
+             / 1000000 > 0.1 AS violates
+    FROM d
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy (beyond-reference): t-CLOSENESS audit (Li 2007) — the
+    skew-attack refinement over l-diversity: per quasi-identifier
+    group (nation), the total-variation distance between the group's
+    sensitive-value mix (market segment) and the global mix, flagged
+    at t=0.1. One (quasi, sensitive) hash aggregation; absent values
+    contribute their global mass WITHOUT a group x value grid (the
+    1-P_present identity). violates is derived from the ROUNDED
+    distance in both engines so the boolean can never straddle a
+    float boundary. operators/privacy.t_closeness_audit."""
+    from .operators.privacy import t_closeness_audit
+
+    c = _t(spark, sf_dir, "customer")
+    out = t_closeness_audit(c, ["c_nationkey"], "c_mktsegment", t=0.1)
+    r6 = 1000000.0
+    dist_r = F.floor(F.col("t_distance") * r6 + F.lit(0.5)) / r6
+    return out.select(
+        "c_nationkey",
+        "n",
+        dist_r.alias("t_distance"),
+        (dist_r > 0.1).alias("violates"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7007,6 +7066,7 @@ OPERATOR_MAP = {
     "Privacy": [
         "privacy_k_anonymity",
         "privacy_l_diversity",
+        "privacy_t_closeness",
         "privacy_generalize",
         "privacy_suppress",
         "scrub_pii",

@@ -255,3 +255,61 @@ def suppress_rare_groups(
         .filter(F.col("__n") >= k)
         .drop("__n")
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness risk report (Li, Li & Venkatasubramanian 2007):
+    per quasi-identifier group, the distance between the group's
+    sensitive-value distribution and the GLOBAL one — the refinement
+    over l-diversity that catches skew attacks (a group can hold l
+    distinct diagnoses yet still be 95% one of them). For categorical
+    sensitive attributes the EMD with uniform ground distance is the
+    total variation distance, ½·Σ_v |p_g(v) − p(v)|.
+
+    Returns one row per group: quasi cols, n (group size),
+    t_distance, and violates = t_distance > t. Empty report ⇒ the
+    release satisfies t-closeness at the given t.
+
+    Scale design (100 TB): one hash aggregation on
+    (quasi, sensitive) — map-side combined — then group-sized math.
+    Values ABSENT from a group still contribute their global mass,
+    but no group×value grid is materialized: with P = Σ_present p(v),
+    ½(Σ_present |p_g−p| + (1−P)) needs only the present pairs."""
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("t_closeness_audit on an empty frame")
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c_gv")
+    )
+    global_counts = df.groupBy(sensitive_col).agg(
+        (F.count(F.lit(1)) / F.lit(float(n_total))).alias("__p_v")
+    )
+    joined = cell.join(F.broadcast(global_counts), sensitive_col)
+    w_grp = [F.col(c) for c in quasi_cols]
+    per_group = joined.groupBy(*w_grp).agg(
+        F.sum("__c_gv").alias("__n_g"),
+        F.sum("__p_v").alias("__p_present"),
+        F.collect_list(F.struct("__c_gv", "__p_v")).alias("__cells"),
+    )
+    # Σ_present |c_gv/n_g − p_v| via a fold over the group's own cells
+    # (group-sized arrays — |distinct sensitive values| per group)
+    abs_sum = F.aggregate(
+        F.col("__cells"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.abs(s["__c_gv"] / F.col("__n_g") - s["__p_v"]),
+    )
+    dist = 0.5 * (abs_sum + (1.0 - F.col("__p_present")))
+    return (
+        per_group.select(
+            *quasi_cols,
+            F.col("__n_g").cast("bigint").alias("n"),
+            dist.alias("t_distance"),
+        )
+        .withColumn("violates", F.col("t_distance") > F.lit(float(t)))
+    )

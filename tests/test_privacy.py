@@ -154,3 +154,55 @@ def test_dp_noisy_sums_clip_bounds_sensitivity(spark):
     assert rerun[0]["noisy_sum"] == out[0]["noisy_sum"]
     with pytest.raises(ValueError, match="clip"):
         dp_noisy_sums(df, ["grp"], "v", clip=0.0)
+
+
+def test_t_closeness_hand_computed(spark):
+    """TVD against hand math: group A is 3/4-1/4 over {x, y} vs a
+    global 1/2-1/2 → distance ¼; group B matches the global exactly
+    → 0; a group missing a value entirely pays its full global mass."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    rows = (
+        [("A", "x")] * 3 + [("A", "y")] * 1
+        + [("B", "x")] * 2 + [("B", "y")] * 2
+        + [("C", "x")] * 1 + [("C", "y")] * 3  # mirror of A: global stays ½-½
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["q"]: r for r in t_closeness_audit(df, ["q"], "s", t=0.2).collect()}
+    assert out["A"]["t_distance"] == pytest.approx(0.25)
+    assert out["A"]["violates"] is True
+    assert out["B"]["t_distance"] == pytest.approx(0.0)
+    assert out["B"]["violates"] is False
+    assert out["C"]["t_distance"] == pytest.approx(0.25)
+    assert (out["A"]["n"], out["B"]["n"], out["C"]["n"]) == (4, 4, 4)
+    # absent-value mass: C holds only z; global = {x:2/6? ...} recompute
+    rows2 = [("C", "z")] * 2 + [("D", "x")] * 2 + [("D", "z")] * 2
+    df2 = spark.createDataFrame(rows2, "q string, s string")
+    out2 = {
+        r["q"]: r["t_distance"]
+        for r in t_closeness_audit(df2, ["q"], "s", t=0.5).collect()
+    }
+    # global: x=1/3, z=2/3. C: z=1 → ½(|1-2/3| + (1-2/3)) = 1/3
+    assert out2["C"] == pytest.approx(1 / 3)
+    # D: x=1/2,z=1/2 → ½(|1/2-1/3| + |1/2-2/3|) = 1/6
+    assert out2["D"] == pytest.approx(1 / 6)
+
+
+def test_t_closeness_improves_after_suppression(spark):
+    """Composition sanity: suppressing a heavily-skewed rare group
+    removes its violation from the audit (the audit → remediate →
+    audit loop the module documents)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+        suppress_rare_groups,
+        t_closeness_audit,
+    )
+
+    rows = [("big", "x")] * 10 + [("big", "y")] * 10 + [("tiny", "x")] * 2
+    df = spark.createDataFrame(rows, "q string, s string")
+    before = t_closeness_audit(df, ["q"], "s", t=0.3)
+    assert {r["q"] for r in before.filter("violates").collect()} == {"tiny"}
+    cleaned = suppress_rare_groups(df, ["q"], k=3)
+    after = t_closeness_audit(cleaned, ["q"], "s", t=0.3)
+    assert after.filter("violates").count() == 0
