@@ -624,6 +624,8 @@ _TAIL = (
     "text_winnow_fingerprint",
     # skew-attack privacy refinement: t-closeness TVD audit
     "privacy_t_closeness",
+    # categorical independence test: grouped chi-square
+    "a23_chi_square",
 )
 
 
@@ -6946,6 +6948,66 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a23_chi_square",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey % 3 AS b,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY o_orderpriority, o_orderstatus, o_orderkey % 3
+    ), ra AS (
+      SELECT o_orderpriority, o_orderstatus, SUM(o) AS ra
+      FROM cells GROUP BY o_orderpriority, o_orderstatus
+    ), cb AS (
+      SELECT o_orderpriority, b, SUM(o) AS cb
+      FROM cells GROUP BY o_orderpriority, b
+    ), nt AS (
+      SELECT o_orderpriority, SUM(o) AS n,
+             CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS r,
+             CAST(COUNT(DISTINCT b) AS DOUBLE) AS c
+      FROM cells GROUP BY o_orderpriority
+    ), terms AS (
+      SELECT cells.o_orderpriority,
+             ANY_VALUE(nt.n) AS n, ANY_VALUE(nt.r) AS r,
+             ANY_VALUE(nt.c) AS c,
+             SUM((cells.o - ra.ra * cb.cb / nt.n)
+                 * (cells.o - ra.ra * cb.cb / nt.n)
+                 / (ra.ra * cb.cb / nt.n)
+                 - ra.ra * cb.cb / nt.n) AS term_sum
+      FROM cells
+      JOIN ra USING (o_orderpriority, o_orderstatus)
+      JOIN cb USING (o_orderpriority, b)
+      JOIN nt USING (o_orderpriority)
+      GROUP BY cells.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           FLOOR((n + term_sum) * 10000 + 0.5) / 10000 AS chi2
+    FROM terms
+    """,
+)
+def a23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 (beyond-reference): per-group chi-square independence test
+    — order status vs a deterministic 3-way key split, per priority
+    class. One (group, a, b) hash aggregation; margins re-aggregated
+    from the CELL frame, never the fact; empty grid cells folded in
+    through the Σe = n identity (no grid materialization).
+    operators/analytics.chi_square_independence."""
+    from .operators.analytics import chi_square_independence
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "b", F.col("o_orderkey") % 3
+    )
+    out = chi_square_independence(o, ["o_orderpriority"], "o_orderstatus", "b")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        "dof",
+        (F.floor(F.col("chi2") * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7061,6 +7123,7 @@ OPERATOR_MAP = {
     "LLM-vector-compression": ["emb_quantize_int8", "ann_sq8_topk"],  # SQ8 tier (PQ: ann_ivf_pq_*)
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
     "A22": ["a22_welch_ttest"],  # beyond-reference: Welch two-sample t-test
+    "A23": ["a23_chi_square"],  # beyond-reference: chi-square independence
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -669,3 +669,55 @@ def welch_ttest(
         F.when(defined, t).alias("t_stat"),
         F.when(defined, dfw).alias("df_welch"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Per-group chi-square test of independence between two
+    categorical columns — the experimentation/monitoring primitive
+    for "did the treatment change the categorical mix" and "is this
+    slice's distribution independent of that attribute":
+
+        χ² = Σ_cells (o − e)² / e,   e = row_total·col_total / n
+
+    Returns per group: n, dof = (r−1)(c−1), chi2. Empty cells of the
+    a×b grid contribute their expected mass, but NO grid is
+    materialized: Σ_all e = n, so χ² = n + Σ_present((o−e)²/e − e) —
+    the same absent-cell identity as privacy.t_closeness_audit.
+
+    Scale design: one (group, a, b) hash aggregation (map-side
+    combined), margins re-aggregated from the cell frame (never the
+    fact) and joined back on the group+category keys — all
+    |groups·categories|-sized frames."""
+    cells = df.groupBy(*group_cols, a_col, b_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__o")
+    )
+    ra = cells.groupBy(*group_cols, a_col).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(*group_cols, b_col).agg(F.sum("__o").alias("__cb"))
+    ntot = cells.groupBy(*group_cols).agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct(a_col).cast("double").alias("__r"),
+        F.countDistinct(b_col).cast("double").alias("__c"),
+    )
+    gk = list(group_cols)
+    joined = (
+        cells.join(ra, gk + [a_col])
+        .join(cb, gk + [b_col])
+        .join(ntot, gk)
+        .withColumn("__e", F.col("__ra") * F.col("__cb") / F.col("__n"))
+        .withColumn(
+            "__term",
+            (F.col("__o") - F.col("__e")) ** 2 / F.col("__e") - F.col("__e"),
+        )
+    )
+    return joined.groupBy(*gk).agg(
+        F.first("__n").cast("bigint").alias("n"),
+        ((F.first("__r") - 1) * (F.first("__c") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        (F.first("__n") + F.sum("__term")).alias("chi2"),
+    )

@@ -499,3 +499,24 @@ def test_welch_ttest_hand_computed(spark):
         for r in welch_ttest(df, ["grp"], ~F.col("arm"), "x").collect()
     }
     assert flipped["g"]["t_stat"] == pytest.approx(-t, rel=1e-12)
+
+
+def test_chi_square_hand_computed(spark):
+    """2x2 chi-square against hand math, including an empty grid
+    cell (folded in via the sum-of-expected identity) and the
+    independent-mix zero case."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        chi_square_independence,
+    )
+
+    # g: perfectly dependent 2x2 — a==b always; margins 2/2 each
+    rows = [("g", "a0", "b0")] * 2 + [("g", "a1", "b1")] * 2
+    # h: perfectly independent 2x2 (equal cells)
+    rows += [("h", "a0", "b0"), ("h", "a0", "b1"), ("h", "a1", "b0"), ("h", "a1", "b1")]
+    df = spark.createDataFrame(rows, "grp string, a string, b string")
+    out = {r["grp"]: r for r in chi_square_independence(df, ["grp"], "a", "b").collect()}
+    # g: e = 1 for all four cells; observed 2,0,0,2 → chi2 = 4·1 = 4
+    assert out["g"]["chi2"] == pytest.approx(4.0)
+    assert out["g"]["dof"] == 1 and out["g"]["n"] == 4
+    assert out["h"]["chi2"] == pytest.approx(0.0)
+    assert out["h"]["dof"] == 1
