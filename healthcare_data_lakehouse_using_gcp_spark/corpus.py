@@ -626,6 +626,8 @@ _TAIL = (
     "privacy_t_closeness",
     # categorical independence test: grouped chi-square
     "a23_chi_square",
+    # fabricated-amounts screen: Benford first-digit audit
+    "a24_benford_audit",
 )
 
 
@@ -7008,6 +7010,55 @@ def a23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a24_benford_audit",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice) * 100 + 0.5)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders
+      WHERE FLOOR(ABS(o_totalprice) * 100 + 0.5) > 0
+      GROUP BY 1, 2
+    ), pc AS (
+      SELECT o_orderpriority, d, o, log10(1 + 1.0 / d) AS p FROM cells
+    ), tot AS (
+      SELECT o_orderpriority, SUM(o) AS n FROM cells GROUP BY 1
+    )
+    SELECT pc.o_orderpriority,
+           CAST(ANY_VALUE(tot.n) AS BIGINT) AS n,
+           FLOOR((ANY_VALUE(tot.n)
+                  + SUM((pc.o - tot.n * pc.p) * (pc.o - tot.n * pc.p)
+                        / (tot.n * pc.p) - tot.n * pc.p)) * 10000 + 0.5)
+             / 10000 AS chi2,
+           FLOOR((SUM(ABS(pc.o / tot.n - pc.p) - pc.p) + 1.0) / 9.0
+                 * 1000000 + 0.5) / 1000000 AS mad
+    FROM pc JOIN tot USING (o_orderpriority)
+    GROUP BY pc.o_orderpriority
+    """,
+)
+def a24_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 (beyond-reference): Benford first-digit audit per priority
+    class — the fabricated-amounts screen a claims pipeline runs on
+    billed totals. Digit extraction avoids data-dependent float
+    log10: amounts scale to exact integers and the digit is the first
+    character of the integer's decimal rendering (identical in every
+    engine); absent digits fold in through the Σe = n identity. One
+    (group, digit) hash aggregation.
+    operators/analytics.benford_audit."""
+    from .operators.analytics import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    out = benford_audit(o, ["o_orderpriority"], "o_totalprice", scale=100)
+    return out.select(
+        "o_orderpriority",
+        "n",
+        (F.floor(F.col("chi2") * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+        (F.floor(F.col("mad") * 1000000 + F.lit(0.5)) / 1000000).alias("mad"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7124,6 +7175,7 @@ OPERATOR_MAP = {
     "A21": ["a21_regression"],  # beyond-reference: per-group OLS trend
     "A22": ["a22_welch_ttest"],  # beyond-reference: Welch two-sample t-test
     "A23": ["a23_chi_square"],  # beyond-reference: chi-square independence
+    "A24": ["a24_benford_audit"],  # beyond-reference: Benford fraud screen
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

