@@ -628,6 +628,8 @@ _TAIL = (
     "a23_chi_square",
     # fabricated-amounts screen: Benford first-digit audit
     "a24_benford_audit",
+    # nonparametric A/B: grouped Mann-Whitney U
+    "a25_mann_whitney",
 )
 
 
@@ -7059,6 +7061,65 @@ def a24_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a25_mann_whitney",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_orderkey % 2 = 0 AS arm,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(o_totalprice AS DOUBLE))
+               + (COUNT(*) OVER (PARTITION BY o_orderpriority,
+                                 CAST(o_totalprice AS DOUBLE)) - 1) / 2.0
+               AS r,
+             POW(COUNT(*) OVER (PARTITION BY o_orderpriority,
+                                CAST(o_totalprice AS DOUBLE)), 2) - 1 AS tie2
+      FROM orders
+    ), agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE NOT arm) AS DOUBLE) AS na,
+             CAST(COUNT(*) FILTER (WHERE arm) AS DOUBLE) AS nb,
+             SUM(r) FILTER (WHERE arm) AS rb,
+             SUM(tie2) AS ties
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           FLOOR((rb - nb * (nb + 1) / 2) * 100 + 0.5) / 100 AS u_stat,
+           FLOOR((rb - nb * (nb + 1) / 2 - na * nb / 2)
+                 / SQRT(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - ties / ((na + nb) * (na + nb - 1))))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM agg
+    """,
+)
+def a25_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 (beyond-reference): per-group Mann-Whitney U (Wilcoxon
+    rank-sum) — the nonparametric experimentation test for
+    heavy-tailed metrics, completing the A/B toolkit (Welch t =
+    means, chi-square = categorical mix, U = stochastic dominance).
+    Average ranks are exact halves (sums exact in double — no
+    rounding discipline needed before the final format), the tie
+    correction folds into the row level via Σ(t³−t) = Σ_rows(t²−1),
+    and the whole thing is one window sort + one hash aggregation.
+    operators/analytics.mann_whitney_u."""
+    from .operators.analytics import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    out = mann_whitney_u(
+        o, ["o_orderpriority"], F.col("o_orderkey") % 2 == 0, "o_totalprice"
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        (F.floor(F.col("u_stat") * 100 + F.lit(0.5)) / 100).alias("u_stat"),
+        (F.floor(F.col("z") * 10000 + F.lit(0.5)) / 10000).alias("z"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7176,6 +7237,7 @@ OPERATOR_MAP = {
     "A22": ["a22_welch_ttest"],  # beyond-reference: Welch two-sample t-test
     "A23": ["a23_chi_square"],  # beyond-reference: chi-square independence
     "A24": ["a24_benford_audit"],  # beyond-reference: Benford fraud screen
+    "A25": ["a25_mann_whitney"],  # beyond-reference: rank-sum U test
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -769,3 +769,61 @@ def benford_audit(
             / 9.0
         ).alias("mad"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U test (Wilcoxon rank-sum) — the
+    nonparametric companion to welch_ttest for heavy-tailed or
+    ordinal metrics where means mislead. Average ranks for ties;
+    z uses the tie-corrected normal approximation:
+
+        U   = R_b − n_b(n_b+1)/2
+        z   = (U − n_a·n_b/2) / sqrt( n_a·n_b/12 ·
+              ((n+1) − Σ(t³−t)/(n(n−1))) )
+
+    Returns per group: n_a, n_b, u_stat, z (z NULL when an arm is
+    empty or every value is tied — the statistic is undefined).
+
+    Scale design: ONE window sort per group computes both the min
+    rank and the tie-group size (the two specs share the
+    (group, value) sort order), average rank = rank + (ties−1)/2;
+    the tie correction needs no per-tie-group pass because
+    Σ_groups(t³−t) = Σ_rows(t²−1). One hash aggregation after the
+    window; no joins."""
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    gk = list(group_cols)
+    w_rank = Window.partitionBy(*gk).orderBy(v.asc())
+    w_tie = Window.partitionBy(*gk, v)
+    ranked = df.select(
+        *gk,
+        arm.alias("__arm"),
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias(
+            "__r"
+        ),
+        (F.count(F.lit(1)).over(w_tie) ** 2 - 1).alias("__tie2"),
+    )
+    agg = ranked.groupBy(*gk).agg(
+        F.count(F.when(~F.col("__arm"), 1)).cast("double").alias("__na"),
+        F.count(F.when(F.col("__arm"), 1)).cast("double").alias("__nb"),
+        F.sum(F.when(F.col("__arm"), F.col("__r"))).alias("__rb"),
+        F.sum("__tie2").cast("double").alias("__ties"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    n = na + nb
+    u = F.col("__rb") - nb * (nb + 1) / 2
+    var = (na * nb / 12.0) * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / F.sqrt(var)
+    defined = (na >= 1) & (nb >= 1) & (var > 0)
+    return agg.select(
+        *gk,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.when((na >= 1) & (nb >= 1), u).alias("u_stat"),
+        F.when(defined, z).alias("z"),
+    )

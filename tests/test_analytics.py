@@ -557,3 +557,37 @@ def test_benford_audit_hand_computed(spark):
     df0 = spark.createDataFrame([("z", 0.0), ("z", 5.0)], "grp string, amt double")
     z = benford_audit(df0, ["grp"], "amt").collect()[0]
     assert z["n"] == 1
+
+
+def test_mann_whitney_hand_computed(spark):
+    """U and z against hand math with ties, plus the undefined cases
+    (empty arm; all values identical)."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mann_whitney_u,
+    )
+
+    # g: a = [1, 2, 2], b = [2, 3]; pooled sorted: 1,2,2,2,3
+    # ranks: 1 → 1; the three 2s → avg (2+3+4)/3 = 3; 3 → 5
+    rows = [
+        ("g", False, 1.0), ("g", False, 2.0), ("g", False, 2.0),
+        ("g", True, 2.0), ("g", True, 3.0),
+        ("h", False, 7.0), ("h", False, 7.0),  # one arm only
+        ("i", False, 5.0), ("i", True, 5.0),   # all tied: var = 0
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm boolean, x double")
+    out = {r["grp"]: r for r in mann_whitney_u(df, ["grp"], "arm", "x").collect()}
+    g = out["g"]
+    rb = 3.0 + 5.0
+    u = rb - 2 * 3 / 2
+    na, nb, n = 3.0, 2.0, 5.0
+    ties = 3**3 - 3  # one tie group of size 3
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    assert (g["n_a"], g["n_b"]) == (3, 2)
+    assert g["u_stat"] == pytest.approx(u)
+    assert g["z"] == pytest.approx(z, rel=1e-12)
+    assert out["h"]["z"] is None and out["h"]["u_stat"] is None
+    assert out["i"]["z"] is None  # tie-only: variance 0, undefined
+    assert out["i"]["u_stat"] == pytest.approx(1.5 - 1.0)  # rank avg 1.5
