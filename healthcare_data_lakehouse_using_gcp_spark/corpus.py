@@ -630,6 +630,8 @@ _TAIL = (
     "a24_benford_audit",
     # nonparametric A/B: grouped Mann-Whitney U
     "a25_mann_whitney",
+    # whole-distribution A/B: grouped two-sample KS
+    "a26_ks_test",
 )
 
 
@@ -7120,6 +7122,70 @@ def a25_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a26_ks_test",
+    """
+    WITH cum AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_totalprice AS DOUBLE)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ca,
+             SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_totalprice AS DOUBLE)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cb
+      FROM orders
+    ), tot AS (
+      SELECT o_orderpriority,
+             CAST(ca AS DOUBLE) AS ca, CAST(cb AS DOUBLE) AS cb,
+             MAX(ca) OVER (PARTITION BY o_orderpriority) AS na,
+             MAX(cb) OVER (PARTITION BY o_orderpriority) AS nb
+      FROM cum
+    ), agg AS (
+      SELECT o_orderpriority,
+             CAST(ANY_VALUE(na) AS DOUBLE) AS na,
+             CAST(ANY_VALUE(nb) AS DOUBLE) AS nb,
+             MAX(ABS(ca / na - cb / nb)) AS d
+      FROM tot GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           FLOOR(d * 1000000 + 0.5) / 1000000 AS ks_d,
+           FLOOR(d * SQRT(na * nb / (na + nb)) * 1000000 + 0.5) / 1000000
+             AS ks_scaled
+    FROM agg
+    """,
+)
+def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 (beyond-reference): per-group two-sample Kolmogorov-
+    Smirnov — max ECDF gap between the two key-parity arms of the
+    order-price distribution per priority class, the any-shape-
+    difference detector completing the A/B battery. Running
+    conditional counts in one RANGE-framed window sort (ties resolve
+    right-continuously via the frame's peer inclusion), plain max
+    after; ECDF quotients are identical divisions of identical
+    integers in both engines, so D is bit-exact before the format
+    rounding. operators/analytics.ks_two_sample."""
+    from .operators.analytics import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders")
+    out = ks_two_sample(
+        o, ["o_orderpriority"], F.col("o_orderkey") % 2 == 0, "o_totalprice"
+    )
+    r6 = 1000000.0
+    return out.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        (F.floor(F.col("ks_d") * r6 + F.lit(0.5)) / r6).alias("ks_d"),
+        (F.floor(F.col("ks_scaled") * r6 + F.lit(0.5)) / r6).alias("ks_scaled"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7238,6 +7304,7 @@ OPERATOR_MAP = {
     "A23": ["a23_chi_square"],  # beyond-reference: chi-square independence
     "A24": ["a24_benford_audit"],  # beyond-reference: Benford fraud screen
     "A25": ["a25_mann_whitney"],  # beyond-reference: rank-sum U test
+    "A26": ["a26_ks_test"],  # beyond-reference: two-sample KS
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -827,3 +827,65 @@ def mann_whitney_u(
         F.when((na >= 1) & (nb >= 1), u).alias("u_stat"),
         F.when(defined, z).alias("z"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic — the
+    whole-distribution A/B comparison (Welch sees means, U sees
+    dominance, KS sees ANY shape difference):
+
+        D = max_x | F_a(x) − F_b(x) |
+
+    evaluated at the pooled values' ECDF steps via running
+    conditional counts in one window sort; ties are handled by
+    evaluating AFTER all rows of a tied value (the window frame
+    extends to the last peer via RANGE semantics on the value
+    itself). Also returns the scaled statistic
+    ks_scaled = D·sqrt(n_a·n_b/(n_a+n_b)) (compare to the
+    Kolmogorov distribution's critical values driver-side).
+
+    One window sort per group + one hash aggregation; no joins, no
+    grid."""
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    gk = list(group_cols)
+    # RANGE frame on the value: at a tied x, every row sees the counts
+    # INCLUDING all rows equal to x — exactly F(x) right-continuous
+    w = (
+        Window.partitionBy(*gk)
+        .orderBy(v.asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*gk)
+    cum = df.select(
+        *gk,
+        F.sum(F.when(~arm, 1).otherwise(0)).over(w).cast("double").alias("__ca"),
+        F.sum(F.when(arm, 1).otherwise(0)).over(w).cast("double").alias("__cb"),
+    ).select(
+        *gk,
+        "__ca",
+        "__cb",
+        F.max("__ca").over(w_tot).alias("__na"),
+        F.max("__cb").over(w_tot).alias("__nb"),
+    )
+    agg = cum.groupBy(*gk).agg(
+        F.first("__na").alias("__na"),
+        F.first("__nb").alias("__nb"),
+        F.max(
+            F.abs(F.col("__ca") / F.col("__na") - F.col("__cb") / F.col("__nb"))
+        ).alias("__d"),
+    )
+    na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
+    defined = (na >= 1) & (nb >= 1)
+    return agg.select(
+        *gk,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.when(defined, d).alias("ks_d"),
+        F.when(defined, d * F.sqrt(na * nb / (na + nb))).alias("ks_scaled"),
+    )

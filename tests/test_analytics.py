@@ -591,3 +591,32 @@ def test_mann_whitney_hand_computed(spark):
     assert out["h"]["z"] is None and out["h"]["u_stat"] is None
     assert out["i"]["z"] is None  # tie-only: variance 0, undefined
     assert out["i"]["u_stat"] == pytest.approx(1.5 - 1.0)  # rank avg 1.5
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """KS D against hand-evaluated ECDFs, including a tie across arms
+    (right-continuous: the gap is measured AFTER the tied value) and
+    the identical-distribution zero case."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        ks_two_sample,
+    )
+
+    # g: a = [1, 3], b = [2, 3]. Steps: after 1: |1/2-0|=.5; after 2:
+    # |1/2-1/2|=0; after 3 (tie, both arms): |1-1| = 0 → D = 0.5
+    rows = [
+        ("g", False, 1.0), ("g", False, 3.0),
+        ("g", True, 2.0), ("g", True, 3.0),
+        ("h", False, 1.0), ("h", True, 1.0),  # same dist → D = 0
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm boolean, x double")
+    out = {r["grp"]: r for r in ks_two_sample(df, ["grp"], "arm", "x").collect()}
+    import math
+
+    assert out["g"]["ks_d"] == pytest.approx(0.5)
+    assert out["g"]["ks_scaled"] == pytest.approx(0.5 * math.sqrt(4 / 4))
+    assert out["h"]["ks_d"] == pytest.approx(0.0)
+    # disjoint supports → D = 1 (maximal difference)
+    rows2 = [("m", False, 1.0), ("m", False, 2.0), ("m", True, 5.0)]
+    df2 = spark.createDataFrame(rows2, "grp string, arm boolean, x double")
+    m = ks_two_sample(df2, ["grp"], "arm", "x").collect()[0]
+    assert m["ks_d"] == pytest.approx(1.0)
