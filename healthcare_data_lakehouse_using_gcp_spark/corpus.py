@@ -632,6 +632,8 @@ _TAIL = (
     "a25_mann_whitney",
     # whole-distribution A/B: grouped two-sample KS
     "a26_ks_test",
+    # corpus health: Zipf vocabulary fit
+    "text_zipf_fit",
 )
 
 
@@ -7186,6 +7188,49 @@ def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_zipf_fit",
+    r"""
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+      )
+      WHERE tok <> '' GROUP BY tok
+    ), pts AS (
+      SELECT c,
+             ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE))
+               AS lr,
+             ln(c) AS lc
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           FLOOR(regr_slope(lc, lr) * 10000 + 0.5) / 10000 AS slope,
+           FLOOR(regr_intercept(lc, lr) * 10000 + 0.5) / 10000 AS intercept,
+           FLOOR(regr_r2(lc, lr) * 10000 + 0.5) / 10000 AS r2
+    FROM pts
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus-health (beyond-reference): Zipf's-law fit — OLS of
+    ln(count) on ln(rank) over the frequency-ranked vocabulary, the
+    one-row corpus check (natural text sits near slope −1; template
+    spam and tokenizer damage pull it away; r² says how Zipfian the
+    mix is at all). Explode + hash-agg vocabulary, vocab-sized rank
+    window, a21's proven-parity regr_* aggregates.
+    operators/text.zipf_fit."""
+    from .operators.text import zipf_fit
+
+    out = zipf_fit(_t(spark, sf_dir, "documents"))
+    r4 = 10000.0
+    rd = lambda c: (F.floor(F.col(c) * r4 + F.lit(0.5)) / r4).alias(c)  # noqa: E731
+    return out.select(
+        "n_types", "n_tokens", rd("slope"), rd("intercept"), rd("r2")
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7248,6 +7293,7 @@ OPERATOR_MAP = {
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",
         "classifier_quality", "temperature_mixture", "cap_per_source",
         "chunk_documents", "lm_perplexity", "lm_bigram_perplexity",
+        "text_zipf_fit",
         "text_embed_components", "epoch_upsample", "text_bpe_pretokenize",
     ],
     "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],

@@ -1432,3 +1432,41 @@ def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
     ready for bpe_apply."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS of ln(count)
+    against ln(rank) over the frequency-ranked vocabulary — the
+    one-row corpus health check (natural language sits near slope −1;
+    a far-off slope flags template spam, boilerplate floods, or
+    tokenizer damage; r² measures how Zipfian the corpus is at all).
+    Returns (n_types, n_tokens, slope, intercept, r2).
+
+    Plan: one explode + hash-agg builds the vocabulary counts, the
+    rank window runs over the VOCAB-sized frame (not the corpus —
+    bounded like bpe_train's histogram), and the fit is Spark's
+    single-pass mergeable regr_* aggregates (a21's proven-parity
+    path)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    pts = counts.select(
+        "c",
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log("c").alias("lc"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.regr_slope("lc", "lr").alias("slope"),
+        F.regr_intercept("lc", "lr").alias("intercept"),
+        F.regr_r2("lc", "lr").alias("r2"),
+    )

@@ -1785,3 +1785,31 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
         for r in text.winnow_fingerprints(df, k=3, w=4).collect()
     }
     assert again == {(d, p, h) for d, s in by_doc.items() for p, h in s}
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus whose vocabulary counts are EXACTLY c(r) = C/r fits
+    slope -1 with r2 = 1; token totals are bookkept correctly."""
+    # word_r appears floor(120/r) times for r in 1..6 → near-exact 1/r
+    docs = []
+    words = []
+    counts = {f"w{r}": 120 // r for r in range(1, 7)}
+    for wtok, c in counts.items():
+        words += [wtok] * c
+    # all in one doc: the fit is per-vocabulary, not per-doc
+    docs.append((1, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    row = text.zipf_fit(df).collect()[0]
+    assert row["n_types"] == 6
+    assert row["n_tokens"] == sum(counts.values())
+    import math
+
+    xs = [math.log(r) for r in range(1, 7)]
+    ys = [math.log(counts[f"w{r}"]) for r in range(1, 7)]
+    mx, my = sum(xs) / 6, sum(ys) / 6
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert row["slope"] == pytest.approx(slope, abs=1e-9)
+    assert row["slope"] == pytest.approx(-1.0, abs=0.05)  # 120//r rounding
+    assert row["r2"] > 0.999
