@@ -634,6 +634,8 @@ _TAIL = (
     "a26_ks_test",
     # corpus health: Zipf vocabulary fit
     "text_zipf_fit",
+    # association rules: market-basket pair lift
+    "mb_cooccurrence_lift",
 )
 
 
@@ -7231,6 +7233,78 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mb_cooccurrence_lift",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS nb FROM base
+    ), sup AS (
+      SELECT i, CAST(COUNT(*) AS DOUBLE) AS c FROM base GROUP BY i
+    ), pc AS (
+      SELECT a.i AS item_a, b2.i AS item_b, CAST(COUNT(*) AS DOUBLE) AS cab
+      FROM base a JOIN base b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i
+      HAVING COUNT(*) >= 5
+    ), scored AS (
+      SELECT item_a, item_b, cab,
+             n.nb AS nb, sa.c AS ca, sb.c AS cb,
+             n.nb * cab / (sa.c * sb.c) AS lift_raw
+      FROM pc
+      JOIN sup sa ON sa.i = pc.item_a
+      JOIN sup sb ON sb.i = pc.item_b
+      CROSS JOIN n
+    )
+    SELECT item_a, item_b,
+           CAST(cab AS BIGINT) AS pair_count,
+           FLOOR(cab / nb * 1000000 + 0.5) / 1000000 AS support,
+           FLOOR(cab / ca * 1000000 + 0.5) / 1000000 AS confidence,
+           FLOOR(lift_raw * 1000000 + 0.5) / 1000000 AS lift,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY lift_raw DESC, item_a, item_b
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def mb_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (beyond-reference): top item
+    pairs by LIFT over orders-as-baskets (part buckets as items) —
+    the 'ordered together' analysis; on the LLM side the same
+    operator gives document-level term association (bigram_pmi minus
+    the adjacency constraint). Distinct (basket, item) hash-agg, a
+    basket-keyed self-join with the mega-basket guard, broadcast
+    supports; counts are exact integers so every ratio is
+    bit-identical pre-rounding, and the rank orders on the raw lift.
+    operators/analytics.cooccurrence_lift."""
+    from .operators.analytics import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    )
+    out = cooccurrence_lift(li, "l_orderkey", "item", min_pair_count=5)
+    top = out.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    r6 = 1000000.0
+    rd6 = lambda c: (F.floor(F.col(c) * r6 + F.lit(0.5)) / r6).alias(c)  # noqa: E731
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        rd6("support"),
+        rd6("confidence"),
+        rd6("lift"),
+        "rank",
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7351,6 +7425,7 @@ OPERATOR_MAP = {
     "A24": ["a24_benford_audit"],  # beyond-reference: Benford fraud screen
     "A25": ["a25_mann_whitney"],  # beyond-reference: rank-sum U test
     "A26": ["a26_ks_test"],  # beyond-reference: two-sample KS
+    "Market-basket": ["mb_cooccurrence_lift"],  # beyond-reference: pair lift
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

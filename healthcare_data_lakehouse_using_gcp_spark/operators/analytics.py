@@ -889,3 +889,72 @@ def ks_two_sample(
         F.when(defined, d).alias("ks_d"),
         F.when(defined, d * F.sqrt(na * nb / (na + nb))).alias("ks_scaled"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = 200,
+) -> DataFrame:
+    """Market-basket association mining: for every unordered item
+    pair, support, confidence (both directions' max is derivable —
+    this emits a→b with item_a < item_b), and lift =
+    N·c_ab/(c_a·c_b). The classic 'ordered together' co-occurrence
+    analysis (and, on the LLM side, document-level term association —
+    bigram_pmi's adjacency constraint dropped).
+
+    Plan: distinct (basket, item) first (hash-agg), then a
+    basket-keyed SELF-JOIN with item_a < item_b builds the pair
+    frame — O(k²) per basket, which is why ``max_basket_size`` drops
+    mega-baskets before the join (a 10⁵-item basket would emit 10¹⁰
+    pairs; dropping outlier baskets is the standard practice and the
+    skew guard — the operators/joins.guard_join_explosion logic baked
+    into the operator). Item supports and the basket total broadcast
+    into the scoring join; all counts are exact integers, so the
+    ratios are bit-identical across engines."""
+    pairs_base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = pairs_base.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        pairs_base = pairs_base.join(
+            sizes.filter(F.col("__sz") <= max_basket_size).select("__b"), "__b"
+        )
+    n_baskets = pairs_base.select("__b").distinct().count()
+    supports = pairs_base.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    a = pairs_base.select("__b", F.col("__i").alias("item_a"))
+    b = pairs_base.select("__b", F.col("__i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cab"))
+        .filter(F.col("__cab") >= min_pair_count)
+    )
+    n = float(n_baskets)
+    return (
+        pair_counts.join(
+            F.broadcast(supports.withColumnRenamed("__i", "item_a")), "item_a"
+        )
+        .withColumnRenamed("__c", "__ca")
+        .join(
+            F.broadcast(supports.withColumnRenamed("__i", "item_b")), "item_b"
+        )
+        .withColumnRenamed("__c", "__cb")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("__cab").cast("bigint").alias("pair_count"),
+            (F.col("__cab") / n).alias("support"),
+            (F.col("__cab") / F.col("__ca")).alias("confidence"),
+            (n * F.col("__cab") / (F.col("__ca") * F.col("__cb"))).alias(
+                "lift"
+            ),
+        )
+    )

@@ -620,3 +620,43 @@ def test_ks_two_sample_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "grp string, arm boolean, x double")
     m = ks_two_sample(df2, ["grp"], "arm", "x").collect()[0]
     assert m["ks_d"] == pytest.approx(1.0)
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    """Support/confidence/lift against hand math, duplicate rows in a
+    basket counted once, and the mega-basket guard dropping an
+    outlier basket entirely."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),   # duplicate y: one co-occurrence
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_lift(df, "basket", "item", min_pair_count=2).collect()
+    }
+    # N=4 baskets; c_x=3, c_y=3; c_xy=2
+    assert set(out) == {("x", "y")}
+    xy = out[("x", "y")]
+    assert xy["pair_count"] == 2
+    assert xy["support"] == pytest.approx(2 / 4)
+    assert xy["confidence"] == pytest.approx(2 / 3)
+    assert xy["lift"] == pytest.approx(4 * 2 / (3 * 3))
+    # guard: a basket above max_basket_size contributes nothing
+    big = [(9, f"i{j}") for j in range(10)]
+    df2 = spark.createDataFrame(rows + big, "basket bigint, item string")
+    guarded = cooccurrence_lift(
+        df2, "basket", "item", min_pair_count=2, max_basket_size=5
+    )
+    assert {
+        (r["item_a"], r["item_b"]) for r in guarded.collect()
+    } == {("x", "y")}
+    # ...and N excludes the dropped basket (4 survivors, not 5)
+    g = {(r["item_a"], r["item_b"]): r for r in guarded.collect()}
+    assert g[("x", "y")]["support"] == pytest.approx(2 / 4)
