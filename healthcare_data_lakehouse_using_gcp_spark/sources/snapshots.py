@@ -83,6 +83,9 @@ txn-idempotent):
   inserted/deleted rows between two versions from the manifest file
   diff — appends cost a scan of only the new files; pure rewrites
   (compact) report zero changes.
+- **Tags**: ``tag(name)`` pins a named, vacuum-immune handle to a
+  version (``read(tag=...)``) — the "exact table the model trained
+  on" stays reproducible however old it gets.
 - **Evolution**: ``commit_append(merge_schema=True)`` adds columns
   (old files read NULL); drops/retypes stay errors.
 """
@@ -216,6 +219,50 @@ class SnapshotTable:
             )
         with open(path) as f:
             return json.load(f)
+
+    # ---------------------------------------------------------- tags
+
+    def _tag_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("v") and name[1:].isdigit():
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.root, _MANIFEST_DIR, f"tag-{name}.json")
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin a named tag to a version (default: latest) — Iceberg
+        tags: a durable, human-meaningful handle ('v2024-audit',
+        'training-run-17') that ``read(tag=...)`` resolves and, more
+        importantly, that VACUUM RESPECTS — a tagged snapshot's files
+        and manifest are retained no matter how old, which is what
+        makes 'the exact table the model trained on' reproducible a
+        year later. Tags are immutable unless ``replace=True``."""
+        v = self.latest_version() if version is None else version
+        self._load(v)  # must exist
+        path = self._tag_path(name)
+        if os.path.exists(path) and not replace:
+            raise ValueError(
+                f"tag {name!r} exists (-> v{self.tags()[name]}); "
+                "pass replace=True to move it"
+            )
+        tmp = path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        os.replace(tmp, path)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags: {name: version}."""
+        out = {}
+        for p in glob.glob(os.path.join(self.root, _MANIFEST_DIR, "tag-*.json")):
+            with open(p) as f:
+                d = json.load(f)
+            out[d["name"]] = d["version"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"no tag {name!r} at {self.root}")
+        os.unlink(path)
 
     def history(self) -> list[dict]:
         """One dict per retained snapshot, oldest first (driver-tiny:
@@ -893,6 +940,7 @@ class SnapshotTable:
         version: int | None = None,
         as_of: float | None = None,
         prune: tuple[str, str, object] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """The table at ``version``, at the last version committed
         ≤ ``as_of`` (unix seconds), or latest. One manifest read
@@ -906,8 +954,15 @@ class SnapshotTable:
         apply the same predicate as a .filter() too (surviving files
         may still hold non-matching rows; Spark's row-group pushdown
         finishes the job)."""
-        if version is not None and as_of is not None:
-            raise ValueError("pass version OR as_of, not both")
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version, as_of, tag")
+        if tag is not None:
+            all_tags = self.tags()
+            if tag not in all_tags:
+                raise ValueError(
+                    f"no tag {tag!r} at {self.root} (have: {sorted(all_tags)})"
+                )
+            version = all_tags[tag]
         if as_of is not None:
             eligible = [
                 v for v in self.versions() if self._load(v)["committed_at"] <= as_of
@@ -977,7 +1032,8 @@ class SnapshotTable:
         self, keep_last: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:
         """Delete data files referenced by NO retained snapshot (the
-        last ``keep_last`` versions) plus the expired manifests;
+        last ``keep_last`` versions plus every TAGGED version — tags
+        pin their snapshots forever) and the expired manifests;
         returns the deleted data-file paths. Files younger than
         ``min_age_seconds`` survive even if unreferenced — they may
         belong to a commit whose manifest has not published yet. The
@@ -990,7 +1046,10 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        retained = vs[-keep_last:]
+        # tagged versions are pinned: their files and manifests
+        # survive any vacuum (the reproducibility contract of tag())
+        tagged = {v for v in self.tags().values() if v in set(vs)}
+        retained = sorted(set(vs[-keep_last:]) | tagged)
         referenced = set()
         for v in retained:
             referenced.update(self._load(v)["files"])

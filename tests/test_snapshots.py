@@ -699,3 +699,37 @@ def test_zorder_compaction_improves_multicolumn_pruning(spark, table):
     assert sorted(map(tuple, t.read().collect())) == before
     with pytest.raises(ValueError, match="not both"):
         t.compact(sort_by=["a"], zorder_by=["b"])
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, table):
+    """Iceberg-style tags: read(tag=) resolves the pinned version,
+    tags are immutable unless replace=True, and a tagged snapshot's
+    files AND manifest survive a vacuum that would otherwise reclaim
+    them."""
+    table.commit_append(_mk(spark, [(1, "a")]))
+    table.tag("training-run")
+    table.commit_overwrite(_mk(spark, [(2, "b")]))
+    table.commit_overwrite(_mk(spark, [(3, "c")]))
+    assert table.tags() == {"training-run": 1}
+    assert _rows(table.read(tag="training-run")) == [(1, "a")]
+    with pytest.raises(ValueError, match="exists"):
+        table.tag("training-run", version=2)
+    # vacuum keeps v1 (tagged) and v3 (latest); v2 goes
+    deleted = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert deleted, "v2's files should be reclaimed"
+    assert _rows(table.read(tag="training-run")) == [(1, "a")]
+    assert _rows(table.read()) == [(3, "c")]
+    with pytest.raises(ValueError, match="vacuumed or never"):
+        table.read(version=2)
+    # delete the tag; the next vacuum reclaims v1 too
+    table.delete_tag("training-run")
+    assert table.vacuum(keep_last=1, min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed or never"):
+        table.read(version=1)
+    # moved tags and unknown reads
+    table.tag("latest-good", version=3)
+    table.tag("latest-good", version=3, replace=True)
+    with pytest.raises(ValueError, match="no tag"):
+        table.read(tag="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        table.read(version=3, tag="latest-good")
