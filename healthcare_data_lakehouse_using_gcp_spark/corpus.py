@@ -636,6 +636,8 @@ _TAIL = (
     "text_zipf_fit",
     # association rules: market-basket pair lift
     "mb_cooccurrence_lift",
+    # training-mix dashboard: entropy/HHI/top-share concentration
+    "mix_concentration",
 )
 
 
@@ -7305,6 +7307,52 @@ def mb_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_concentration",
+    """
+    WITH cells AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(c) AS n FROM cells
+    )
+    SELECT CAST(ANY_VALUE(tot.n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           FLOOR(-SUM(c / tot.n * ln(c / tot.n)) * 1000000 + 0.5)
+             / 1000000 AS entropy,
+           FLOOR(-SUM(c / tot.n * ln(c / tot.n))
+                 / ln(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS entropy_norm,
+           FLOOR(SUM(c * c / (tot.n * tot.n)) * 1000000 + 0.5)
+             / 1000000 AS hhi,
+           FLOOR(MAX(c / tot.n) * 1000000 + 0.5) / 1000000 AS top_share
+    FROM cells CROSS JOIN tot
+    """,
+)
+def mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-mix-monitoring (beyond-reference): source-mix
+    concentration of the corpus — Shannon entropy (raw + normalized),
+    Herfindahl index (1/HHI = effective source count), and the top
+    source's share. The one-row dashboard number for 'is the training
+    mix collapsing onto one source'. One (category) hash aggregation;
+    transcendentals run on exact count ratios.
+    operators/analytics.concentration_stats."""
+    from .operators.analytics import concentration_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = concentration_stats(d, "source")
+    r6 = 1000000.0
+    rd6b = lambda c: (F.floor(F.col(c) * r6 + F.lit(0.5)) / r6).alias(c)  # noqa: E731
+    return out.select(
+        "n",
+        "n_categories",
+        rd6b("entropy"),
+        rd6b("entropy_norm"),
+        rd6b("hhi"),
+        rd6b("top_share"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7412,7 +7460,7 @@ OPERATOR_MAP = {
     "W7": ["w7_trailing_p95"],  # beyond-reference: trailing exact percentile
     "A19": ["a19_mode"],  # beyond-reference: deterministic mode
     "T7": ["t7_hopping_window"],  # beyond-reference: hopping windows
-    "LLM-mix-monitoring": ["text_source_divergence", "drift_psi"],
+    "LLM-mix-monitoring": ["text_source_divergence", "drift_psi", "mix_concentration"],
     "A20": ["a20_higher_moments"],  # beyond-reference: skewness/kurtosis
     "W8": ["w8_period_over_period"],  # beyond-reference: DoD/WoW deltas
     "W9": ["w9_rolling_distinct"],  # beyond-reference: trailing distinct

@@ -968,3 +968,56 @@ def cooccurrence_lift(
             ),
         )
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    cat_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Categorical-mix concentration report — the training-mix
+    monitoring numbers for a corpus' source column (and any
+    categorical dimension): per group (or globally),
+
+        n, n_categories,
+        entropy      = −Σ p ln p          (nats),
+        entropy_norm = entropy / ln(n_categories)  (1 = uniform),
+        hhi          = Σ p²                (Herfindahl—1/HHI is the
+                                            'effective category count'),
+        top_share    = max p.
+
+    One (group, category) hash aggregation; the report is
+    |groups·categories|-collapsed to |groups| rows. All inputs to the
+    transcendentals are exact count ratios, so cross-engine values
+    agree to the ulp. A single-category group reports entropy 0 and
+    entropy_norm NULL (0/0 — undefined, not 1)."""
+    gk = list(group_cols)
+    cells = df.groupBy(*gk, cat_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    totals = cells.groupBy(*gk).agg(F.sum("__c").alias("__n")) if gk else (
+        cells.agg(F.sum("__c").alias("__n"))
+    )
+    joined = cells.join(totals, gk) if gk else cells.crossJoin(
+        F.broadcast(totals)
+    )
+    p = F.col("__c") / F.col("__n")
+    grouped = joined.groupBy(*gk) if gk else joined.groupBy()
+    agg = grouped.agg(
+        F.first("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        (-F.sum(p * F.log(p))).alias("entropy"),
+        F.sum(p * p).alias("hhi"),
+        F.max(p).alias("top_share"),
+    )
+    return agg.select(
+        *gk,
+        "n",
+        "n_categories",
+        "entropy",
+        F.try_divide(
+            F.col("entropy"), F.log(F.col("n_categories").cast("double"))
+        ).alias("entropy_norm"),
+        "hhi",
+        "top_share",
+    )

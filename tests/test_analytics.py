@@ -684,3 +684,40 @@ def test_degenerate_groups_null_not_ansi_error(spark):
     assert m["z"] is None
     w = welch_ttest(single, ["grp"], "arm", "x").collect()[0]
     assert w["t_stat"] is None and w["df_welch"] is None
+
+
+def test_concentration_stats_hand_computed(spark):
+    """Entropy/HHI/top-share against hand math, per-group mode, the
+    uniform-mix normalization, and the single-category NULL."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        concentration_stats,
+    )
+
+    rows = (
+        [("g", "a")] * 2 + [("g", "b")] * 2          # uniform over 2
+        + [("h", "a")] * 3 + [("h", "b")] * 1        # 3/4 - 1/4
+        + [("k", "a")] * 5                           # single category
+    )
+    df = spark.createDataFrame(rows, "grp string, src string")
+    out = {
+        r["grp"]: r
+        for r in concentration_stats(df, "src", ["grp"]).collect()
+    }
+    g = out["g"]
+    assert g["entropy"] == pytest.approx(math.log(2))
+    assert g["entropy_norm"] == pytest.approx(1.0)
+    assert g["hhi"] == pytest.approx(0.5) and g["top_share"] == pytest.approx(0.5)
+    h = out["h"]
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert h["entropy"] == pytest.approx(want)
+    assert h["hhi"] == pytest.approx(0.75**2 + 0.25**2)
+    assert h["top_share"] == pytest.approx(0.75)
+    k = out["k"]
+    assert k["entropy"] == pytest.approx(0.0)
+    assert k["entropy_norm"] is None  # 0/0: undefined, not 1
+    assert k["hhi"] == pytest.approx(1.0) and k["n_categories"] == 1
+    # global (no group) mode returns one row over everything
+    glob = concentration_stats(df, "src").collect()
+    assert len(glob) == 1 and glob[0]["n"] == 13
