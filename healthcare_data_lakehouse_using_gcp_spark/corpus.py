@@ -638,6 +638,10 @@ _TAIL = (
     "mb_cooccurrence_lift",
     # training-mix dashboard: entropy/HHI/top-share concentration
     "mix_concentration",
+    # classic BI battery: Markov transitions, RFM tiles, ABC/Pareto
+    "events_transition_matrix",
+    "rfm_segments",
+    "abc_pareto_parts",
 )
 
 
@@ -7353,6 +7357,155 @@ def mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ), counts AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM pairs WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    ), m AS (
+      SELECT from_state, SUM(n) AS tot FROM counts GROUP BY from_state
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           FLOOR(n / tot * 1000000 + 0.5) / 1000000 AS p
+    FROM counts JOIN m USING (from_state)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics (beyond-reference): first-order Markov
+    transition matrix over each user's event stream — P(next event
+    type | event type), the next-action / funnel-leak / bot-detection
+    primitive. One per-user LEAD window (the sessionization shuffle)
+    + one (from, to) hash aggregation; row-normalization joins the
+    |states|²-sized counts with their margins, never the events.
+    operators/analytics.transition_matrix."""
+    from .operators.analytics import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_matrix(ev, "user_id", ["ts", "event_id"], "event_type")
+    return out.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.floor(F.col("p") * 1000000 + F.lit(0.5)) / 1000000).alias("p"),
+    )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH mx AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders
+    ), per AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT maxd FROM mx)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             FLOOR(SUM(CAST(o_totalprice AS DOUBLE)) * 100 + 0.5) / 100
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+             AS r,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+             AS f,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+             AS m,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                     AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+                     AS VARCHAR) AS segment
+    FROM per
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer analytics (beyond-reference): RFM segmentation —
+    recency (days from the dataset's max order date), frequency, and
+    monetary per customer, each quartile-scored with deterministic id
+    tiebreaks (1 = best) and concatenated into the classic 'RFM'
+    segment label. Spend is 2-dp-rounded BEFORE the ntile ordering so
+    the tiles can never flip on an engine's last float ulp. Orders →
+    customers hash agg first; the ntile windows order the
+    customer-sized rollup. operators/analytics.rfm_segments."""
+    from .operators.analytics import rfm_segments as _rfm
+
+    o = _t(spark, sf_dir, "orders")
+    out = _rfm(o)
+    return out.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        "segment",
+    )
+
+
+@query(
+    "abc_pareto_parts",
+    """
+    WITH totals AS (
+      SELECT l_partkey,
+             FLOOR(SUM(CAST(l_extendedprice AS DOUBLE)) * 100 + 0.5) / 100
+               AS total
+      FROM lineitem GROUP BY l_partkey
+    ), g AS (
+      SELECT SUM(total) AS grand FROM totals
+    ), cum AS (
+      SELECT l_partkey, total,
+             total / g.grand AS share,
+             FLOOR(SUM(total / g.grand) OVER (
+               ORDER BY total DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) * 1000000 + 0.5) / 1000000 AS cum_share
+      FROM totals CROSS JOIN g
+    )
+    SELECT l_partkey, total,
+           FLOOR(share * 1000000 + 0.5) / 1000000 AS share,
+           cum_share,
+           CASE WHEN cum_share <= 0.7 THEN 'A'
+                WHEN cum_share <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration analytics (beyond-reference): ABC /
+    Pareto classification of parts by lineitem revenue — cumulative
+    share down the sorted totals, A ≤ 70%, B ≤ 90%, C tail (the 80/20
+    analysis). Totals are 2-dp-rounded BEFORE the descending sort and
+    the class tests run on the ROUNDED cumulative share, so neither
+    the order nor a class can straddle cross-engine float noise.
+    operators/analytics.abc_pareto."""
+    from .operators.analytics import abc_pareto
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = abc_pareto(li, "l_partkey", "l_extendedprice", a_cut=0.7, b_cut=0.9)
+    return out.select(
+        "l_partkey",
+        "total",
+        (F.floor(F.col("share") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "share"
+        ),
+        "cum_share",
+        "abc_class",
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7474,6 +7627,8 @@ OPERATOR_MAP = {
     "A25": ["a25_mann_whitney"],  # beyond-reference: rank-sum U test
     "A26": ["a26_ks_test"],  # beyond-reference: two-sample KS
     "Market-basket": ["mb_cooccurrence_lift"],  # beyond-reference: pair lift
+    "Sequence": ["events_transition_matrix"],  # beyond-reference: Markov transitions
+    "Customer-BI": ["rfm_segments", "abc_pareto_parts"],  # beyond-reference
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

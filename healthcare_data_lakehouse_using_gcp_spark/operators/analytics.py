@@ -1021,3 +1021,144 @@ def concentration_stats(
         "hhi",
         "top_share",
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: P(next state | state), estimated from every adjacent
+    pair within each ``seq_col`` sequence ordered by ``order_cols``.
+    Returns (from_state, to_state, n, p) with p = n / Σ_to n — the
+    sequence-analytics primitive behind next-action prediction,
+    funnel leak diagnosis, and bot detection (unnaturally
+    deterministic rows).
+
+    One window LEAD per sequence (the sort is per-entity — the same
+    shuffle sessionization uses) + one (from, to) hash aggregation;
+    the row-normalization joins the |states|²-sized count frame with
+    its |states|-sized margins, never the events."""
+    w = Window.partitionBy(seq_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    margins = pairs.groupBy("from_state").agg(F.sum("__n").alias("__tot"))
+    return pairs.join(F.broadcast(margins), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("__n").cast("bigint").alias("n"),
+        (F.col("__n") / F.col("__tot")).alias("p"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since their last
+    order, measured from the dataset's max date so the result is
+    data-determined, not wall-clock), Frequency (order count),
+    Monetary (total spend), each scored into ``n_tiles`` quantile
+    tiles (1 = best: most recent / most frequent / highest spend) —
+    the classic customer-value segmentation.
+
+    Per-customer rollup first (one hash agg shrinks orders →
+    customers), then three ntile windows over the CUSTOMER frame with
+    deterministic id tiebreaks. The windows are global-ordering over
+    customers — fine for customer-sized frames; at extreme
+    cardinality swap ntile for approx_percentile cutpoints (the
+    equidepth_histogram caveat). Returns (customer, recency_days,
+    frequency, monetary, r, f, m, segment)."""
+    asof = orders.agg(F.max(F.col(date_col)).alias("__maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(asof))
+        .groupBy(customer_col)
+        .agg(
+            F.datediff(F.first("__maxd"), F.max(date_col)).alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            # 2-dp deterministic rounding BEFORE the ntile ordering
+            # (the a21 discipline): recency/frequency are integers,
+            # but a float spend sum could order-flip near-equal
+            # customers across engines otherwise
+            (
+                F.floor(F.sum(F.col(amount_col).cast("double")) * 100 + F.lit(0.5))
+                / 100
+            ).alias("monetary"),
+        )
+    )
+    cid = F.col(customer_col)
+    w_r = Window.orderBy(F.col("recency_days").asc(), cid.asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), cid.asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), cid.asc())
+    return (
+        per_cust.withColumn("r", F.ntile(n_tiles).over(w_r).cast("bigint"))
+        .withColumn("f", F.ntile(n_tiles).over(w_f).cast("bigint"))
+        .withColumn("m", F.ntile(n_tiles).over(w_m).cast("bigint"))
+        .withColumn(
+            "segment",
+            F.concat(F.col("r"), F.col("f"), F.col("m")).cast("string"),
+        )
+    )
+
+
+def abc_pareto(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.7,
+    b_cut: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ABC / Pareto classification: keys sorted by total value
+    descending, classified by CUMULATIVE share — A up to ``a_cut``
+    of the total, B up to ``b_cut``, C the tail (the 80/20 inventory
+    and revenue-concentration analysis). Returns
+    (key, total, share, cum_share, abc_class).
+
+    The class boundary tests run on the DETERMINISTICALLY ROUNDED
+    cumulative share so the classification can never straddle a
+    float-noise boundary across engines. Per-key totals are one hash
+    agg; the cumulative window orders the |keys|-sized rollup (swap
+    for the two-phase export numbering at extreme key counts)."""
+    totals = df.groupBy(key_col).agg(
+        # 2-dp rounding before the descending sort: the cumulative
+        # order (hence every downstream class) must not depend on
+        # which engine's float sum won the last ulp
+        (
+            F.floor(F.sum(F.col(value_col).cast("double")) * 100 + F.lit(0.5))
+            / 100
+        ).alias("total")
+    )
+    grand = totals.agg(F.sum("total").alias("__g"))
+    w = Window.orderBy(F.col("total").desc(), F.col(key_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scale = float(10**round_digits)
+    cum = (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn("share", F.col("total") / F.col("__g"))
+        .withColumn(
+            "cum_share",
+            F.floor(F.sum("share").over(w) * scale + F.lit(0.5)) / scale,
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= a_cut, "A")
+        .when(F.col("cum_share") <= b_cut, "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        key_col, "total", "share", "cum_share", cls.alias("abc_class")
+    )

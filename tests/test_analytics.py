@@ -721,3 +721,65 @@ def test_concentration_stats_hand_computed(spark):
     # global (no group) mode returns one row over everything
     glob = concentration_stats(df, "src").collect()
     assert len(glob) == 1 and glob[0]["n"] == 13
+
+
+def test_transition_matrix_hand_computed(spark):
+    """Rows normalize per from-state; sequences never leak across
+    entities; a single-event entity contributes nothing."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a→b, b→a
+        (2, 1, "a"), (2, 2, "a"),                # a→a
+        (3, 1, "b"),                             # lone event: no pair
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, s string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "uid", ["t"], "s").collect()
+    }
+    assert out[("a", "b")] == (1, pytest.approx(0.5))
+    assert out[("a", "a")] == (1, pytest.approx(0.5))
+    assert out[("b", "a")] == (1, pytest.approx(1.0))
+    assert set(out) == {("a", "b"), ("a", "a"), ("b", "a")}
+    # rows sum to 1 per from_state
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _t), (_n, p) in out.items():
+        sums[f] += p
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+
+
+def test_rfm_and_abc_contracts(spark):
+    """RFM: best tile goes to most-recent / most-frequent / biggest
+    spender; ABC: cumulative classes are monotone A→B→C down the
+    sorted totals and the top key is always A."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        abc_pareto,
+        rfm_segments,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for cust in range(8):
+        for k in range(cust + 1):  # cust i places i+1 orders
+            rows.append((cust, base + dt.timedelta(days=cust * 10 + k), 100.0 * (cust + 1)))
+    o = spark.createDataFrame(rows, "o_custkey bigint, o_orderdate date, o_totalprice double")
+    out = {r["o_custkey"]: r for r in rfm_segments(o, n_tiles=4).collect()}
+    assert out[7]["r"] == 1 and out[7]["f"] == 1 and out[7]["m"] == 1
+    assert out[0]["r"] == 4 and out[0]["f"] == 4 and out[0]["m"] == 4
+    assert out[7]["segment"] == "111" and out[0]["segment"] == "444"
+    assert out[7]["recency_days"] == 0
+    abc = abc_pareto(
+        o.selectExpr("o_custkey as k", "o_totalprice as v"), "k", "v"
+    ).collect()
+    ordered = sorted(abc, key=lambda r: r["cum_share"])
+    classes = [r["abc_class"] for r in ordered]
+    assert classes == sorted(classes)  # A...B...C monotone
+    assert ordered[0]["abc_class"] == "A"
+    assert ordered[-1]["cum_share"] == pytest.approx(1.0)
