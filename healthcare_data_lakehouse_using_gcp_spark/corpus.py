@@ -642,6 +642,8 @@ _TAIL = (
     "events_transition_matrix",
     "rfm_segments",
     "abc_pareto_parts",
+    # clinical time-to-event: Kaplan-Meier with right censoring
+    "survival_km",
 )
 
 
@@ -7506,6 +7508,83 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "survival_km",
+    """
+    WITH subj AS (
+      SELECT l.l_linestatus AS grp,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS t,
+             l.l_returnflag <> 'R' AS ev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), cells AS (
+      SELECT grp, t,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+             CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS DOUBLE) AS c
+      FROM subj GROUP BY grp, t
+    ), risk AS (
+      SELECT grp, t, d, c,
+             SUM(d + c) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS n_risk
+      FROM cells
+    ), cum AS (
+      SELECT grp, t, d, n_risk,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN ln(1 - d / n_risk) ELSE 0 END) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS logsum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS exhausted
+      FROM risk
+    )
+    SELECT grp AS l_linestatus, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           FLOOR(CASE WHEN exhausted = 1 THEN 0.0 ELSE EXP(logsum) END
+                 * 1000000 + 0.5) / 1000000 AS survival
+    FROM cum
+    WHERE d > 0
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical analytics (beyond-reference): Kaplan-Meier survival
+    curve — time from order to ship per line status, returned-flag
+    rows treated as right-censored (they leave the risk set without
+    an event). The time-to-event estimator a healthcare lakehouse
+    runs for discharge/readmission/settlement curves. Per-time hash
+    agg, reverse-cumsum risk sets, forward log-sum product — the
+    curve is a |times|-sized frame, never per-subject windows; the
+    window log-sum runs in fixed time order so the product matches
+    the oracle to the rounding digit.
+    operators/analytics.kaplan_meier."""
+    from .operators.analytics import kaplan_meier
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    subj = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_linestatus"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("t"),
+        (F.col("l_returnflag") != "R").alias("ev"),
+    )
+    out = kaplan_meier(subj, "t", "ev", ["l_linestatus"])
+    return out.select(
+        "l_linestatus",
+        F.col("t").cast("bigint").alias("t"),
+        "n_risk",
+        "d",
+        (F.floor(F.col("survival") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "survival"
+        ),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7629,6 +7708,7 @@ OPERATOR_MAP = {
     "Market-basket": ["mb_cooccurrence_lift"],  # beyond-reference: pair lift
     "Sequence": ["events_transition_matrix"],  # beyond-reference: Markov transitions
     "Customer-BI": ["rfm_segments", "abc_pareto_parts"],  # beyond-reference
+    "Survival": ["survival_km"],  # beyond-reference: Kaplan-Meier censored
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -1162,3 +1162,71 @@ def abc_pareto(
     return cum.select(
         key_col, "total", "share", "cum_share", cls.alias("abc_class")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier survival estimator per group — THE time-to-event
+    curve of clinical analytics (time to discharge / readmission /
+    claim settlement), right-censoring handled properly:
+
+        S(t) = Π_{tᵢ ≤ t, dᵢ>0} (1 − dᵢ/nᵢ)
+
+    with dᵢ = events at time tᵢ and nᵢ = subjects still at risk
+    (duration ≥ tᵢ — censored subjects leave the risk set without
+    registering an event). ``event_col`` is boolean: true = event
+    observed, false = censored. Returns one row per (group, event
+    time): (…, t, n_risk, d, survival).
+
+    Plan: one (group, t) hash aggregation (events + censors per
+    time), then two windows over the |group·times|-sized rollup —
+    a reverse cumulative sum for the risk sets and a forward
+    cumulative sum of ln(1−d/n) whose exp is the product — never a
+    per-subject window. The log-sum runs in the window's fixed time
+    order, so the product is deterministic across engines; a time
+    that exhausts the risk set (d = n) pins survival to exactly 0."""
+    gk = list(group_cols)
+    ev = F.col(event_col).cast("boolean")
+    t = F.col(duration_col)
+    cells = df.groupBy(*gk, t.alias("t")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("double").alias("d"),
+        F.sum(F.when(~ev, 1).otherwise(0)).cast("double").alias("c"),
+    )
+    w_risk = (
+        Window.partitionBy(*gk)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy(*gk)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_risk = cells.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_risk)
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1.0 - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    out = with_risk.withColumn("__logsum", F.sum(term).over(w_cum)).withColumn(
+        "__exhausted",
+        F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_cum),
+    )
+    survival = F.when(F.col("__exhausted") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__logsum"))
+    )
+    return (
+        out.filter(F.col("d") > 0)
+        .select(
+            *gk,
+            F.col("t"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d"),
+            survival.alias("survival"),
+        )
+    )

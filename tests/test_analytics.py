@@ -783,3 +783,33 @@ def test_rfm_and_abc_contracts(spark):
     assert classes == sorted(classes)  # A...B...C monotone
     assert ordered[0]["abc_class"] == "A"
     assert ordered[-1]["cum_share"] == pytest.approx(1.0)
+
+
+def test_kaplan_meier_textbook(spark):
+    """KM against the textbook worked example — censored subjects
+    shrink the risk set without an event, no curve row at
+    censor-only times, and a risk-set-exhausting event time pins
+    survival to exactly 0."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    rows = [
+        ("g", 1, True), ("g", 2, False), ("g", 3, True),
+        ("g", 4, True), ("g", 5, False),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t int, ev boolean")
+    out = {r["t"]: r for r in kaplan_meier(df, "t", "ev", ["grp"]).collect()}
+    assert set(out) == {1, 3, 4}  # no rows at censor-only times 2, 5
+    assert (out[1]["n_risk"], out[1]["d"]) == (5, 1)
+    assert out[1]["survival"] == pytest.approx(4 / 5)
+    assert (out[3]["n_risk"], out[3]["d"]) == (3, 1)
+    assert out[3]["survival"] == pytest.approx(4 / 5 * 2 / 3)
+    assert (out[4]["n_risk"], out[4]["d"]) == (2, 1)
+    assert out[4]["survival"] == pytest.approx(4 / 5 * 2 / 3 * 1 / 2)
+    # exhaustion: everyone events at the last time → survival 0.0
+    rows2 = [("h", 1, True), ("h", 2, True), ("h", 2, True)]
+    df2 = spark.createDataFrame(rows2, "grp string, t int, ev boolean")
+    out2 = {r["t"]: r for r in kaplan_meier(df2, "t", "ev", ["grp"]).collect()}
+    assert out2[2]["survival"] == 0.0
+    assert out2[1]["survival"] == pytest.approx(2 / 3)
