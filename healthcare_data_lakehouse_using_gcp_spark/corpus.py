@@ -644,6 +644,7 @@ _TAIL = (
     "abc_pareto_parts",
     # clinical time-to-event: Kaplan-Meier with right censoring
     "survival_km",
+    "survival_logrank",
 )
 
 
@@ -7585,6 +7586,92 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "survival_logrank",
+    """
+    WITH subj AS (
+      SELECT l.l_linestatus AS grp,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS t,
+             l.l_returnflag <> 'R' AS ev,
+             l.l_suppkey % 2 = 0 AS arm
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), cells AS (
+      SELECT grp, t,
+             CAST(SUM(CASE WHEN NOT arm AND ev THEN 1 ELSE 0 END) AS DOUBLE) AS d1,
+             CAST(SUM(CASE WHEN NOT arm AND NOT ev THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(SUM(CASE WHEN arm AND ev THEN 1 ELSE 0 END) AS DOUBLE) AS d2,
+             CAST(SUM(CASE WHEN arm AND NOT ev THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+      FROM subj GROUP BY grp, t
+    ), risk AS (
+      SELECT grp, t, d1, c1, d2, c2,
+             SUM(d1 + c1) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS n1,
+             SUM(d2 + c2) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS n2
+      FROM cells
+    ), terms AS (
+      SELECT grp, d1, c1, d2, c2, n1, n2,
+             n1 + n2 AS n, d1 + d2 AS d
+      FROM risk
+    ), agg AS (
+      SELECT grp,
+             CAST(SUM(d1 + c1) AS BIGINT) AS n_a,
+             CAST(SUM(d2 + c2) AS BIGINT) AS n_b,
+             SUM(CASE WHEN d > 0 AND n > 1 THEN d1 ELSE 0 END) AS observed_a,
+             SUM(CASE WHEN d > 0 AND n > 1 THEN n1 * d / n ELSE 0 END)
+               AS expected_a,
+             SUM(CASE WHEN d > 0 AND n > 1
+                      THEN n1 * n2 * d * (n - d) / (n * n * (n - 1))
+                      ELSE 0 END) AS v
+      FROM terms GROUP BY grp
+    )
+    SELECT grp AS l_linestatus, n_a, n_b,
+           CAST(observed_a AS BIGINT) AS observed_a,
+           FLOOR(expected_a * 10000 + 0.5) / 10000 AS expected_a,
+           FLOOR((observed_a - expected_a) * (observed_a - expected_a) / v
+                 * 10000 + 0.5) / 10000 AS chi2
+    FROM agg
+    """,
+)
+def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical analytics (beyond-reference): two-arm LOG-RANK test
+    per line status — 'do the two supplier-parity arms' order-to-ship
+    survival curves differ?', the hypothesis test that pairs with
+    survival_km (same censoring, same risk-set machinery, one extra
+    per-arm split). Sum of per-event-time hypergeometric terms over
+    the |times|-sized rollup; rounded 1e4 far above the ~10² terms'
+    reassociation noise. operators/analytics.logrank_test."""
+    from .operators.analytics import logrank_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    subj = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_linestatus"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("t"),
+        (F.col("l_returnflag") != "R").alias("ev"),
+        (F.col("l_suppkey") % 2 == 0).alias("arm"),
+    )
+    out = logrank_test(subj, "t", "ev", F.col("arm"), ["l_linestatus"])
+    r4 = 10000.0
+    return out.select(
+        "l_linestatus",
+        "n_a",
+        "n_b",
+        "observed_a",
+        (F.floor(F.col("expected_a") * r4 + F.lit(0.5)) / r4).alias(
+            "expected_a"
+        ),
+        (F.floor(F.col("chi2") * r4 + F.lit(0.5)) / r4).alias("chi2"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7708,7 +7795,7 @@ OPERATOR_MAP = {
     "Market-basket": ["mb_cooccurrence_lift"],  # beyond-reference: pair lift
     "Sequence": ["events_transition_matrix"],  # beyond-reference: Markov transitions
     "Customer-BI": ["rfm_segments", "abc_pareto_parts"],  # beyond-reference
-    "Survival": ["survival_km"],  # beyond-reference: Kaplan-Meier censored
+    "Survival": ["survival_km", "survival_logrank"],  # beyond-reference
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

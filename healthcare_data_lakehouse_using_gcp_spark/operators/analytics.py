@@ -1230,3 +1230,72 @@ def kaplan_meier(
             survival.alias("survival"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-arm log-rank test per group — 'do these two survival
+    curves differ?', the hypothesis test that pairs with
+    kaplan_meier (treatment vs control time-to-event):
+
+        χ² = (Σᵢ (d_{1i} − e_{1i}))² / Σᵢ vᵢ
+        e_{1i} = n_{1i}·dᵢ/nᵢ
+        vᵢ = n_{1i}n_{2i}dᵢ(nᵢ−dᵢ) / (nᵢ²(nᵢ−1))
+
+    summed over distinct event times (times with nᵢ ≤ 1 contribute
+    no variance and are skipped). Censoring handled through the risk
+    sets exactly as in kaplan_meier. Returns per group: n_a, n_b,
+    observed_a, expected_a, chi2 (1 dof; NULL when the variance sum
+    is 0 — e.g. an empty arm).
+
+    Same plan shape as kaplan_meier: per-(group, time, arm-split)
+    hash agg, reverse-cumsum risk sets per arm, then ONE aggregation
+    of the per-time terms."""
+    gk = list(group_cols)
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ev = F.col(event_col).cast("boolean")
+    cells = df.groupBy(*gk, F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(~arm & ev, 1).otherwise(0)).cast("double").alias("d1"),
+        F.sum(F.when(~arm & ~ev, 1).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(arm & ev, 1).otherwise(0)).cast("double").alias("d2"),
+        F.sum(F.when(arm & ~ev, 1).otherwise(0)).cast("double").alias("c2"),
+    )
+    w_risk = (
+        Window.partitionBy(*gk)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r = cells.withColumn(
+        "n1", F.sum(F.col("d1") + F.col("c1")).over(w_risk)
+    ).withColumn("n2", F.sum(F.col("d2") + F.col("c2")).over(w_risk))
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    valid = (d > 0) & (n > 1)
+    e1 = F.when(valid, F.col("n1") * d / n).otherwise(F.lit(0.0))
+    v = F.when(
+        valid,
+        F.col("n1") * F.col("n2") * d * (n - d) / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    o1 = F.when(valid, F.col("d1")).otherwise(F.lit(0.0))
+    agg = r.groupBy(*gk).agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("bigint").alias("n_a"),
+        F.sum(F.col("d2") + F.col("c2")).cast("bigint").alias("n_b"),
+        F.sum(o1).alias("observed_a"),
+        F.sum(e1).alias("expected_a"),
+        F.sum(v).alias("__v"),
+    )
+    diff = F.col("observed_a") - F.col("expected_a")
+    chi2 = F.when(F.col("__v") > 0, diff * diff / F.col("__v"))
+    return agg.select(
+        *gk,
+        "n_a",
+        "n_b",
+        F.col("observed_a").cast("bigint").alias("observed_a"),
+        "expected_a",
+        chi2.alias("chi2"),
+    )

@@ -813,3 +813,39 @@ def test_kaplan_meier_textbook(spark):
     out2 = {r["t"]: r for r in kaplan_meier(df2, "t", "ev", ["grp"]).collect()}
     assert out2[2]["survival"] == 0.0
     assert out2[1]["survival"] == pytest.approx(2 / 3)
+
+
+def test_logrank_hand_computed(spark):
+    """Log-rank chi2 against the hand-worked two-arm example, the
+    identical-curves ~0 case, and the empty-arm NULL."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        logrank_test,
+    )
+
+    # arms with identical event times → observed == expected → chi2 0
+    same = [("g", t, True, a) for t in (1, 2, 3) for a in (False, True)]
+    df = spark.createDataFrame(same, "grp string, t int, ev boolean, arm boolean")
+    r = logrank_test(df, "t", "ev", "arm", ["grp"]).collect()[0]
+    assert r["chi2"] == pytest.approx(0.0)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["observed_a"] == 3 and r["expected_a"] == pytest.approx(3.0)
+    # hand example: arm a events at t=1 (n1=2,n2=2); arm b events at t=9
+    rows = [
+        ("h", 1, True, False), ("h", 1, True, False),
+        ("h", 9, True, True), ("h", 9, True, True),
+    ]
+    df2 = spark.createDataFrame(rows, "grp string, t int, ev boolean, arm boolean")
+    h = logrank_test(df2, "t", "ev", "arm", ["grp"]).collect()[0]
+    # t=1: n=4, d=2, e1 = 2*2/4 = 1, v = 2*2*2*2/(16*3) = 1/3
+    # t=9: n=2 (both arm b), d=2 -> n>1 valid, e1 = 0, v = 0
+    # O-E = 2-1 = 1; V = 1/3 -> chi2 = 3
+    assert h["observed_a"] == 2
+    assert h["expected_a"] == pytest.approx(1.0)
+    assert h["chi2"] == pytest.approx(3.0)
+    # empty arm: variance 0 → NULL
+    one = spark.createDataFrame(
+        [("k", 1, True, False), ("k", 2, True, False)],
+        "grp string, t int, ev boolean, arm boolean",
+    )
+    k = logrank_test(one, "t", "ev", "arm", ["grp"]).collect()[0]
+    assert k["chi2"] is None
