@@ -645,6 +645,7 @@ _TAIL = (
     # clinical time-to-event: Kaplan-Meier with right censoring
     "survival_km",
     "survival_logrank",
+    "survival_cox_hr",
 )
 
 
@@ -7672,6 +7673,106 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cox_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled-Newton Cox oracle: the fixed iteration count makes
+    the fit a deterministic dataflow, so each Newton step is one CTE
+    re-aggregating the event-time frame at the previous beta."""
+    a_of = (
+        "(f.n1 * exp(b.beta) / (f.n0 + f.n1 * exp(b.beta)))"
+    )
+    its = ["it0 AS (SELECT DISTINCT grp, 0.0 AS beta FROM frame)"]
+    for k in range(1, iterations + 1):
+        its.append(
+            f"""it{k} AS (
+      SELECT f.grp,
+             b.beta
+               + SUM(f.d1 - f.d * {a_of})
+                 / SUM(f.d * {a_of} * (1 - {a_of})) AS beta
+      FROM frame f JOIN it{k - 1} b USING (grp)
+      GROUP BY f.grp, b.beta
+    )"""
+        )
+    return f"""
+    WITH subj AS (
+      SELECT l.l_linestatus AS grp,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS t,
+             l.l_returnflag <> 'R' AS ev,
+             l.l_suppkey % 2 = 0 AS arm
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), cells AS (
+      SELECT grp, t,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+             CAST(SUM(CASE WHEN ev AND arm THEN 1 ELSE 0 END) AS DOUBLE) AS d1,
+             CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS DOUBLE) AS a1,
+             CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS DOUBLE) AS a0
+      FROM subj GROUP BY grp, t
+    ), frame AS (
+      SELECT grp, t, d, d1,
+             SUM(a0) OVER (PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0,
+             SUM(a1) OVER (PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1
+      FROM cells
+      QUALIFY d > 0
+    ), {", ".join(its)}, fin AS (
+      SELECT f.grp, b.beta,
+             SUM(f.d * {a_of} * (1 - {a_of})) AS info
+      FROM frame f JOIN it{iterations} b USING (grp)
+      GROUP BY f.grp, b.beta
+    ), tot AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS events
+      FROM subj GROUP BY grp
+    )
+    SELECT t.grp AS l_linestatus, t.n, t.events,
+           FLOOR(fi.beta * 1000000 + 0.5) / 1000000 AS beta,
+           FLOOR(exp(fi.beta) * 1000000 + 0.5) / 1000000 AS hazard_ratio,
+           FLOOR(1 / sqrt(fi.info) * 1000000 + 0.5) / 1000000 AS se,
+           FLOOR(fi.beta * sqrt(fi.info) * 1000000 + 0.5) / 1000000 AS z
+    FROM tot t JOIN fin fi USING (grp)
+    """
+
+
+@query("survival_cox_hr", _cox_oracle_sql())
+def survival_cox_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical analytics (beyond-reference): Cox proportional-
+    hazards HAZARD RATIO for the supplier-parity arm per line status
+    — the model that quantifies what survival_logrank detects, fit by
+    Newton-Raphson on the Breslow partial likelihood. A binary
+    covariate collapses every Newton quantity onto the per-event-time
+    risk counts, so the fit is one distributed frame build plus 8
+    tiny re-aggregations — and the ORACLE replays the same fixed
+    iteration count as 8 unrolled SQL CTEs, hash-matching beta,
+    hazard ratio, se, and z end to end (Newton's contraction keeps
+    cross-engine ulps from amplifying).
+    operators/analytics.cox_ph_binary."""
+    from .operators.analytics import cox_ph_binary
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    subj = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_linestatus"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("t"),
+        (F.col("l_returnflag") != "R").alias("ev"),
+        (F.col("l_suppkey") % 2 == 0).alias("arm"),
+    )
+    out = cox_ph_binary(subj, "t", "ev", F.col("arm"), ["l_linestatus"])
+    r6 = 1000000.0
+    rd = lambda c: (F.floor(F.col(c) * r6 + F.lit(0.5)) / r6).alias(c)  # noqa: E731
+    return out.select(
+        "l_linestatus",
+        "n",
+        "events",
+        rd("beta"),
+        rd("hazard_ratio"),
+        rd("se"),
+        rd("z"),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -7795,7 +7896,7 @@ OPERATOR_MAP = {
     "Market-basket": ["mb_cooccurrence_lift"],  # beyond-reference: pair lift
     "Sequence": ["events_transition_matrix"],  # beyond-reference: Markov transitions
     "Customer-BI": ["rfm_segments", "abc_pareto_parts"],  # beyond-reference
-    "Survival": ["survival_km", "survival_logrank"],  # beyond-reference
+    "Survival": ["survival_km", "survival_logrank", "survival_cox_hr"],  # beyond-reference
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

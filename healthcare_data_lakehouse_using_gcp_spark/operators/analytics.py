@@ -1299,3 +1299,137 @@ def logrank_test(
         "expected_a",
         chi2.alias("chi2"),
     )
+
+
+def cox_ph_binary(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col,
+    group_cols: Sequence[str] = (),
+    iterations: int = 8,
+) -> DataFrame:
+    """Cox proportional-hazards fit for a BINARY covariate per group
+    -- the hazard-ratio model that quantifies what logrank_test only
+    detects (Breslow tie handling, Newton-Raphson on the partial
+    likelihood). For x in {0,1} every Newton quantity collapses onto
+    per-event-time risk counts, so ONE distributed pass builds the
+    |times|-sized frame (d events, d1 events in arm, n0/n1 at risk)
+    and each iteration is a tiny aggregation over it:
+
+        A_t  = n1*e^b / (n0 + n1*e^b)     (expected arm share)
+        U    = sum(d1 - d*A)               (score)
+        Info = sum(d * (A - A^2))          (x^2 = x for binary x)
+        b   <- b + U/Info
+
+    A fixed ``iterations`` count (Newton converges quadratically; 8
+    is far past double precision here) keeps the fit deterministic
+    and oracle-replayable as unrolled SQL. Separated groups (every
+    arm-1 event precedes all arm-0 activity or vice versa) have NO
+    finite MLE — monotone likelihood; the fixed iteration count then
+    returns a large finite beta whose magnitude flags the condition,
+    exactly as capped-iteration Cox implementations do. Returns per
+    group:
+    n (subjects), events, beta, hazard_ratio = e^beta, se =
+    1/sqrt(Info), z = beta/se; NULL fit when a group carries no
+    information (single-arm or eventless)."""
+    import math
+
+    gk = list(group_cols)
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    ev = F.col(event_col).cast("boolean")
+    cells = df.groupBy(*gk, F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("double").alias("d"),
+        F.sum(F.when(ev & arm, 1).otherwise(0)).cast("double").alias("d1"),
+        F.sum(F.when(arm, 1).otherwise(0)).cast("double").alias("a1"),
+        F.sum(F.when(~arm, 1).otherwise(0)).cast("double").alias("a0"),
+    )
+    w_risk = (
+        Window.partitionBy(*gk)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    frame = (
+        cells.withColumn("n1", F.sum("a1").over(w_risk))
+        .withColumn("n0", F.sum("a0").over(w_risk))
+        .filter(F.col("d") > 0)
+        .select(*gk, "t", "d", "d1", "n0", "n1")
+        .localCheckpoint(eager=True)  # |event times|-sized; reused 9x
+    )
+    key_expr = (
+        F.concat_ws("||", *[F.col(k).cast("string") for k in gk])
+        if gk
+        else F.lit("")
+    )
+
+    def _stats(betas: dict) -> list:
+        eb = None
+        for g, b in betas.items():
+            val = F.lit(math.exp(b))
+            eb = (
+                F.when(key_expr == g, val)
+                if eb is None
+                else eb.when(key_expr == g, val)
+            )
+        if eb is None:
+            eb = F.lit(1.0)
+        r = F.col("n0") + F.col("n1") * eb
+        a = F.col("n1") * eb / r
+        return (
+            frame.withColumn("__A", a)
+            .groupBy(key_expr.alias("__k"))
+            .agg(
+                F.sum(F.col("d1") - F.col("d") * F.col("__A")).alias("U"),
+                F.sum(
+                    F.col("d") * (F.col("__A") - F.col("__A") * F.col("__A"))
+                ).alias("I"),
+            )
+            .collect()
+        )
+
+    groups = [
+        r["__k"] for r in frame.select(key_expr.alias("__k")).distinct().collect()
+    ]
+    betas = {g: 0.0 for g in groups}
+    dead: set = set()
+    for _ in range(iterations):
+        for row in _stats(betas):
+            g = row["__k"]
+            if g in dead:
+                continue
+            if row["I"] is None or row["I"] <= 0:
+                dead.add(g)
+                continue
+            betas[g] = betas[g] + row["U"] / row["I"]
+    final_info = {row["__k"]: row["I"] for row in _stats(betas)}
+    beta_rows = [
+        (
+            g,
+            None if g in dead else betas[g],
+            None if g in dead else final_info.get(g),
+        )
+        for g in groups
+    ]
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(beta_rows, "__k string, beta double, info double")
+    totals = df.groupBy(*gk).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("events"),
+    )
+    # LEFT join: an eventless group never enters the Newton frame at
+    # all — it must still appear in the report, with a NULL fit
+    joined = totals.withColumn("__k", key_expr).join(
+        F.broadcast(bdf), "__k", "left"
+    )
+    se = F.when(F.col("info") > 0, 1.0 / F.sqrt(F.col("info")))
+    return joined.select(
+        *gk,
+        "n",
+        "events",
+        "beta",
+        F.when(F.col("beta").isNotNull(), F.exp(F.col("beta"))).alias(
+            "hazard_ratio"
+        ),
+        se.alias("se"),
+        F.when(se.isNotNull(), F.col("beta") / se).alias("z"),
+    )

@@ -849,3 +849,53 @@ def test_logrank_hand_computed(spark):
     )
     k = logrank_test(one, "t", "ev", "arm", ["grp"]).collect()[0]
     assert k["chi2"] is None
+
+
+def test_cox_ph_binary_score_zero_and_symmetry(spark):
+    """Cox fit self-consistency: at the returned beta the partial-
+    likelihood score recomputed in pure Python is ~0; swapping the
+    arm flips beta's sign exactly; hazard_ratio = exp(beta); an
+    eventless group fits NULL."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cox_ph_binary,
+    )
+
+    # arm=True fails somewhat sooner (interleaved, NOT separated:
+    # a monotone-likelihood fixture would have no finite MLE)
+    rows = []
+    for t, e, a in [
+        (2, True, True), (5, True, True), (8, True, True), (10, False, True),
+        (3, True, False), (6, True, False), (9, True, False), (12, False, False),
+    ]:
+        rows.append(("g", t, e, a))
+    rows += [("z", 5, False, True), ("z", 6, False, False)]  # no events
+    df = spark.createDataFrame(rows, "grp string, t int, ev boolean, arm boolean")
+    out = {r["grp"]: r for r in cox_ph_binary(df, "t", "ev", "arm", ["grp"]).collect()}
+    g = out["g"]
+    assert g["beta"] is not None and g["beta"] > 0
+    assert g["hazard_ratio"] == pytest.approx(math.exp(g["beta"]))
+    assert g["se"] > 0 and g["z"] == pytest.approx(g["beta"] / g["se"])
+    # recompute the Breslow score U(beta) in pure python
+    subj = [(t, e, a) for (grp, t, e, a) in rows if grp == "g"]
+    times = sorted({t for t, e, _ in subj if e})
+    beta = g["beta"]
+    U = 0.0
+    for t0 in times:
+        d = sum(1 for t, e, _ in subj if e and t == t0)
+        d1 = sum(1 for t, e, a in subj if e and t == t0 and a)
+        n1 = sum(1 for t, _, a in subj if t >= t0 and a)
+        n0 = sum(1 for t, _, a in subj if t >= t0 and not a)
+        A = n1 * math.exp(beta) / (n0 + n1 * math.exp(beta))
+        U += d1 - d * A
+    assert abs(U) < 1e-8
+    # symmetry: negated arm → negated beta
+    flipped = {
+        r["grp"]: r
+        for r in cox_ph_binary(df, "t", "ev", ~F.col("arm"), ["grp"]).collect()
+    }
+    assert flipped["g"]["beta"] == pytest.approx(-g["beta"], rel=1e-9)
+    # eventless group: no information → NULL fit
+    z = out["z"]
+    assert z["beta"] is None and z["hazard_ratio"] is None and z["z"] is None
