@@ -163,6 +163,16 @@ class TxnAlreadyCommitted(Exception):
         super().__init__(f"txn already committed at version {version}")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit landed between a REWRITE's read of the table and its
+    publish attempt, changing the file set the rewrite derived its
+    contents from (e.g. a concurrent append added files the rewrite's
+    manifest would silently drop — the classic lost update, ADVICE
+    r8). merge_upsert / delete_where / compact / consolidate_join_view
+    catch this internally and rebase (recompute against the new
+    latest); it escapes only after repeated conflicts."""
+
+
 class SnapshotTable:
     """A snapshot-versioned parquet table rooted at ``root``."""
 
@@ -316,6 +326,13 @@ class SnapshotTable:
         md = pq.ParquetFile(path).metadata
         mins: dict = {}
         maxs: dict = {}
+        # once ANY row group lacks usable stats for a column, the
+        # recorded [min, max] can never cover the whole file — the
+        # column is dead for this file and must never be re-added
+        # (re-adding on a later row group would record a range
+        # covering only that group and let prune_files skip a file
+        # whose uncovered group holds matching rows — ADVICE r8)
+        dead: set = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -325,20 +342,32 @@ class SnapshotTable:
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    dead.add(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
                     continue
                 lo = self._stat_value(st.min)
                 hi = self._stat_value(st.max)
                 if lo is None or hi is None:
+                    dead.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
                     continue
-                if rg == 0 or name not in mins:
-                    mins[name], maxs[name] = lo, hi
+                if name in dead:
+                    continue
+                if name not in mins:
+                    if rg == 0:
+                        mins[name], maxs[name] = lo, hi
+                    else:
+                        # first sighting after row group 0: earlier
+                        # groups never produced stats for it
+                        dead.add(name)
                 else:
                     try:
                         mins[name] = min(mins[name], lo)
                         maxs[name] = max(maxs[name], hi)
                     except TypeError:
+                        dead.add(name)
                         mins.pop(name, None)
                         maxs.pop(name, None)
         return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
@@ -480,7 +509,14 @@ class SnapshotTable:
         operation: str,
         txn_id: str | None,
         merge_schema: bool = False,
+        expected_files: list[str] | None = None,
     ) -> int:
+        """``expected_files`` (rewrite ops only): the file list the
+        caller derived ``df``'s contents FROM. The publish aborts with
+        ConcurrentCommitError if the current latest's file set differs
+        — a concurrent commit added or removed files this rewrite did
+        not account for, and publishing anyway would drop its rows
+        (lost update). Callers catch and rebase."""
         if txn_id is not None:
             seen = self._txn_version(txn_id)
             if seen is not None:
@@ -501,6 +537,15 @@ class SnapshotTable:
                     seen_now = self._txn_version(txn_id)
                     if seen_now is not None:
                         raise TxnAlreadyCommitted(seen_now)
+                if expected_files is not None:
+                    cur, exp = set(pm["files"]), set(expected_files)
+                    if cur != exp:
+                        raise ConcurrentCommitError(
+                            f"{operation} read files of an older version; "
+                            f"latest v{parent} added "
+                            f"{sorted(cur - exp)[:3]} / removed "
+                            f"{sorted(exp - cur)[:3]} — rebase required"
+                        )
                 if operation == "append":
                     if pm["schema_key"] != schema_key and pm["files"]:
                         if not merge_schema:
@@ -562,10 +607,21 @@ class SnapshotTable:
         an error."""
         return self._commit(df, "append", txn_id, merge_schema=merge_schema)
 
-    def commit_overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
+    def commit_overwrite(
+        self,
+        df: DataFrame,
+        txn_id: str | None = None,
+        expected_files: list[str] | None = None,
+    ) -> int:
         """Replace the table's contents with df as a new snapshot;
-        prior versions stay readable until vacuumed."""
-        return self._commit(df, "overwrite", txn_id)
+        prior versions stay readable until vacuumed. When ``df`` was
+        DERIVED from the table's own current contents (a
+        read-transform-overwrite maintenance rewrite), pass
+        ``expected_files`` = the source version's file list: the
+        publish then fails with ConcurrentCommitError instead of
+        silently dropping rows a concurrent append landed in between
+        (rebase by re-reading and retrying)."""
+        return self._commit(df, "overwrite", txn_id, expected_files=expected_files)
 
     def merge_upsert(
         self,
@@ -588,7 +644,30 @@ class SnapshotTable:
         groupBy-last — this primitive does not pick a winner).
         Idempotent under ``txn_id`` replay like every commit; readers
         of prior versions see the pre-merge table (copy-on-write
-        never mutates a published file)."""
+        never mutates a published file).
+
+        Concurrency: the publish verifies the latest manifest's file
+        set still equals exactly the files this merge read (carried +
+        affected). Any concurrent commit in between — an append whose
+        files would otherwise be silently dropped from the rewrite's
+        manifest (lost update, ADVICE r8), or another rewrite — makes
+        the merge REBASE: recompute pruning and the rewrite against
+        the new latest and retry, raising ConcurrentCommitError only
+        after repeated conflicts."""
+        last: ConcurrentCommitError | None = None
+        for _attempt in range(8):
+            try:
+                return self._merge_once(batch, keys, txn_id)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def _merge_once(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        txn_id: str | None,
+    ) -> int:
         v = self.latest_version()
         if v == 0:
             return self._commit(batch, "merge", txn_id)
@@ -645,16 +724,19 @@ class SnapshotTable:
                 seen_now = self._txn_version(txn_id)
                 if seen_now is not None:
                     raise TxnAlreadyCommitted(seen_now)
-            # carried files must still exist in the current latest (a
-            # concurrent merge may have rewritten them): restrict to
-            # the intersection, and recompute nothing — a lost race on
-            # overlapping files surfaces as missing carried entries
+            # the latest manifest must hold EXACTLY the files this
+            # merge read (carried + affected): a missing file means a
+            # concurrent rewrite replaced rows we are about to
+            # resurrect; an EXTRA file means a concurrent append whose
+            # rows this manifest would silently drop (lost update).
+            # Either way the rewrite is stale — rebase (outer retry).
             cur = set(pm["files"])
-            missing = [f for f in carried if f not in cur]
-            if missing:
-                raise RuntimeError(
-                    "concurrent rewrite invalidated carried files "
-                    f"{missing[:3]}...; retry the merge against the new version"
+            base = set(carried) | set(affected)
+            if cur != base:
+                raise ConcurrentCommitError(
+                    "merge read files of an older version; latest "
+                    f"added {sorted(cur - base)[:3]} / removed "
+                    f"{sorted(base - cur)[:3]} — rebasing"
                 )
             carried_stats = {
                 f: pm.get("file_stats", {}).get(f)
@@ -698,7 +780,23 @@ class SnapshotTable:
         overlapping files rewrite with the predicate inverted. Prior
         versions still contain the rows until ``vacuum`` expires them
         — run vacuum to complete a hard erasure. Ops as in
-        prune_files: >=, >, <=, <, ==."""
+        prune_files: >=, >, <=, <, ==.
+
+        Concurrency: same rebase protocol as merge_upsert — the
+        publish verifies the latest file set is exactly carried +
+        affected; a concurrent commit in between triggers an internal
+        recompute-and-retry (never a silent drop of its files)."""
+        last: ConcurrentCommitError | None = None
+        for _attempt in range(8):
+            try:
+                return self._delete_once(predicate, txn_id)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def _delete_once(
+        self, predicate: tuple[str, str, object], txn_id: str | None
+    ) -> int:
         v = self.latest_version()
         if v == 0:
             raise ValueError(f"empty table: nothing to delete at {self.root}")
@@ -728,11 +826,12 @@ class SnapshotTable:
                 if seen_now is not None:
                     raise TxnAlreadyCommitted(seen_now)
             cur = set(pm["files"])
-            missing = [f for f in carried if f not in cur]
-            if missing:
-                raise RuntimeError(
-                    "concurrent rewrite invalidated carried files "
-                    f"{missing[:3]}...; retry the delete against the new version"
+            base = set(carried) | set(affected)
+            if cur != base:
+                raise ConcurrentCommitError(
+                    "delete read files of an older version; latest "
+                    f"added {sorted(cur - base)[:3]} / removed "
+                    f"{sorted(base - cur)[:3]} — rebasing"
                 )
             carried_stats = {
                 f: pm.get("file_stats", {}).get(f)
@@ -804,9 +903,8 @@ class SnapshotTable:
 
         Same transactional rules as any commit: the rewrite lands as
         invisible data files first, the manifest publishes atomically,
-        concurrent readers of ANY version are unaffected, and a
-        concurrent append simply wins or loses the version race and
-        retries — nothing is mutated in place. The compacted-away
+        concurrent readers of ANY version are unaffected — nothing is
+        mutated in place. The compacted-away
         files stay on disk for time travel until ``vacuum`` expires
         them. Returns the new version.
 
@@ -826,11 +924,41 @@ class SnapshotTable:
         column the predicate hits. Numeric columns only (cast dates
         to epoch days first); ``zorder_quantize="quantile"`` for
         heavy-tailed columns (see sources/layout.zorder_layout).
-        Mutually exclusive with sort_by."""
-        from pyspark.sql import functions as _F
+        Mutually exclusive with sort_by.
 
+        Concurrency: the publish verifies the latest manifest still
+        holds exactly the files this compaction read; a concurrent
+        append in between (whose files a stale compact manifest would
+        silently drop — lost update, ADVICE r8) triggers an internal
+        rebase: re-read the new latest and redo the rewrite."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
+        last: ConcurrentCommitError | None = None
+        for _attempt in range(8):
+            try:
+                return self._compact_once(
+                    target_file_bytes,
+                    txn_id,
+                    sort_by,
+                    zorder_by,
+                    zorder_bits,
+                    zorder_quantize,
+                )
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def _compact_once(
+        self,
+        target_file_bytes: int,
+        txn_id: str | None,
+        sort_by: list[str] | None,
+        zorder_by: list[str] | None,
+        zorder_bits: int,
+        zorder_quantize: str,
+    ) -> int:
+        from pyspark.sql import functions as _F
+
         v = self.latest_version()
         if v == 0:
             raise ValueError(f"empty table: nothing to compact at {self.root}")
@@ -858,7 +986,7 @@ class SnapshotTable:
             )
         else:
             df = df.repartition(n_files)
-        return self._commit(df, "compact", txn_id)
+        return self._commit(df, "compact", txn_id, expected_files=m["files"])
 
     # ---------------------------------------------------------- read
 
@@ -886,15 +1014,41 @@ class SnapshotTable:
         raise ValueError(f"unsupported prune op {op!r} (use >=, >, <=, <, ==)")
 
     @staticmethod
-    def _bloom_may_match(bloom: dict | None, col: str, value) -> bool:
+    def _bloom_may_match(
+        bloom: dict | None, col: str, value, col_type: str | None = None
+    ) -> bool:
         """False only when the file's bloom filter PROVES ``value``
         absent from ``col``. No bloom for the file or column, or a
         value type whose string rendering Spark and Python may
-        disagree on (``_bloom_canon`` abstains) ⇒ may match."""
+        disagree on (``_bloom_canon`` abstains) ⇒ may match.
+
+        The bloom indexes CAST(col AS STRING) of the STORED values,
+        so it can only prune predicates whose value is of the
+        column's own type: Spark's ``string_col == 5`` coerces and
+        matches '05', but the bloom hashed '05' while the probe would
+        hash '5' — a false prune (ADVICE r8). ``col_type`` (the
+        manifest schema's simpleString for the column) gates this:
+        the bloom abstains unless the Python value type corresponds
+        to the column type exactly; [min, max] pruning (which already
+        abstains on TypeError) remains the only prune then."""
         if not bloom:
             return True
         hex_words = bloom.get("cols", {}).get(col)
         if hex_words is None:
+            return True
+        import datetime as _dt
+
+        if isinstance(value, bool):
+            ok = col_type == "boolean"
+        elif isinstance(value, int):
+            ok = col_type in ("tinyint", "smallint", "int", "bigint")
+        elif isinstance(value, str):
+            ok = col_type == "string"
+        elif isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            ok = col_type == "date"
+        else:
+            ok = False
+        if not ok:
             return True
         canon = _bloom_canon(value)
         if canon is None:
@@ -924,12 +1078,13 @@ class SnapshotTable:
         stats = m.get("file_stats", {})
         blooms = m.get("file_blooms", {})
         col, op, value = predicate
+        col_type = dict(map(tuple, m.get("schema_key") or [])).get(col)
         keep = []
         for f in m["files"]:
             if not self._file_may_match(stats.get(f, {}), col, op, value):
                 continue
             if op in ("==", "=") and not self._bloom_may_match(
-                blooms.get(f), col, value
+                blooms.get(f), col, value, col_type
             ):
                 continue
             keep.append(f)
