@@ -5970,7 +5970,10 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible (re-running publishes the SAME numbers instead of
     spending fresh ε budget). The md5-seeded inverse-CDF draw is
     engine-reproducible, so the oracle rebuilds the identical noise
-    and the driver hash-checks the mechanism end to end."""
+    and the driver hash-checks the mechanism end to end. In a real
+    release the seed is a SECRET KEY (required, no default — see the
+    operator docstring); this test entry publishes it because the
+    point here is cross-engine verification, not privacy."""
     from .operators.privacy import dp_noisy_counts
 
     o = _t(spark, sf_dir, "orders")

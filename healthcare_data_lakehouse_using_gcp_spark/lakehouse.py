@@ -76,6 +76,40 @@ class HealthcareLakehouse:
 
     # --- ingestion → processed (the Beam pipeline, batch mode) -------
 
+    @staticmethod
+    def _reject_zone_mode_mix(zone: str, snapshot: bool) -> None:
+        """Refuse to write a zone in the OTHER mode than it already
+        holds data in (ADVICE r8). A snapshot commit next to plain
+        appended parquet shadows those rows (manifest reads don't
+        list them); a plain append into a snapshot zone writes files
+        no manifest references. Both silently drop committed rows
+        from reads — fail loudly instead and point at the migration.
+
+        Detection is O(top-level entries), no tree walk: a plain
+        date-partitioned zone has event_date=*/part files at the top
+        level; a snapshot zone has only _snapshots/ + data/."""
+        if not os.path.isdir(zone):
+            return
+        entries = set(os.listdir(zone))
+        has_manifest = "_snapshots" in entries
+        has_plain = any(
+            e.startswith("event_date=") or e.endswith(".parquet")
+            for e in entries
+        )
+        if snapshot and has_plain:
+            raise ValueError(
+                f"zone {zone} already holds PLAIN appended parquet; a "
+                "snapshot commit would shadow those rows. Migrate first: "
+                "read the zone, commit_append it as the snapshot's "
+                "initial version, then remove the plain files."
+            )
+        if not snapshot and has_manifest:
+            raise ValueError(
+                f"zone {zone} is snapshot-managed (_snapshots/ present); "
+                "a plain append would write files no manifest references. "
+                "Pass txn_id=... to keep committing through the manifest."
+            )
+
     def run_etl(
         self,
         raw_path: str | None = None,
@@ -94,9 +128,15 @@ class HealthcareLakehouse:
         a per-entity idempotence token — re-running the same batch
         (orchestrator retry, backfill replay) converges instead of
         duplicating rows; the counts still report THIS run's routed
-        rows either way. Mixing modes on one warehouse is rejected by
-        SnapshotTable itself (a plain zone has no manifest dir and a
-        snapshot zone ignores directory listings).
+        rows either way. Mixing modes on one zone is REJECTED here
+        (ADVICE r8): a snapshot commit into a zone holding plain
+        appended parquet would shadow those rows (read_processed then
+        resolves via the manifest, which doesn't list them), and a
+        plain append into a snapshot zone writes files no manifest
+        references — either way previously committed rows silently
+        vanish from reads. Migrate explicitly instead (read the plain
+        zone, commit it as the snapshot's initial version, remove the
+        plain files).
         """
         if raw_df is None:
             raw_df = read_json_batch(self.spark, raw_path)
@@ -109,15 +149,17 @@ class HealthcareLakehouse:
                 df = routed[name].withColumn(
                     "event_date", F.to_date(F.col(date_col))
                 )
+                zone = self.zone_path("processed", name)
+                self._reject_zone_mode_mix(zone, snapshot=txn_id is not None)
                 if txn_id is not None:
                     from .sources.snapshots import SnapshotTable
 
-                    SnapshotTable(
-                        self.spark, self.zone_path("processed", name)
-                    ).commit_append(df, txn_id=f"{txn_id}-{name}")
+                    SnapshotTable(self.spark, zone).commit_append(
+                        df, txn_id=f"{txn_id}-{name}"
+                    )
                 else:
                     df.write.mode("append").partitionBy("event_date").parquet(
-                        self.zone_path("processed", name)
+                        zone
                     )
                 # Count THIS batch's routed rows (from the cached
                 # enriched frame), not the re-read table: the

@@ -123,8 +123,10 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: Sequence[str],
     epsilon: float = 1.0,
-    seed: int = 0,
+    *,
+    seed: int,
     count_name: str = "noisy_count",
+    key_domain: DataFrame | None = None,
 ) -> DataFrame:
     """ε-differentially-private group counts — the release mechanism
     for publishing aggregate statistics (cohort sizes, per-diagnosis
@@ -142,18 +144,44 @@ def dp_noisy_counts(
     also makes the mechanism engine-reproducible (DuckDB rebuilds the
     identical noise), which is how the corpus entry hash-checks it.
 
+    **The seed is a SECRET KEY, not a convenience.** The noise is a
+    deterministic function of (seed, group values); anyone who knows
+    the seed recomputes it exactly and recovers the true counts — the
+    ε-DP guarantee holds only against adversaries who do NOT know the
+    seed (the same trust model as any keyed PRF; DP literature's
+    "the random bits are private"). Hence no default: the caller must
+    supply it, and must store/handle it like a credential, never in
+    the released artifact. (ADVICE r8.)
+
+    **Presence leakage**: releasing only the groups that OCCUR in the
+    data leaks membership of rare groups regardless of noise (the row
+    "diagnosis=X" existing at all reveals someone had X). Pass
+    ``key_domain`` — a DataFrame declaring the full public domain of
+    group keys — to release a noisy count for EVERY declared key
+    (absent groups release noise around 0) and to drop undeclared
+    groups from the release. Without it the released key set is the
+    observed one, and the ε-DP claim covers the counts only, not the
+    key set — acceptable only when the key set is public knowledge
+    (e.g. a fixed enum).
+
     Noisy counts are clamped at 0; the TRUE count is deliberately not
     emitted alongside — callers wanting utility metrics should join
     back to the exact aggregate under their own access controls.
 
     Scale: one hash aggregation (map-side partials) + narrow noise
-    projection; output is |groups|-sized."""
+    projection; output is |groups|-sized (|domain|-sized with
+    ``key_domain``, broadcast when small)."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     b = 1.0 / float(epsilon)
     agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).cast("bigint").alias("__true_n")
     )
+    if key_domain is not None:
+        dom = key_domain.select(*group_cols).distinct()
+        agg = dom.join(agg, list(group_cols), "left").fillna(
+            0, subset=["__true_n"]
+        )
     # u in (0,1): (first-8-hex-of-md5 + 0.5) / 2^32 — never exactly
     # 0, 1/2, or 1, so the inverse CDF below is finite
     key = F.concat_ws(
@@ -182,8 +210,10 @@ def dp_noisy_sums(
     value_col: str,
     clip: float,
     epsilon: float = 1.0,
-    seed: int = 0,
+    *,
+    seed: int,
     sum_name: str = "noisy_sum",
+    key_domain: DataFrame | None = None,
 ) -> DataFrame:
     """ε-DP group sums with bounded contribution: each row's value is
     clipped to [0, clip] BEFORE aggregation (one row can then move
@@ -194,9 +224,15 @@ def dp_noisy_sums(
     on noise — standard practice is a high data-independent
     percentile chosen WITHOUT looking at this dataset.
 
-    Same seeding/reproducibility contract as dp_noisy_counts; noise
-    keys on (seed, 'sum', group) so a joint count+sum release draws
-    independent noise per statistic. Output sums are clamped at 0."""
+    Same seeding/reproducibility contract as dp_noisy_counts — and
+    the same trust model: the ``seed`` is a SECRET KEY (the noise is
+    a deterministic function of it; ε-DP holds only against
+    adversaries who don't know it), hence required with no default.
+    ``key_domain`` addresses presence-of-group leakage exactly as in
+    dp_noisy_counts (absent groups release noise around a 0 sum).
+    Noise keys on (seed, 'sum', group) so a joint count+sum release
+    draws independent noise per statistic. Output sums are clamped
+    at 0."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     if clip <= 0:
@@ -208,6 +244,11 @@ def dp_noisy_sums(
     agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.sum(clipped).alias("__true_sum")
     )
+    if key_domain is not None:
+        dom = key_domain.select(*group_cols).distinct()
+        agg = dom.join(agg, list(group_cols), "left").fillna(
+            0.0, subset=["__true_sum"]
+        )
     key = F.concat_ws(
         "§",
         F.lit(str(seed)),

@@ -111,7 +111,10 @@ def test_dp_noisy_counts_reproducible_and_clamped(spark):
     c = {r["grp"]: r["noisy_count"] for r in dp_noisy_counts(df, ["grp"], 0.5, seed=2).collect()}
     assert a != c  # a new seed is a new draw
     with pytest.raises(ValueError, match="epsilon"):
-        dp_noisy_counts(df, ["grp"], 0.0)
+        dp_noisy_counts(df, ["grp"], 0.0, seed=1)
+    # the seed is a secret key: no default, supplying one is mandatory
+    with pytest.raises(TypeError, match="seed"):
+        dp_noisy_counts(df, ["grp"], 0.5)
 
 
 def test_dp_noisy_counts_error_scales_with_epsilon(spark):
@@ -153,7 +156,39 @@ def test_dp_noisy_sums_clip_bounds_sensitivity(spark):
     ).collect()
     assert rerun[0]["noisy_sum"] == out[0]["noisy_sum"]
     with pytest.raises(ValueError, match="clip"):
-        dp_noisy_sums(df, ["grp"], "v", clip=0.0)
+        dp_noisy_sums(df, ["grp"], "v", clip=0.0, seed=1)
+
+
+def test_dp_key_domain_releases_declared_groups_only(spark):
+    """Presence-leakage mitigation (ADVICE r8): with key_domain the
+    release covers EVERY declared key — absent groups get noise
+    around 0 (their presence is no longer data-dependent) — and
+    groups outside the declared domain are dropped."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.privacy import (
+        dp_noisy_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g0", 10.0) for i in range(40)] + [(99, "undeclared", 10.0)],
+        "id long, grp string, v double",
+    )
+    dom = spark.createDataFrame([("g0",), ("g1",), ("g2",)], "grp string")
+    out = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_noisy_counts(
+            df, ["grp"], 10.0, seed=5, key_domain=dom
+        ).collect()
+    }
+    assert set(out) == {"g0", "g1", "g2"}  # absent g1/g2 in, undeclared out
+    assert abs(out["g0"] - 40) <= 3 and out["g1"] <= 3 and out["g2"] <= 3
+    sums = {
+        r["grp"]: r["noisy_sum"]
+        for r in dp_noisy_sums(
+            df, ["grp"], "v", clip=100.0, epsilon=10.0, seed=5, key_domain=dom
+        ).collect()
+    }
+    assert set(sums) == {"g0", "g1", "g2"}
+    assert abs(sums["g0"] - 400.0) < 100.0 and sums["g1"] < 100.0
 
 
 def test_t_closeness_hand_computed(spark):

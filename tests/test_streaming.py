@@ -253,6 +253,32 @@ def test_lakehouse_run_etl_txn_id_replay_converges(spark, cfg, tmp_path):
     frames = lake.run_models()
     fact = frames["fact_patient_encounters"]
     assert fact.count() == fact.dropDuplicates().count()
+    # mode mixing is rejected loudly (ADVICE r8): a plain append into
+    # the now-snapshot-managed zones would write unreferenced files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot-managed"):
+        lake.run_etl(raw_df=raw)
+
+
+def test_lakehouse_rejects_snapshot_over_plain_zone(spark, cfg, tmp_path):
+    """ADVICE r8: run_etl(txn_id=...) on a warehouse that already
+    holds PLAIN appended parquet must raise instead of creating a
+    manifest that silently shadows every previously appended row."""
+    from healthcare_data_lakehouse_using_gcp_spark.lakehouse import HealthcareLakehouse
+
+    gen = HealthcareDataGenerator(seed=33)
+    raw = spark.createDataFrame(
+        [(m,) for m in gen.generate_messages(80)], "value string"
+    )
+    lake = HealthcareLakehouse(spark, str(tmp_path / "wh"), cfg)
+    n_plain = lake.run_etl(raw_df=raw)["vitals"]  # plain mode first
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PLAIN appended parquet"):
+        lake.run_etl(raw_df=raw, txn_id="late-snapshot")
+    # the plain zone is untouched and still fully readable
+    assert lake.read_processed("vitals").count() == n_plain
 
 
 def test_rollup_sink_state_converges_under_replay(spark, tmp_path):
