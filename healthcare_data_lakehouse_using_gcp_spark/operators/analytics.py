@@ -1075,12 +1075,27 @@ def rfm_segments(
     the classic customer-value segmentation.
 
     Per-customer rollup first (one hash agg shrinks orders →
-    customers), then three ntile windows over the CUSTOMER frame with
-    deterministic id tiebreaks. The windows are global-ordering over
-    customers — fine for customer-sized frames; at extreme
-    cardinality swap ntile for approx_percentile cutpoints (the
-    equidepth_histogram caveat). Returns (customer, recency_days,
-    frequency, monetary, r, f, m, segment)."""
+    customers). The tiles then come from THREE TWO-PHASE GLOBAL RANKS
+    (export.assign_contiguous_ids' numbering: range-repartition +
+    per-partition row_number + broadcast prefix-sum offsets) plus the
+    closed-form NTILE from (rank, n) — NOT from ntile over an
+    unpartitioned window, which would sort the whole customer frame
+    through ONE reducer three times (the scale-killer VERDICT r8
+    flagged; the plan-invariant sweep now bans that shape). Exact
+    ntile semantics are preserved: with n = q·k + rem customers the
+    first ``rem`` tiles hold q+1, the rest q — bit-identical to
+    SQL NTILE, so the DuckDB oracle still hash-matches.
+
+    Deterministic cross-engine: monetary is rounded to 2 dp BEFORE
+    ranking (the a21 discipline) and every rank tie-breaks on the
+    customer id. Returns (customer, recency_days, frequency,
+    monetary, r, f, m, segment).
+
+    Scale: one hash agg + three parallel range shuffles of the
+    customer-sized rollup; driver traffic is 3 × |partitions| counts
+    + one scalar n. No unpartitioned window anywhere."""
+    from .export import assign_contiguous_ids
+
     asof = orders.agg(F.max(F.col(date_col)).alias("__maxd"))
     per_cust = (
         orders.crossJoin(F.broadcast(asof))
@@ -1088,7 +1103,7 @@ def rfm_segments(
         .agg(
             F.datediff(F.first("__maxd"), F.max(date_col)).alias("recency_days"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            # 2-dp deterministic rounding BEFORE the ntile ordering
+            # 2-dp deterministic rounding BEFORE the rank ordering
             # (the a21 discipline): recency/frequency are integers,
             # but a float spend sum could order-flip near-equal
             # customers across engines otherwise
@@ -1097,19 +1112,49 @@ def rfm_segments(
                 / 100
             ).alias("monetary"),
         )
+        # descending ranks as ascending ranks of the negated metric
+        .withColumn("__negf", -F.col("frequency"))
+        .withColumn("__negm", -F.col("monetary"))
+        # materialize once: three rankings + the count reuse it
+        .localCheckpoint(eager=True)
     )
-    cid = F.col(customer_col)
-    w_r = Window.orderBy(F.col("recency_days").asc(), cid.asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), cid.asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), cid.asc())
-    return (
-        per_cust.withColumn("r", F.ntile(n_tiles).over(w_r).cast("bigint"))
-        .withColumn("f", F.ntile(n_tiles).over(w_f).cast("bigint"))
-        .withColumn("m", F.ntile(n_tiles).over(w_m).cast("bigint"))
-        .withColumn(
-            "segment",
-            F.concat(F.col("r"), F.col("f"), F.col("m")).cast("string"),
+    n = per_cust.count()
+    k = int(n_tiles)
+    q, rem = divmod(n, k)
+
+    def tile_of(rank_col: str):
+        # closed-form NTILE(k) over a 1-based global rank: the first
+        # rem tiles hold q+1 rows, the remaining k-rem hold q
+        r = F.col(rank_col) + F.lit(1)
+        if q == 0:  # fewer rows than tiles: tile i = rank i
+            return r.cast("bigint")
+        head = F.ceil(r / F.lit(float(q + 1)))
+        tail = F.lit(rem) + F.ceil(
+            (r - F.lit(float(rem * (q + 1)))) / F.lit(float(q))
         )
+        return (
+            F.when(r <= F.lit(rem * (q + 1)), head).otherwise(tail)
+        ).cast("bigint")
+
+    out = per_cust
+    for name, order_cols in (
+        ("r", ["recency_days", customer_col]),
+        ("f", ["__negf", customer_col]),
+        ("m", ["__negm", customer_col]),
+    ):
+        out = assign_contiguous_ids(out, id_name="__rk", order_by=order_cols)
+        out = out.withColumn(name, tile_of("__rk")).drop("__rk")
+    return out.select(
+        customer_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.concat(F.col("r"), F.col("f"), F.col("m"))
+        .cast("string")
+        .alias("segment"),
     )
 
 
@@ -1361,23 +1406,31 @@ def cox_ph_binary(
         if gk
         else F.lit("")
     )
+    spark = df.sparkSession
 
     def _stats(betas: dict) -> list:
-        eb = None
-        for g, b in betas.items():
-            val = F.lit(math.exp(b))
-            eb = (
-                F.when(key_expr == g, val)
-                if eb is None
-                else eb.when(key_expr == g, val)
+        # per-iteration betas enter the plan as a BROADCAST-JOINED
+        # frame, not a chained CASE over all groups: a |groups|-branch
+        # F.when would grow the expression (and Catalyst analysis
+        # time) linearly with group count — a plan-compile bomb at
+        # thousands of groups (VERDICT r8). The betas frame is
+        # |groups| rows, broadcast by construction.
+        keyed = frame.withColumn("__k", key_expr)
+        if betas:
+            bdf = spark.createDataFrame(
+                [(g, math.exp(b)) for g, b in betas.items()],
+                "__k string, __eb double",
             )
-        if eb is None:
-            eb = F.lit(1.0)
-        r = F.col("n0") + F.col("n1") * eb
-        a = F.col("n1") * eb / r
+            keyed = keyed.join(F.broadcast(bdf), "__k", "left").withColumn(
+                "__eb", F.coalesce(F.col("__eb"), F.lit(1.0))
+            )
+        else:
+            keyed = keyed.withColumn("__eb", F.lit(1.0))
+        r = F.col("n0") + F.col("n1") * F.col("__eb")
+        a = F.col("n1") * F.col("__eb") / r
         return (
-            frame.withColumn("__A", a)
-            .groupBy(key_expr.alias("__k"))
+            keyed.withColumn("__A", a)
+            .groupBy("__k")
             .agg(
                 F.sum(F.col("d1") - F.col("d") * F.col("__A")).alias("U"),
                 F.sum(
@@ -1410,7 +1463,6 @@ def cox_ph_binary(
         )
         for g in groups
     ]
-    spark = df.sparkSession
     bdf = spark.createDataFrame(beta_rows, "__k string, beta double, info double")
     totals = df.groupBy(*gk).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

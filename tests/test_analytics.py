@@ -899,3 +899,32 @@ def test_cox_ph_binary_score_zero_and_symmetry(spark):
     # eventless group: no information → NULL fit
     z = out["z"]
     assert z["beta"] is None and z["hazard_ratio"] is None and z["z"] is None
+
+
+def test_cox_ph_binary_thousand_groups_no_plan_blowup(spark):
+    """VERDICT r8 item 4: per-iteration betas enter the plan as a
+    broadcast-joined frame, not a |groups|-branch chained CASE — a
+    1,000-group fit must complete (the CASE version's expression and
+    Catalyst analysis time grew linearly per iteration) and every
+    two-arm group with events must fit a finite beta."""
+    import math as _math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cox_ph_binary,
+    )
+
+    n_groups = 1000
+    rows = []
+    for gid in range(n_groups):
+        # deterministic per-group fixture, interleaved arms (finite MLE)
+        for j, (t, e, a) in enumerate(
+            [(2, True, True), (5, True, True), (9, False, True),
+             (3, True, False), (7, True, False), (11, False, False)]
+        ):
+            rows.append((f"g{gid:04d}", t + (gid + j) % 3, e, a))
+    df = spark.createDataFrame(rows, "grp string, t int, ev boolean, arm boolean")
+    out = cox_ph_binary(df, "t", "ev", "arm", ["grp"], iterations=4).collect()
+    assert len(out) == n_groups
+    fitted = [r for r in out if r["beta"] is not None]
+    assert len(fitted) == n_groups
+    assert all(_math.isfinite(r["beta"]) and r["se"] > 0 for r in fitted)
