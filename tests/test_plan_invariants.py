@@ -2,7 +2,7 @@
 
 Individual operators already pin their own plan shapes (span dedup,
 incremental index, chunker, export, retrieval); this sweep enforces
-the two engine-wide rules no future entry may silently break:
+the engine-wide rules no future entry may silently break:
 
 1. **No non-broadcast cartesian product.** A `CartesianProduct` node
    is the O(n²)-shuffle scale killer; every pairwise-shaped operator
@@ -14,11 +14,22 @@ the two engine-wide rules no future entry may silently break:
    per-row eval) must never appear; Python only enters plans through
    Arrow-vectorized nodes (ArrowEvalPython / MapInPandas /
    FlatMapGroupsInPandas) or stays out entirely.
+3. **No unpartitioned window over a data-proportional frame**
+   (VERDICT r8 item 3). A `WindowExec` with an empty partitionSpec
+   moves its ENTIRE input through ONE reducer — the exact shape
+   export.assign_contiguous_ids' two-phase numbering exists to avoid
+   (rfm_segments was the last data-proportional offender; fixed r9).
+   An unpartitioned window is acceptable ONLY over a frame bounded by
+   construction, and every such entry must be on the explicit
+   allowlist below with its bound stated. New entries with an
+   unpartitioned WindowExec fail this sweep until justified here.
 
 The sweep plans (and, where an entry materializes scratch input,
 partially executes) every queries() entry at sf0.001 — the same
 frames the driver and the tail sweep check for value-correctness get
-checked here for plan hygiene.
+checked here for plan hygiene. Window detection traverses
+queryExecution().sparkPlan() (the pre-AQE tree: AdaptiveSparkPlanExec
+hides its children from traversal until execution).
 """
 
 from __future__ import annotations
@@ -33,12 +44,63 @@ SF_DIR = "/root/testdata/sf0.001"
 
 _ALL = list(corpus.queries())
 
+# Entries allowed to carry an UNPARTITIONED WindowExec, each with the
+# reason its window frame is bounded by construction (NOT
+# data-proportional). Anything else with one fails the sweep.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # rank over k rows AFTER orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — the window's input is k rows, not the
+    # corpus (retrieval.py's documented discipline)
+    "text_bm25_topk": "rank over top-k rows post-TakeOrderedAndProject",
+    "mb_cooccurrence_lift": "rank over top-20 rows post-TakeOrderedAndProject",
+    # monitoring-sized rollups with documented scale caveats and named
+    # scale alternatives in their operator docstrings
+    "a14_equidepth": "equidepth cutpoints over a bin-sized rollup "
+    "(analytics.equidepth_histogram documents approx_percentile as "
+    "the scale path)",
+    "w8_period_over_period": "lag over a |periods|-sized rollup "
+    "(periods per group are calendar-bounded)",
+    "w9_rolling_distinct": "exact rolling-distinct verification path "
+    "(analytics.rolling_distinct documents the HLL variant as the "
+    "scale path)",
+    "text_zipf_fit": "rank over the vocab-capped histogram "
+    "(text.zipf_fit caps the vocabulary before the window)",
+    "abc_pareto_parts": "cumulative share over the |keys|-sized "
+    "rollup (analytics.abc_pareto documents the two-phase numbering "
+    "swap at extreme key counts)",
+}
+
+
+def _iter_nodes(plan):
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
 
 @pytest.mark.parametrize("name", _ALL)
-def test_no_cartesian_and_no_rowwise_python(spark, name):
+def test_plan_invariants(spark, name):
     if not os.path.isdir(SF_DIR):
         pytest.skip("driver testdata unavailable")
     df = corpus.queries()[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    unpartitioned = [
+        node.getClass().getSimpleName()
+        for node in _iter_nodes(qe.sparkPlan())
+        if node.getClass().getSimpleName()
+        in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec")
+        and node.partitionSpec().isEmpty()
+    ]
+    if unpartitioned and name not in _GLOBAL_WINDOW_ALLOWLIST:
+        raise AssertionError(
+            f"{name}: unpartitioned {unpartitioned} moves its whole "
+            "input through one reducer — partition it, use the "
+            "two-phase numbering (operators/export.py), or add an "
+            "allowlist entry here stating why the frame is bounded"
+        )
