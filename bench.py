@@ -7,6 +7,17 @@ so a tail-of-stdout capture never clips it — the r5 artifact lesson):
   {"metric": "headline_total_wall", "value": N, "unit": "sec",
    "queries": {...}, "sf": ...}
 
+r9 additions (VERDICT r8 items 5+6): the summary carries
+(a) "x_vs_prev_control_normalized" — per-query round-over-round wall
+ratios divided by the CONTROLS' (j1_band_join, dedup_exact) geomean
+ratio against the newest BENCH_r*.json, so machine drift between
+sessions reads as ~1.0 and only real plan changes stand out (this
+folds the r5/r7/r8 noise-adjudication ritual into the artifact); and
+(b) an "sf3" block — a third point on the scaling curve for the
+scale-sensitive subset (benchdata/sf3, ×30 replication; cheap
+min-of-2 reps since the probe reads ratios): "x3_vs_sf1" ≈ 3 is
+linear, ≳6 on a join/dedup heavy is the super-linear red flag.
+
 Headline set: the operators that dominate 100 TB cost — the wide
 aggregation (A2), the band join + as-of reduction (J1/J3), the
 window (W1), the daily rollup (A8), tumbling windows (T1), plus the
@@ -171,6 +182,61 @@ SF1_SUBSET = [
 ]
 
 
+# Same-session controls for cross-round normalization (VERDICT r8
+# item 6): these two queries' code paths are stable across rounds, so
+# their cur/prev ratio measures MACHINE drift, not plan changes. Every
+# other query's round-over-round ratio is divided by the controls'
+# geometric-mean ratio before anyone reads it as a regression — the
+# r5/r7/r8 noise adjudications, folded into the artifact itself.
+CONTROLS = ["j1_band_join", "dedup_exact"]
+
+
+def _control_normalized(
+    cur: dict[str, float], prev: dict[str, float] | None
+) -> dict | None:
+    """Per-query cur/prev wall ratio divided by the controls' geomean
+    ratio. ~1.0 = moved with the machine; >1.3 after normalization is
+    a real candidate regression worth a fresh-process adjudication."""
+    if not prev:
+        return None
+    import math
+
+    ratios = [
+        cur[c] / prev[c] for c in CONTROLS if cur.get(c) and prev.get(c)
+    ]
+    if not ratios:
+        return None
+    control_ratio = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    return {
+        "controls_ratio": round(control_ratio, 3),
+        "per_query": {
+            q: round((cur[q] / prev[q]) / control_ratio, 2)
+            for q in cur
+            if prev.get(q)
+        },
+    }
+
+
+def _prev_bench(repo: str) -> tuple[dict | None, str | None]:
+    """Newest BENCH_r*.json in the repo root (the driver's artifact
+    from the previous round), parsed, plus its filename."""
+    import glob as _glob
+    import re as _re
+
+    best, best_n = None, -1
+    for path in _glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), path
+    if best is None:
+        return None, None
+    try:
+        with open(best) as f:
+            return json.load(f), os.path.basename(best)
+    except (OSError, json.JSONDecodeError):
+        return None, None
+
+
 def _timed_runs(
     run_query, clear_cache, floor_reps: int, max_reps: int
 ) -> list[float]:
@@ -239,9 +305,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # --- secondary sf1 pass (scale check; same protocol, fewer reps) ---
+    repo = os.path.dirname(os.path.abspath(__file__))
     sf1_block = None
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf == 0.1:
-        repo = os.path.dirname(os.path.abspath(__file__))
         sf1_dir = os.environ.get(
             "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "benchdata", "sf1")
         )
@@ -290,6 +356,60 @@ def main() -> None:
             },
         }
 
+    # --- sf3 scale probe (VERDICT r8 item 5): a THIRD point on the
+    # scaling curve for the scale-sensitive subset. sf1/sf0.1 alone
+    # cannot distinguish linear from quadratic once codegen noise is
+    # in the mix; x3_vs_sf1 ≈ 3 is linear, ≳6 on a join/dedup heavy is
+    # the super-linear red flag worth a fresh-process adjudication.
+    # Cheap reps (floor 2 / cap 3): the probe reads RATIOS, not walls.
+    sf3_block = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SF3", "1") != "0"
+        and sf == 0.1
+        and sf1_block is not None
+    ):
+        sf3_dir = os.environ.get(
+            "SPARK_GRAFT_SF3_DIR", os.path.join(repo, "benchdata", "sf3")
+        )
+        if not os.path.isdir(sf3_dir):
+            import subprocess
+            import sys as _sys
+
+            subprocess.run(
+                [_sys.executable, os.path.join(repo, "tools", "make_benchdata.py"),
+                 "30", sf3_dir],
+                check=True,
+                capture_output=True,
+            )
+        reps3 = int(os.environ.get("SPARK_GRAFT_BENCH_SF3_REPS", "2"))
+        max_reps3 = int(os.environ.get("SPARK_GRAFT_BENCH_SF3_MAX_REPS", "3"))
+        sf3_timings: dict[str, float] = {}
+        sf3_runs: dict[str, list[float]] = {}
+        for name in SF1_SUBSET:
+            runs = _timed_runs(
+                lambda n=name: qs[n](spark, sf3_dir).count(),
+                spark.catalog.clearCache,
+                reps3,
+                max_reps3,
+            )
+            sf3_timings[name] = min(runs)
+            sf3_runs[name] = runs
+        spark.catalog.clearCache()
+        sf1_q = sf1_block["queries"]
+        sf3_block = {
+            "sf": 3.0,
+            "value": round(sum(sf3_timings.values()), 3),
+            "queries": sf3_timings,
+            "reps": reps3,
+            "max_reps": max_reps3,
+            "all_runs": sf3_runs,
+            "x3_vs_sf1": {
+                n: round(sf3_timings[n] / sf1_q[n], 2)
+                for n in sf3_timings
+                if sf1_q.get(n)
+            },
+        }
+
     try:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
@@ -305,6 +425,7 @@ def main() -> None:
         "metric": "bench_raw_runs",
         "all_runs": all_runs,
         "sf1_all_runs": sf1_block.pop("all_runs") if sf1_block else None,
+        "sf3_all_runs": sf3_block.pop("all_runs") if sf3_block else None,
     }
     print(json.dumps(raw))
     out = {
@@ -318,8 +439,25 @@ def main() -> None:
         "protocol": "min_of_adaptive_reps",
         "load_1m_at_exit": load_1m,
     }
+    # Control-normalized round-over-round deltas (VERDICT r8 item 6):
+    # read THESE, not raw walls, before calling anything a regression.
+    prev, prev_name = _prev_bench(repo)
+    if prev:
+        norm = _control_normalized(timings, prev.get("queries"))
+        if norm:
+            norm["vs"] = prev_name
+            out["x_vs_prev_control_normalized"] = norm
+        if sf1_block is not None and isinstance(prev.get("sf1"), dict):
+            norm1 = _control_normalized(
+                sf1_block["queries"], prev["sf1"].get("queries")
+            )
+            if norm1:
+                norm1["vs"] = prev_name
+                sf1_block["x_vs_prev_control_normalized"] = norm1
     if sf1_block is not None:
         out["sf1"] = sf1_block
+    if sf3_block is not None:
+        out["sf3"] = sf3_block
     print(json.dumps(out))
     spark.stop()
 

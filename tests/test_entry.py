@@ -54,42 +54,49 @@ def test_canonical_operators_inside_driver_window():
         # is the truth stage inside both ANN invariant entries.
         "dedup_minhash_invariants", "ann_lsh_planted_invariants",
         "ann_ivf_pq_rerank_invariants", "dedup_incremental_invariants",
-        "multimodal_features", "a2_wide_agg",
+        "a2_wide_agg",
         # band-join seat: the bucketed twin (hash-equality-proven
         # against j1_band_join's oracle) holds it since the late-r6
         # third wave; plain j1_band_join is tail + bench target.
         # j3_asof_nearest demoted r8 (j8_asof_backward holds the
         # as-of seat; its window ranks inside w3_rank_family);
-        # t1_tumbling_window demoted r8 (t7_hopping_window head is
-        # the generalization; t6_session_window holds streaming)
+        # t1_tumbling_window demoted r8 (t6_session_window holds the
+        # streaming family seat; t7_hopping_window demoted r9 — the
+        # tumbling/hopping machinery is t6's generalization family)
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r8 seats embedding_near_dup_exact (LSH twin held r7)
-        "embedding_near_dup_exact", "classifier_quality",
-        "cap_per_source", "lm_perplexity",
+        # round: r9 seats embedding_near_dup (exact twin held r8)
+        "embedding_near_dup", "classifier_quality",
+        "cap_per_source",
         "export_ids", "layout_zorder_scan",
         # round-7 tranche-1 promotions (VERDICT r6 item 1); r8
         # demotes profile_orders (drift entry profiles twice) and
         # sketch_profile / layout_pruned_scan (head twins
         # sketch_rollup_union + layout_zorder_scan assert the same
-        # guarantees)
+        # guarantees); r9 demotes graph_pagerank (graph seat moves to
+        # graph_triangles for its first driver row)
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
-        "graph_pagerank", "t6_session_window", "j8_asof_backward",
+        "t6_session_window", "j8_asof_backward",
         "dq_expectations", "profile_drift_orders",
-        # round-7 tranche-2 promotions (VERDICT r6 item 4)
-        "a14_equidepth", "w3_rank_family", "a15_cube",
-        "t7_hopping_window", "w7_trailing_p95", "a20_higher_moments",
-        "a21_regression", "drift_psi",
+        # round-7 tranche-2 survivors (a14/a15/t7/w7/a20/drift_psi
+        # demoted r9 with head-retained coverage per the corpus ledger)
+        "w3_rank_family", "a21_regression",
         "text_heavy_hitters", "fuzzy_name_match",
-        "cdc_snapshot_diff", "cohort_retention",
-        # round-8 tranche-3 promotions (VERDICT r7 item 3): the eight
-        # never-driver-checked entries seated with compensating
-        # demotions (p3_quality_filter → curate_corpus's quality gate;
-        # dedup_components → minhash-invariants' ngram truth stage;
-        # plus the four above) — each its family's only candidate
-        "privacy_k_anonymity", "privacy_suppress", "cms_frequency",
+        # round-8 tranche-3 survivors (privacy_suppress, cms_frequency
+        # demoted r9: privacy_k_anonymity / sketch_rollup_union +
+        # kll_quantiles keep their machinery head-side)
+        "privacy_k_anonymity",
         "tfidf_terms", "w6_time_weighted_avg", "a18_grouping_sets",
         "j7_bloom_prefilter", "sample_weighted",
+        # round-9 tranche-4 promotions (VERDICT r8 item 1): first
+        # driver rows for eight zero-driver-green families plus BI /
+        # graph / window / reshape / bigram-LM seats. Demotion
+        # rationales live in corpus._TAIL's round-9 block.
+        "survival_cox_hr", "privacy_dp_counts", "kll_quantiles",
+        "j10_join_delta", "a22_welch_ttest", "ann_sq8_topk",
+        "retrieval_rrf_fusion", "mb_cooccurrence_lift",
+        "multimodal_video_plan", "rfm_segments", "graph_triangles",
+        "w5_cumulative", "pivot_daily_events", "lm_bigram_perplexity",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
