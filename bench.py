@@ -232,9 +232,13 @@ def _prev_bench(repo: str) -> tuple[dict | None, str | None]:
         return None, None
     try:
         with open(best) as f:
-            return json.load(f), os.path.basename(best)
+            doc = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None, None
+    # the driver wraps bench.py's summary line under "parsed"
+    if isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    return doc, os.path.basename(best)
 
 
 def _timed_runs(
