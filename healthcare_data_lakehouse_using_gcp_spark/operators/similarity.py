@@ -48,6 +48,66 @@ def _collect_queries_guarded(queries, query_id_col: str, query_vec_col: str):
     return queries.select(query_id_col, query_vec_col).collect()
 
 
+def batched_query_topk(
+    search_fn,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    batch_size: int = 10_000,
+) -> DataFrame:
+    """Run a driver-LUT ANN search over an UNBOUNDED query frame —
+    the 'split into batches and union the per-batch top-k' fallback
+    the _collect_queries_guarded error names, packaged as an operator
+    instead of an exercise for the caller (closes the r8 documented
+    boundary 'query-sets-fit-driver for ADC scoring').
+
+    ``search_fn`` is a closure over the index taking ONE argument, a
+    query-frame batch, and returning its top-k frame — e.g.
+    ``lambda qb: pq_topk(codes, books, qb, k=10)`` or an
+    ``ivf_pq_search`` / ``ivf_pq_rerank_topk`` partial. Queries are
+    md5/xxhash-bucketed into ceil(n/batch_size) batches; each batch
+    runs eagerly (its per-query lookup tables never exceed
+    ``batch_size`` driver rows) and its RESULT — |batch| × k rows,
+    tiny by construction — is locally checkpointed, so the final
+    union is a flat read of materialized partials, not an
+    nb-deep lazy plan re-running every scan at action time.
+
+    Scale: driver memory is O(batch_size × LUT) regardless of |queries|;
+    the corpus/index frame is re-scanned once per batch — persist it
+    before building ``search_fn`` to pay the scan's IO once. Batch
+    sizes are hash-even, not exact: keep batch_size ≤ ½ the inner
+    guard (MAX_DRIVER_QUERIES) and skew is irrelevant."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be > 0, got {batch_size}")
+    q = queries.persist()
+    try:
+        n = q.count()
+        if n == 0:
+            raise ValueError("empty query frame")
+        nb = -(-n // batch_size)  # ceil
+        if nb == 1:
+            return search_fn(q).localCheckpoint(eager=True)
+        bucket = F.pmod(
+            F.xxhash64(F.col(query_id_col).cast("string")), F.lit(nb)
+        )
+        # one pass finds the non-empty buckets (hash gaps are normal)
+        present = sorted(
+            r["__b"]
+            for r in q.groupBy(bucket.alias("__b")).count().collect()
+        )
+        parts = [
+            search_fn(q.filter(bucket == F.lit(b))).localCheckpoint(
+                eager=True
+            )
+            for b in present
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        q.unpersist()
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

@@ -1831,3 +1831,47 @@ def test_sq8_zero_norm_vector_excluded_not_ansi_error(spark):
     )
     ids = {r["vec_id"] for r in out.collect()}
     assert ids == {1, 3}  # the zero vector is absent, no crash
+
+
+def test_batched_query_topk_equals_direct_and_beats_guard(spark, monkeypatch):
+    """batched_query_topk: hash-bucketed batches + eager per-batch
+    materialization produce EXACTLY the direct single-pass results,
+    and a query set too large for the driver-collect guard succeeds
+    through the batched path where the direct call fails loudly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((48, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(48)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.train_pq_codebooks(df, m=4, nbits=4, sample_size=48, iters=6)
+    codes = similarity.pq_encode(df, books).persist()
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(25)],
+        "query_id long, query_vec array<double>",
+    )
+    search = lambda qb: similarity.pq_topk(codes, books, qb, k=3)  # noqa: E731
+
+    direct = sorted(
+        tuple(r) for r in search(queries).collect()
+    )
+    batched = sorted(
+        tuple(r)
+        for r in similarity.batched_query_topk(
+            search, queries, query_id_col="query_id", batch_size=7
+        ).collect()
+    )
+    assert batched == direct
+    # 25 queries over a guard of 10: direct fails loudly, batched runs
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 10)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERIES"):
+        search(queries).collect()
+    ok = similarity.batched_query_topk(
+        search, queries, query_id_col="query_id", batch_size=5
+    )
+    assert sorted(tuple(r) for r in ok.collect()) == direct
+    with pytest.raises(ValueError, match="batch_size"):
+        similarity.batched_query_topk(search, queries, batch_size=0)
+    codes.unpersist()
