@@ -746,6 +746,15 @@ _TAIL = (
     # clinical time-to-event: Kaplan-Meier with right censoring
     "survival_km",
     "survival_logrank",
+    # --- tail-born mid-r9 (second session) — r10 seating candidates ---
+    #   events_repeat_within    — 30-day readmission shape: LEAD window
+    #                             = t6/cohort machinery + exact-int
+    #                             ratio                 [new r9, no driver row]
+    #   a27_anomaly_zscore      — rolling z over the a8 daily-rollup
+    #                             shape; integer rolling sums keep the
+    #                             oracle bit-exact      [new r9, no driver row]
+    "events_repeat_within",
+    "a27_anomaly_zscore",
 )
 
 
@@ -7876,6 +7885,94 @@ def survival_cox_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_repeat_within",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             LEAD(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             SUM(CASE WHEN nxt IS NOT NULL
+                       AND nxt <= ts + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS n_repeats
+      FROM seq GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_repeats AS BIGINT) AS n_repeats,
+           FLOOR(n_repeats::DOUBLE / n_events * 10000 + 0.5) / 10000
+             AS repeat_rate
+    FROM agg
+    """,
+)
+def events_repeat_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical analytics (beyond-reference): repeat-event rate within
+    30 days per event type (operators/sessions.repeat_event_within) —
+    the 30-day-readmission shape the reference's daily encounter
+    rollups (`dags/healthcare_analytics_dag.py`) stop short of. LEAD
+    over (entity, type) keyed windows; literal NTZ interval arithmetic
+    and an exact-BIGINT ratio make the rate bit-identical cross-engine
+    before the 4-dp rounding."""
+    from .operators.sessions import repeat_event_within
+
+    ev = _t(spark, sf_dir, "events")
+    return repeat_event_within(ev, within_days=30)
+
+
+@query(
+    "a27_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+             COUNT(*) OVER w AS nb,
+             SUM(cnt) OVER w AS s1,
+             SUM(cnt * cnt) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), stat AS (
+      SELECT event_type, day, cnt, nb,
+             s1::DOUBLE / nb AS mean,
+             CASE WHEN nb >= 2 THEN
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nb) / (nb - 1.0)
+             END AS var
+      FROM win
+    ), z AS (
+      SELECT event_type, day, cnt, nb,
+             CASE WHEN nb >= 3 AND var > 0 THEN
+               FLOOR((cnt::DOUBLE - mean) / SQRT(var) * 10000 + 0.5) / 10000
+             END AS z
+      FROM stat
+    )
+    SELECT event_type, day, cnt, CAST(nb AS BIGINT) AS n_baseline, z,
+           COALESCE(ABS(z) >= 2.5, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def a27_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 (beyond-reference): rolling z-score anomaly flags over the
+    daily per-type activity rollup
+    (operators/analytics.rolling_zscore_anomaly) — "did this source
+    spike today?" monitoring. Baseline mean/variance derive from
+    integer rolling sums (n, Σx, Σx²) over a trailing ROWS frame that
+    excludes the current row, so the z-scores are bit-identical
+    cross-engine before the deterministic 4-dp rounding; cold-start
+    days (<3 baseline rows) score NULL, never a false flag."""
+    from .operators.analytics import rolling_zscore_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore_anomaly(
+        ev, lookback=7, min_baseline=3, threshold=2.5
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8000,6 +8097,8 @@ OPERATOR_MAP = {
     "Sequence": ["events_transition_matrix"],  # beyond-reference: Markov transitions
     "Customer-BI": ["rfm_segments", "abc_pareto_parts"],  # beyond-reference
     "Survival": ["survival_km", "survival_logrank", "survival_cox_hr"],  # beyond-reference
+    "Readmission": ["events_repeat_within"],  # beyond-reference: repeat-within-horizon rate
+    "A27": ["a27_anomaly_zscore"],  # beyond-reference: rolling z-score spike flags
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -1485,3 +1485,85 @@ def cox_ph_binary(
         se.alias("se"),
         F.when(se.isNotNull(), F.col("beta") / se).alias("z"),
     )
+
+
+def rolling_zscore_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lookback: int = 7,
+    min_baseline: int = 3,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over a daily activity rollup —
+    the monitoring primitive for "did this source/type spike today?".
+    Each (type, day) count is scored against the trailing ``lookback``
+    OBSERVED days (frame excludes the current row, so an anomaly
+    never suppresses its own detection); days with fewer than
+    ``min_baseline`` history rows get a NULL score (cold start).
+
+    The baseline mean/variance are derived from integer rolling sums
+    (n, Σx, Σx²) — exact in both engines — and the identical
+    double-expression shape (s2 - s1²/n)/(n-1) on both sides, so the
+    z-scores are bit-identical cross-engine before the deterministic
+    4-dp rounding. ROWS frame over observed days: silent calendar
+    gaps are treated as adjacent; compose with
+    ``etl.gapfill_daily``-style densification first when a strict
+    calendar baseline is required.
+
+    Scale design (100 TB): the daily rollup shrinks raw events to
+    |types|×|days| rows with map-side combine BEFORE any window runs;
+    the window then sorts the tiny rollup partitioned by type (state
+    is an O(lookback) frame). Anomalies on raw 100 TB event streams
+    reduce to a sub-gigabyte windowed frame.
+    """
+    from ..functions.scalars import round_det
+
+    daily = events.groupBy(
+        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("day")
+        .rowsBetween(-int(lookback), -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    scored = daily.select(
+        type_col,
+        "day",
+        "cnt",
+        n.cast("bigint").alias("n_baseline"),
+        s1.cast("bigint").alias("__s1"),
+        s2.cast("bigint").alias("__s2"),
+    )
+    nb = F.col("n_baseline").cast("double")
+    mean = F.col("__s1").cast("double") / nb
+    # var guarded behind n>=2: double/0.0 semantics differ cross-engine
+    # (Spark IEEE Inf/NaN even under ANSI, DuckDB errors), so never
+    # emit the division for a degenerate frame on either side
+    var = F.when(
+        F.col("n_baseline") >= 2,
+        (
+            F.col("__s2").cast("double")
+            - F.col("__s1").cast("double") * F.col("__s1").cast("double") / nb
+        )
+        / (nb - 1.0),
+    )
+    std = F.when(var > 0, F.sqrt(var))
+    z_raw = (F.col("cnt").cast("double") - mean) / std
+    z = F.when(
+        (F.col("n_baseline") >= int(min_baseline)) & std.isNotNull(),
+        round_det(z_raw, 4),
+    )
+    return scored.select(
+        type_col,
+        "day",
+        "cnt",
+        "n_baseline",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(threshold)), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

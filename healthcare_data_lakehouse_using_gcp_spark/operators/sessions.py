@@ -164,3 +164,60 @@ def cohort_retention(
         .groupBy("cohort_date", "period")
         .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
     )
+
+
+def repeat_event_within(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    within_days: int = 30,
+) -> DataFrame:
+    """Repeat-event rate within a horizon — the readmission-rate shape
+    (reference dashboards stop at plain encounter counts,
+    `dags/healthcare_analytics_dag.py` daily rollups; this is the
+    30-day-readmission analogue every clinical quality program asks
+    for next). For each (entity, event type), an event is a *repeat
+    source* when the SAME entity has another event of the SAME type
+    within ``within_days``. Output is one row per event type with the
+    event count, repeat-source count, and their ratio.
+
+    Semantics: LEAD over (entity, type) ordered by (ts, tiebreak) —
+    only the IMMEDIATE next event is tested, which is equivalent to
+    "any later event within the horizon" because events are sorted:
+    if any qualifies, the nearest does. Interval arithmetic is literal
+    on TIMESTAMP_NTZ (no timezone/DST involvement), matching DuckDB's
+    ``ts + INTERVAL n DAY`` exactly; the rate divides two exact
+    BIGINTs, so the result is bit-identical cross-engine before the
+    deterministic 4-dp rounding.
+
+    Scale design (100 TB): one shuffle keyed on (entity, type) for the
+    window sort — per-row state is a single LEAD value — then a
+    map-side-combined rollup to |event types| rows. Entity skew is
+    bounded by per-entity history length, not table size; AQE handles
+    moderate skew, `joins.salted_join` semantics apply if one entity
+    is pathological.
+    """
+    from ..functions.scalars import round_det
+
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    horizon = F.col(ts_col) + F.expr(f"INTERVAL {int(within_days)} DAYS")
+    flagged = events.withColumn(
+        "__is_repeat", (nxt.isNotNull() & (nxt <= horizon)).cast("int")
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    rep = F.sum("__is_repeat").cast("bigint")
+    return (
+        flagged.groupBy(type_col)
+        .agg(n.alias("n_events"), rep.alias("n_repeats"))
+        .select(
+            type_col,
+            "n_events",
+            "n_repeats",
+            round_det(
+                F.col("n_repeats").cast("double") / F.col("n_events"), 4
+            ).alias("repeat_rate"),
+        )
+    )

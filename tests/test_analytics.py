@@ -928,3 +928,68 @@ def test_cox_ph_binary_thousand_groups_no_plan_blowup(spark):
     fitted = [r for r in out if r["beta"] is not None]
     assert len(fitted) == n_groups
     assert all(_math.isfinite(r["beta"]) and r["se"] > 0 for r in fitted)
+
+
+def test_rolling_zscore_anomaly_manual_baseline(spark):
+    import datetime as dt
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        rolling_zscore_anomaly,
+    )
+
+    # one event per (day, copies): flat 10/day for 7 days, then a 30 spike
+    T = dt.datetime
+    rows = []
+    eid = 0
+    counts = [10, 10, 11, 9, 10, 10, 10, 30]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 7, "x", T(2024, 1, 1 + d, 12, 0, 0)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["day"].isoformat(): r
+        for r in rolling_zscore_anomaly(
+            ev, lookback=7, min_baseline=3, threshold=2.5
+        ).collect()
+    }
+    # cold start: first row 0 baseline, rows 2-3 below min_baseline=3
+    assert out["2024-01-01"]["z"] is None and not out["2024-01-01"]["is_anomaly"]
+    assert out["2024-01-03"]["z"] is None
+    # spike day: baseline = the 7 prior counts, manual two-pass z
+    base = counts[:7]
+    m = sum(base) / 7.0
+    sd = math.sqrt(sum((x - m) ** 2 for x in base) / 6.0)
+    want = math.floor((30 - m) / sd * 10000 + 0.5) / 10000
+    spike = out["2024-01-08"]
+    assert spike["n_baseline"] == 7
+    assert abs(spike["z"] - want) < 1e-9
+    assert spike["is_anomaly"]
+    # a flat mid-series day scores small and unflagged
+    assert abs(out["2024-01-07"]["z"]) < 1.5
+    assert not out["2024-01-07"]["is_anomaly"]
+
+
+def test_rolling_zscore_anomaly_zero_variance_baseline_is_null(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        rolling_zscore_anomaly,
+    )
+
+    T = dt.datetime
+    rows = []
+    eid = 0
+    for d in range(5):  # constant 3/day → zero baseline variance
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, 1, "y", T(2024, 2, 1 + d)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = rolling_zscore_anomaly(ev, lookback=7, min_baseline=3).collect()
+    assert all(r["z"] is None for r in out)
+    assert not any(r["is_anomaly"] for r in out)

@@ -149,3 +149,40 @@ def test_session_window_exact_gap_boundary_merges(spark):
     rows = out.collect()
     assert [r["n_events"] for r in rows] == [2, 1]
     assert rows[0]["duration_s"] == 1800 + 1800  # 30 min span + closing gap
+
+
+def test_repeat_event_within_flags_only_horizon_hits(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        repeat_event_within,
+    )
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1, type a: d0 → d10 (repeat), d10 → d50 (40d gap, no),
+            # d50 last (no next)
+            (1, 1, "a", T(2024, 1, 1)),
+            (1, 2, "a", T(2024, 1, 11)),
+            (1, 3, "a", T(2024, 2, 20)),
+            # user 1, type b: single event — never a repeat source
+            (1, 4, "b", T(2024, 1, 5)),
+            # user 2, type a: exactly 30 days later — boundary INCLUDES
+            (2, 5, "a", T(2024, 3, 1)),
+            (2, 6, "a", T(2024, 3, 31)),
+            # user 3, type a: same-type event of ANOTHER user inside the
+            # horizon must NOT flag user 3
+            (3, 7, "a", T(2024, 3, 2)),
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r["event_type"]: r
+        for r in repeat_event_within(ev, within_days=30).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_events"], a["n_repeats"]) == (6, 2)  # d0→d10 and the =30d pair
+    assert (b["n_events"], b["n_repeats"]) == (1, 0)
+    assert a["repeat_rate"] == 0.3333  # floor(2/6*1e4+0.5)/1e4
+    assert b["repeat_rate"] == 0.0
