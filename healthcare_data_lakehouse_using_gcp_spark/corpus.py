@@ -755,6 +755,10 @@ _TAIL = (
     #                             oracle bit-exact      [new r9, no driver row]
     "events_repeat_within",
     "a27_anomaly_zscore",
+    #   a28_cusum_shift         — SPC drift twin of a27: two stacked
+    #                             cumulative windows, integer-exact
+    #                             accumulator        [new r9, no driver row]
+    "a28_cusum_shift",
 )
 
 
@@ -7973,6 +7977,58 @@ def a27_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a28_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), base AS (
+      SELECT event_type, COUNT(*) AS nb, SUM(cnt) AS sb
+      FROM ranked WHERE rn <= 7 GROUP BY event_type
+    ), post AS (
+      SELECT r.event_type, r.day, r.cnt, b.nb,
+             100 * b.nb * r.cnt - 100 * b.sb - b.nb * 50 AS d
+      FROM ranked r JOIN base b USING (event_type)
+      WHERE r.rn > 7
+    ), s AS (
+      SELECT event_type, day, cnt, nb,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS S
+      FROM post
+    ), m AS (
+      SELECT event_type, day, cnt, nb, S,
+             MIN(S) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS min_s
+      FROM s
+    )
+    SELECT event_type, day, cnt,
+           FLOOR((S - LEAST(min_s, 0))::DOUBLE / (100.0 * nb) * 10000 + 0.5)
+             / 10000 AS cusum,
+           (S - LEAST(min_s, 0)) >= nb * 500 AS alarm
+    FROM m
+    """,
+)
+def a28_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 (beyond-reference): one-sided CUSUM mean-shift alarms over
+    the daily per-type rollup (operators/analytics.cusum_shift) — the
+    sustained-drift detector a27's per-day z-test cannot trip on. The
+    iterative max(0, s+d) recursion runs declaratively as prefix-sum
+    minus running-min on one sort; deviations pre-scaled by
+    100·n_baseline keep the accumulator and the alarm comparison
+    exact BIGINT in both engines (baseline = first 7 observed days,
+    slack 0.5 counts, threshold 5 counts)."""
+    from .operators.analytics import cusum_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_shift(
+        ev, baseline_days=7, slack_centi=50, threshold_centi=500
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8099,6 +8155,7 @@ OPERATOR_MAP = {
     "Survival": ["survival_km", "survival_logrank", "survival_cox_hr"],  # beyond-reference
     "Readmission": ["events_repeat_within"],  # beyond-reference: repeat-within-horizon rate
     "A27": ["a27_anomaly_zscore"],  # beyond-reference: rolling z-score spike flags
+    "A28": ["a28_cusum_shift"],  # beyond-reference: CUSUM sustained-drift alarms
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

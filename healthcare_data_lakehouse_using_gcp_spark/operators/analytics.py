@@ -1567,3 +1567,82 @@ def rolling_zscore_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def cusum_shift(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    slack_centi: int = 50,
+    threshold_centi: int = 500,
+) -> DataFrame:
+    """One-sided upward CUSUM mean-shift detector over the daily
+    activity rollup — the SPC (statistical process control) companion
+    to ``rolling_zscore_anomaly``: the z-score flags single-day
+    spikes, CUSUM accumulates SMALL sustained drifts a per-day test
+    never trips on. Baseline = each type's first ``baseline_days``
+    observed days (mean μ); each later day adds (cnt − μ − slack) to a
+    reset-at-zero accumulator; alarm when it crosses the threshold.
+    ``slack_centi``/``threshold_centi`` are hundredths of a count
+    (50 → 0.5-count slack, 500 → 5-count threshold).
+
+    The textbook recursion s_i = max(0, s_{i−1} + d_i) looks
+    iterative, but equals S_i − min(0, min_{j≤i} S_j) for the plain
+    prefix sum S — so it runs as two stacked cumulative windows on
+    one sort, fully declarative. Deviations are pre-scaled by
+    100·n_baseline, making every accumulator value and the alarm
+    comparison exact BIGINT arithmetic in both engines; only the
+    final descaling divides in doubles.
+
+    Scale design (100 TB): the daily rollup shrinks raw events before
+    any window; both cumulative windows share one (type, day) sort on
+    the |types|×|days| frame with O(1) running state. Scaled
+    magnitudes stay under 2^63 for daily counts ≤1e9 over 1e4 days.
+    """
+    from ..functions.scalars import round_det
+
+    daily = events.groupBy(
+        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wseq = Window.partitionBy(type_col).orderBy("day")
+    ranked = daily.withColumn("__rn", F.row_number().over(wseq))
+    base = (
+        ranked.filter(F.col("__rn") <= int(baseline_days))
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nb"),
+            F.sum("cnt").cast("bigint").alias("__sb"),
+        )
+    )
+    post = (
+        ranked.filter(F.col("__rn") > int(baseline_days))
+        .join(F.broadcast(base), type_col)
+        .withColumn(
+            "__d",
+            F.lit(100) * F.col("__nb") * F.col("cnt")
+            - F.lit(100) * F.col("__sb")
+            - F.col("__nb") * F.lit(int(slack_centi)),
+        )
+    )
+    wcum = (
+        Window.partitionBy(type_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_s = post.withColumn("__S", F.sum("__d").over(wcum))
+    with_min = with_s.withColumn("__minS", F.min("__S").over(wcum))
+    cusum_scaled = F.col("__S") - F.least(F.col("__minS"), F.lit(0))
+    return with_min.select(
+        type_col,
+        "day",
+        "cnt",
+        round_det(
+            cusum_scaled.cast("double")
+            / (F.lit(100.0) * F.col("__nb")),
+            4,
+        ).alias("cusum"),
+        (
+            cusum_scaled >= F.col("__nb") * F.lit(int(threshold_centi))
+        ).alias("alarm"),
+    )

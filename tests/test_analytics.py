@@ -993,3 +993,43 @@ def test_rolling_zscore_anomaly_zero_variance_baseline_is_null(spark):
     out = rolling_zscore_anomaly(ev, lookback=7, min_baseline=3).collect()
     assert all(r["z"] is None for r in out)
     assert not any(r["is_anomaly"] for r in out)
+
+
+def test_cusum_shift_accumulates_drift_and_resets(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cusum_shift,
+    )
+
+    # 7-day flat baseline of 10/day (mean exactly 10), then a +2 drift:
+    # each post day adds 12 - 10 - 0.5 = 1.5; alarm (>=5) on post day 4
+    T = dt.datetime
+    rows, eid = [], 0
+    for d, c in enumerate([10] * 7 + [12] * 5):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "x", T(2024, 1, 1 + d)))
+    # a second type that dips BELOW the mean: accumulator must floor at 0
+    for d, c in enumerate([10] * 7 + [5, 10]):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "y", T(2024, 1, 1 + d)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = cusum_shift(ev).collect()
+    x = sorted(
+        (r for r in out if r["event_type"] == "x"), key=lambda r: r["day"]
+    )
+    assert [r["cusum"] for r in x] == [1.5, 3.0, 4.5, 6.0, 7.5]
+    assert [r["alarm"] for r in x] == [False, False, False, True, True]
+    y = sorted(
+        (r for r in out if r["event_type"] == "y"), key=lambda r: r["day"]
+    )
+    # dip day: d = 5 - 10 - 0.5 = -5.5 → clamps to 0; recovery day:
+    # d = -0.5, still clamped (running min tracks the dip)
+    assert [r["cusum"] for r in y] == [0.0, 0.0]
+    assert not any(r["alarm"] for r in y)
+    # baseline days emit no rows
+    assert len(x) == 5 and len(y) == 2
