@@ -759,6 +759,10 @@ _TAIL = (
     #                             cumulative windows, integer-exact
     #                             accumulator        [new r9, no driver row]
     "a28_cusum_shift",
+    #   doc_quantile_normalize  — per-source rank calibration: keyed
+    #                             window + exact-int ratio
+    #                                                [new r9, no driver row]
+    "doc_quantile_normalize",
 )
 
 
@@ -8029,6 +8033,38 @@ def a28_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quantile_normalize",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           FLOOR(rn::DOUBLE / (n + 1)::DOUBLE * 10000 + 0.5) / 10000 AS q
+    FROM r
+    """,
+)
+def doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM curation (beyond-reference): per-source quantile
+    normalization of a document metric
+    (operators/analytics.quantile_normalize) — the calibration that
+    makes scores comparable ACROSS sources before corpus mixing (raw
+    thresholds skew the mix toward leniently-scored sources). Rank
+    tie-breaks on doc_id; q = rank/(n+1) is a ratio of exact
+    integers, bit-identical cross-engine before the 4-dp rounding."""
+    from .operators.analytics import quantile_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_normalize(
+        d, group_col="source", value_col="n_chars", tiebreak_col="doc_id"
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8156,6 +8192,7 @@ OPERATOR_MAP = {
     "Readmission": ["events_repeat_within"],  # beyond-reference: repeat-within-horizon rate
     "A27": ["a27_anomaly_zscore"],  # beyond-reference: rolling z-score spike flags
     "A28": ["a28_cusum_shift"],  # beyond-reference: CUSUM sustained-drift alarms
+    "LLM-score-calibration": ["doc_quantile_normalize"],  # beyond-reference
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -1646,3 +1646,44 @@ def cusum_shift(
             cusum_scaled >= F.col("__nb") * F.lit(int(threshold_centi))
         ).alias("alarm"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    tiebreak_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: map each value to its
+    within-group quantile q = rank / (n + 1) ∈ (0, 1) — the
+    calibration step that makes quality scores COMPARABLE ACROSS
+    SOURCES before mixing or thresholding a training corpus (a 0.7
+    from a strict scorer and a 0.9 from a lenient one can land on the
+    same quantile; raw-score thresholds silently skew the mix toward
+    lenient sources). Rank ties break on ``tiebreak_col``, making the
+    map total and cross-engine deterministic; the quantile is a ratio
+    of exact integers.
+
+    Scale design (100 TB): ONE shuffle keyed on the group — the rank
+    window and the n count share the same partitioning (keyed
+    windows, not the banned unpartitioned shape). Each group sorts
+    within its own partition, so a single source holding a dominant
+    share of the corpus bounds the reducer: for that regime use
+    ``grouped_percentiles(approx=True)`` cutpoints + comparison
+    bucketing (constant memory, no sort), or lift
+    ``export.assign_contiguous_ids``' two-phase numbering per group.
+    """
+    from ..functions.scalars import round_det
+
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    return df.select(
+        tiebreak_col,
+        group_col,
+        value_col,
+        round_det(
+            rn.cast("double") / (n + F.lit(1)).cast("double"), digits
+        ).alias("q"),
+    )

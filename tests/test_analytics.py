@@ -1033,3 +1033,32 @@ def test_cusum_shift_accumulates_drift_and_resets(spark):
     assert not any(r["alarm"] for r in y)
     # baseline days emit no rows
     assert len(x) == 5 and len(y) == 2
+
+
+def test_quantile_normalize_calibrates_across_groups(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    # two "sources" with wildly different raw scales; identical group
+    # sizes → identical quantile grids regardless of raw values
+    rows = [(i, "strict", i * 1) for i in range(1, 5)] + [
+        (i + 10, "lenient", 1000 + i * 7) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(df).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r["q"])
+    assert sorted(by_group["strict"]) == sorted(by_group["lenient"]) == [
+        0.2, 0.4, 0.6, 0.8
+    ]
+    # ties break on doc_id: equal values get distinct, ordered quantiles
+    tied = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", 5), (3, "s", 5)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["q"] for r in quantile_normalize(tied).collect()
+    }
+    assert got == {1: 0.25, 2: 0.5, 3: 0.75}
