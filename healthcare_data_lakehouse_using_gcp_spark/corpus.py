@@ -763,6 +763,10 @@ _TAIL = (
     #                             window + exact-int ratio
     #                                                [new r9, no driver row]
     "doc_quantile_normalize",
+    #   ts_seasonal_adjust      — dow seasonal index: two hash-aggs +
+    #                             broadcast joins, integer-ratio exact
+    #                                                [new r9, no driver row]
+    "ts_seasonal_adjust",
 )
 
 
@@ -8065,6 +8069,49 @@ def doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_seasonal_adjust",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM daily
+    ), by_dow AS (
+      SELECT event_type, dow, COUNT(*) AS n_dow, SUM(cnt) AS s_dow
+      FROM d GROUP BY 1, 2
+    ), overall AS (
+      SELECT event_type, COUNT(*) AS n_all, SUM(cnt) AS s_all
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.cnt, d.dow,
+           CASE WHEN s_all > 0 AND s_dow > 0 THEN
+             FLOOR(s_dow::DOUBLE * n_all::DOUBLE
+                   / (n_dow::DOUBLE * s_all::DOUBLE) * 10000 + 0.5) / 10000
+           END AS seasonal_index,
+           CASE WHEN s_all > 0 AND s_dow > 0 THEN
+             FLOOR(d.cnt::DOUBLE * n_dow::DOUBLE * s_all::DOUBLE
+                   / (s_dow::DOUBLE * n_all::DOUBLE) * 10000 + 0.5) / 10000
+           END AS deseasonalized
+    FROM d
+    JOIN by_dow USING (event_type, dow)
+    JOIN overall USING (event_type)
+    """,
+)
+def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series decomposition (beyond-reference): multiplicative
+    day-of-week seasonal adjustment of the daily activity rollup
+    (operators/analytics.seasonal_adjust) — a weekend "drop" that is
+    just the weekly pattern must not read as a drop. Seasonal index
+    and deseasonalized counts are ratios of integer sums, so the
+    doubles are bit-identical cross-engine before the 4-dp rounding;
+    no windows, two hash-aggs + broadcast joins."""
+    from .operators.analytics import seasonal_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_adjust(ev)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8193,6 +8240,7 @@ OPERATOR_MAP = {
     "A27": ["a27_anomaly_zscore"],  # beyond-reference: rolling z-score spike flags
     "A28": ["a28_cusum_shift"],  # beyond-reference: CUSUM sustained-drift alarms
     "LLM-score-calibration": ["doc_quantile_normalize"],  # beyond-reference
+    "Seasonality": ["ts_seasonal_adjust"],  # beyond-reference: dow decomposition
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

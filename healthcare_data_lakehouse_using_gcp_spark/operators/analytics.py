@@ -1687,3 +1687,69 @@ def quantile_normalize(
             rn.cast("double") / (n + F.lit(1)).cast("double"), digits
         ).alias("q"),
     )
+
+
+def seasonal_adjust(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 4,
+) -> DataFrame:
+    """Multiplicative day-of-week seasonal adjustment of the daily
+    activity rollup — the decomposition step before trend/anomaly
+    reading on weekly-patterned operational data (a Sunday "drop"
+    that is just the weekend is not a drop). Per (type, weekday):
+    seasonal index = weekday mean ÷ overall mean; per day:
+    deseasonalized count = cnt ÷ index.
+
+    Both outputs are ratios of INTEGER sums — index =
+    (s_dow·n_all)/(n_dow·s_all), deseasonalized =
+    (cnt·n_dow·s_all)/(s_dow·n_all) — so the doubles are
+    bit-identical cross-engine before the deterministic rounding; no
+    float accumulations anywhere. Weekday numbering follows Spark's
+    ``dayofweek`` (1 = Sunday).
+
+    Scale design (100 TB): the daily rollup shrinks raw events first
+    (map-side combine); then two hash-aggs over the |types|×|days|
+    frame and two BROADCAST joins of |types|×7- and |types|-sized
+    index tables back onto it. No windows, no sort, nothing
+    data-proportional on one reducer. Degenerate frames (a type with
+    zero total count) keep NULL index/deseasonalized via the s_all>0
+    guard rather than a division error.
+    """
+    from ..functions.scalars import round_det
+
+    daily = events.groupBy(
+        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = daily.withColumn("dow", F.dayofweek("day").cast("bigint"))
+    by_dow = daily.groupBy(type_col, "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_dow"),
+        F.sum("cnt").cast("bigint").alias("__s_dow"),
+    )
+    overall = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_all"),
+        F.sum("cnt").cast("bigint").alias("__s_all"),
+    )
+    joined = daily.join(F.broadcast(by_dow), [type_col, "dow"]).join(
+        F.broadcast(overall), type_col
+    )
+    num = F.col("__s_dow").cast("double") * F.col("__n_all").cast("double")
+    den = F.col("__n_dow").cast("double") * F.col("__s_all").cast("double")
+    ok = (F.col("__s_all") > 0) & (F.col("__s_dow") > 0)
+    index = F.when(ok, num / den)
+    deseason = F.when(
+        ok,
+        F.col("cnt").cast("double")
+        * F.col("__n_dow").cast("double")
+        * F.col("__s_all").cast("double")
+        / (F.col("__s_dow").cast("double") * F.col("__n_all").cast("double")),
+    )
+    return joined.select(
+        type_col,
+        "day",
+        "cnt",
+        "dow",
+        round_det(index, digits).alias("seasonal_index"),
+        round_det(deseason, digits).alias("deseasonalized"),
+    )

@@ -1062,3 +1062,38 @@ def test_quantile_normalize_calibrates_across_groups(spark):
         r["doc_id"]: r["q"] for r in quantile_normalize(tied).collect()
     }
     assert got == {1: 0.25, 2: 0.5, 3: 0.75}
+
+
+def test_seasonal_adjust_flattens_weekly_pattern(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        seasonal_adjust,
+    )
+
+    # 4 full weeks: Sundays always 5 events, all other days 10 —
+    # perfect multiplicative seasonality, so deseasonalized counts
+    # are the overall mean everywhere
+    T = dt.datetime
+    rows, eid = [], 0
+    start = dt.date(2024, 1, 7)  # a Sunday
+    for d in range(28):
+        day = start + dt.timedelta(days=d)
+        c = 5 if day.weekday() == 6 else 10  # python weekday: Sunday=6
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "x", T(day.year, day.month, day.day)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = seasonal_adjust(ev).collect()
+    assert len(out) == 28
+    overall_mean = (5 * 4 + 10 * 24) / 28.0  # = 9.2857...
+    for r in out:
+        assert abs(r["deseasonalized"] - round(overall_mean, 4)) < 2e-4
+        if r["dow"] == 1:  # Spark convention: 1 = Sunday
+            assert r["cnt"] == 5
+            assert abs(r["seasonal_index"] - round(5 / overall_mean, 4)) < 2e-4
+        else:
+            assert r["cnt"] == 10
+            assert abs(r["seasonal_index"] - round(10 / overall_mean, 4)) < 2e-4
