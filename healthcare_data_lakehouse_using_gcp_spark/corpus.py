@@ -8085,14 +8085,12 @@ def doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY 1
     )
     SELECT d.event_type, d.day, d.cnt, d.dow,
-           CASE WHEN s_all > 0 AND s_dow > 0 THEN
-             FLOOR(s_dow::DOUBLE * n_all::DOUBLE
-                   / (n_dow::DOUBLE * s_all::DOUBLE) * 10000 + 0.5) / 10000
-           END AS seasonal_index,
-           CASE WHEN s_all > 0 AND s_dow > 0 THEN
-             FLOOR(d.cnt::DOUBLE * n_dow::DOUBLE * s_all::DOUBLE
-                   / (s_dow::DOUBLE * n_all::DOUBLE) * 10000 + 0.5) / 10000
-           END AS deseasonalized
+           FLOOR(s_dow::DOUBLE * n_all::DOUBLE
+                 / (n_dow::DOUBLE * s_all::DOUBLE) * 10000 + 0.5) / 10000
+             AS seasonal_index,
+           FLOOR(d.cnt::DOUBLE * n_dow::DOUBLE * s_all::DOUBLE
+                 / (s_dow::DOUBLE * n_all::DOUBLE) * 10000 + 0.5) / 10000
+             AS deseasonalized
     FROM d
     JOIN by_dow USING (event_type, dow)
     JOIN overall USING (event_type)

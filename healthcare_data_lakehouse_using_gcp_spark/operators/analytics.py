@@ -1487,6 +1487,18 @@ def cox_ph_binary(
     )
 
 
+def _daily_type_counts(
+    events: DataFrame, type_col: str, ts_col: str
+) -> DataFrame:
+    """Shared (type, day, cnt) rollup for the monitoring operators
+    below — map-side combine shrinks raw events to |types|×|days|
+    rows before any window or join touches them. cnt is BIGINT and
+    ≥ 1 by construction (a group with no rows does not exist)."""
+    return events.groupBy(
+        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
 def rolling_zscore_anomaly(
     events: DataFrame,
     type_col: str = "event_type",
@@ -1507,9 +1519,8 @@ def rolling_zscore_anomaly(
     double-expression shape (s2 - s1²/n)/(n-1) on both sides, so the
     z-scores are bit-identical cross-engine before the deterministic
     4-dp rounding. ROWS frame over observed days: silent calendar
-    gaps are treated as adjacent; compose with
-    ``etl.gapfill_daily``-style densification first when a strict
-    calendar baseline is required.
+    gaps are treated as adjacent; compose with ``fill_daily_gaps``
+    (this module) first when a strict calendar baseline is required.
 
     Scale design (100 TB): the daily rollup shrinks raw events to
     |types|×|days| rows with map-side combine BEFORE any window runs;
@@ -1519,9 +1530,7 @@ def rolling_zscore_anomaly(
     """
     from ..functions.scalars import round_det
 
-    daily = events.groupBy(
-        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_type_counts(events, type_col, ts_col)
     w = (
         Window.partitionBy(type_col)
         .orderBy("day")
@@ -1602,9 +1611,7 @@ def cusum_shift(
     """
     from ..functions.scalars import round_det
 
-    daily = events.groupBy(
-        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_type_counts(events, type_col, ts_col)
     wseq = Window.partitionBy(type_col).orderBy("day")
     ranked = daily.withColumn("__rn", F.row_number().over(wseq))
     base = (
@@ -1713,15 +1720,15 @@ def seasonal_adjust(
     (map-side combine); then two hash-aggs over the |types|×|days|
     frame and two BROADCAST joins of |types|×7- and |types|-sized
     index tables back onto it. No windows, no sort, nothing
-    data-proportional on one reducer. Degenerate frames (a type with
-    zero total count) keep NULL index/deseasonalized via the s_all>0
-    guard rather than a division error.
+    data-proportional on one reducer. The divisors are provably
+    positive for a COUNT rollup (every (type, dow) group that joins
+    holds ≥ 1 day of ≥ 1 event); adapting this to a value-sum metric
+    that can total zero requires re-adding a s>0 guard on both the
+    operator and any SQL oracle.
     """
     from ..functions.scalars import round_det
 
-    daily = events.groupBy(
-        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_type_counts(events, type_col, ts_col)
     daily = daily.withColumn("dow", F.dayofweek("day").cast("bigint"))
     by_dow = daily.groupBy(type_col, "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n_dow"),
@@ -1736,14 +1743,12 @@ def seasonal_adjust(
     )
     num = F.col("__s_dow").cast("double") * F.col("__n_all").cast("double")
     den = F.col("__n_dow").cast("double") * F.col("__s_all").cast("double")
-    ok = (F.col("__s_all") > 0) & (F.col("__s_dow") > 0)
-    index = F.when(ok, num / den)
-    deseason = F.when(
-        ok,
+    index = num / den
+    deseason = (
         F.col("cnt").cast("double")
         * F.col("__n_dow").cast("double")
         * F.col("__s_all").cast("double")
-        / (F.col("__s_dow").cast("double") * F.col("__n_all").cast("double")),
+        / (F.col("__s_dow").cast("double") * F.col("__n_all").cast("double"))
     )
     return joined.select(
         type_col,
