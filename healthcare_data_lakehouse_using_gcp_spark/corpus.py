@@ -767,6 +767,11 @@ _TAIL = (
     #                             broadcast joins, integer-ratio exact
     #                                                [new r9, no driver row]
     "ts_seasonal_adjust",
+    #   attribution_last_touch  — linear union+window as-of vs the
+    #                             oracle's band-join form: hash match
+    #                             proves plan equivalence
+    #                                                [new r9, no driver row]
+    "attribution_last_touch",
 )
 
 
@@ -8110,6 +8115,57 @@ def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_adjust(ev)
 
 
+@query(
+    "attribution_last_touch",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ), ranked AS (
+      SELECT c.event_id, t.channel,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_id ORDER BY t.ts DESC
+             ) AS rn
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.ts
+       AND t.ts >= c.ts - INTERVAL 7 DAY
+    ), labeled AS (
+      SELECT c.event_id,
+             COALESCE(b.channel, 'direct') AS channel
+      FROM conv c
+      LEFT JOIN (SELECT event_id, channel FROM ranked WHERE rn = 1) b
+        USING (event_id)
+    ), agg AS (
+      SELECT channel, COUNT(*) AS n_conversions FROM labeled GROUP BY channel
+    ), tot AS (
+      SELECT SUM(n_conversions) AS n FROM agg
+    )
+    SELECT channel, CAST(n_conversions AS BIGINT) AS n_conversions,
+           FLOOR(n_conversions::DOUBLE / CAST(tot.n AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS share
+    FROM agg, tot
+    """,
+)
+def attribution_last_touch_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing/clinical-pathway analytics (beyond-reference):
+    last-touch attribution of purchase conversions to the most recent
+    view/click within 7 days (operators/sessions.attribution_last_touch).
+    The Spark plan is the LINEAR union+window as-of
+    (joins.asof_join_backward — one sort, no candidate blow-up); the
+    ORACLE deliberately takes the quadratic horizon band-join form,
+    so the hash match proves the two plans equivalent. Touches
+    pre-deduped per (user, ts) by max event_id so timestamp ties
+    credit deterministically."""
+    from .operators.sessions import attribution_last_touch
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_last_touch(ev, horizon_days=7)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8239,6 +8295,7 @@ OPERATOR_MAP = {
     "A28": ["a28_cusum_shift"],  # beyond-reference: CUSUM sustained-drift alarms
     "LLM-score-calibration": ["doc_quantile_normalize"],  # beyond-reference
     "Seasonality": ["ts_seasonal_adjust"],  # beyond-reference: dow decomposition
+    "Attribution": ["attribution_last_touch"],  # beyond-reference: last-touch credit
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

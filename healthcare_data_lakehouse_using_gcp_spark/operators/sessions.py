@@ -221,3 +221,74 @@ def repeat_event_within(
             ).alias("repeat_rate"),
         )
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon_days: int = 7,
+    unattributed_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the user's most recent touch event (view/click/...)
+    at or before it, provided that touch falls within
+    ``horizon_days``; conversions with no in-horizon touch are
+    labeled ``unattributed_label``. Output is one row per channel
+    with the conversion count and its share of all conversions.
+
+    Touches are pre-deduplicated per (user, ts) keeping the
+    max-``id_col`` row, so the as-of ordering is total and the
+    credited channel is deterministic under timestamp ties. Latest
+    touch OVERALL then horizon-filtered ≡ latest touch within the
+    horizon (any other touch is older still). The share divides two
+    exact BIGINTs.
+
+    Scale design (100 TB): the as-of runs as
+    ``joins.asof_join_backward``'s union + single keyed window pass —
+    one shuffle and one sort regardless of touch density, where a
+    horizon band join would explode candidates for heavy users (the
+    oracle deliberately takes that band-join form to prove
+    equivalence of the two plans). The rollup output is
+    |channels|+1 rows; the total joins back via broadcast.
+    """
+    from ..functions.scalars import round_det
+    from .joins import asof_join_backward
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        id_col, user_col, ts_col
+    )
+    touch = (
+        events.filter(F.col(type_col).isin(list(touch_types)))
+        .groupBy(user_col, ts_col)
+        .agg(F.max_by(type_col, id_col).alias("channel"))
+    )
+    j = asof_join_backward(
+        conv, touch, [user_col], ts_col, ts_col, ["channel"]
+    )
+    in_horizon = F.col("asof_ts").isNotNull() & (
+        F.col("asof_ts")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    )
+    labeled = j.select(
+        F.when(in_horizon, F.col("asof_channel"))
+        .otherwise(F.lit(unattributed_label))
+        .alias("channel")
+    )
+    agg = labeled.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )
+    tot = agg.agg(F.sum("n_conversions").cast("bigint").alias("__total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_conversions",
+        round_det(
+            F.col("n_conversions").cast("double")
+            / F.col("__total").cast("double"),
+            4,
+        ).alias("share"),
+    )

@@ -186,3 +186,42 @@ def test_repeat_event_within_flags_only_horizon_hits(spark):
     assert (b["n_events"], b["n_repeats"]) == (1, 0)
     assert a["repeat_rate"] == 0.3333  # floor(2/6*1e4+0.5)/1e4
     assert b["repeat_rate"] == 0.0
+
+
+def test_attribution_last_touch_horizon_ties_and_direct(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        attribution_last_touch,
+    )
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: click d1, view d3, purchase d5 → last touch = view
+            (1, 1, "click", T(2024, 1, 1)),
+            (2, 1, "view", T(2024, 1, 3)),
+            (3, 1, "purchase", T(2024, 1, 5)),
+            # user 2: view d1, purchase d20 → touch outside 7d → direct
+            (4, 2, "view", T(2024, 1, 1)),
+            (5, 2, "purchase", T(2024, 1, 20)),
+            # user 3: no touches at all → direct
+            (6, 3, "purchase", T(2024, 1, 10)),
+            # user 4: tie — click AND view at the same instant; max
+            # event_id (the view, id 8) must win deterministically
+            (7, 4, "click", T(2024, 2, 1, 12, 0, 0)),
+            (8, 4, "view", T(2024, 2, 1, 12, 0, 0)),
+            (9, 4, "purchase", T(2024, 2, 2)),
+            # user 5: touch at the exact conversion instant → attributed
+            (10, 5, "click", T(2024, 3, 1, 9, 0, 0)),
+            (11, 5, "purchase", T(2024, 3, 1, 9, 0, 0)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r["channel"]: r for r in attribution_last_touch(ev).collect()}
+    assert out["view"]["n_conversions"] == 2  # users 1 and 4
+    assert out["click"]["n_conversions"] == 1  # user 5 same-instant
+    assert out["direct"]["n_conversions"] == 2  # users 2 and 3
+    assert out["view"]["share"] == 0.4
+    assert out["direct"]["share"] == 0.4
+    assert out["click"]["share"] == 0.2
