@@ -772,6 +772,10 @@ _TAIL = (
     #                             proves plan equivalence
     #                                                [new r9, no driver row]
     "attribution_last_touch",
+    #   a29_dispersion          — Fano/CV² burstiness triage: one
+    #                             hash-agg of integer sums
+    #                                                [new r9, no driver row]
+    "a29_dispersion",
 )
 
 
@@ -8166,6 +8170,46 @@ def attribution_last_touch_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_last_touch(ev, horizon_days=7)
 
 
+@query(
+    "a29_dispersion",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+      FROM daily GROUP BY event_type
+    ), stat AS (
+      SELECT event_type, n_days,
+             s1::DOUBLE / n_days AS mean,
+             CASE WHEN n_days >= 2 THEN
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_days)
+                 / (n_days - 1.0)
+             END AS var
+      FROM agg
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           FLOOR(mean * 10000 + 0.5) / 10000 AS mean_daily,
+           FLOOR(var * 10000 + 0.5) / 10000 AS var_daily,
+           FLOOR(var / mean * 10000 + 0.5) / 10000 AS fano,
+           FLOOR(var / (mean * mean) * 10000 + 0.5) / 10000 AS cv2
+    FROM stat
+    """,
+)
+def a29_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 (beyond-reference): over-dispersion triage per event type
+    (operators/analytics.dispersion_report) — Fano factor (var/mean,
+    1 = Poisson, ≫1 = bursty) and CV² of daily counts decide whether
+    per-day anomaly alarms are even meaningful for a source. One
+    hash-agg of integer sums; statistics bit-identical cross-engine
+    before the 4-dp rounding."""
+    from .operators.analytics import dispersion_report
+
+    ev = _t(spark, sf_dir, "events")
+    return dispersion_report(ev)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8296,6 +8340,7 @@ OPERATOR_MAP = {
     "LLM-score-calibration": ["doc_quantile_normalize"],  # beyond-reference
     "Seasonality": ["ts_seasonal_adjust"],  # beyond-reference: dow decomposition
     "Attribution": ["attribution_last_touch"],  # beyond-reference: last-touch credit
+    "A29": ["a29_dispersion"],  # beyond-reference: Fano/CV² burstiness triage
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -1758,3 +1758,58 @@ def seasonal_adjust(
         round_det(index, digits).alias("seasonal_index"),
         round_det(deseason, digits).alias("deseasonalized"),
     )
+
+
+def dispersion_report(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 4,
+) -> DataFrame:
+    """Over-dispersion report of daily activity per type: Fano factor
+    (variance ÷ mean — 1 for a Poisson process, ≫1 for bursty
+    arrivals) and squared coefficient of variation (var ÷ mean²,
+    scale-free). The distribution-level companion to the per-day
+    detectors: ``rolling_zscore_anomaly`` asks "is TODAY off?",
+    ``cusum_shift`` "did the level drift?", this asks "is this stream
+    bursty AT ALL?" — the triage that decides whether per-day alarms
+    are even meaningful for a source.
+
+    mean and variance derive from one pass of integer sums
+    (n, Σx, Σx²) with the same expression shape both engines, so the
+    statistics are bit-identical cross-engine before rounding. Types
+    with fewer than 2 observed days report NULL (no variance).
+
+    Scale design (100 TB): daily rollup (map-side combine) then ONE
+    hash-agg to |types| rows. Nothing else.
+    """
+    from ..functions.scalars import round_det
+
+    daily = _daily_type_counts(events, type_col, ts_col)
+    agg = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("__s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("__s1").cast("double") / n
+    var = F.when(
+        F.col("n_days") >= 2,
+        (
+            F.col("__s2").cast("double")
+            - F.col("__s1").cast("double") * F.col("__s1").cast("double") / n
+        )
+        / (n - 1.0),
+    )
+    # mean > 0 is guaranteed for a COUNT rollup (cnt >= 1 ⇒ s1 >= n);
+    # a NULL var (n_days < 2) propagates to NULL fano/cv2 on its own
+    fano = var / mean
+    cv2 = var / (mean * mean)
+    return agg.select(
+        type_col,
+        "n_days",
+        round_det(mean, digits).alias("mean_daily"),
+        round_det(var, digits).alias("var_daily"),
+        round_det(fano, digits).alias("fano"),
+        round_det(cv2, digits).alias("cv2"),
+    )

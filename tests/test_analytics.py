@@ -1097,3 +1097,34 @@ def test_seasonal_adjust_flattens_weekly_pattern(spark):
         else:
             assert r["cnt"] == 10
             assert abs(r["seasonal_index"] - round(10 / overall_mean, 4)) < 2e-4
+
+
+def test_dispersion_report_fano_and_cv2(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        dispersion_report,
+    )
+
+    T = dt.datetime
+    rows, eid = [], 0
+    for d, c in enumerate([10, 10, 10, 10]):  # constant → fano 0
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "x", T(2024, 1, 1 + d)))
+    for d, c in enumerate([5, 15, 5, 15]):  # mean 10, var 100/3
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "y", T(2024, 1, 1 + d)))
+    eid += 1
+    rows.append((eid, 1, "z", T(2024, 1, 1)))  # single day → NULLs
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["event_type"]: r for r in dispersion_report(ev).collect()}
+    assert out["x"]["fano"] == 0.0 and out["x"]["cv2"] == 0.0
+    assert out["y"]["mean_daily"] == 10.0
+    assert out["y"]["var_daily"] == 33.3333  # 100/3 rounded
+    assert out["y"]["fano"] == 3.3333
+    assert out["y"]["cv2"] == 0.3333
+    assert out["z"]["var_daily"] is None and out["z"]["fano"] is None
