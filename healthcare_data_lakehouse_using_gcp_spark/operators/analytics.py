@@ -1613,7 +1613,11 @@ def cusum_shift(
 
     daily = _daily_type_counts(events, type_col, ts_col)
     wseq = Window.partitionBy(type_col).orderBy("day")
-    ranked = daily.withColumn("__rn", F.row_number().over(wseq))
+    # baseline agg and post-baseline filter both branch off the
+    # ranked rollup — checkpoint it so raw events scan only once
+    ranked = daily.withColumn(
+        "__rn", F.row_number().over(wseq)
+    ).localCheckpoint(eager=True)
     base = (
         ranked.filter(F.col("__rn") <= int(baseline_days))
         .groupBy(type_col)
@@ -1728,8 +1732,14 @@ def seasonal_adjust(
     """
     from ..functions.scalars import round_det
 
-    daily = _daily_type_counts(events, type_col, ts_col)
-    daily = daily.withColumn("dow", F.dayofweek("day").cast("bigint"))
+    # materialize the tiny rollup ONCE: three branches (by_dow,
+    # overall, the final join) hang off it, and without the
+    # checkpoint each would rescan the raw events (3× a 100 TB scan)
+    daily = (
+        _daily_type_counts(events, type_col, ts_col)
+        .withColumn("dow", F.dayofweek("day").cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
     by_dow = daily.groupBy(type_col, "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n_dow"),
         F.sum("cnt").cast("bigint").alias("__s_dow"),

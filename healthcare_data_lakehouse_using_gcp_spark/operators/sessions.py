@@ -279,8 +279,12 @@ def attribution_last_touch(
         .otherwise(F.lit(unattributed_label))
         .alias("channel")
     )
-    agg = labeled.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    # checkpoint the |channels|-row rollup: the total branches off it,
+    # and without this the whole as-of pipeline would execute twice
+    agg = (
+        labeled.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .localCheckpoint(eager=True)
     )
     tot = agg.agg(F.sum("n_conversions").cast("bigint").alias("__total"))
     return agg.crossJoin(F.broadcast(tot)).select(
