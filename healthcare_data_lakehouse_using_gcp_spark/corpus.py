@@ -776,6 +776,10 @@ _TAIL = (
     #                             hash-agg of integer sums
     #                                                [new r9, no driver row]
     "a29_dispersion",
+    #   a30_gini_utilization    — rank-weighted Gini, tie-order
+    #                             invariant, exact BIGINT terms
+    #                                                [new r9, no driver row]
+    "a30_gini_utilization",
 )
 
 
@@ -8210,6 +8214,47 @@ def a29_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispersion_report(ev)
 
 
+@query(
+    "a30_gini_utilization",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, cnt,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt, user_id
+             ) AS BIGINT) AS i
+      FROM per_user
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_users, SUM(cnt) AS total_events,
+             SUM(i * cnt) AS s1
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(total_events AS BIGINT) AS total_events,
+           FLOOR(
+             (2 * s1 - (n_users + 1) * total_events)::DOUBLE
+             / (n_users * total_events)::DOUBLE * 10000 + 0.5
+           ) / 10000 AS gini
+    FROM agg
+    """,
+)
+def a30_gini_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 (beyond-reference): Gini coefficient of per-user
+    utilization within each event type
+    (operators/analytics.gini_utilization) — "do 1% of patients drive
+    50% of encounters?" — inequality across USERS, complementing
+    mix_concentration's HHI across sources. Rank-weighted closed form
+    over exact BIGINT sums; tie-order invariant, so the user-id
+    tiebreak cannot change the statistic."""
+    from .operators.analytics import gini_utilization
+
+    ev = _t(spark, sf_dir, "events")
+    return gini_utilization(ev)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8341,6 +8386,7 @@ OPERATOR_MAP = {
     "Seasonality": ["ts_seasonal_adjust"],  # beyond-reference: dow decomposition
     "Attribution": ["attribution_last_touch"],  # beyond-reference: last-touch credit
     "A29": ["a29_dispersion"],  # beyond-reference: Fano/CV² burstiness triage
+    "A30": ["a30_gini_utilization"],  # beyond-reference: utilization inequality
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

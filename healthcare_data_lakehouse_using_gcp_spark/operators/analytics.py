@@ -1823,3 +1823,59 @@ def dispersion_report(
         round_det(fano, digits).alias("fano"),
         round_det(cv2, digits).alias("cv2"),
     )
+
+
+def gini_utilization(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Gini coefficient of per-entity utilization within each event
+    type — the standard inequality statistic ("do 1% of patients
+    drive 50% of encounters?"), complementing ``mix_concentration``'s
+    HHI which measures concentration across SOURCES, not across
+    users. 0 = perfectly even, →1 = one entity dominates.
+
+    Uses the rank-weighted closed form G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    (n·Σx) over ascending per-user counts. The rank tie-breaks on the
+    user id, but G is tie-order INVARIANT (equal x values contribute
+    the same Σ i·x whichever order the tied ranks land), so the
+    statistic is deterministic and every term is exact BIGINT
+    arithmetic — identical doubles cross-engine before rounding.
+
+    Scale design (100 TB): per-(type, user) hash rollup first (raw
+    events collapse map-side), then one rank window keyed on the type
+    and one final |types|-row agg reusing the same partitioning. A
+    single type holding ~10⁹ users bounds the rank sort on one
+    reducer — lift ``export.assign_contiguous_ids``' two-phase
+    numbering per type for that regime. Σ i·x can overflow BIGINT
+    only past ~10⁹ users × large means; Spark's ANSI mode fails loud
+    there (switch the products to decimal(38,0) if you genuinely need
+    it).
+    """
+    from ..functions.scalars import round_det
+
+    per_user = events.groupBy(type_col, user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(type_col).orderBy("cnt", user_col)
+    ranked = per_user.withColumn("__i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.sum(F.col("__i") * F.col("cnt")).cast("bigint").alias("__s1"),
+    )
+    gini = (
+        (
+            F.lit(2) * F.col("__s1")
+            - (F.col("n_users") + F.lit(1)) * F.col("total_events")
+        ).cast("double")
+        / (F.col("n_users") * F.col("total_events")).cast("double")
+    )
+    return agg.select(
+        type_col,
+        "n_users",
+        "total_events",
+        round_det(gini, digits).alias("gini"),
+    )

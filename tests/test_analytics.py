@@ -1128,3 +1128,36 @@ def test_dispersion_report_fano_and_cv2(spark):
     assert out["y"]["fano"] == 3.3333
     assert out["y"]["cv2"] == 0.3333
     assert out["z"]["var_daily"] is None and out["z"]["fano"] is None
+
+
+def test_gini_utilization_closed_form(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        gini_utilization,
+    )
+
+    T = dt.datetime
+    rows, eid = [], 0
+    # type x: per-user counts 1, 1, 2, 4 → G = (2·25 − 5·8)/(4·8) = 0.3125
+    for u, c in [(1, 1), (2, 1), (3, 2), (4, 4)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, u, "x", T(2024, 1, 1)))
+    # type y: perfectly even 3/3/3 → G = 0
+    for u in (1, 2, 3):
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, u, "y", T(2024, 1, 2)))
+    # type z: a single user → G = 0 by the closed form
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, 9, "z", T(2024, 1, 3)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["event_type"]: r for r in gini_utilization(ev).collect()}
+    assert out["x"]["gini"] == 0.3125
+    assert (out["x"]["n_users"], out["x"]["total_events"]) == (4, 8)
+    assert out["y"]["gini"] == 0.0
+    assert out["z"]["gini"] == 0.0
