@@ -259,11 +259,22 @@ def attribution_last_touch(
     from ..functions.scalars import round_det
     from .joins import asof_join_backward
 
+    # conv keeps only (user, ts): the union/shuffle/sort must stay as
+    # narrow as possible, and per-conversion identity is irrelevant to
+    # the channel rollup (duplicate (user, ts) conversions each flow
+    # through and each earn a credit). Touches drop NULL users: the
+    # window would otherwise pool all NULL-user rows into one
+    # pseudo-entity and cross-credit them, where equi-join semantics
+    # (the oracle, and any sane attribution) say a NULL-user
+    # conversion is unattributable → labeled direct.
     conv = events.filter(F.col(type_col) == conversion_type).select(
-        id_col, user_col, ts_col
+        user_col, ts_col
     )
     touch = (
-        events.filter(F.col(type_col).isin(list(touch_types)))
+        events.filter(
+            F.col(type_col).isin(list(touch_types))
+            & F.col(user_col).isNotNull()
+        )
         .groupBy(user_col, ts_col)
         .agg(F.max_by(type_col, id_col).alias("channel"))
     )

@@ -225,3 +225,26 @@ def test_attribution_last_touch_horizon_ties_and_direct(spark):
     assert out["view"]["share"] == 0.4
     assert out["direct"]["share"] == 0.4
     assert out["click"]["share"] == 0.2
+
+
+def test_attribution_last_touch_null_users_go_direct(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        attribution_last_touch,
+    )
+
+    T = dt.datetime
+    # NULL-user rows must never cross-credit each other: the NULL-user
+    # purchase is unattributable (direct), matching equi-join semantics
+    ev = spark.createDataFrame(
+        [
+            (1, None, "click", T(2024, 1, 1)),
+            (2, None, "purchase", T(2024, 1, 2)),
+            (3, 7, "view", T(2024, 1, 1)),
+            (4, 7, "purchase", T(2024, 1, 2)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r["channel"]: r["n_conversions"] for r in attribution_last_touch(ev).collect()}
+    assert out == {"direct": 1, "view": 1}
