@@ -780,6 +780,10 @@ _TAIL = (
     #                             invariant, exact BIGINT terms
     #                                                [new r9, no driver row]
     "a30_gini_utilization",
+    #   events_interarrival     — per-type gap distribution (MTBF):
+    #                             keyed LEAD + one agg, a10 percentile
+    #                             parity               [new r9, no driver row]
+    "events_interarrival",
 )
 
 
@@ -8255,6 +8259,41 @@ def a30_gini_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_utilization(ev)
 
 
+@query(
+    "events_interarrival",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             date_diff('second', ts, LEAD(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             )) AS gap_s
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           FLOOR(SUM(gap_s)::DOUBLE / COUNT(*)::DOUBLE * 10000 + 0.5)
+             / 10000 AS mean_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           ROUND(quantile_cont(gap_s, 0.99), 4) AS p99_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event cadence (beyond-reference): per-type inter-arrival gap
+    distribution (operators/sessions.interarrival_stats) — MTBF for
+    error streams, visit cadence for encounters; the per-entity
+    rhythm a daily total cannot see. Integer-second gaps, exact-ratio
+    mean, and exact percentile ≡ quantile_cont interpolation on
+    identical sorted integers (the a10 parity)."""
+    from .operators.sessions import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(ev)
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8387,6 +8426,7 @@ OPERATOR_MAP = {
     "Attribution": ["attribution_last_touch"],  # beyond-reference: last-touch credit
     "A29": ["a29_dispersion"],  # beyond-reference: Fano/CV² burstiness triage
     "A30": ["a30_gini_utilization"],  # beyond-reference: utilization inequality
+    "Cadence": ["events_interarrival"],  # beyond-reference: inter-arrival MTBF
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -307,3 +307,60 @@ def attribution_last_touch(
             4,
         ).alias("share"),
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Inter-arrival cadence report per event type: mean and exact
+    p50/p90/p99 of the gap (seconds) between consecutive same-type
+    events of the same entity — MTBF when the type is an error
+    stream, visit cadence when it is encounters. The distribution the
+    daily-count views cannot see: a type can hold a flat daily total
+    while its per-entity rhythm collapses.
+
+    Gaps are integer second counts (clock-field arithmetic on
+    TIMESTAMP_NTZ == DuckDB date_diff('second', …)); the mean is an
+    exact-integer ratio and the exact ``percentile`` aggregate
+    matches quantile_cont interpolation on identical sorted integers
+    (the a10 parity), so everything is deterministic cross-engine.
+
+    Scale design (100 TB): one shuffle keyed on (entity, type) for
+    the LEAD window (O(1) state), then one hash-agg to |types| rows —
+    exact percentiles buffer per-group gap lists, right for a
+    bounded type vocabulary; pass the gap frame to
+    ``analytics.grouped_percentiles(approx=True)`` for
+    high-cardinality grouping instead.
+    """
+    from ..functions.scalars import round_det
+
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        ts_col, tiebreak_col
+    )
+    es = _epoch_seconds(F.col(ts_col))
+    gaps = events.select(
+        type_col, (F.lead(es).over(w) - es).alias("__gap_s")
+    ).filter(F.col("__gap_s").isNotNull())
+    agg = gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__gap_s").cast("bigint").alias("__s"),
+        F.percentile("__gap_s", F.lit(0.5)).alias("__p50"),
+        F.percentile("__gap_s", F.lit(0.9)).alias("__p90"),
+        F.percentile("__gap_s", F.lit(0.99)).alias("__p99"),
+    )
+    return agg.select(
+        type_col,
+        "n_gaps",
+        round_det(
+            F.col("__s").cast("double") / F.col("n_gaps").cast("double"),
+            digits,
+        ).alias("mean_gap_s"),
+        F.round("__p50", digits).alias("p50_gap_s"),
+        F.round("__p90", digits).alias("p90_gap_s"),
+        F.round("__p99", digits).alias("p99_gap_s"),
+    )

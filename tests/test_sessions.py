@@ -248,3 +248,36 @@ def test_attribution_last_touch_null_users_go_direct(spark):
     )
     out = {r["channel"]: r["n_conversions"] for r in attribution_last_touch(ev).collect()}
     assert out == {"direct": 1, "view": 1}
+
+
+def test_interarrival_stats_gaps_and_percentiles(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        interarrival_stats,
+    )
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1, type a: gaps 60 s and 120 s
+            (1, 1, "a", T(2024, 1, 1, 0, 0, 0)),
+            (2, 1, "a", T(2024, 1, 1, 0, 1, 0)),
+            (3, 1, "a", T(2024, 1, 1, 0, 3, 0)),
+            # user 2, type a: gap 300 s — cross-user gaps never mix
+            (4, 2, "a", T(2024, 1, 1, 1, 0, 0)),
+            (5, 2, "a", T(2024, 1, 1, 1, 5, 0)),
+            # type b: single event per user → no gaps at all
+            (6, 1, "b", T(2024, 1, 2)),
+            (7, 2, "b", T(2024, 1, 3)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r["event_type"]: r for r in interarrival_stats(ev).collect()}
+    a = out["a"]
+    assert a["n_gaps"] == 3  # 60, 120, 300
+    assert a["mean_gap_s"] == 160.0
+    assert a["p50_gap_s"] == 120.0
+    # p90 of sorted [60,120,300]: h = 1.8 → 120 + 0.8·180 = 264
+    assert a["p90_gap_s"] == 264.0
+    assert "b" not in out  # gap-less types emit nothing
