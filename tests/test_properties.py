@@ -422,3 +422,145 @@ def test_bloom_pruning_conservative_property(
     present = str(probe_int) in all_vals
     if present:
         assert keep, "present value's file was bloom-pruned"
+
+
+# --- r9 monitoring/inequality operators ------------------------------
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=20), min_size=1, max_size=15
+    )
+)
+def test_gini_bounds_and_equality_cases(spark, counts):
+    """Gini of per-user counts must satisfy 0 ≤ G ≤ 1 − 1/n, equal 0
+    for a constant distribution, and be invariant to the order users
+    arrive in (tie-order invariance is the deterministic-oracle
+    claim)."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        gini_utilization,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, u, "t", T))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    g = gini_utilization(ev).collect()[0]["gini"]
+    n = len(counts)
+    assert -1e-9 <= g <= (1 - 1 / n) + 1e-9
+    if len(set(counts)) == 1:
+        assert g == 0.0
+    # arrival-order invariance: reversed user ids, same multiset
+    rows2 = []
+    eid = 0
+    for u, c in enumerate(reversed(counts)):
+        for _ in range(c):
+            eid += 1
+            rows2.append((eid, u, "t", T))
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    assert gini_utilization(ev2).collect()[0]["gini"] == g
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=30), min_size=2, max_size=12
+    )
+)
+def test_dispersion_nonnegative_and_constant_zero(spark, daily):
+    """Fano and CV² are ≥ 0 whenever defined, and exactly 0 for a
+    constant daily series."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        dispersion_report,
+    )
+
+    rows, eid = [], 0
+    for d, c in enumerate(daily):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "t", dt.datetime(2024, 1, 1 + d)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    r = dispersion_report(ev).collect()[0]
+    assert r["fano"] >= 0 and r["cv2"] >= 0 and r["var_daily"] >= 0
+    if len(set(daily)) == 1:
+        assert r["fano"] == 0.0 and r["cv2"] == 0.0
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=86400 * 3),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_interarrival_percentiles_ordered_and_bounded(spark, gaps):
+    """p50 ≤ p90 ≤ p99, all within [min gap, max gap], and the mean
+    equals the exact integer ratio."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        interarrival_stats,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(0, 1, "t", t)]
+    for i, g in enumerate(gaps):
+        t = t + dt.timedelta(seconds=g)
+        rows.append((i + 1, 1, "t", t))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    r = interarrival_stats(ev).collect()[0]
+    assert r["n_gaps"] == len(gaps)
+    assert min(gaps) - 1e-9 <= r["p50_gap_s"] <= r["p90_gap_s"] <= r[
+        "p99_gap_s"
+    ] <= max(gaps) + 1e-9
+    want_mean = (
+        __import__("math").floor(sum(gaps) / len(gaps) * 10000 + 0.5) / 10000
+    )
+    assert r["mean_gap_s"] == want_mean
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=25), min_size=8, max_size=16
+    )
+)
+def test_cusum_nonnegative_and_alarm_threshold(spark, daily):
+    """The CUSUM accumulator never goes negative (the reset floor) and
+    an alarm fires exactly when the descaled statistic crosses the
+    5-count threshold."""
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cusum_shift,
+    )
+
+    rows, eid = [], 0
+    for d, c in enumerate(daily):
+        for _ in range(max(c, 1)):  # ≥1 event so every day exists
+            eid += 1
+            rows.append((eid, 1, "t", dt.datetime(2024, 1, 1 + d)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = cusum_shift(ev).collect()
+    for r in out:
+        assert r["cusum"] >= 0.0
+        assert r["alarm"] == (r["cusum"] >= 5.0)
