@@ -8285,9 +8285,10 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event cadence (beyond-reference): per-type inter-arrival gap
     distribution (operators/sessions.interarrival_stats) — MTBF for
     error streams, visit cadence for encounters; the per-entity
-    rhythm a daily total cannot see. Integer-second gaps, exact-ratio
-    mean, and exact percentile ≡ quantile_cont interpolation on
-    identical sorted integers (the a10 parity)."""
+    rhythm a daily total cannot see. Integer-second gaps and the
+    exact-ratio mean are bit-exact; the non-dyadic p90/p99
+    interpolations differ by ulps across engines and rest on the
+    far-digit ROUND(…, 4) (the a10 aggregate parity rule)."""
     from .operators.sessions import interarrival_stats
 
     ev = _t(spark, sf_dir, "events")

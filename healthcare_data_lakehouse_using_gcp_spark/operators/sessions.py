@@ -325,10 +325,13 @@ def interarrival_stats(
     while its per-entity rhythm collapses.
 
     Gaps are integer second counts (clock-field arithmetic on
-    TIMESTAMP_NTZ == DuckDB date_diff('second', …)); the mean is an
-    exact-integer ratio and the exact ``percentile`` aggregate
-    matches quantile_cont interpolation on identical sorted integers
-    (the a10 parity), so everything is deterministic cross-engine.
+    TIMESTAMP_NTZ == DuckDB date_diff('second', …)) and the mean is
+    an exact-integer ratio — bit-exact cross-engine. The percentiles
+    are NOT bit-exact for non-dyadic quantiles: Spark interpolates
+    (1−f)·a + f·b where DuckDB computes a + f·(b−a), which diverge by
+    ulps for f ∉ {.25, .5, .75}; p90/p99 therefore rely on the
+    far-digit ROUND(…, 4) absorbing the ulp (the a10 "aggregate
+    parity rule"), not on bit equality.
 
     Scale design (100 TB): one shuffle keyed on (entity, type) for
     the LEAD window (O(1) state), then one hash-agg to |types| rows —
