@@ -784,6 +784,10 @@ _TAIL = (
     #                             keyed LEAD + one agg, a10 percentile
     #                             parity               [new r9, no driver row]
     "events_interarrival",
+    #   events_churn_flows      — MoM retained/churned/new set flows:
+    #                             inner+anti+anti on one (m, u) key
+    #                                                  [new r9, no driver row]
+    "events_churn_flows",
 )
 
 
@@ -8295,6 +8299,55 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(ev)
 
 
+@query(
+    "events_churn_flows",
+    """
+    WITH mu AS (
+      SELECT DISTINCT date_trunc('week', ts)::DATE AS m, user_id AS u
+      FROM events
+    ), nxt AS (
+      SELECT (m - INTERVAL 7 DAY)::DATE AS m, u FROM mu
+    ), months AS (
+      SELECT DISTINCT m FROM mu
+    ), ws AS (
+      SELECT a.m FROM months a
+      JOIN months b ON b.m = (a.m + INTERVAL 7 DAY)::DATE
+    ), active AS (
+      SELECT m, COUNT(*) AS active_users FROM mu GROUP BY m
+    ), ret AS (
+      SELECT m, COUNT(*) AS retained_next
+      FROM mu JOIN nxt USING (m, u) GROUP BY m
+    ), chn AS (
+      SELECT m, COUNT(*) AS churned_next
+      FROM mu ANTI JOIN nxt USING (m, u) GROUP BY m
+    ), nw AS (
+      SELECT m, COUNT(*) AS new_next
+      FROM nxt ANTI JOIN mu USING (m, u) GROUP BY m
+    )
+    SELECT ws.m, CAST(active_users AS BIGINT) AS active_users,
+           CAST(COALESCE(retained_next, 0) AS BIGINT) AS retained_next,
+           CAST(COALESCE(churned_next, 0) AS BIGINT) AS churned_next,
+           CAST(COALESCE(new_next, 0) AS BIGINT) AS new_next
+    FROM ws JOIN active USING (m)
+    LEFT JOIN ret USING (m)
+    LEFT JOIN chn USING (m)
+    LEFT JOIN nw USING (m)
+    """,
+)
+def events_churn_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-BI (beyond-reference): week-over-week user flows
+    (operators/sessions.churn_flows) — retained / churned / new
+    decomposition between calendar-consecutive observed ISO weeks,
+    the set movements a flat WAU total hides. Exact distinct-user
+    counts; the retained/churned/new triple is an inner, anti, and
+    reversed-anti join all on one (week, user) partitioning. Weekly
+    grain because the fixture events span ~one month."""
+    from .operators.sessions import churn_flows
+
+    ev = _t(spark, sf_dir, "events")
+    return churn_flows(ev, period="week")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8428,6 +8481,7 @@ OPERATOR_MAP = {
     "A29": ["a29_dispersion"],  # beyond-reference: Fano/CV² burstiness triage
     "A30": ["a30_gini_utilization"],  # beyond-reference: utilization inequality
     "Cadence": ["events_interarrival"],  # beyond-reference: inter-arrival MTBF
+    "Churn": ["events_churn_flows"],  # beyond-reference: MoM user set flows
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -367,3 +367,88 @@ def interarrival_stats(
         F.round("__p90", digits).alias("p90_gap_s"),
         F.round("__p99", digits).alias("p99_gap_s"),
     )
+
+
+def churn_flows(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """Period-over-period user flows: for every observed period whose
+    calendar successor is also observed, how many of its active users
+    RETURNED next period (retained), how many did not (churned), and
+    how many next-period users are NEW — the flow decomposition behind
+    every "MAU is flat" mystery (flat totals can hide 30% churn
+    backfilled by acquisition). Complements ``cohort_retention``
+    (anchored triangles) and w8's scalar period deltas with the
+    actual set movements between consecutive periods.
+    ``period`` is "month" or "week" (ISO Monday weeks).
+
+    All outputs are distinct-user counts — exact integers; bucketing
+    is calendar period-start (Spark trunc == DuckDB
+    date_trunc::DATE on NTZ timestamps, both ISO-Monday for weeks),
+    and "consecutive" means calendar-consecutive, so a silent gap
+    period ends a flow rather than bridging it.
+
+    Scale design (100 TB): one dropDuplicates to the (month, user)
+    grain (map-side combine), then retained/churned/new are an
+    inner, anti, and reversed-anti join ALL on the same
+    (month, user) key — the three reuse one hash partitioning — each
+    followed by a |months|-row rollup. No windows, nothing global.
+    """
+    if period not in ("month", "week"):
+        raise ValueError(f"period must be 'month' or 'week', got {period!r}")
+
+    def _shift(c, n):
+        return (
+            F.add_months(c, n) if period == "month" else F.date_add(c, 7 * n)
+        )
+
+    mu = (
+        events.select(
+            F.trunc(F.to_date(F.col(ts_col)), period).alias("m"),
+            F.col(user_col).alias("u"),
+        )
+        .dropDuplicates()
+    )
+    # presence-in-next-period, recorded at the CURRENT period's key
+    nxt = mu.select(_shift(F.col("m"), -1).alias("m"), F.col("u"))
+    months = mu.select("m").distinct()
+    with_successor = months.alias("a").join(
+        months.alias("b"),
+        F.col("b.m") == _shift(F.col("a.m"), 1),
+    ).select(F.col("a.m").alias("m"))
+
+    active = mu.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    retained = (
+        mu.join(nxt, ["m", "u"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained_next"))
+    )
+    churned = (
+        mu.join(nxt, ["m", "u"], "left_anti")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned_next"))
+    )
+    new = (
+        nxt.join(mu, ["m", "u"], "left_anti")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_next"))
+    )
+    out = (
+        with_successor.join(active, "m")
+        .join(retained, "m", "left")
+        .join(churned, "m", "left")
+        .join(new, "m", "left")
+    )
+    z = F.lit(0).cast("bigint")
+    return out.select(
+        "m",
+        "active_users",
+        F.coalesce("retained_next", z).alias("retained_next"),
+        F.coalesce("churned_next", z).alias("churned_next"),
+        F.coalesce("new_next", z).alias("new_next"),
+    )

@@ -281,3 +281,36 @@ def test_interarrival_stats_gaps_and_percentiles(spark):
     # p90 of sorted [60,120,300]: h = 1.8 → 120 + 0.8·180 = 264
     assert a["p90_gap_s"] == 264.0
     assert "b" not in out  # gap-less types emit nothing
+
+
+def test_churn_flows_set_decomposition(spark):
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sessions import (
+        churn_flows,
+    )
+
+    T = dt.datetime
+    # Jan: users 1,2,3 · Feb: users 2,3,4 · Apr: user 5 (Mar missing —
+    # the Feb→Apr gap must NOT be treated as consecutive)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 5)),
+            (2, 2, T(2024, 1, 10)),
+            (3, 3, T(2024, 1, 15)),
+            (4, 2, T(2024, 2, 1)),
+            (5, 3, T(2024, 2, 20)),
+            (6, 4, T(2024, 2, 28)),
+            (7, 5, T(2024, 4, 2)),
+            # duplicate activity inside one month: must not double-count
+            (8, 2, T(2024, 1, 11)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r["m"].isoformat(): r for r in churn_flows(ev).collect()}
+    assert list(out) == ["2024-01-01"]  # Feb has no observed March
+    jan = out["2024-01-01"]
+    assert jan["active_users"] == 3
+    assert jan["retained_next"] == 2  # users 2, 3
+    assert jan["churned_next"] == 1  # user 1
+    assert jan["new_next"] == 1  # user 4
