@@ -1,22 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines — a verbose per-rep-trace line first, then the
-compact headline summary LAST (the line the driver parses; kept small
-so a tail-of-stdout capture never clips it — the r5 artifact lesson):
+Prints THREE JSON lines — verbose per-rep traces first, the detail
+blocks second, and the compact headline summary LAST (the line the
+driver parses; asserted ≤1,500 chars + json-round-trippable so the
+driver's 2,000-char tail-of-stdout capture can never clip it — the
+r5 lesson, re-learned the hard way in r9 when the sf1/sf3/
+normalization maps folded into one line pushed it past the window
+and BENCH_r09 recorded "parsed": null):
   {"metric": "headline_total_wall", "value": N, "unit": "sec",
-   "queries": {...}, "sf": ...}
+   "queries": {...}, "sf": ..., "controls_ratio_vs": [...],
+   "sf1_total": N, "sf3_total": N, "sf3_x3_worst": [...]}
 
-r9 additions (VERDICT r8 items 5+6): the summary carries
-(a) "x_vs_prev_control_normalized" — per-query round-over-round wall
-ratios divided by the CONTROLS' (j1_band_join, dedup_exact) geomean
-ratio against the newest BENCH_r*.json, so machine drift between
-sessions reads as ~1.0 and only real plan changes stand out (this
-folds the r5/r7/r8 noise-adjudication ritual into the artifact); and
-(b) an "sf3" block — a third point on the scaling curve for the
-scale-sensitive subset (benchdata/sf3, ×30 replication; cheap
-min-of-2 reps since the probe reads ratios): "x3_vs_sf1" ≈ 3 is
-linear, ≳6 on a join/dedup heavy is the super-linear red flag.
+The bench_detail line (line 2) carries the full r9 additions
+(VERDICT r8 items 5+6): (a) "x_vs_prev_control_normalized" —
+per-query round-over-round wall ratios divided by the CONTROLS'
+(j1_band_join, dedup_exact) geomean ratio against the newest
+PARSEABLE BENCH_r*.json (ADVICE r9: walk back past parsed:null
+artifacts; emit an explicit "unavailable" marker, never silence), so
+machine drift between sessions reads as ~1.0 and only real plan
+changes stand out; and (b) "sf1"/"sf3" blocks — the scaling curve for
+the scale-sensitive subset (benchdata/sf{1,3}, ×10/×30 replication):
+"x3_vs_sf1" ≈ 3 is linear, ≳6 on a join/dedup heavy is the
+super-linear red flag. The final line echoes compact scalars of both.
 
 Headline set: the operators that dominate 100 TB cost — the wide
 aggregation (A2), the band join + as-of reduction (J1/J3), the
@@ -218,27 +224,32 @@ def _control_normalized(
 
 
 def _prev_bench(repo: str) -> tuple[dict | None, str | None]:
-    """Newest BENCH_r*.json in the repo root (the driver's artifact
-    from the previous round), parsed, plus its filename."""
+    """Newest BENCH_r*.json in the repo root whose summary actually
+    parsed (ADVICE r9: BENCH_r09 has ``parsed: null`` because its tail
+    was clipped — walking r(N-1), r(N-2), ... finds the newest usable
+    baseline instead of silently yielding no normalization)."""
     import glob as _glob
     import re as _re
 
-    best, best_n = None, -1
+    numbered: list[tuple[int, str]] = []
     for path in _glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = _re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), path
-    if best is None:
-        return None, None
-    try:
-        with open(best) as f:
-            doc = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None, None
-    # the driver wraps bench.py's summary line under "parsed"
-    if isinstance(doc.get("parsed"), dict):
-        doc = doc["parsed"]
-    return doc, os.path.basename(best)
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, best in sorted(numbered, reverse=True):
+        try:
+            with open(best) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench.py's summary line under "parsed"
+        if isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        elif "parsed" in doc and not isinstance(doc.get("parsed"), dict):
+            continue  # driver artifact whose tail failed to parse
+        if isinstance(doc.get("queries"), dict):
+            return doc, os.path.basename(best)
+    return None, None
 
 
 def _timed_runs(
@@ -418,13 +429,15 @@ def main() -> None:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         load_1m = -1.0
-    # Truncation-safe emission (VERDICT r5 item 8): the r5 artifact
-    # lost its headline because ONE huge JSON line (all_runs + sf1
-    # all_runs) overflowed the driver's tail-of-stdout capture and cut
-    # the line's HEAD off. Split the output: the verbose per-rep traces
-    # go on an EARLIER line (clipped first if anything is), and the
-    # FINAL line is a compact summary — headline + per-query minimums +
-    # sf1 ratios — small enough to always survive a tail capture whole.
+    # Truncation-safe emission, v2 (VERDICT r9 item 1 / ADVICE r9):
+    # the driver captures a 2,000-char stdout TAIL; r9's summary line
+    # grew past it (sf1 + sf3 + normalization maps folded in) and the
+    # artifact's head was clipped — "parsed": null. Contract from r10
+    # on: THREE JSON lines — verbose per-rep traces first, the full
+    # detail blocks (sf1/sf3 query maps, control-normalized per-query
+    # ratios) second, and a compact FINAL line carrying only the
+    # headline scalars + per-query minimums, asserted ≤1,500 chars and
+    # json.loads-round-trippable before printing.
     raw = {
         "metric": "bench_raw_runs",
         "all_runs": all_runs,
@@ -432,6 +445,39 @@ def main() -> None:
         "sf3_all_runs": sf3_block.pop("all_runs") if sf3_block else None,
     }
     print(json.dumps(raw))
+
+    # Control-normalized round-over-round deltas (VERDICT r8 item 6):
+    # read THESE, not raw walls, before calling anything a regression.
+    detail: dict = {"metric": "bench_detail"}
+    prev, prev_name = _prev_bench(repo)
+    controls_ratio = None
+    if prev:
+        norm = _control_normalized(timings, prev.get("queries"))
+        if norm:
+            norm["vs"] = prev_name
+            controls_ratio = norm["controls_ratio"]
+            detail["x_vs_prev_control_normalized"] = norm
+        else:
+            detail["x_vs_prev_control_normalized"] = (
+                "unavailable: no parseable prior BENCH artifact queries"
+            )
+        if sf1_block is not None and isinstance(prev.get("sf1"), dict):
+            norm1 = _control_normalized(
+                sf1_block["queries"], prev["sf1"].get("queries")
+            )
+            if norm1:
+                norm1["vs"] = prev_name
+                sf1_block["x_vs_prev_control_normalized"] = norm1
+    else:
+        detail["x_vs_prev_control_normalized"] = (
+            "unavailable: no parseable prior BENCH artifact"
+        )
+    if sf1_block is not None:
+        detail["sf1"] = sf1_block
+    if sf3_block is not None:
+        detail["sf3"] = sf3_block
+    print(json.dumps(detail))
+
     out = {
         "metric": "headline_total_wall",
         "value": total,
@@ -443,26 +489,29 @@ def main() -> None:
         "protocol": "min_of_adaptive_reps",
         "load_1m_at_exit": load_1m,
     }
-    # Control-normalized round-over-round deltas (VERDICT r8 item 6):
-    # read THESE, not raw walls, before calling anything a regression.
-    prev, prev_name = _prev_bench(repo)
-    if prev:
-        norm = _control_normalized(timings, prev.get("queries"))
-        if norm:
-            norm["vs"] = prev_name
-            out["x_vs_prev_control_normalized"] = norm
-        if sf1_block is not None and isinstance(prev.get("sf1"), dict):
-            norm1 = _control_normalized(
-                sf1_block["queries"], prev["sf1"].get("queries")
-            )
-            if norm1:
-                norm1["vs"] = prev_name
-                sf1_block["x_vs_prev_control_normalized"] = norm1
+    # Compact scalar echoes of the detail line (the driver's artifact
+    # keeps the round-over-round and scale verdicts even if only the
+    # final line survives the tail capture):
+    if controls_ratio is not None:
+        out["controls_ratio_vs"] = [prev_name, controls_ratio]
     if sf1_block is not None:
-        out["sf1"] = sf1_block
+        out["sf1_total"] = sf1_block["value"]
     if sf3_block is not None:
-        out["sf3"] = sf3_block
-    print(json.dumps(out))
+        out["sf3_total"] = sf3_block["value"]
+        x3 = sf3_block.get("x3_vs_sf1") or {}
+        if x3:
+            worst = max(x3, key=x3.get)
+            out["sf3_x3_worst"] = [worst, x3[worst]]
+    line = json.dumps(out)
+    # Self-check (ADVICE r9): the final line MUST survive a 2,000-char
+    # tail capture whole — assert well under it, and round-trip.
+    assert len(line) <= 1500, (
+        f"final summary line {len(line)} chars > 1500 — would risk the "
+        "driver's 2,000-char tail clip; trim the headline set or move "
+        "fields to the bench_detail line"
+    )
+    assert json.loads(line)["value"] == total
+    print(line)
     spark.stop()
 
 
