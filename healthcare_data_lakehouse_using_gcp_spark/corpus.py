@@ -522,7 +522,107 @@ def query(name: str, sql: str | None):
 # reshape (pivot_daily_events), bigram LM (lm_bigram_perplexity), and
 # the scheduled near-dup twin swap (embedding_near_dup takes r9).
 # Fifteen compensating demotions, each with head-retained coverage:
+# round-10 rotation (VERDICT r9 item 2, tranche 5): sixteen
+# never-seated promotions — the clinical time-to-event pair
+# (survival_km, survival_logrank), the DP/privacy refinements
+# (privacy_dp_sums, privacy_t_closeness), the four remaining A/B +
+# audit stat-battery entries (a23_chi_square, a24_benford_audit,
+# a25_mann_whitney, a26_ks_test), vector compression's quantizer
+# (emb_quantize_int8), aggregate IVM (incremental_rollup), graph
+# k-core (graph_kcore), join-cardinality contract (j9_join_cardinality),
+# Zipf corpus health (text_zipf_fit), the Markov/BI pair
+# (events_transition_matrix, abc_pareto_parts), and the r9-born as-of
+# attribution (attribution_last_touch) — plus the rule-3 scheduled
+# twin alternation (embedding_near_dup_exact takes r10). Seventeen
+# compensating demotions, each with head-retained machinery or a
+# pytest pin:
 _TAIL = (
+    # --- round-10 demotions (tranche-5 compensations) ---
+    #   kll_quantiles           — sketch-family seat retained by
+    #                             sketch_rollup_union (head); KLL
+    #                             rank-envelope guarantee pinned in
+    #                             test_sketches.py             [green r9]
+    #   privacy_dp_counts       — seeded-Laplace machinery strictly
+    #                             extended by privacy_dp_sums (r10
+    #                             seat: same inverse-CDF noise over
+    #                             SUMs); privacy_k_anonymity stays
+    #                             head                         [green r9]
+    #   graph_triangles         — family seat rotates to graph_kcore
+    #                             (iterative peel); degree-oriented
+    #                             wedge cap pinned in test_graph.py
+    #                                                          [green r9]
+    #   retrieval_rrf_fusion    — inverted-index/postings machinery
+    #                             head-retained by tfidf_terms; the
+    #                             BM25+QL+RRF fusion oracle-swept in
+    #                             tail every pytest run        [green r9]
+    #   ann_sq8_topk            — int8 scale/codebook machinery seated
+    #                             via emb_quantize_int8 (r10, the
+    #                             quantizer itself); search twin
+    #                             oracle-swept                 [green r9]
+    #   j10_join_delta          — IVM family seat rotates to
+    #                             incremental_rollup (aggregate IVM);
+    #                             j10 stays in the bench basket
+    #                                                          [green r9]
+    #   lm_bigram_perplexity    — LM backoff machinery pinned in
+    #                             test_llm_ops.py; unigram floor
+    #                             (lm_perplexity) stays benched;
+    #                             text-family head seats remain
+    #                             (heavy_hitters, normalize, ...)
+    #                                                          [green r9]
+    #   a22_welch_ttest         — grouped-moments machinery re-seated
+    #                             FOUR times by a23/a24/a25/a26 (r10)
+    #                                                          [green r9]
+    #   a21_regression          — closed-form OLS = the same grouped
+    #                             moment collection as the r10 stat
+    #                             seats; pinned in test_analytics.py
+    #                                                       [green r8,r9]
+    #   mb_cooccurrence_lift    — basket self-join guard pinned in
+    #                             test_analytics.py; BI seats rotate
+    #                             to abc_pareto_parts +
+    #                             events_transition_matrix     [green r9]
+    #   rfm_segments            — two-phase global-rank tiles = the
+    #                             abc_pareto_parts shape (r10 seat);
+    #                             the de-ntile'd plan is machine-banned
+    #                             from regressing by the plan sweep
+    #                                                          [green r9]
+    #   survival_cox_hr         — family seat rotates to survival_km +
+    #                             survival_logrank; Newton fit
+    #                             oracle-swept in tail every pytest
+    #                             run                          [green r9]
+    #   multimodal_video_plan   — Arrow mapInPandas plumbing pinned by
+    #                             pytest golden ISO-BMFF fixtures;
+    #                             family got its first driver row r9
+    #                                                          [green r9]
+    #   pivot_daily_events      — pivot = conditional-agg shape of
+    #                             a8_daily_rollup (head); pinned in
+    #                             test_analytics.py            [green r9]
+    #   w5_cumulative           — window family heads retained
+    #                             (w3_rank_family, w6_time_weighted_avg)
+    #                                                          [green r9]
+    #   fuzzy_name_match        — blocked-candidate equi-join machinery
+    #                             pinned in test_fuzzy.py; join-family
+    #                             seat goes to j9_join_cardinality
+    #                                                          [green r9]
+    #   embedding_near_dup      — scheduled twin alternation (rule 3):
+    #                             r10 seats embedding_near_dup_exact
+    #                             (identical oracle)           [green r9]
+    "kll_quantiles",
+    "privacy_dp_counts",
+    "graph_triangles",
+    "retrieval_rrf_fusion",
+    "ann_sq8_topk",
+    "j10_join_delta",
+    "lm_bigram_perplexity",
+    "a22_welch_ttest",
+    "a21_regression",
+    "mb_cooccurrence_lift",
+    "rfm_segments",
+    "survival_cox_hr",
+    "multimodal_video_plan",
+    "pivot_daily_events",
+    "w5_cumulative",
+    "fuzzy_name_match",
+    "embedding_near_dup",
     # --- round-9 demotions (tranche-4 compensations) ---
     #   cohort_retention        — time-bucketed conditional counts are
     #                             a8_daily_rollup's shape (head);
@@ -582,15 +682,16 @@ _TAIL = (
     #   embedding_near_dup_exact — scheduled twin swap (identical
     #                             oracle; r9 seats embedding_near_dup)
     #                                                         [green r4,r6,r8]
-    # r10 seating candidates (never-seated first, per the policy):
-    #   survival_km, survival_logrank, privacy_dp_sums,
-    #   privacy_t_closeness, a23_chi_square, a24_benford_audit,
-    #   a25_mann_whitney, a26_ks_test, emb_quantize_int8,
-    #   text_winnow_fingerprint, text_zipf_fit, mix_concentration,
-    #   events_transition_matrix, abc_pareto_parts, incremental_rollup,
-    #   j9_join_cardinality, export_shuffled, graph_kcore, ts_interpolate,
-    #   w10_ewma, sample_per_group_docs, epoch_upsample, melt_lineitem,
-    #   gapfill_daily, j5_semi_anti, set_ops_nations (+ twin swap back)
+    # r10 seating: SEATED 16 of the candidates below + the twin swap
+    # (see the tranche-5 ledger at the top of this tuple). Remaining
+    # never-seated, queued as r11 candidates (oldest-born first):
+    #   text_winnow_fingerprint, mix_concentration, export_shuffled,
+    #   ts_interpolate, w10_ewma, sample_per_group_docs, epoch_upsample,
+    #   melt_lineitem, gapfill_daily, j5_semi_anti, set_ops_nations,
+    #   events_repeat_within, a27_anomaly_zscore, a28_cusum_shift,
+    #   doc_quantile_normalize, ts_seasonal_adjust, a29_dispersion,
+    #   a30_gini_utilization, events_interarrival, events_churn_flows
+    #   (+ twin swap back to embedding_near_dup)
     "cohort_retention",
     "privacy_suppress",
     "a14_equidepth",
@@ -605,7 +706,6 @@ _TAIL = (
     "w7_trailing_p95",
     "t7_hopping_window",
     "lm_perplexity",
-    "embedding_near_dup_exact",
     # --- pre-r9 tail (rationales in the header ledger above) ---
     "p1_required_flags",
     "p5_validate_null",
@@ -691,7 +791,6 @@ _TAIL = (
     "privacy_l_diversity",
     "privacy_generalize",
     "text_bpe_train_apply",
-    "incremental_rollup",
     "quality_classifier_trained",
     # r8 oracle-residue retirement (VERDICT r7 item 7): summary twins
     # folding the remaining rows-only entries' floors into oracle-
@@ -706,46 +805,32 @@ _TAIL = (
     # r8 late-born (tail until an r9 seat frees; oracle-swept every
     # pytest run): seeded-Laplace DP count release — the noise itself
     # is hash-checked cross-engine
-    "privacy_dp_sums",
     "export_shuffled",
-    "j9_join_cardinality",
     "sample_per_group_docs",
     # late-r8 batch 2 (tail-born; oracle-swept every pytest run):
     # graph family completion + time-series smoothing/interpolation
-    "graph_kcore",
     "ts_interpolate",
     "w10_ewma",
     # late-r8 batch 3 (tail-born; oracle-swept every pytest run):
     # hybrid-retrieval fusion of the lexical (BM25) and LM (Dirichlet
     # QL) signals — integer-rank RRF, bit-exact across engines — and
     # the SQ8 vector-compression tier, hash-checked end to end
-    "emb_quantize_int8",
     # z-set join IVM: the maintain-don't-recompute path for join views
     # word-order-aware quality filter: add-k bigram LM perplexity
     # A/B experimentation: grouped Welch two-sample t-test
     # MOSS winnowing: local position-robust copy-detection fingerprints
     "text_winnow_fingerprint",
     # skew-attack privacy refinement: t-closeness TVD audit
-    "privacy_t_closeness",
     # categorical independence test: grouped chi-square
-    "a23_chi_square",
     # fabricated-amounts screen: Benford first-digit audit
-    "a24_benford_audit",
     # nonparametric A/B: grouped Mann-Whitney U
-    "a25_mann_whitney",
     # whole-distribution A/B: grouped two-sample KS
-    "a26_ks_test",
     # corpus health: Zipf vocabulary fit
-    "text_zipf_fit",
     # association rules: market-basket pair lift
     # training-mix dashboard: entropy/HHI/top-share concentration
     "mix_concentration",
     # classic BI battery: Markov transitions, RFM tiles, ABC/Pareto
-    "events_transition_matrix",
-    "abc_pareto_parts",
     # clinical time-to-event: Kaplan-Meier with right censoring
-    "survival_km",
-    "survival_logrank",
     # --- tail-born mid-r9 (second session) — r10 seating candidates ---
     #   events_repeat_within    — 30-day readmission shape: LEAD window
     #                             = t6/cohort machinery + exact-int
@@ -767,11 +852,8 @@ _TAIL = (
     #                             broadcast joins, integer-ratio exact
     #                                                [new r9, no driver row]
     "ts_seasonal_adjust",
-    #   attribution_last_touch  — linear union+window as-of vs the
-    #                             oracle's band-join form: hash match
-    #                             proves plan equivalence
-    #                                                [new r9, no driver row]
-    "attribution_last_touch",
+    #   (attribution_last_touch — promoted to a tranche-5 head seat
+    #                             in r10; ledger above)
     #   a29_dispersion          — Fano/CV² burstiness triage: one
     #                             hash-agg of integer sums
     #                                                [new r9, no driver row]

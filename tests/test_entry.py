@@ -65,8 +65,8 @@ def test_canonical_operators_inside_driver_window():
         # tumbling/hopping machinery is t6's generalization family)
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r9 seats embedding_near_dup (exact twin held r8)
-        "embedding_near_dup", "classifier_quality",
+        # round: r10 seats embedding_near_dup_exact (near_dup held r9)
+        "embedding_near_dup_exact", "classifier_quality",
         "cap_per_source",
         "export_ids", "layout_zorder_scan",
         # round-7 tranche-1 promotions (VERDICT r6 item 1); r8
@@ -79,24 +79,33 @@ def test_canonical_operators_inside_driver_window():
         "t6_session_window", "j8_asof_backward",
         "dq_expectations", "profile_drift_orders",
         # round-7 tranche-2 survivors (a14/a15/t7/w7/a20/drift_psi
-        # demoted r9 with head-retained coverage per the corpus ledger)
-        "w3_rank_family", "a21_regression",
-        "text_heavy_hitters", "fuzzy_name_match",
+        # demoted r9 with head-retained coverage per the corpus ledger;
+        # a21_regression + fuzzy_name_match demoted r10 — grouped-moment
+        # machinery re-seated by a23-a26, join seat to j9)
+        "w3_rank_family",
+        "text_heavy_hitters",
         # round-8 tranche-3 survivors (privacy_suppress, cms_frequency
         # demoted r9: privacy_k_anonymity / sketch_rollup_union +
         # kll_quantiles keep their machinery head-side)
         "privacy_k_anonymity",
         "tfidf_terms", "w6_time_weighted_avg", "a18_grouping_sets",
         "j7_bloom_prefilter", "sample_weighted",
-        # round-9 tranche-4 promotions (VERDICT r8 item 1): first
-        # driver rows for eight zero-driver-green families plus BI /
-        # graph / window / reshape / bigram-LM seats. Demotion
-        # rationales live in corpus._TAIL's round-9 block.
-        "survival_cox_hr", "privacy_dp_counts", "kll_quantiles",
-        "j10_join_delta", "a22_welch_ttest", "ann_sq8_topk",
-        "retrieval_rrf_fusion", "mb_cooccurrence_lift",
-        "multimodal_video_plan", "rfm_segments", "graph_triangles",
-        "w5_cumulative", "pivot_daily_events", "lm_bigram_perplexity",
+        # round-10 tranche-5 promotions (VERDICT r9 item 2): family
+        # canonical seats after the r10 rotation — survival rotates
+        # cox→KM+logrank, DP counts→sums(+t-closeness), sketch seat
+        # back on sketch_rollup_union (KLL demoted, pytest-pinned),
+        # IVM j10→incremental_rollup, stat battery a21/a22→a23-a26,
+        # vector compression ann_sq8→emb_quantize_int8, BI
+        # mb/rfm→abc_pareto+transition_matrix, graph
+        # triangles→kcore, join fuzzy→j9_join_cardinality, plus
+        # first seats for text_zipf_fit and attribution_last_touch.
+        # Demotion rationales live in corpus._TAIL's round-10 block.
+        "survival_km", "survival_logrank", "privacy_dp_sums",
+        "privacy_t_closeness", "a23_chi_square", "a24_benford_audit",
+        "a25_mann_whitney", "a26_ks_test", "emb_quantize_int8",
+        "incremental_rollup", "graph_kcore", "j9_join_cardinality",
+        "text_zipf_fit", "events_transition_matrix",
+        "abc_pareto_parts", "attribution_last_touch",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
