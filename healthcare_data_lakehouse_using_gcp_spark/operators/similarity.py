@@ -74,32 +74,56 @@ def batched_query_topk(
     Scale: driver memory is O(batch_size × LUT) regardless of |queries|;
     the corpus/index frame is re-scanned once per batch — persist it
     before building ``search_fn`` to pay the scan's IO once. Batch
-    sizes are hash-even, not exact: keep batch_size ≤ ½ the inner
-    guard (MAX_DRIVER_QUERIES) and skew is irrelevant."""
+    sizes are hash-even, not exact, and the ½-guard margin is ENFORCED
+    (ADVICE r9): the effective batch target is clamped to
+    MAX_DRIVER_QUERIES // 2, and any hash-skewed bucket that still
+    lands past the guard is re-split on a second-level hash before
+    ``search_fn`` sees it — the packaged fallback can never trip the
+    guard it exists to avoid."""
     if batch_size <= 0:
         raise ValueError(f"batch_size must be > 0, got {batch_size}")
+    # Enforce the docstring's former 'keep batch_size ≤ ½ the guard'
+    # caveat in code (ADVICE r9): hash buckets are uneven, so target
+    # half the guard — a bucket then needs >2× skew to even approach
+    # it, and the re-split below catches that residue too.
+    target = min(batch_size, MAX_DRIVER_QUERIES // 2)
     q = queries.persist()
     try:
         n = q.count()
         if n == 0:
             raise ValueError("empty query frame")
-        nb = -(-n // batch_size)  # ceil
+        nb = -(-n // target)  # ceil
         if nb == 1:
             return search_fn(q).localCheckpoint(eager=True)
         bucket = F.pmod(
             F.xxhash64(F.col(query_id_col).cast("string")), F.lit(nb)
         )
         # one pass finds the non-empty buckets (hash gaps are normal)
-        present = sorted(
-            r["__b"]
+        # AND their sizes, so over-guard skew is detected before any
+        # collect happens inside search_fn
+        counts = sorted(
+            (r["__b"], r["count"])
             for r in q.groupBy(bucket.alias("__b")).count().collect()
         )
-        parts = [
-            search_fn(q.filter(bucket == F.lit(b))).localCheckpoint(
-                eager=True
+        parts = []
+        for b, cnt in counts:
+            qb = q.filter(bucket == F.lit(b))
+            if cnt <= MAX_DRIVER_QUERIES:
+                parts.append(search_fn(qb).localCheckpoint(eager=True))
+                continue
+            # pathological skew: re-split this bucket on an
+            # independent second-level hash (seeded by concat) into
+            # target-sized sub-buckets
+            nsub = -(-cnt // target)
+            sub = F.pmod(
+                F.xxhash64(
+                    F.concat(F.col(query_id_col).cast("string"), F.lit("#2"))
+                ),
+                F.lit(nsub),
             )
-            for b in present
-        ]
+            for sb in range(nsub):
+                qsb = qb.filter(sub == F.lit(sb))
+                parts.append(search_fn(qsb).localCheckpoint(eager=True))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -476,6 +476,48 @@ class SnapshotTable:
         }
         return rel, n_rows, stats, self._collect_file_blooms(rel)
 
+    def _discard_file_group(self, rel_files: list[str]) -> None:
+        """Best-effort unlink of a just-written, never-published data
+        file group (ADVICE r9): when a rewrite's publish aborts with
+        ConcurrentCommitError (or loses a txn replay race), its files
+        are referenced by NO manifest — without this, each aborted
+        rebase attempt leaves a full orphaned commit dir on disk until
+        vacuum's grace window expires. Only ever called for groups
+        whose manifest creation raised BEFORE the atomic link."""
+        for r in rel_files:
+            try:
+                os.unlink(os.path.join(self.root, r))
+            except OSError:
+                pass
+        for d in {os.path.dirname(r) for r in rel_files}:
+            try:
+                os.rmdir(os.path.join(self.root, d))
+            except OSError:
+                pass  # non-empty (checksum dotfiles) or already gone
+
+    def _raise_if_files_moved(self, base_files: set[str], op: str) -> None:
+        """Cheap staleness probe BEFORE an expensive rewrite write
+        (ADVICE r9): if the latest manifest's file set already differs
+        from the set this rewrite read, the publish is guaranteed to
+        abort — raise the rebase signal now, before _write_data burns
+        a full data rewrite that would only be orphaned."""
+        v = self.latest_version()
+        cur = set(self._load(v)["files"]) if v else set()
+        if cur != base_files:
+            raise ConcurrentCommitError(
+                f"{op} pre-write check: latest v{v} added "
+                f"{sorted(cur - base_files)[:3]} / removed "
+                f"{sorted(base_files - cur)[:3]} — rebasing before write"
+            )
+
+    @staticmethod
+    def _rebase_backoff(attempt: int) -> None:
+        """Small jittered sleep between rebase attempts so sustained
+        contenders interleave instead of lock-stepping (ADVICE r9)."""
+        import random
+
+        time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+
     @staticmethod
     def _schema_key(schema: T.StructType) -> list[list[str]]:
         return [[f.name, f.dataType.simpleString()] for f in schema.fields]
@@ -522,6 +564,11 @@ class SnapshotTable:
             if seen is not None:
                 return seen
         schema_key = self._schema_key(df.schema)
+        if expected_files is not None:
+            # ADVICE r9: probe staleness BEFORE the expensive rewrite
+            # write — a concurrent commit already guarantees the
+            # publish below would abort and orphan this file group
+            self._raise_if_files_moved(set(expected_files), operation)
         files, n_rows, new_stats, new_blooms = self._write_data(df)
 
         def mk(n: int) -> dict:
@@ -593,7 +640,13 @@ class SnapshotTable:
         try:
             return self._publish(mk)
         except TxnAlreadyCommitted as dup:
+            self._discard_file_group(files)
             return dup.version
+        except ConcurrentCommitError:
+            # the group was never published — reclaim it now instead
+            # of leaving an orphaned commit dir for vacuum (ADVICE r9)
+            self._discard_file_group(files)
+            raise
 
     def commit_append(
         self, df: DataFrame, txn_id: str | None = None, merge_schema: bool = False
@@ -660,6 +713,7 @@ class SnapshotTable:
                 return self._merge_once(batch, keys, txn_id)
             except ConcurrentCommitError as e:
                 last = e
+                self._rebase_backoff(_attempt)
         raise last
 
     def _merge_once(
@@ -716,6 +770,8 @@ class SnapshotTable:
             seen = self._txn_version(txn_id)
             if seen is not None:
                 return seen
+        # ADVICE r9: cheap staleness probe before the expensive rewrite
+        self._raise_if_files_moved(set(m["files"]), "merge")
         files, n_rows, new_stats, new_blooms = self._write_data(rewritten)
 
         def mk(n: int) -> dict:
@@ -765,7 +821,13 @@ class SnapshotTable:
         try:
             return self._publish(mk)
         except TxnAlreadyCommitted as dup:
+            self._discard_file_group(files)
             return dup.version
+        except ConcurrentCommitError:
+            # the group was never published — reclaim it now instead
+            # of leaving an orphaned commit dir for vacuum (ADVICE r9)
+            self._discard_file_group(files)
+            raise
 
     def delete_where(
         self, predicate: tuple[str, str, object], txn_id: str | None = None
@@ -792,6 +854,7 @@ class SnapshotTable:
                 return self._delete_once(predicate, txn_id)
             except ConcurrentCommitError as e:
                 last = e
+                self._rebase_backoff(_attempt)
         raise last
 
     def _delete_once(
@@ -817,6 +880,7 @@ class SnapshotTable:
             .parquet(*[os.path.join(self.root, f) for f in affected])
             .filter(~F.expr(f"{col} {sql_op} {json.dumps(value)}"))
         )
+        self._raise_if_files_moved(set(m["files"]), "delete")
         files, n_rows, new_stats, new_blooms = self._write_data(survivors)
 
         def mk(n: int) -> dict:
@@ -860,7 +924,13 @@ class SnapshotTable:
         try:
             return self._publish(mk)
         except TxnAlreadyCommitted as dup:
+            self._discard_file_group(files)
             return dup.version
+        except ConcurrentCommitError:
+            # the group was never published — reclaim it now instead
+            # of leaving an orphaned commit dir for vacuum (ADVICE r9)
+            self._discard_file_group(files)
+            raise
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW snapshot whose contents equal ``to_version``
@@ -946,6 +1016,7 @@ class SnapshotTable:
                 )
             except ConcurrentCommitError as e:
                 last = e
+                self._rebase_backoff(_attempt)
         raise last
 
     def _compact_once(

@@ -291,6 +291,7 @@ def consolidate_join_view(spark: SparkSession, view_root: str) -> int:
             return st.commit_overwrite(folded, expected_files=base)
         except ConcurrentCommitError as e:
             last = e
+            st._rebase_backoff(_attempt)
     raise last
 
 

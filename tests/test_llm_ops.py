@@ -1875,3 +1875,68 @@ def test_batched_query_topk_equals_direct_and_beats_guard(spark, monkeypatch):
     with pytest.raises(ValueError, match="batch_size"):
         similarity.batched_query_topk(search, queries, batch_size=0)
     codes.unpersist()
+
+
+def test_batched_query_topk_margin_enforced_and_skew_resplit(
+    spark, monkeypatch
+):
+    """ADVICE r9: the '½-guard' safety margin is enforced in CODE —
+    (a) a caller-supplied batch_size ABOVE the guard is clamped to
+    half the guard instead of letting a hash-uneven bucket trip
+    _collect_queries_guarded mid-run; (b) a pathologically skewed
+    bucket (every query id colliding into one first-level bucket) is
+    re-split on a second-level hash before search_fn sees it. Both
+    paths must produce exactly the direct results."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.train_pq_codebooks(
+        df, m=4, nbits=4, sample_size=40, iters=5
+    )
+    codes = similarity.pq_encode(df, books).persist()
+    search = lambda qb: similarity.pq_topk(codes, books, qb, k=3)  # noqa: E731
+
+    # (a) batch_size far past the guard: the old code would run ONE
+    # batch of 25 > guard and raise from the inner collect guard; the
+    # clamp sizes batches at guard//2 = 5 and succeeds.
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(25)],
+        "query_id long, query_vec array<double>",
+    )
+    direct = sorted(tuple(r) for r in search(queries).collect())
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 10)
+    got = similarity.batched_query_topk(
+        search, queries, query_id_col="query_id", batch_size=1_000_000
+    )
+    assert sorted(tuple(r) for r in got.collect()) == direct
+
+    # (b) forced skew: probe the engine's own xxhash64 to pick 8
+    # DISTINCT ids that all collide into one first-level bucket
+    # (n=8, target=guard//2=2 -> nb=4), so that bucket holds 8 > 4 =
+    # guard and MUST take the second-level re-split path.
+    probe = spark.range(400).selectExpr(
+        "id", "pmod(xxhash64(cast(id as string)), 4) AS b"
+    )
+    collided = [
+        r["id"] for r in probe.filter("b = 1").limit(8).collect()
+    ]
+    assert len(collided) == 8
+    skew_q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in base[j % 40]])
+            for j, i in enumerate(collided)
+        ],
+        "query_id long, query_vec array<double>",
+    )
+    direct_skew = sorted(tuple(r) for r in search(skew_q).collect())
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 4)
+    got_skew = similarity.batched_query_topk(
+        search, skew_q, query_id_col="query_id", batch_size=1_000_000
+    )
+    assert sorted(tuple(r) for r in got_skew.collect()) == direct_skew
+    codes.unpersist()

@@ -899,3 +899,97 @@ def test_concurrent_committers_are_linearizable(spark, table):
         [-1] + [t * 100 + j for t in range(n_threads) for j in range(per_thread)]
     )
     assert ids == expect
+
+
+# ---------------------------------------------------------------------------
+# aborted-rebase hygiene (ADVICE r9): a rewrite attempt whose publish
+# aborts on ConcurrentCommitError must reclaim the data file group it
+# just wrote — never leave orphaned commit dirs for vacuum's grace
+# window — and must probe staleness BEFORE the next attempt's write
+
+
+def _referenced_files(t):
+    out = set()
+    for v in range(1, t.latest_version() + 1):
+        out |= set(t._load(v)["files"])
+    return out
+
+
+def _on_disk_files(t):
+    import glob as g
+    import os as o
+
+    return {
+        o.path.relpath(f, t.root)
+        for f in g.glob(o.path.join(t.root, "data", "*", "*.parquet"))
+    }
+
+
+def test_aborted_merge_rebase_leaves_no_orphan_files(spark, table):
+    """The losing merge attempt's file group is reclaimed when the
+    publish aborts to rebase: after the race, every parquet under
+    data/ is referenced by some manifest version."""
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b")]))
+    victim = SnapshotTable(spark, table.root)
+    _fire_once_before_publish(
+        victim, lambda: table.commit_append(_mk(spark, [(50, "rival")]))
+    )
+    victim.merge_upsert(_mk(spark, [(2, "B2")]), ["id"])
+    assert _on_disk_files(table) == _referenced_files(table)
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "B2", 50: "rival"}
+
+
+def test_aborted_compact_rebase_leaves_no_orphan_files(spark, table):
+    for i in range(3):
+        table.commit_append(_mk(spark, [(i, f"v{i}")]))
+    victim = SnapshotTable(spark, table.root)
+    _fire_once_before_publish(
+        victim, lambda: table.commit_append(_mk(spark, [(99, "rival")]))
+    )
+    victim.compact()
+    assert _on_disk_files(table) == _referenced_files(table)
+
+
+def test_stale_rewrite_probes_before_write(spark, table, monkeypatch):
+    """If the table moved between a rewrite's read and its data write,
+    the pre-write probe raises the rebase signal WITHOUT writing: the
+    expensive _write_data must not run for a doomed attempt."""
+    from healthcare_data_lakehouse_using_gcp_spark.sources import (
+        snapshots as snapmod,
+    )
+
+    table.commit_append(_mk(spark, [(1, "a"), (2, "b")]))
+    victim = SnapshotTable(spark, table.root)
+    writes = {"n": 0}
+    real_write = SnapshotTable._write_data
+
+    def counting_write(self, df):
+        if self is victim:  # the rival append writes through `table`
+            writes["n"] += 1
+        return real_write(self, df)
+
+    fired = {"done": False}
+    real_probe = SnapshotTable._raise_if_files_moved
+
+    def racing_probe(self, base, op):
+        # rival lands BEFORE the first probe (i.e. between the
+        # rewrite's read and its write): probe must raise, write must
+        # not have happened yet
+        if not fired["done"]:
+            fired["done"] = True
+            table.commit_append(_mk(spark, [(50, "rival")]))
+        return real_probe(self, base, op)
+
+    monkeypatch.setattr(SnapshotTable, "_write_data", counting_write)
+    monkeypatch.setattr(SnapshotTable, "_raise_if_files_moved", racing_probe)
+    monkeypatch.setattr(
+        SnapshotTable, "_rebase_backoff", lambda self, a: None
+    )
+    victim.merge_upsert(_mk(spark, [(2, "B2")]), ["id"])
+    # exactly ONE write: the doomed first attempt was stopped by the
+    # probe before writing; only the rebased attempt wrote data
+    assert writes["n"] == 1
+    assert _on_disk_files(table) == _referenced_files(table)
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "B2", 50: "rival"}
