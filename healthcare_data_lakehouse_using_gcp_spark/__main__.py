@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
                 "the same batch with the same token converges instead of "
                 "duplicating (e.g. --txn-id load-2024-06-01)",
             )
+            s.add_argument(
+                "--plain-append", action="store_true",
+                help="write entity zones as plain date-partitioned parquet "
+                "appends (reference-parity layout) instead of the default "
+                "SnapshotTable manifests (atomic commits, time travel, "
+                "manifest file pruning; r10 default per ROADMAP item 3). "
+                "Incompatible with --txn-id",
+            )
         if name == "demo-stream":
             s.add_argument("--seconds", type=int, default=30)
             s.add_argument("--rate", type=int, default=1, help="publisher ticks/second")
@@ -95,7 +103,17 @@ def main(argv: list[str] | None = None) -> int:
     lh = HealthcareLakehouse(spark, args.warehouse, cfg)
 
     if args.cmd == "etl":
-        print(json.dumps({"etl_counts": lh.run_etl(args.raw, txn_id=args.txn_id)}))
+        print(
+            json.dumps(
+                {
+                    "etl_counts": lh.run_etl(
+                        args.raw,
+                        txn_id=args.txn_id,
+                        snapshot=not args.plain_append,
+                    )
+                }
+            )
+        )
     elif args.cmd == "models":
         out = lh.run_models()
         print(json.dumps({name: df.count() for name, df in out.items()}))
@@ -103,7 +121,9 @@ def main(argv: list[str] | None = None) -> int:
         out = lh.run_reports()
         print(json.dumps({k: str(v) for k, v in out.items()}))
     elif args.cmd == "all":
-        out = lh.run_all(args.raw, txn_id=args.txn_id)
+        out = lh.run_all(
+            args.raw, txn_id=args.txn_id, snapshot=not args.plain_append
+        )
         print(json.dumps({k: str(v) for k, v in out.items()}))
     elif args.cmd == "stream":
         from .streaming.pipeline import start_etl_stream

@@ -115,6 +115,7 @@ class HealthcareLakehouse:
         raw_path: str | None = None,
         raw_df: DataFrame | None = None,
         txn_id: str | None = None,
+        snapshot: bool | None = None,
     ) -> dict:
         """Parse/validate/filter/enrich/demux raw JSON messages and
         append each route into the processed zone (date-partitioned).
@@ -137,7 +138,22 @@ class HealthcareLakehouse:
         vanish from reads. Migrate explicitly instead (read the plain
         zone, commit it as the snapshot's initial version, remove the
         plain files).
+
+        ``snapshot`` (r10, ROADMAP item 3) decouples the sink mode
+        from idempotence: True commits the entity zones through
+        SnapshotTable manifests even without a txn token (atomic,
+        time-travel, torn writes invisible; replay protection still
+        needs txn_id), False forces the reference-parity plain
+        date-partitioned append. Default None keeps the historical
+        inference: snapshot iff txn_id was given. The CLI defaults to
+        snapshot mode from r10 (opt out with --plain-append).
         """
+        snap = (txn_id is not None) if snapshot is None else bool(snapshot)
+        if txn_id is not None and not snap:
+            raise ValueError(
+                "txn_id requires the snapshot sink: idempotence tokens "
+                "live in the manifest (pass snapshot=True or drop txn_id)"
+            )
         if raw_df is None:
             raw_df = read_json_batch(self.spark, raw_path)
         # cache=True: the four routes + counts share one parse/enrich
@@ -150,12 +166,15 @@ class HealthcareLakehouse:
                     "event_date", F.to_date(F.col(date_col))
                 )
                 zone = self.zone_path("processed", name)
-                self._reject_zone_mode_mix(zone, snapshot=txn_id is not None)
-                if txn_id is not None:
+                self._reject_zone_mode_mix(zone, snapshot=snap)
+                if snap:
                     from .sources.snapshots import SnapshotTable
 
                     SnapshotTable(self.spark, zone).commit_append(
-                        df, txn_id=f"{txn_id}-{name}"
+                        df,
+                        txn_id=(
+                            f"{txn_id}-{name}" if txn_id is not None else None
+                        ),
                     )
                 else:
                     df.write.mode("append").partitionBy("event_date").parquet(
@@ -272,8 +291,13 @@ class HealthcareLakehouse:
 
     # --- one-shot pipeline (the full DAG run) ------------------------
 
-    def run_all(self, raw_path: str, txn_id: str | None = None) -> dict[str, object]:
-        etl_counts = self.run_etl(raw_path, txn_id=txn_id)
+    def run_all(
+        self,
+        raw_path: str,
+        txn_id: str | None = None,
+        snapshot: bool | None = None,
+    ) -> dict[str, object]:
+        etl_counts = self.run_etl(raw_path, txn_id=txn_id, snapshot=snapshot)
         self.run_models()
         out = self.run_reports()
         out["etl_counts"] = etl_counts

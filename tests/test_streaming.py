@@ -695,3 +695,43 @@ def test_join_view_sink_maintains_materialized_join(spark, tmp_path):
     # consolidation really shrank the stored row set: the folded table
     # no longer carries the (1, a, X) +1/-1 pair
     assert st.read().count() == 2
+
+
+def test_lakehouse_run_etl_snapshot_without_txn(spark, cfg, tmp_path):
+    """r10 (ROADMAP item 3): snapshot sink mode is decoupled from
+    idempotence — run_etl(snapshot=True) with NO txn token commits
+    the entity zones through manifests (the CLI's new default); a
+    re-run appends a second version (no replay protection without a
+    token); txn_id with snapshot=False is a contract error."""
+    from healthcare_data_lakehouse_using_gcp_spark.lakehouse import (
+        HealthcareLakehouse,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    gen = HealthcareDataGenerator(seed=37)
+    raw = spark.createDataFrame(
+        [(m,) for m in gen.generate_messages(120)], "value string"
+    )
+    wh = str(tmp_path / "wh")
+    lake = HealthcareLakehouse(spark, wh, cfg)
+    c1 = lake.run_etl(raw_df=raw, snapshot=True)
+    vit = SnapshotTable(spark, str(tmp_path / "wh" / "processed" / "vitals"))
+    assert vit.latest_version() == 1
+    assert lake.read_processed("vitals").count() == c1["vitals"]
+    # no token => a deliberate re-run is a second append version
+    lake.run_etl(raw_df=raw, snapshot=True)
+    assert vit.latest_version() == 2
+    assert lake.read_processed("vitals").count() == 2 * c1["vitals"]
+    # models build from manifest-resolved zones transparently
+    fact = lake.run_models()["fact_patient_encounters"]
+    assert fact.count() > 0
+    import pytest as _pytest
+
+    # plain append into the snapshot zone still rejected
+    with _pytest.raises(ValueError, match="snapshot-managed"):
+        lake.run_etl(raw_df=raw, snapshot=False)
+    # txn idempotence requires the manifest sink
+    with _pytest.raises(ValueError, match="txn_id requires"):
+        lake.run_etl(raw_df=raw, txn_id="t1", snapshot=False)
