@@ -1,0 +1,212 @@
+"""Model-evaluation battery: exact AUC-ROC, calibration bins,
+precision/recall over a threshold grid — all single-pass Column
+expressions, all group-able.
+
+Beyond-reference LLM-data-pipeline stage: a corpus pipeline that
+TRAINS a quality classifier (operators/mlquality) also has to
+EVALUATE it — is the score actually separating good from junk
+(AUC), are its probabilities honest (calibration / reliability
+diagram), and where should the keep-threshold sit
+(precision/recall/F1 across a grid)? The reference has no ML layer
+at all (its quality gate is a fixed AVG threshold,
+data_transformation_dag.py's quality check); this module is the
+evaluation half of the CCNet/LLaMA-style filtering loop.
+
+Scale design (100 TB):
+
+- ``auc_roc`` never ranks rows. The textbook rank-sum (Mann-Whitney)
+  formulation needs a per-row global sort; instead we aggregate to
+  ONE ROW PER DISTINCT SCORE first (hash agg, map-side partial), then
+  run the pair-counting sum as a cumulative window over that
+  distinct-score frame — O(|distinct scores|) window state, keyed by
+  the group columns. Ties are exact, not approximated: a (pos, neg)
+  pair at the SAME score contributes 1/2 by the trapezoidal
+  definition, which the integer numerator carries as
+  2·pos·neg_below + pos·neg_equal (everything stays BIGINT until the
+  final division — bit-identical across engines, regen-robust).
+- ``calibration_bins`` is one hash aggregation over a computed bin
+  key; ``precision_recall_at`` aggregates per distinct score, then
+  explodes the LITERAL threshold grid over that small frame (never
+  over the raw rows) — |grid| × |distinct scores| intermediate, no
+  cartesian join, no second scan.
+- Nothing collects to the driver; every output is a small
+  per-group/per-bin/per-threshold frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _round6(c):
+    """Half-up 6-dp rounding via FLOOR — the corpus's cross-engine
+    rounding idiom (DuckDB ROUND is banker's-free but float noise on
+    *engine-computed* values differs; inputs here are exact-integer
+    ratios, so both engines see identical doubles)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact (tie-aware) ROC AUC of ``score_col`` ranking the binary
+    ``label_col``, per ``by`` group.
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) over all
+    (positive, negative) pairs. Computed without ranking rows:
+    aggregate (n, n_pos) per distinct score, then one cumulative
+    window ordered by score gives each score's strictly-below
+    negative count; the doubled numerator
+    Σ_s [2·pos(s)·neg_below(s) + pos(s)·neg_eq(s)] and the
+    denominator 2·P·N stay BIGINT — ``auc`` is their ratio (NULL for
+    degenerate all-positive/all-negative groups, via try_divide).
+
+    Output: by + n_pos, n_neg, auc_num2, auc (6-dp). A keyed window
+    when ``by`` is non-empty; with by=[] the window is global but
+    runs over the distinct-score frame (bounded by score
+    cardinality, not rows)."""
+    by = by or []
+    lab = F.col(label_col).cast("bigint")
+    per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(lab).alias("__p"),
+    )
+    w = Window.partitionBy(*by).orderBy("__s")
+    cum = per_score.withColumn(
+        "__neg_lt",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__p")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    out = cum.groupBy(*by).agg(
+        F.sum("__p").alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__p")).alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("__p") * F.col("__neg_lt")
+            + F.col("__p") * (F.col("__n") - F.col("__p"))
+        ).alias("auc_num2"),
+    )
+    return out.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        _round6(
+            F.try_divide(
+                F.col("auc_num2"),
+                F.lit(2) * F.col("n_pos") * F.col("n_neg"),
+            )
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins: fixed-width score bins over
+    [lo, hi), per-bin count, positive fraction and mean score — is
+    a claimed 0.8 really right 80% of the time? One hash
+    aggregation (map-side partial); scores outside [lo, hi] clamp
+    into the edge bins so no row silently drops.
+
+    Output: by + bin (0..n_bins-1), n, n_pos, frac_pos (6-dp),
+    avg_score (6-dp)."""
+    by = by or []
+    s = F.col(score_col).cast("double")
+    bin_raw = F.floor((s - F.lit(lo)) * n_bins / F.lit(hi - lo))
+    bin_ = F.greatest(
+        F.lit(0), F.least(F.lit(n_bins - 1), bin_raw.cast("bigint"))
+    )
+    lab = F.col(label_col).cast("bigint")
+    agg = df.groupBy(*by, bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lab).alias("n_pos"),
+        F.sum(s).alias("__score_sum"),
+    )
+    return agg.select(
+        *by,
+        "bin",
+        "n",
+        "n_pos",
+        _round6(F.col("n_pos") / F.col("n")).alias("frac_pos"),
+        _round6(F.col("__score_sum") / F.col("n")).alias("avg_score"),
+    )
+
+
+def precision_recall_at(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Precision / recall / F1 of the rule ``score >= t`` for every
+    ``t`` in a LITERAL threshold grid — the keep-threshold sweep a
+    corpus filter runs before fixing its cut.
+
+    The grid explodes over the per-distinct-score aggregate, not the
+    raw rows: one hash agg to (score → n, n_pos), |grid| copies of
+    that small frame, one final agg per (by, t). Thresholds with no
+    qualifying rows still appear (tp = fp = 0, precision NULL) so
+    the sweep's domain is the caller's grid, not the data's.
+
+    Output: by + threshold, tp, fp, fn, precision, recall, f1
+    (ratios 6-dp; NULL where undefined)."""
+    if not thresholds:
+        raise ValueError("empty threshold grid")
+    by = by or []
+    lab = F.col(label_col).cast("bigint")
+    per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(lab).alias("__p"),
+    )
+    grid = F.array(*[F.lit(t) for t in thresholds])
+    exploded = per_score.withColumn("threshold", F.explode(grid))
+    counted = exploded.groupBy(*by, "threshold").agg(
+        F.sum(
+            F.when(F.col("__s") >= F.col("threshold"), F.col("__p")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                F.col("__s") >= F.col("threshold"),
+                F.col("__n") - F.col("__p"),
+            ).otherwise(F.lit(0))
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("__s") < F.col("threshold"), F.col("__p")).otherwise(
+                F.lit(0)
+            )
+        ).alias("fn"),
+    )
+    precision = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    recall = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return counted.select(
+        *by,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        _round6(precision).alias("precision"),
+        _round6(recall).alias("recall"),
+        _round6(
+            F.try_divide(
+                F.lit(2) * F.col("tp"),
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+            )
+        ).alias("f1"),
+    )

@@ -1,0 +1,134 @@
+"""operators/mleval: exact AUC-ROC, calibration bins, PR sweep."""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+    auc_roc,
+    calibration_bins,
+    precision_recall_at,
+)
+
+
+def _brute_auc(pairs):
+    """O(P·N) reference: mean over (pos, neg) pairs of
+    1[s+ > s-] + ½·1[s+ = s-]."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    num = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos
+        for sn in neg
+    )
+    return num / (len(pos) * len(neg))
+
+
+def test_auc_perfect_and_tied(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s bigint, y int"
+    )
+    row = auc_roc(df, "s", "y").collect()[0]
+    assert row["auc"] == 1.0
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+
+    tied = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1)], "s bigint, y int"
+    )
+    assert auc_roc(tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_matches_bruteforce_grouped(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", rng.randrange(0, 12), rng.randrange(0, 2))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint, y int")
+    got = {
+        r["g"]: r["auc"] for r in auc_roc(df, "s", "y", by=["g"]).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        want = _brute_auc([(s, y) for gg, s, y in rows if gg == g])
+        assert got[g] == pytest.approx(want, abs=1e-6), g
+
+
+def test_auc_degenerate_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 1, 0), ("b", 2, 1)],
+        "g string, s bigint, y int",
+    )
+    got = {r["g"]: r["auc"] for r in auc_roc(df, "s", "y", by=["g"]).collect()}
+    assert got["a"] is None  # no negatives: AUC undefined, not a crash
+    assert got["b"] == 1.0
+
+
+def test_calibration_bins_hand_case(spark):
+    # 10 rows in [0,1), 2 bins of width .5: low bin 1/4 pos, high 3/6
+    rows = [(0.1, 0), (0.2, 0), (0.3, 1), (0.4, 0)] + [
+        (0.6, 1), (0.7, 0), (0.8, 1), (0.9, 1), (0.95, 0), (0.99, 0)
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["frac_pos"])
+        for r in calibration_bins(df, "s", "y", n_bins=2).collect()
+    }
+    assert got[0] == (4, 1, 0.25)
+    assert got[1] == (6, 3, 0.5)
+
+
+def test_calibration_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-0.5, 0), (0.2, 1), (1.7, 1)], "s double, y int"
+    )
+    got = {r["bin"]: r["n"] for r in calibration_bins(df, "s", "y", n_bins=4).collect()}
+    assert got[0] == 2  # the -0.5 clamps into bin 0
+    assert got[3] == 1  # the 1.7 clamps into the top bin
+    assert sum(got.values()) == 3  # nothing silently dropped
+
+
+def test_precision_recall_grid(spark):
+    # scores 1..6, positives at 4,5,6
+    df = spark.createDataFrame(
+        [(i, 1 if i >= 4 else 0) for i in range(1, 7)], "s bigint, y int"
+    )
+    got = {
+        r["threshold"]: r
+        for r in precision_recall_at(
+            df, "s", "y", thresholds=[2, 4, 7]
+        ).collect()
+    }
+    # t=2: keeps 2..6 -> tp=3 fp=2 fn=0
+    assert (got[2]["tp"], got[2]["fp"], got[2]["fn"]) == (3, 2, 0)
+    assert got[2]["precision"] == 0.6 and got[2]["recall"] == 1.0
+    # t=4: keeps 4..6 -> perfect
+    assert got[4]["precision"] == 1.0 and got[4]["recall"] == 1.0
+    assert got[4]["f1"] == 1.0
+    # t=7 keeps nothing: precision undefined (NULL), recall 0 — and the
+    # grid row still EXISTS
+    assert (got[7]["tp"], got[7]["fp"], got[7]["fn"]) == (0, 0, 3)
+    assert got[7]["precision"] is None and got[7]["recall"] == 0.0
+    with pytest.raises(ValueError, match="empty threshold"):
+        precision_recall_at(df, "s", "y", thresholds=[])
+
+
+def test_auc_plan_has_no_per_row_window(spark):
+    """The window must run over the per-distinct-score aggregate, not
+    the raw rows: an Aggregate sits BELOW the Window in the optimized
+    plan (the 100 TB contract in the module docstring)."""
+    df = spark.createDataFrame(
+        [("g", i % 7, i % 2) for i in range(100)], "g string, s bigint, y int"
+    )
+    plan = (
+        auc_roc(df, "s", "y", by=["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    win_at = plan.find("Window")
+    agg_below = plan.find("Aggregate", win_at)
+    assert win_at >= 0 and agg_below > win_at, plan
