@@ -90,6 +90,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from healthcare_data_lakehouse_using_gcp_spark import corpus
@@ -503,14 +504,31 @@ def main() -> None:
             worst = max(x3, key=x3.get)
             out["sf3_x3_worst"] = [worst, x3[worst]]
     line = json.dumps(out)
-    # Self-check (ADVICE r9): the final line MUST survive a 2,000-char
-    # tail capture whole — assert well under it, and round-trip.
-    assert len(line) <= 1500, (
-        f"final summary line {len(line)} chars > 1500 — would risk the "
-        "driver's 2,000-char tail clip; trim the headline set or move "
-        "fields to the bench_detail line"
-    )
-    assert json.loads(line)["value"] == total
+    # Self-check (ADVICE r9/r10): the final line MUST survive a
+    # 2,000-char tail capture whole. NOT an assert — asserts vanish
+    # under python -O, and crashing here would discard the whole
+    # completed run (the very parsed:null artifact failure this
+    # protects against). On overflow, degrade: drop the per-query map
+    # (it survives on the bench_detail line) and log the violation.
+    if len(line) > 1500:
+        print(json.dumps({
+            "metric": "bench_warning",
+            "warning": f"headline line {len(line)} chars > 1500; "
+                       "emitting trimmed headline (queries map dropped "
+                       "— read it from the bench_detail line)",
+        }), file=sys.stderr)
+        out["queries_dropped_see_bench_detail"] = True
+        del out["queries"]
+        line = json.dumps(out)
+        # last resort: keep only the scalars the driver contract needs
+        if len(line) > 1500:
+            out = {k: out[k] for k in
+                   ("metric", "value", "unit", "sf", "reps", "protocol")}
+            line = json.dumps(out)
+    if json.loads(line)["value"] != total:  # round-trip paranoia
+        print(json.dumps({"metric": "bench_warning",
+                          "warning": "headline round-trip mismatch"}),
+              file=sys.stderr)
     print(line)
     spark.stop()
 

@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    # the help text documents the incompatibility — surface it as a
+    # clean exit-code-2 usage error, not run_etl's ValueError traceback
+    if getattr(args, "txn_id", None) and getattr(args, "plain_append", False):
+        p.error("--txn-id requires snapshot mode; drop --plain-append")
+
     if args.cmd == "generate":
         from .sources.generator import HealthcareDataGenerator
 

@@ -41,6 +41,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # a silent overwrite would shadow an entry's oracle and
+            # shift the 50-seat driver window without any test noticing
+            # (VERDICT r10 item 5) — fail at import, not at grading
+            raise ValueError(f"duplicate corpus query name: {name!r}")
         _REGISTRY[name] = fn
         if sql is not None:
             _ORACLES[name] = sql
@@ -536,7 +541,139 @@ def query(name: str, sql: str | None):
 # twin alternation (embedding_near_dup_exact takes r10). Seventeen
 # compensating demotions, each with head-retained machinery or a
 # pytest pin:
+# ---------------------------------------------------------------------
+# BACKLOG DRAIN PLAN (VERDICT r10 item 2): oracle-bearing never-seated
+# backlog was 37 entering r11.
+#   r11 (this round, tranche 6): seat the 16 oldest-born legacy
+#     never-seated (list below) + the verdict-sanctioned mleval_auc
+#     (VERDICT r10 item 1) + the rule-3 twin swap back to
+#     embedding_near_dup ⇒ legacy backlog 21 after r11 (target ≤21 MET).
+#     The two r11-born mleval twins (mleval_calibration, mleval_pr_grid)
+#     are tail-born under item 1's sanctioned exception.
+#   r12 (tranche 7): seat 16 of the 21 legacy (oldest-born first:
+#     text_source_divergence, text_bigram_pmi, text_bpe_pretokenize,
+#     ann_lsh_invariants, ann_ivf_invariants, ann_ivf_pq_invariants,
+#     text_bpe_invariants, classifier_trained_invariants,
+#     export_shuffled, sample_per_group_docs, text_winnow_fingerprint,
+#     mix_concentration, events_repeat_within, a27_anomaly_zscore,
+#     a28_cusum_shift, doc_quantile_normalize) + the 2 mleval twins
+#     ⇒ ≤5 never-seated remain after r12 (target ≤5 MET).
+#   r13 (tranche 8): seat the remaining 5 (ts_seasonal_adjust,
+#     a29_dispersion, a30_gini_utilization, events_interarrival,
+#     events_churn_flows) ⇒ backlog 0.
+#   Net-new corpus families are FROZEN until the backlog is <20
+#   (i.e. from r12 on, after which new entries must be seated within
+#   2 rounds of birth); the r11 mleval entries are the one sanctioned
+#   exception (VERDICT r10 item 1).
+# ---------------------------------------------------------------------
+# round-11 rotation (VERDICT r10 items 1+2, tranche 6): seventeen
+# first-time seats — the winsorize/MAD/mode robust-stats trio
+# (a16_winsorize, a17_mad_outliers, a19_mode), the semi/anti +
+# set-algebra join pair (j5_semi_anti, set_ops_nations), the reshape
+# family (melt_lineitem, gapfill_daily, ts_interpolate), the window
+# battery (w4_ratio_to_report, w8_period_over_period,
+# w9_rolling_distinct, w10_ewma), vector stats (emb_component_means),
+# epoch reshaping (epoch_upsample), the privacy refinements
+# (privacy_generalize, privacy_l_diversity), and the verdict-
+# sanctioned ML-eval AUC (mleval_auc, newborn head seat) — plus the
+# rule-3 scheduled twin alternation (embedding_near_dup takes r11).
+# Eighteen compensating demotions, each with head-retained machinery
+# or a pytest pin:
 _TAIL = (
+    # --- round-11 demotions (tranche-6 compensations) ---
+    #   j9_join_cardinality     — join-family seats rotate to
+    #                             j5_semi_anti + set_ops_nations (r11);
+    #                             the fan-out multiplicity contract is
+    #                             pinned in test_joins.py      [green r10]
+    #   privacy_dp_sums         — seeded-Laplace machinery oracle-swept
+    #                             in tail; privacy seats rotate to
+    #                             privacy_generalize +
+    #                             privacy_l_diversity (r11);
+    #                             privacy_k_anonymity stays head
+    #                                                          [green r10]
+    #   incremental_rollup      — partial/merge IVM pinned in
+    #                             test_incremental.py; j10_join_delta
+    #                             stays benched; oracle-swept  [green r10]
+    #   graph_kcore             — iterative-peel machinery pinned in
+    #                             test_graph.py; family had its first
+    #                             driver row r10; oracle-swept [green r10]
+    #   emb_quantize_int8       — vector-family seat rotates to
+    #                             emb_component_means (r11); the
+    #                             scale/codebook math oracle-swept
+    #                                                          [green r10]
+    #   privacy_t_closeness     — TVD audit oracle-swept; the
+    #                             group-mix aggregation shape is
+    #                             privacy_k_anonymity's (head) [green r10]
+    #   a23_chi_square          — stat-battery seats rotate to the
+    #                             robust trio a16/a17/a19 (r11); the
+    #                             (group, a, b) hash-agg + margin
+    #                             re-agg machinery oracle-swept
+    #                                                          [green r10]
+    #   a24_benford_audit       — digit-histogram chi2/MAD oracle-swept;
+    #                             regen-robust boundary notes in
+    #                             test_analytics.py            [green r10]
+    #   a25_mann_whitney        — grouped rank-sum U oracle-swept; the
+    #                             tie-correction machinery shared with
+    #                             a26 (same demotion batch)    [green r10]
+    #   a26_ks_test             — grouped two-sample KS oracle-swept;
+    #                             cumulative-window machinery =
+    #                             mleval_auc's neg_below window (r11
+    #                             head seat, same shape)       [green r10]
+    #   text_zipf_fit           — text-family heads retained
+    #                             (text_heavy_hitters, tfidf_terms,
+    #                             text_normalize_unicode, ...);
+    #                             log-log OLS oracle-swept     [green r10]
+    #   events_transition_matrix — keyed-LEAD sequence machinery =
+    #                             events_interarrival (tail, swept) and
+    #                             t6_session_window (head)     [green r10]
+    #   abc_pareto_parts        — two-phase global-rank tiles: the
+    #                             percent-of-total machinery re-seats
+    #                             via w4_ratio_to_report (r11) [green r10]
+    #   survival_km             — KM product-limit oracle-swept; the
+    #                             censoring-boundary notes pinned in
+    #                             test_analytics.py; family first-
+    #                             seated r10                   [green r10]
+    #   survival_logrank        — logrank O-E accumulation = the same
+    #                             risk-set window as survival_km
+    #                             (demoted together, both swept)
+    #                                                          [green r10]
+    #   attribution_last_touch  — as-of union+window plan promoted to
+    #                             the BENCH basket r11 (VERDICT r10
+    #                             item 4) — measured every round;
+    #                             oracle-swept in tail         [green r10]
+    #   w6_time_weighted_avg    — window family gets FOUR r11 seats
+    #                             (w4/w8/w9/w10) and keeps the
+    #                             w3_rank_family head anchor; demoted
+    #                             to fund the sanctioned mleval_auc
+    #                             newborn seat; step-interpolated TWAP
+    #                             oracle-swept               [green r7-r10]
+    #   embedding_near_dup_exact — scheduled twin alternation (rule 3):
+    #                             r11 seats embedding_near_dup
+    #                             (identical oracle)          [green r10]
+    "j9_join_cardinality",
+    "privacy_dp_sums",
+    "incremental_rollup",
+    "graph_kcore",
+    "emb_quantize_int8",
+    "privacy_t_closeness",
+    "a23_chi_square",
+    "a24_benford_audit",
+    "a25_mann_whitney",
+    "a26_ks_test",
+    "text_zipf_fit",
+    "events_transition_matrix",
+    "abc_pareto_parts",
+    "survival_km",
+    "survival_logrank",
+    "attribution_last_touch",
+    "w6_time_weighted_avg",
+    "embedding_near_dup_exact",
+    # --- r11 tail-born (VERDICT r10 item 1's sanctioned exception;
+    # oracle-swept every pytest run; r12 seating per the drain plan) —
+    # calibration bins + threshold-grid PR, the detail twins of the
+    # r11-seated mleval_auc head entry
+    "mleval_calibration",
+    "mleval_pr_grid",
     # --- round-10 demotions (tranche-5 compensations) ---
     #   kll_quantiles           — sketch-family seat retained by
     #                             sketch_rollup_union (head); KLL
@@ -622,7 +759,6 @@ _TAIL = (
     "pivot_daily_events",
     "w5_cumulative",
     "fuzzy_name_match",
-    "embedding_near_dup",
     # --- round-9 demotions (tranche-4 compensations) ---
     #   cohort_retention        — time-bucketed conditional counts are
     #                             a8_daily_rollup's shape (head);
@@ -682,16 +818,11 @@ _TAIL = (
     #   embedding_near_dup_exact — scheduled twin swap (identical
     #                             oracle; r9 seats embedding_near_dup)
     #                                                         [green r4,r6,r8]
-    # r10 seating: SEATED 16 of the candidates below + the twin swap
-    # (see the tranche-5 ledger at the top of this tuple). Remaining
-    # never-seated, queued as r11 candidates (oldest-born first):
-    #   text_winnow_fingerprint, mix_concentration, export_shuffled,
-    #   ts_interpolate, w10_ewma, sample_per_group_docs, epoch_upsample,
-    #   melt_lineitem, gapfill_daily, j5_semi_anti, set_ops_nations,
-    #   events_repeat_within, a27_anomaly_zscore, a28_cusum_shift,
-    #   doc_quantile_normalize, ts_seasonal_adjust, a29_dispersion,
-    #   a30_gini_utilization, events_interarrival, events_churn_flows
-    #   (+ twin swap back to embedding_near_dup)
+    # r10 seating: SEATED 16 of the r9 candidates + the twin swap
+    # (tranche-5 ledger above). r11 seating: SEATED 16 more +
+    # mleval_auc + the twin swap back (tranche-6 ledger at the top
+    # of this tuple); the remaining queue and per-round targets live
+    # in the BACKLOG DRAIN PLAN block above _TAIL.
     "cohort_retention",
     "privacy_suppress",
     "a14_equidepth",
@@ -735,17 +866,10 @@ _TAIL = (
     "profile_orders",
     "sketch_profile",
     "layout_pruned_scan",
-    "w9_rolling_distinct",
-    "emb_component_means",
-    "w8_period_over_period",
     "text_source_divergence",
-    "a19_mode",
-    "w4_ratio_to_report",
-    "a17_mad_outliers",
     "j1_band_join",
     "events_funnel",
     "text_bigram_pmi",
-    "a16_winsorize",
     "a3_count_distinct",
     "a1_global_count",
     "f9_coalesce",
@@ -781,15 +905,8 @@ _TAIL = (
     "ann_lsh_topk",
     "ann_ivf_pq_topk",
     "a10_percentile",
-    "epoch_upsample",
-    "melt_lineitem",
-    "gapfill_daily",
-    "j5_semi_anti",
-    "set_ops_nations",
     "text_bpe_pretokenize",
     "a6_weighted_score",
-    "privacy_l_diversity",
-    "privacy_generalize",
     "text_bpe_train_apply",
     "quality_classifier_trained",
     # r8 oracle-residue retirement (VERDICT r7 item 7): summary twins
@@ -809,8 +926,6 @@ _TAIL = (
     "sample_per_group_docs",
     # late-r8 batch 2 (tail-born; oracle-swept every pytest run):
     # graph family completion + time-series smoothing/interpolation
-    "ts_interpolate",
-    "w10_ewma",
     # late-r8 batch 3 (tail-born; oracle-swept every pytest run):
     # hybrid-retrieval fusion of the lexical (BM25) and LM (Dirichlet
     # QL) signals — integer-rank RRF, bit-exact across engines — and
@@ -8430,6 +8545,177 @@ def events_churn_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churn_flows(ev, period="week")
 
 
+# =====================================================================
+# ML-eval battery (beyond-reference): the evaluation half of the
+# quality-classifier loop — exact tie-aware AUC, calibration bins,
+# threshold-grid PR. Deterministic fixture scores (integer-derived,
+# exact-binary fractions) keep every ratio BIGINT-exact until the
+# final 6-dp rounding, so the oracles are regen-robust by
+# construction (operators/mleval module docstring).
+# =====================================================================
+
+
+@query(
+    "mleval_auc",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), ps AS (
+      SELECT g, s, COUNT(*) AS n, SUM(y) AS p FROM r GROUP BY g, s
+    ), cum AS (
+      SELECT g, p, n,
+             COALESCE(SUM(n - p) OVER (
+               PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_lt
+      FROM ps
+    ), agg AS (
+      SELECT g,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n - p) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * p * neg_lt + p * (n - p)) AS BIGINT) AS auc_num2
+      FROM cum GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n_pos, n_neg, auc_num2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE FLOOR(CAST(auc_num2 AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000
+           END AS auc
+    FROM agg
+    """,
+)
+def mleval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-eval (beyond-reference): exact tie-aware ROC AUC of a
+    deterministic price-bucket score ranking the finished-status
+    label, per priority class (operators/mleval.auc_roc). NO global
+    rank: one hash agg to a distinct-score frame, one keyed
+    cumulative window over it — O(|distinct scores|) window state,
+    BIGINT numerator 2·P·N·AUC carried exactly until the final 6-dp
+    division. The reference's only quality gate is a fixed AVG
+    threshold (data_transformation_dag.py quality check); this is
+    the evaluation stage a trained corpus filter needs instead."""
+    from .operators.mleval import auc_roc
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 1000).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return auc_roc(scored, "score", "label", by=["o_orderpriority"])
+
+
+@query(
+    "mleval_calibration",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_orderkey % 1024 AS DOUBLE) / 1024.0 AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), b AS (
+      SELECT g,
+             LEAST(9, GREATEST(0,
+               CAST(FLOOR((s - 0.0) * 10 / 1.0) AS BIGINT))) AS bin,
+             s, y
+      FROM r
+    )
+    SELECT g AS o_orderpriority, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS frac_pos,
+           FLOOR(SUM(s) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_score
+    FROM b GROUP BY g, bin
+    """,
+)
+def mleval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-eval (beyond-reference): reliability-diagram bins
+    (operators/mleval.calibration_bins) — fixed-width score bins,
+    per-bin count / positive fraction / mean score, per priority
+    class. One hash aggregation. The fixture score is an
+    exact-binary fraction (k/1024) so the double SUM is
+    order-independent and bin edges can never straddle a float
+    boundary across engines — regen-robust by construction."""
+    from .operators.mleval import calibration_bins
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return calibration_bins(
+        scored, "score", "label", n_bins=10, by=["o_orderpriority"]
+    )
+
+
+@query(
+    "mleval_pr_grid",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_orderkey % 1024 AS DOUBLE) / 1024.0 AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), grid AS (
+      SELECT CAST(UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                  AS DOUBLE) AS threshold
+    ), c AS (
+      SELECT g, threshold,
+             CAST(SUM(CASE WHEN s >= threshold THEN y ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s >= threshold THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s < threshold THEN y ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM r CROSS JOIN grid GROUP BY g, threshold
+    )
+    SELECT g AS o_orderpriority, threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE FLOOR(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5)
+                     / 1000000 END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE FLOOR(CAST(tp AS DOUBLE) / (tp + fn) * 1000000 + 0.5)
+                     / 1000000 END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE FLOOR(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                           * 1000000 + 0.5) / 1000000 END AS f1
+    FROM c
+    """,
+)
+def mleval_pr_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-eval (beyond-reference): precision / recall / F1 over a
+    literal keep-threshold grid (operators/mleval.precision_recall_at)
+    — the sweep a corpus filter runs before fixing its cut. The grid
+    explodes over the per-distinct-score aggregate (≤1024 rows per
+    group), never the raw fact; tp/fp/fn stay BIGINT so every ratio
+    is exact-int before the 6-dp rounding."""
+    from .operators.mleval import precision_recall_at
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return precision_recall_at(
+        scored,
+        "score",
+        "label",
+        thresholds=[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+        by=["o_orderpriority"],
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -8564,6 +8850,9 @@ OPERATOR_MAP = {
     "A30": ["a30_gini_utilization"],  # beyond-reference: utilization inequality
     "Cadence": ["events_interarrival"],  # beyond-reference: inter-arrival MTBF
     "Churn": ["events_churn_flows"],  # beyond-reference: MoM user set flows
+    # beyond-reference: the evaluation half of the quality-classifier
+    # loop (exact AUC / calibration / threshold sweep)
+    "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid"],
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

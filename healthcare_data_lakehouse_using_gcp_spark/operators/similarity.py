@@ -78,8 +78,12 @@ def batched_query_topk(
     (ADVICE r9): the effective batch target is clamped to
     MAX_DRIVER_QUERIES // 2, and any hash-skewed bucket that still
     lands past the guard is re-split on a second-level hash before
-    ``search_fn`` sees it — the packaged fallback can never trip the
-    guard it exists to avoid."""
+    ``search_fn`` sees it. The one shape no hash can separate is
+    DUPLICATE query ids (identical ids collide at every level): if a
+    sub-bucket still exceeds the guard after the re-split, that is
+    the cause, and this raises a targeted error up front instead of
+    letting ``search_fn``'s inner collect guard trip obscurely
+    (ADVICE r10)."""
     if batch_size <= 0:
         raise ValueError(f"batch_size must be > 0, got {batch_size}")
     # Enforce the docstring's former 'keep batch_size ≤ ½ the guard'
@@ -113,7 +117,12 @@ def batched_query_topk(
                 continue
             # pathological skew: re-split this bucket on an
             # independent second-level hash (seeded by concat) into
-            # target-sized sub-buckets
+            # target-sized sub-buckets. Mirror the first level
+            # (ADVICE r10): count the sub-buckets first — hash gaps
+            # are normal and search_fn on an EMPTY frame may crash
+            # (pq_topk indexes q_ids[0]), and a sub-bucket still past
+            # the guard can only mean duplicate query ids, which no
+            # hash level can separate — fail with the real cause.
             nsub = -(-cnt // target)
             sub = F.pmod(
                 F.xxhash64(
@@ -121,7 +130,21 @@ def batched_query_topk(
                 ),
                 F.lit(nsub),
             )
-            for sb in range(nsub):
+            sub_counts = sorted(
+                (r["__sb"], r["count"])
+                for r in qb.groupBy(sub.alias("__sb")).count().collect()
+            )
+            over = [(sb, c) for sb, c in sub_counts if c > MAX_DRIVER_QUERIES]
+            if over:
+                raise ValueError(
+                    f"bucket {b} still exceeds MAX_DRIVER_QUERIES="
+                    f"{MAX_DRIVER_QUERIES} after a second-level hash "
+                    f"re-split (sub-bucket sizes {over}): duplicate "
+                    f"values in {query_id_col!r} collide at every hash "
+                    "level — deduplicate query ids before calling "
+                    "batched_query_topk"
+                )
+            for sb, _c in sub_counts:
                 qsb = qb.filter(sub == F.lit(sb))
                 parts.append(search_fn(qsb).localCheckpoint(eager=True))
         out = parts[0]

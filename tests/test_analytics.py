@@ -1161,3 +1161,88 @@ def test_gini_utilization_closed_form(spark):
     assert (out["x"]["n_users"], out["x"]["total_events"]) == (4, 8)
     assert out["y"]["gini"] == 0.0
     assert out["z"]["gini"] == 0.0
+
+
+def test_grouped_rank_auto_two_phase_matches_window_and_plan_shape(spark):
+    """VERDICT r10 item 3: the measured dispatch behind
+    gini_utilization / quantile_normalize. A synthetic single-group
+    skew (one group holding ~90% of rows) forced over the threshold
+    must (a) pick the two-phase strategy, (b) produce EXACTLY the
+    keyed-window ranks, and (c) show the two-phase plan shape — the
+    local window is keyed by (__pid, group), never by the group
+    alone, so no reducer ever holds a whole group."""
+    import io
+    import contextlib
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        grouped_rank_auto,
+    )
+
+    rows = [("big", i % 37, i) for i in range(450)] + [
+        ("small", i % 5, 10_000 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, tie long")
+
+    ranked_w, strat_w = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=10**9
+    )
+    assert strat_w == "window"
+    ranked_2, strat_2 = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=100
+    )
+    assert strat_2 == "two_phase"
+    want = sorted(tuple(r) for r in ranked_w.collect())
+    got = sorted(tuple(r) for r in ranked_2.collect())
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked_2.explain("formatted")
+    plan = buf.getvalue()
+    assert "__pid" in plan, plan  # local windows keyed by (pid, group)
+
+    # group_count_name parity between the two paths
+    nw, _ = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk",
+        skew_threshold=10**9, group_count_name="n",
+    )
+    n2, _ = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk",
+        skew_threshold=100, group_count_name="n",
+    )
+    assert sorted(tuple(r) for r in n2.collect()) == sorted(
+        tuple(r) for r in nw.collect()
+    )
+
+
+def test_gini_and_quantile_normalize_skew_path_oracle_unchanged(spark):
+    """The two consumers must emit identical rows whichever rank path
+    the dispatch picks (oracle unchanged — VERDICT r10 item 3's
+    done-bar)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        gini_utilization,
+        quantile_normalize,
+    )
+
+    ev = spark.createDataFrame(
+        [("x", i % 23) for i in range(300)]
+        + [("y", i % 7) for i in range(40)],
+        "event_type string, user_id long",
+    )
+    g_window = sorted(tuple(r) for r in gini_utilization(ev).collect())
+    g_two = sorted(
+        tuple(r) for r in gini_utilization(ev, skew_threshold=5).collect()
+    )
+    assert g_two == g_window
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "src_a" if i % 10 else "src_b", (i * 7) % 101)
+         for i in range(200)],
+        "doc_id string, source string, n_chars long",
+    )
+    q_window = sorted(tuple(r) for r in quantile_normalize(docs).collect())
+    q_two = sorted(
+        tuple(r)
+        for r in quantile_normalize(docs, skew_threshold=5).collect()
+    )
+    assert q_two == q_window

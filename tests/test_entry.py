@@ -65,8 +65,8 @@ def test_canonical_operators_inside_driver_window():
         # tumbling/hopping machinery is t6's generalization family)
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r10 seats embedding_near_dup_exact (near_dup held r9)
-        "embedding_near_dup_exact", "classifier_quality",
+        # round: r11 seats embedding_near_dup (the exact twin held r10)
+        "embedding_near_dup", "classifier_quality",
         "cap_per_source",
         "export_ids", "layout_zorder_scan",
         # round-7 tranche-1 promotions (VERDICT r6 item 1); r8
@@ -88,27 +88,61 @@ def test_canonical_operators_inside_driver_window():
         # demoted r9: privacy_k_anonymity / sketch_rollup_union +
         # kll_quantiles keep their machinery head-side)
         "privacy_k_anonymity",
-        "tfidf_terms", "w6_time_weighted_avg", "a18_grouping_sets",
+        # w6_time_weighted_avg demoted r11 (window family holds FOUR
+        # fresh r11 seats w4/w8/w9/w10 + the w3_rank_family anchor;
+        # demotion funds the sanctioned mleval_auc newborn seat)
+        "tfidf_terms", "a18_grouping_sets",
         "j7_bloom_prefilter", "sample_weighted",
-        # round-10 tranche-5 promotions (VERDICT r9 item 2): family
-        # canonical seats after the r10 rotation — survival rotates
-        # cox→KM+logrank, DP counts→sums(+t-closeness), sketch seat
-        # back on sketch_rollup_union (KLL demoted, pytest-pinned),
-        # IVM j10→incremental_rollup, stat battery a21/a22→a23-a26,
-        # vector compression ann_sq8→emb_quantize_int8, BI
-        # mb/rfm→abc_pareto+transition_matrix, graph
-        # triangles→kcore, join fuzzy→j9_join_cardinality, plus
-        # first seats for text_zipf_fit and attribution_last_touch.
-        # Demotion rationales live in corpus._TAIL's round-10 block.
-        "survival_km", "survival_logrank", "privacy_dp_sums",
-        "privacy_t_closeness", "a23_chi_square", "a24_benford_audit",
-        "a25_mann_whitney", "a26_ks_test", "emb_quantize_int8",
-        "incremental_rollup", "graph_kcore", "j9_join_cardinality",
-        "text_zipf_fit", "events_transition_matrix",
-        "abc_pareto_parts", "attribution_last_touch",
+        # round-11 tranche-6 promotions (VERDICT r10 items 1+2):
+        # family canonical seats after the r11 rotation — stat battery
+        # a23-a26 → the robust trio a16/a17/a19, join seat
+        # j9 → j5_semi_anti + set_ops_nations, privacy
+        # dp_sums/t_closeness → generalize + l_diversity, vector
+        # quantizer → emb_component_means, reshape family first seats
+        # (melt/gapfill/ts_interpolate/epoch_upsample), window battery
+        # first seats (w4/w8/w9/w10), and the verdict-sanctioned
+        # ML-eval AUC newborn. The 16 demoted tranche-5 entries'
+        # rationales live in corpus._TAIL's round-11 block; every one
+        # is oracle-swept in tail on each pytest run.
+        "a16_winsorize", "a17_mad_outliers", "a19_mode",
+        "j5_semi_anti", "set_ops_nations", "melt_lineitem",
+        "gapfill_daily", "ts_interpolate", "epoch_upsample",
+        "w4_ratio_to_report", "w8_period_over_period",
+        "w9_rolling_distinct", "w10_ewma", "emb_component_means",
+        "privacy_generalize", "privacy_l_diversity", "mleval_auc",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
+
+
+def test_every_head_entry_is_oracle_bearing():
+    # VERDICT r10 item 5: the rows-only allowlist in
+    # test_corpus_tail.py covers only _TAIL; this closes the head
+    # side — every driver-window seat must carry a DuckDB oracle so
+    # the driver's check is the full rows+schema+hash gate, never the
+    # weaker rows-only fallback.
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    head = list(qs)[:50]
+    missing = [n for n in head if n not in oracles]
+    assert not missing, f"head entries without an oracle: {missing}"
+
+
+def test_duplicate_query_name_raises_at_registration():
+    # A silent _REGISTRY overwrite would shadow an oracle and shift
+    # the 50-seat window without any test noticing (VERDICT r10
+    # item 5) — registration must fail loudly at import time.
+    from healthcare_data_lakehouse_using_gcp_spark import corpus
+
+    existing = next(iter(corpus._REGISTRY))
+    original = corpus._REGISTRY[existing]
+    with pytest.raises(ValueError, match="duplicate corpus query name"):
+
+        @corpus.query(existing, None)
+        def _clone(spark, sf_dir):  # pragma: no cover - never runs
+            raise AssertionError
+    # the original registration is untouched
+    assert corpus._REGISTRY[existing] is original
 
 
 # (operator, avg-recall floor) — floors sit under the measured

