@@ -147,6 +147,16 @@ HEADLINE = [
     # path's cost is the number to watch against a full join rebuild.
     # Headline sum covers 22 queries from here on
     "j10_join_delta",
+    # round-11 (VERDICT r10 item 4): last-touch attribution — the
+    # as-of union+window plan (two event classes unioned, one keyed
+    # LOCF window, credit agg) is the scale-interesting as-of shape —
+    # and a SUB-LINEAR ANN representative (IVF probe: centroid
+    # broadcast + nearest-cell prune + per-cell exact rerank), so the
+    # sf3 curve carries the path users actually run at scale, not just
+    # the deliberately-linear brute-force truth stage. Headline sum
+    # covers 24 queries from r11 on
+    "attribution_last_touch",
+    "ann_ivf_topk",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -186,6 +196,12 @@ SF1_SUBSET = [
     # o_custkey; super-linear growth would mean the delta sides
     # stopped behaving delta-sized (plan regressed to a full rebuild)
     "j10_join_delta",
+    # round-11 (VERDICT r10 item 4): the sub-linear ANN path's scale
+    # curve — IVF probes nprobe cells, so its x3 should sit well under
+    # ann_cosine_topk's deliberately-linear ×3; attribution's as-of
+    # union+window should scale with the event volume
+    "attribution_last_touch",
+    "ann_ivf_topk",
 ]
 
 

@@ -7405,7 +7405,10 @@ def a24_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     log10: amounts scale to exact integers and the digit is the first
     character of the integer's decimal rendering (identical in every
     engine); absent digits fold in through the Σe = n identity. One
-    (group, digit) hash aggregation.
+    (group, digit) hash aggregation. The log10 expectations are the
+    entry's one transcendental (libm-vs-JVM last-ulp class): the
+    rounding-boundary distance of chi2/mad is swept by the regen
+    tripwire in tests/test_oracle_boundaries.py.
     operators/analytics.benford_audit."""
     from .operators.analytics import benford_audit
 
@@ -7731,6 +7734,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive. One per-user LEAD window (the sessionization shuffle)
     + one (from, to) hash aggregation; row-normalization joins the
     |states|²-sized counts with their margins, never the events.
+    p = n/tot is a ratio of exact integers — both engines hold the
+    SAME double bits, so the 6-dp floor can never disagree even ON a
+    boundary (regen-robust by construction; bit-equality spot-proved
+    in tests/test_oracle_boundaries.py).
     operators/analytics.transition_matrix."""
     from .operators.analytics import transition_matrix
 
@@ -7904,7 +7911,10 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, reverse-cumsum risk sets, forward log-sum product — the
     curve is a |times|-sized frame, never per-subject windows; the
     window log-sum runs in fixed time order so the product matches
-    the oracle to the rounding digit.
+    the oracle to the rounding digit. Censoring boundary: d ≥ n_risk
+    exhausts the risk set and emits EXACT 0.0 (no exp) in both
+    engines; the ln/exp chain's rounding-boundary distance is swept
+    by the regen tripwire in tests/test_oracle_boundaries.py.
     operators/analytics.kaplan_meier."""
     from .operators.analytics import kaplan_meier
 
@@ -7988,7 +7998,9 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival_km (same censoring, same risk-set machinery, one extra
     per-arm split). Sum of per-event-time hypergeometric terms over
     the |times|-sized rollup; rounded 1e4 far above the ~10² terms'
-    reassociation noise. operators/analytics.logrank_test."""
+    reassociation noise, and the boundary distance is swept by the
+    regen tripwire in tests/test_oracle_boundaries.py.
+    operators/analytics.logrank_test."""
     from .operators.analytics import logrank_test
 
     li = _t(spark, sf_dir, "lineitem")

@@ -1,0 +1,153 @@
+"""Rounding-boundary tripwires for the transcendental-bearing oracles
+(VERDICT r10 item 7 — the standing regen-robustness pass).
+
+Most corpus oracles are regen-robust BY CONSTRUCTION: every
+pre-rounding double is a ratio/product of exact integers (or exact
+halves) combined through IEEE-exact ops (+ − × ÷ √) in the same order
+on both engines, so Spark and DuckDB hold bit-identical doubles and
+the floor-rounding can never disagree — boundary proximity is
+irrelevant (a25 exact-half ranks, a26 ECDF quotients,
+events_transition_matrix count ratios, a23 chi-square rationals,
+mleval_* exact-integer fixtures).
+
+A small set goes through TRANSCENDENTALS (log10/ln/exp) or
+order-dependent float sums, where libm vs JVM may differ in last
+ulps: a24_benford_audit (log10 expectations), survival_km (ln/exp
+product-limit), survival_logrank (hash-agg sum of hypergeometric
+terms), text_zipf_fit (ln + regr_*). There, the oracles stay exact
+only while no pre-rounded value sits ON a floor(x·s + 0.5) boundary.
+This sweep recomputes the UNROUNDED values at the driver's sf0.01 and
+asserts every one keeps a comfortable distance from the nearest
+boundary — so a testdata regen that lands a value near one fails HERE,
+loudly, before the driver's hash gate ever sees a flaky mismatch.
+Tolerance: engine disagreement through these chains is bounded by a
+few hundred ulps — ≤ ~1e-13 relative, i.e. ≤ ~1e-7 in x·s units at
+the magnitudes these entries emit; we demand max(1e-6, |x·s|·1e-12)
+distance (≥10× safety). Calibrated against the current fixture's
+closest real value (survival_km at 1.2e-5 — comfortably clear)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _load(spark, name):
+    from healthcare_data_lakehouse_using_gcp_spark.sources.readers import (
+        load_table,
+    )
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata unavailable")
+    return load_table(spark, SF_DIR, name)
+
+
+def _assert_off_boundary(rows, col, scale, entry):
+    worst = None
+    for r in rows:
+        v = r[col]
+        if v is None:
+            continue
+        xs = v * scale
+        dist = abs((xs % 1.0) - 0.5)
+        tol = max(1e-6, abs(xs) * 1e-12)
+        if worst is None or dist < worst[0]:
+            worst = (dist, tol, v)
+        assert dist > tol, (
+            f"{entry}.{col}: pre-rounded value {v!r} sits {dist:.3e} from a "
+            f"floor(x*{scale}+0.5) boundary (tol {tol:.3e}) — a regen landed "
+            "on a rounding edge; bump/trim this entry's rounding digits"
+        )
+    assert worst is not None, f"{entry}.{col}: no rows to sweep"
+
+
+def _survival_subjects(spark):
+    li = _load(spark, "lineitem")
+    o = _load(spark, "orders").select("o_orderkey", "o_orderdate")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_linestatus"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "t"
+        ),
+        (F.col("l_returnflag") != "R").alias("ev"),
+        (F.col("l_suppkey") % 2 == 0).alias("arm"),
+    )
+
+
+def test_a24_benford_boundaries(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        benford_audit,
+    )
+
+    out = benford_audit(
+        _load(spark, "orders"), ["o_orderpriority"], "o_totalprice", scale=100
+    ).collect()
+    _assert_off_boundary(out, "chi2", 10000, "a24_benford_audit")
+    _assert_off_boundary(out, "mad", 1000000, "a24_benford_audit")
+
+
+def test_survival_km_boundaries(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    out = kaplan_meier(
+        _survival_subjects(spark), "t", "ev", ["l_linestatus"]
+    ).collect()
+    # exhausted-risk-set rows are EXACT 0.0 (both engines emit the
+    # literal, no exp involved) — their boundary distance is 0.5 and
+    # they pass through the same sweep
+    _assert_off_boundary(out, "survival", 1000000, "survival_km")
+
+
+def test_survival_logrank_boundaries(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        logrank_test,
+    )
+
+    out = logrank_test(
+        _survival_subjects(spark), "t", "ev", F.col("arm"), ["l_linestatus"]
+    ).collect()
+    _assert_off_boundary(out, "expected_a", 10000, "survival_logrank")
+    _assert_off_boundary(out, "chi2", 10000, "survival_logrank")
+
+
+def test_text_zipf_boundaries(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        zipf_fit,
+    )
+
+    out = zipf_fit(_load(spark, "documents")).collect()
+    for col in ("slope", "intercept", "r2"):
+        _assert_off_boundary(out, col, 10000, "text_zipf_fit")
+
+
+def test_exact_ratio_oracles_are_boundary_immune_by_construction(spark):
+    """The robust-by-construction class needs no distance margin: the
+    pre-rounded double is the SAME BITS on both engines, so even a
+    value exactly ON a boundary floors identically. Spot-prove the
+    claim for events_transition_matrix: recompute p as a
+    cross-engine-deterministic exact ratio and check bit equality
+    with the operator's output."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    ev = _load(spark, "events")
+    out = transition_matrix(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).collect()
+    tot = {}
+    for r in out:
+        tot[r["from_state"]] = tot.get(r["from_state"], 0) + r["n"]
+    for r in out:
+        want = float(r["n"]) / float(tot[r["from_state"]])
+        assert math.isclose(r["p"], want, rel_tol=0.0, abs_tol=0.0), (
+            r["from_state"],
+            r["to_state"],
+        )
