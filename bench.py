@@ -289,6 +289,39 @@ def _timed_runs(
     return runs
 
 
+def finalize_headline_line(out: dict, total: float) -> str:
+    """Truncation-safe final-line emission (ADVICE r9/r10): the line
+    MUST survive the driver's 2,000-char stdout-tail capture whole.
+    NOT an assert — asserts vanish under python -O, and crashing here
+    would discard the whole completed run (the very parsed:null
+    artifact failure this protects against). On overflow, degrade:
+    drop the per-query map (it survives on the bench_detail line),
+    then as a last resort keep only the contract scalars; log each
+    degradation to stderr."""
+    line = json.dumps(out)
+    if len(line) > 1500:
+        print(json.dumps({
+            "metric": "bench_warning",
+            "warning": f"headline line {len(line)} chars > 1500; "
+                       "emitting trimmed headline (queries map dropped "
+                       "— read it from the bench_detail line)",
+        }), file=sys.stderr)
+        out = dict(out)
+        out.pop("queries", None)
+        out["queries_dropped_see_bench_detail"] = True
+        line = json.dumps(out)
+        if len(line) > 1500:
+            out = {k: out[k] for k in
+                   ("metric", "value", "unit", "sf", "reps", "protocol")
+                   if k in out}
+            line = json.dumps(out)
+    if json.loads(line).get("value") != total:  # round-trip paranoia
+        print(json.dumps({"metric": "bench_warning",
+                          "warning": "headline round-trip mismatch"}),
+              file=sys.stderr)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -519,33 +552,7 @@ def main() -> None:
         if x3:
             worst = max(x3, key=x3.get)
             out["sf3_x3_worst"] = [worst, x3[worst]]
-    line = json.dumps(out)
-    # Self-check (ADVICE r9/r10): the final line MUST survive a
-    # 2,000-char tail capture whole. NOT an assert — asserts vanish
-    # under python -O, and crashing here would discard the whole
-    # completed run (the very parsed:null artifact failure this
-    # protects against). On overflow, degrade: drop the per-query map
-    # (it survives on the bench_detail line) and log the violation.
-    if len(line) > 1500:
-        print(json.dumps({
-            "metric": "bench_warning",
-            "warning": f"headline line {len(line)} chars > 1500; "
-                       "emitting trimmed headline (queries map dropped "
-                       "— read it from the bench_detail line)",
-        }), file=sys.stderr)
-        out["queries_dropped_see_bench_detail"] = True
-        del out["queries"]
-        line = json.dumps(out)
-        # last resort: keep only the scalars the driver contract needs
-        if len(line) > 1500:
-            out = {k: out[k] for k in
-                   ("metric", "value", "unit", "sf", "reps", "protocol")}
-            line = json.dumps(out)
-    if json.loads(line)["value"] != total:  # round-trip paranoia
-        print(json.dumps({"metric": "bench_warning",
-                          "warning": "headline round-trip mismatch"}),
-              file=sys.stderr)
-    print(line)
+    print(finalize_headline_line(out, total))
     spark.stop()
 
 

@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SPOT = [
     "a2_wide_agg", "j1_band_join", "j3_asof_nearest", "w1_row_number",
     "a8_daily_rollup", "t1_tumbling_window", "dedup_exact", "ann_cosine_topk",
+    "mleval_auc",
 ]
 
 
