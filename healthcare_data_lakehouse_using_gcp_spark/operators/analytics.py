@@ -789,30 +789,46 @@ def mann_whitney_u(
     Returns per group: n_a, n_b, u_stat, z (z NULL when an arm is
     empty or every value is tied — the statistic is undefined).
 
-    Scale design: ONE window sort per group computes both the min
-    rank and the tie-group size (the two specs share the
-    (group, value) sort order), average rank = rank + (ties−1)/2;
-    the tie correction needs no per-tie-group pass because
-    Σ_groups(t³−t) = Σ_rows(t²−1). One hash aggregation after the
-    window; no joins."""
+    Scale design (r11, the mleval_auc technique): NEVER ranks rows.
+    One (group, value) hash aggregation (map-side partial) collapses
+    the fact to a DISTINCT-VALUE frame carrying (t, t_b); one keyed
+    cumulative window over THAT frame gives each value's
+    strictly-below count, and the rank-sum identity
+    2·R_b = Σ_v t_b·(2·below + t + 1) keeps everything BIGINT until
+    the final halving (average ranks are exact halves, so the result
+    is bit-identical to the per-row rank formulation the SQL oracle
+    uses). Window state is O(|distinct values|) per group — a
+    100 TB metric with a bounded domain costs a bounded sort; a
+    fully-continuous metric degrades to the old per-row cost, never
+    worse. Tie correction Σ(t³−t) comes straight off the same frame."""
     arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
     v = F.col(value_col).cast("double")
     gk = list(group_cols)
-    w_rank = Window.partitionBy(*gk).orderBy(v.asc())
-    w_tie = Window.partitionBy(*gk, v)
-    ranked = df.select(
-        *gk,
-        arm.alias("__arm"),
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias(
-            "__r"
-        ),
-        (F.count(F.lit(1)).over(w_tie) ** 2 - 1).alias("__tie2"),
+    per_value = df.groupBy(*gk, v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(F.when(arm, 1).otherwise(0)).alias("__tb"),
     )
-    agg = ranked.groupBy(*gk).agg(
-        F.count(F.when(~F.col("__arm"), 1)).cast("double").alias("__na"),
-        F.count(F.when(F.col("__arm"), 1)).cast("double").alias("__nb"),
-        F.sum(F.when(F.col("__arm"), F.col("__r"))).alias("__rb"),
-        F.sum("__tie2").cast("double").alias("__ties"),
+    w_below = (
+        Window.partitionBy(*gk)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_value.withColumn(
+        "__below", F.coalesce(F.sum("__t").over(w_below), F.lit(0))
+    )
+    agg = cum.groupBy(*gk).agg(
+        F.sum(F.col("__t") - F.col("__tb")).cast("double").alias("__na"),
+        F.sum("__tb").cast("double").alias("__nb"),
+        (
+            F.sum(
+                F.col("__tb")
+                * (F.lit(2) * F.col("__below") + F.col("__t") + F.lit(1))
+            ).cast("double")
+            / 2.0
+        ).alias("__rb"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).cast("double").alias("__ties"),
     )
     na, nb = F.col("__na"), F.col("__nb")
     n = na + nb
@@ -845,31 +861,38 @@ def ks_two_sample(
 
         D = max_x | F_a(x) − F_b(x) |
 
-    evaluated at the pooled values' ECDF steps via running
-    conditional counts in one window sort; ties are handled by
-    evaluating AFTER all rows of a tied value (the window frame
-    extends to the last peer via RANGE semantics on the value
-    itself). Also returns the scaled statistic
-    ks_scaled = D·sqrt(n_a·n_b/(n_a+n_b)) (compare to the
-    Kolmogorov distribution's critical values driver-side).
+    evaluated at the pooled values' ECDF steps. Also returns the
+    scaled statistic ks_scaled = D·sqrt(n_a·n_b/(n_a+n_b)) (compare
+    to the Kolmogorov distribution's critical values driver-side).
 
-    One window sort per group + one hash aggregation; no joins, no
-    grid."""
+    Scale design (r11, the mleval_auc technique): the ECDF only
+    steps at DISTINCT values, so the fact collapses to a
+    (group, value) hash aggregation first (map-side partial); one
+    keyed cumulative window over that frame gives right-continuous
+    running counts (ties resolved by construction — each distinct
+    value IS its full tied block), and the max gap over the distinct
+    frame equals the max over rows. Integer counts divide
+    identically in every engine, so D is bit-identical to the
+    per-row RANGE-frame formulation the SQL oracle uses. Window
+    state is O(|distinct values|) per group, never worse than the
+    row count."""
     arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
     v = F.col(value_col).cast("double")
     gk = list(group_cols)
-    # RANGE frame on the value: at a tied x, every row sees the counts
-    # INCLUDING all rows equal to x — exactly F(x) right-continuous
+    per_value = df.groupBy(*gk, v.alias("__v")).agg(
+        F.sum(F.when(~arm, 1).otherwise(0)).alias("__a"),
+        F.sum(F.when(arm, 1).otherwise(0)).alias("__b"),
+    )
     w = (
         Window.partitionBy(*gk)
-        .orderBy(v.asc())
-        .rangeBetween(Window.unboundedPreceding, 0)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_tot = Window.partitionBy(*gk)
-    cum = df.select(
+    cum = per_value.select(
         *gk,
-        F.sum(F.when(~arm, 1).otherwise(0)).over(w).cast("double").alias("__ca"),
-        F.sum(F.when(arm, 1).otherwise(0)).over(w).cast("double").alias("__cb"),
+        F.sum("__a").over(w).cast("double").alias("__ca"),
+        F.sum("__b").over(w).cast("double").alias("__cb"),
     ).select(
         *gk,
         "__ca",

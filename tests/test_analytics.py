@@ -1246,3 +1246,77 @@ def test_gini_and_quantile_normalize_skew_path_oracle_unchanged(spark):
         for r in quantile_normalize(docs, skew_threshold=5).collect()
     )
     assert q_two == q_window
+
+
+def test_mann_whitney_and_ks_distinct_value_plan_matches_bruteforce(spark):
+    """r11 scale rewrite (the mleval_auc technique): both stats now
+    aggregate to the distinct-value frame before any window. On a
+    heavy-tie fixture the results must match a from-scratch per-row
+    reference exactly (ranks are exact halves; ECDF gaps are exact
+    integer ratios), and the window input must be the collapsed
+    frame, not raw rows."""
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        ("g%d" % (i % 2), i % 3 == 0, float(rng.randrange(0, 8)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm boolean, x double")
+
+    # --- reference: per-row average ranks + ECDF gaps ---
+    def ref(grp):
+        vals = [(x, a) for g, a, x in rows if g == grp]
+        xs = sorted(x for x, _ in vals)
+        rank = {}
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j] == xs[i]:
+                j += 1
+            rank[xs[i]] = (i + 1 + j) / 2.0  # avg of ranks i+1..j
+            i = j
+        rb = sum(rank[x] for x, a in vals if a)
+        nb = sum(1 for _, a in vals if a)
+        na = len(vals) - nb
+        u = rb - nb * (nb + 1) / 2
+        steps = sorted(set(xs))
+        amax = 0.0
+        for s in steps:
+            ca = sum(1 for x, a in vals if not a and x <= s)
+            cb = sum(1 for x, a in vals if a and x <= s)
+            amax = max(amax, abs(ca / na - cb / nb))
+        return u, amax, na, nb
+
+    got_u = {
+        r["grp"]: r for r in mann_whitney_u(df, ["grp"], "arm", "x").collect()
+    }
+    got_ks = {
+        r["grp"]: r for r in ks_two_sample(df, ["grp"], "arm", "x").collect()
+    }
+    for grp in ("g0", "g1"):
+        u, d, na, nb = ref(grp)
+        assert got_u[grp]["u_stat"] == u, grp
+        assert (got_u[grp]["n_a"], got_u[grp]["n_b"]) == (na, nb)
+        assert got_ks[grp]["ks_d"] == d, grp
+
+    # plan shape: the window consumes a HashAggregate (the collapsed
+    # distinct-value frame), never the raw scan
+    import io
+    import contextlib
+
+    for frame in (
+        mann_whitney_u(df, ["grp"], "arm", "x"),
+        ks_two_sample(df, ["grp"], "arm", "x"),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        plan = buf.getvalue()
+        win = plan.index("Window")
+        assert "HashAggregate" in plan[win:], plan
