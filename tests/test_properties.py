@@ -644,3 +644,46 @@ def test_batched_topk_duplicate_ids_raise_targeted_error(spark):
             )
     finally:
         similarity.MAX_DRIVER_QUERIES = saved
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[2]),  # tiebreak unique per group
+    ),
+    threshold=st.integers(min_value=0, max_value=70),
+)
+def test_grouped_rank_two_phase_equals_window(spark, rows, threshold):
+    """r11: the two-phase per-group numbering must equal the keyed
+    window ROW_NUMBER for arbitrary group shapes, value ties (broken
+    by the unique tiebreak), and dispatch thresholds — including
+    threshold=0, which forces every shape through the range-shuffle +
+    (pid, group)-local-window path."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        grouped_rank_auto,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, tie long")
+    ranked_w, _ = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=10**9
+    )
+    ranked_2, strat = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=threshold
+    )
+    want = sorted(tuple(r) for r in ranked_w.collect())
+    got = sorted(tuple(r) for r in ranked_2.collect())
+    assert got == want
+    if threshold == 0:
+        assert strat == "two_phase"
