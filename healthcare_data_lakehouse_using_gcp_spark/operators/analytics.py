@@ -805,7 +805,13 @@ def mann_whitney_u(
     v = F.col(value_col).cast("double")
     gk = list(group_cols)
     per_value = df.groupBy(*gk, v.alias("__v")).agg(
+        # __t counts EVERY row (NULL-arm rows still occupy ranks,
+        # matching the per-row formulation); __ta/__tb count only the
+        # explicitly-false/true arms, so a NULL arm lands in neither
+        # n_a nor n_b — the same FILTER(WHERE ...) semantics as the
+        # SQL oracle
         F.count(F.lit(1)).alias("__t"),
+        F.sum(F.when(~arm, 1).otherwise(0)).alias("__ta"),
         F.sum(F.when(arm, 1).otherwise(0)).alias("__tb"),
     )
     w_below = (
@@ -817,7 +823,7 @@ def mann_whitney_u(
         "__below", F.coalesce(F.sum("__t").over(w_below), F.lit(0))
     )
     agg = cum.groupBy(*gk).agg(
-        F.sum(F.col("__t") - F.col("__tb")).cast("double").alias("__na"),
+        F.sum("__ta").cast("double").alias("__na"),
         F.sum("__tb").cast("double").alias("__nb"),
         (
             F.sum(
