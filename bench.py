@@ -150,11 +150,17 @@ HEADLINE = [
     # round-11 (VERDICT r10 item 4): last-touch attribution — the
     # as-of union+window plan (two event classes unioned, one keyed
     # LOCF window, credit agg) is the scale-interesting as-of shape —
-    # and a SUB-LINEAR ANN representative (IVF probe: centroid
-    # broadcast + nearest-cell prune + per-cell exact rerank), so the
-    # sf3 curve carries the path users actually run at scale, not just
-    # the deliberately-linear brute-force truth stage. Headline sum
-    # covers 24 queries from r11 on
+    # and the IVF ANN entry. Honest scope note: the corpus entry
+    # times the WHOLE verified pipeline — 3-pass index build +
+    # probe-pruned search + the embedded brute-force exact-truth
+    # stage — so its wall is linear-with-small-constant by
+    # construction, dominated at bench scales by fixed per-job
+    # overheads (measured x3_vs_sf1 ≈ 1). The serving-path search
+    # over a PREBUILT index (ivf_search, zero corpus passes at query
+    # time) is the genuinely sub-linear story and is covered by
+    # tests/test_llm_ops.py save/load+search; it has no standalone
+    # bench row because every corpus entry must stay inside the
+    # oracle gate. Headline sum covers 24 queries from r11 on
     "attribution_last_touch",
     "ann_ivf_topk",
 ]
@@ -196,9 +202,11 @@ SF1_SUBSET = [
     # o_custkey; super-linear growth would mean the delta sides
     # stopped behaving delta-sized (plan regressed to a full rebuild)
     "j10_join_delta",
-    # round-11 (VERDICT r10 item 4): the sub-linear ANN path's scale
-    # curve — IVF probes nprobe cells, so its x3 should sit well under
-    # ann_cosine_topk's deliberately-linear ×3; attribution's as-of
+    # round-11 (VERDICT r10 item 4): ann_ivf_topk's x3 reads the
+    # build+search+truth pipeline (linear terms with small constants
+    # + large fixed costs — expect x3 well under ann_cosine's only
+    # because fixed costs amortize, NOT as proof of sub-linear
+    # search; see the HEADLINE scope note); attribution's as-of
     # union+window should scale with the event volume
     "attribution_last_touch",
     "ann_ivf_topk",
@@ -498,7 +506,10 @@ def main() -> None:
 
     # Control-normalized round-over-round deltas (VERDICT r8 item 6):
     # read THESE, not raw walls, before calling anything a regression.
-    detail: dict = {"metric": "bench_detail"}
+    # The sf0.1 per-query minimums ride here too, so an overflow-
+    # trimmed headline (finalize_headline_line) can truthfully point
+    # readers at this line for them.
+    detail: dict = {"metric": "bench_detail", "queries": timings}
     prev, prev_name = _prev_bench(repo)
     controls_ratio = None
     if prev:

@@ -1746,12 +1746,28 @@ def _grouped_rank_two_phase(
         F.sum("__c").over(wtot).cast("bigint").alias("__gn"),
     )
     # the offsets frame is |pids touched per group| rows — broadcast
-    # unless a pathological many-groups shape makes it large
-    off = F.broadcast(offsets) if counts.count() <= 1_000_000 else offsets
+    # when it is genuinely small (~10 MB at ~100 bytes/row), shuffle
+    # join otherwise (a many-groups shape can reach millions of rows;
+    # force-broadcasting that would pressure the driver on exactly
+    # the giant-input regime this helper exists for)
+    off = offsets.alias("o")
+    if counts.count() <= 100_000:
+        off = F.broadcast(off)
+    p = part.alias("p")
+    # eqNullSafe on the group keys: a NULL group is a real group to
+    # the window path (its own window partition), so the two-phase
+    # path must rank it too — a plain equi-join would silently drop
+    # every NULL-group row once the dispatch crosses the threshold
+    cond = F.col("p.__pid") == F.col("o.__pid")
+    for c in group_cols:
+        cond = cond & F.col(f"p.{c}").eqNullSafe(F.col(f"o.{c}"))
+    joined = p.join(off, cond).select(
+        "p.*", F.col("o.__off").alias("__off"), F.col("o.__gn").alias("__gn")
+    )
     wloc = Window.partitionBy("__pid", *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
     )
-    out = part.join(off, ["__pid", *group_cols]).withColumn(
+    out = joined.withColumn(
         rank_name, (F.col("__off") + F.row_number().over(wloc)).cast("bigint")
     )
     if group_count_name is not None:

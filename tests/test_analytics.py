@@ -1345,3 +1345,28 @@ def test_mann_whitney_null_arm_rows_occupy_ranks_but_join_no_arm(spark):
     # ranks: 1.0→1, 1.5→2 (NULL arm), 2.0→3, 3.0→4, 4.0→5
     # R_b = 3 + 5 = 8; U = 8 − 2·3/2 = 5
     assert row["u_stat"] == 5.0
+
+
+def test_grouped_rank_two_phase_keeps_null_group_rows(spark):
+    """Code-review r11: the two-phase join must be NULL-SAFE on the
+    group keys — a NULL group is a real window partition to the
+    window path, so rows with NULL group keys must rank identically
+    (not silently vanish) when the dispatch crosses the threshold."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        grouped_rank_auto,
+    )
+
+    rows = [("a", i, i) for i in range(5)] + [(None, i, 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, v long, tie long")
+    ranked_w, _ = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=10**9
+    )
+    ranked_2, strat = grouped_rank_auto(
+        df, ["g"], ["v", "tie"], "rk", skew_threshold=0
+    )
+    assert strat == "two_phase"
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    want = sorted((tuple(r) for r in ranked_w.collect()), key=key)
+    got = sorted((tuple(r) for r in ranked_2.collect()), key=key)
+    assert len(got) == 9  # every row survives, including NULL group
+    assert got == want
