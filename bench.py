@@ -483,6 +483,57 @@ def main() -> None:
             },
         }
 
+    # --- serving-path ANN probe (r11, code-review follow-up): the
+    # basket's ann_ivf_topk times the whole VERIFIED pipeline (index
+    # build + search + embedded exact truth — linear by construction);
+    # the number users pay at serving time is ivf_search over a
+    # PREBUILT index. Measure exactly that, with n_centroids scaling
+    # as sqrt(n) (the standard IVF sizing): search touches
+    # n_probe·n/sqrt(n) vectors, so the sf3/sf1 wall ratio should sit
+    # near sqrt(3)≈1.7, NOT 3 — the sub-linear story, measured
+    # honestly instead of claimed. Build cost is excluded (amortized
+    # across queries in the serving regime; the build's own scaling
+    # is covered by ann_ivf_topk's basket row).
+    serving_block = None
+    if sf1_block is not None and sf3_block is not None:
+        import math as _math
+
+        from healthcare_data_lakehouse_using_gcp_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_search,
+        )
+        from healthcare_data_lakehouse_using_gcp_spark.sources.readers import (
+            load_table,
+        )
+
+        serving_block = {"metric_note": "ivf_search over prebuilt index, "
+                                        "n_centroids=sqrt(n), n_probe=6"}
+        walls = {}
+        for label, d in (("sf0.1", sf_dir),
+                         ("sf1", sf1_dir), ("sf3", sf3_dir)):
+            e = load_table(spark, d, "embeddings")
+            n_rows = e.count()
+            ncent = max(16, int(_math.isqrt(n_rows)))
+            q = e.orderBy("vec_id").limit(3).select(
+                e.vec_id.alias("query_id"), "embedding"
+            ).localCheckpoint(eager=True)
+            indexed, cents = build_ivf_index(e, n_centroids=ncent)
+            indexed = indexed.localCheckpoint(eager=True)
+            cents = cents.localCheckpoint(eager=True)
+            runs = _timed_runs(
+                lambda: ivf_search(indexed, cents, q, k=10, n_probe=6).count(),
+                lambda: None,  # nothing cached per rep; index stays warm
+                3,
+                5,
+            )
+            walls[label] = min(runs)
+            serving_block[f"{label}_n"] = n_rows
+            serving_block[f"{label}_centroids"] = ncent
+        serving_block["walls"] = walls
+        serving_block["x10_vs_sf0.1"] = round(walls["sf1"] / walls["sf0.1"], 2)
+        serving_block["x3_vs_sf1"] = round(walls["sf3"] / walls["sf1"], 2)
+        spark.catalog.clearCache()
+
     try:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
@@ -537,6 +588,8 @@ def main() -> None:
         detail["sf1"] = sf1_block
     if sf3_block is not None:
         detail["sf3"] = sf3_block
+    if serving_block is not None:
+        detail["serving_ivf"] = serving_block
     print(json.dumps(detail))
 
     out = {
@@ -563,6 +616,10 @@ def main() -> None:
         if x3:
             worst = max(x3, key=x3.get)
             out["sf3_x3_worst"] = [worst, x3[worst]]
+    if serving_block is not None:
+        # prebuilt-index ivf_search sf3/sf1 wall ratio — the honest
+        # sub-linear-serving scalar (~sqrt(3), vs 3 for a linear scan)
+        out["serving_ivf_x3"] = serving_block["x3_vs_sf1"]
     print(finalize_headline_line(out, total))
     spark.stop()
 
