@@ -534,6 +534,29 @@ def main() -> None:
         serving_block["x3_vs_sf1"] = round(walls["sf3"] / walls["sf1"], 2)
         spark.catalog.clearCache()
 
+    # --- end-of-run control drift (r11): the CONTROLS run early in
+    # the headline basket, so a machine that degrades MID-RUN
+    # (thermal/cgroup throttling — observed once in r11: the sf1
+    # tail-half inflated ~7× while early queries stayed normal)
+    # silently penalizes late-phase queries in a way the prev-round
+    # normalization cannot see. Re-time the controls at the very end
+    # at sf0.1: end/min ratio ≈ 1 means the run was steady;
+    # ≳1.5 means tail-phase numbers (sf1/sf3/serving) are suspect and
+    # the run deserves a re-measure before anyone reads regressions.
+    drift_ratios = []
+    for name in CONTROLS:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        end_wall = time.perf_counter() - t0
+        if timings.get(name):
+            drift_ratios.append(end_wall / timings[name])
+    controls_drift_end = (
+        round((drift_ratios[0] * drift_ratios[1]) ** 0.5, 2)
+        if len(drift_ratios) == 2
+        else None
+    )
+
     try:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
@@ -590,6 +613,8 @@ def main() -> None:
         detail["sf3"] = sf3_block
     if serving_block is not None:
         detail["serving_ivf"] = serving_block
+    if controls_drift_end is not None:
+        detail["controls_drift_end"] = controls_drift_end
     print(json.dumps(detail))
 
     out = {
@@ -620,6 +645,11 @@ def main() -> None:
         # prebuilt-index ivf_search sf3/sf1 wall ratio — the honest
         # sub-linear-serving scalar (~sqrt(3), vs 3 for a linear scan)
         out["serving_ivf_x3"] = serving_block["x3_vs_sf1"]
+    if controls_drift_end is not None:
+        # end-of-run control re-measure vs their in-basket minimums:
+        # ≈1 steady machine; ≳1.5 the run degraded mid-flight and the
+        # late-phase (sf1/sf3/serving) numbers are suspect
+        out["controls_drift_end"] = controls_drift_end
     print(finalize_headline_line(out, total))
     spark.stop()
 
