@@ -789,6 +789,14 @@ def mann_whitney_u(
     Returns per group: n_a, n_b, u_stat, z (z NULL when an arm is
     empty or every value is tied — the statistic is undefined).
 
+    NULL-arm rows are EXCLUDED before ranking (code-review r11): a
+    two-sample test is defined over exactly the two samples — rows
+    in neither arm occupying rank slots would push U past its
+    [0, n_a·n_b] range and bias z's n_a·n_b/2 null mean. (The a25
+    oracle's arm expression is never NULL, so fixture parity is
+    unaffected; callers with a nullable arm flag now get valid
+    statistics instead of silently skewed ones.)
+
     Scale design (r11, the mleval_auc technique): NEVER ranks rows.
     One (group, value) hash aggregation (map-side partial) collapses
     the fact to a DISTINCT-VALUE frame carrying (t, t_b); one keyed
@@ -804,12 +812,7 @@ def mann_whitney_u(
     arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
     v = F.col(value_col).cast("double")
     gk = list(group_cols)
-    per_value = df.groupBy(*gk, v.alias("__v")).agg(
-        # __t counts EVERY row (NULL-arm rows still occupy ranks,
-        # matching the per-row formulation); __ta/__tb count only the
-        # explicitly-false/true arms, so a NULL arm lands in neither
-        # n_a nor n_b — the same FILTER(WHERE ...) semantics as the
-        # SQL oracle
+    per_value = df.filter(arm.isNotNull()).groupBy(*gk, v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__t"),
         F.sum(F.when(~arm, 1).otherwise(0)).alias("__ta"),
         F.sum(F.when(arm, 1).otherwise(0)).alias("__tb"),

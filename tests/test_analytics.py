@@ -1322,12 +1322,13 @@ def test_mann_whitney_and_ks_distinct_value_plan_matches_bruteforce(spark):
         assert "HashAggregate" in plan[win:], plan
 
 
-def test_mann_whitney_null_arm_rows_occupy_ranks_but_join_no_arm(spark):
-    """NULL-arm rows keep their rank slots (they are part of the
-    pooled ordering, exactly as the per-row formulation ranked them)
-    but count toward NEITHER n_a nor n_b — the FILTER(WHERE arm)
-    semantics of the SQL oracle. Pinned so the r11 distinct-value
-    rewrite can never silently fold NULL arms into an arm."""
+def test_mann_whitney_null_arm_rows_are_excluded(spark):
+    """Code-review r11: a two-sample test is defined over exactly the
+    two samples — NULL-arm rows are excluded BEFORE ranking (were
+    they to occupy rank slots, U could exceed its [0, n_a·n_b] range
+    and z's null mean would no longer match the pooled ranking).
+    Pinned so the distinct-value rewrite keeps valid statistics for
+    nullable arm flags."""
     from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
         mann_whitney_u,
     )
@@ -1335,16 +1336,17 @@ def test_mann_whitney_null_arm_rows_occupy_ranks_but_join_no_arm(spark):
     df = spark.createDataFrame(
         [
             ("g", False, 1.0), ("g", True, 2.0),
-            ("g", None, 1.5),  # occupies rank 2 between the arms
+            ("g", None, 1.5),  # excluded: belongs to neither sample
             ("g", False, 3.0), ("g", True, 4.0),
         ],
         "grp string, arm boolean, x double",
     )
     row = mann_whitney_u(df, ["grp"], "arm", "x").collect()[0]
     assert (row["n_a"], row["n_b"]) == (2, 2)
-    # ranks: 1.0→1, 1.5→2 (NULL arm), 2.0→3, 3.0→4, 4.0→5
-    # R_b = 3 + 5 = 8; U = 8 − 2·3/2 = 5
-    assert row["u_stat"] == 5.0
+    # pooled ranks (NULL row gone): 1.0→1, 2.0→2, 3.0→3, 4.0→4
+    # R_b = 2 + 4 = 6; U = 6 − 2·3/2 = 3 — inside [0, n_a·n_b] = [0, 4]
+    assert row["u_stat"] == 3.0
+    assert 0 <= row["u_stat"] <= row["n_a"] * row["n_b"]
 
 
 def test_grouped_rank_two_phase_keeps_null_group_rows(spark):
