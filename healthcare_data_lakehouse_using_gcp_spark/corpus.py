@@ -8294,8 +8294,14 @@ def doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import quantile_normalize
 
     d = _t(spark, sf_dir, "documents")
+    # max_group_hint=0 (ADVICE r11): the fixture's largest source is
+    # nowhere near the 10M-row skew threshold, so skip the profiling
+    # groupBy().count() job and go straight to the keyed window — the
+    # hint only picks the strategy; both paths emit identical rows
+    # (the measured dispatch itself is pinned in test_analytics.py)
     return quantile_normalize(
-        d, group_col="source", value_col="n_chars", tiebreak_col="doc_id"
+        d, group_col="source", value_col="n_chars", tiebreak_col="doc_id",
+        max_group_hint=0,
     )
 
 
@@ -8469,7 +8475,10 @@ def a30_gini_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import gini_utilization
 
     ev = _t(spark, sf_dir, "events")
-    return gini_utilization(ev)
+    # max_group_hint=0 (ADVICE r11): per-(type, user) rollup sizes in
+    # the fixture sit far below the 10M skew threshold — skip the
+    # profiling job; strategy choice only, never correctness
+    return gini_utilization(ev, max_group_hint=0)
 
 
 @query(

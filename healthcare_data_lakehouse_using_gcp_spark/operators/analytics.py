@@ -789,13 +789,18 @@ def mann_whitney_u(
     Returns per group: n_a, n_b, u_stat, z (z NULL when an arm is
     empty or every value is tied — the statistic is undefined).
 
-    NULL-arm rows are EXCLUDED before ranking (code-review r11): a
+    NULL-arm rows are EXCLUDED from ranking (code-review r11): a
     two-sample test is defined over exactly the two samples — rows
     in neither arm occupying rank slots would push U past its
-    [0, n_a·n_b] range and bias z's n_a·n_b/2 null mean. (The a25
-    oracle's arm expression is never NULL, so fixture parity is
-    unaffected; callers with a nullable arm flag now get valid
-    statistics instead of silently skewed ones.)
+    [0, n_a·n_b] range and bias z's n_a·n_b/2 null mean. But the
+    exclusion is per-ROW, not per-group (ADVICE r11): a group whose
+    rows ALL have a NULL arm still surfaces, with n_a = n_b = 0 and
+    NULL statistics — same convention as ``ks_two_sample`` and the
+    pre-r11 behavior, so callers iterating groups never silently
+    lose one. Mechanically, NULL-arm rows contribute 0 to the tie
+    counts (no filter, so the groupBy keeps their group alive) and
+    therefore occupy no rank slots. (The a25 oracle's arm expression
+    is never NULL, so fixture parity is unaffected.)
 
     Scale design (r11, the mleval_auc technique): NEVER ranks rows.
     One (group, value) hash aggregation (map-side partial) collapses
@@ -812,11 +817,13 @@ def mann_whitney_u(
     arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
     v = F.col(value_col).cast("double")
     gk = list(group_cols)
-    per_value = df.filter(arm.isNotNull()).groupBy(*gk, v.alias("__v")).agg(
-        F.count(F.lit(1)).alias("__t"),
+    # when(~arm)/when(arm) fall through to otherwise(0) on a NULL arm,
+    # so NULL-arm rows keep their group alive in the hash-agg while
+    # contributing zero tie mass (__t) — no rank slots occupied
+    per_value = df.groupBy(*gk, v.alias("__v")).agg(
         F.sum(F.when(~arm, 1).otherwise(0)).alias("__ta"),
         F.sum(F.when(arm, 1).otherwise(0)).alias("__tb"),
-    )
+    ).withColumn("__t", F.col("__ta") + F.col("__tb"))
     w_below = (
         Window.partitionBy(*gk)
         .orderBy("__v")
@@ -1731,11 +1738,17 @@ def _grouped_rank_two_phase(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # lazy checkpoint + count folds the broadcast-or-shuffle sizing
+    # decision into the materialization itself (VERDICT r11 item 5):
+    # the count() below is the FIRST action on this frame, so the one
+    # job both pins the checkpoint and returns |offsets| — previously
+    # an eager checkpoint job AND a count job ran back to back
     counts = (
         part.groupBy("__pid", *group_cols)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_offsets = counts.count()
     woff = (
         Window.partitionBy(*group_cols)
         .orderBy("__pid")
@@ -1754,7 +1767,7 @@ def _grouped_rank_two_phase(
     # force-broadcasting that would pressure the driver on exactly
     # the giant-input regime this helper exists for)
     off = offsets.alias("o")
-    if counts.count() <= 100_000:
+    if n_offsets <= 100_000:
         off = F.broadcast(off)
     p = part.alias("p")
     # eqNullSafe on the group keys: a NULL group is a real group to
@@ -1786,6 +1799,7 @@ def grouped_rank_auto(
     skew_threshold: int = 10_000_000,
     num_partitions: int | None = None,
     group_count_name: str | None = None,
+    max_group_hint: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Measured dispatch for per-group ROW_NUMBER (VERDICT r9/r10:
     the ``assign_contiguous_ids`` lift, wired like ``band_join_auto``
@@ -1796,16 +1810,25 @@ def grouped_rank_auto(
     one-reducer-per-group sort is replaced by the two-phase
     numbering, below it the plain keyed window stays (no extra
     shuffles, no checkpoint). Returns (ranked, strategy) so callers
-    and tests can see which plan ran; hot paths that know their shape
-    should call the specific path directly and skip the profiling
-    job. Both paths produce IDENTICAL ranks (``order_cols`` must
-    total-order each group)."""
-    top = (
-        df.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.max("__c"))
-        .first()[0]
-    ) or 0
+    and tests can see which plan ran. Both paths produce IDENTICAL
+    ranks (``order_cols`` must total-order each group).
+
+    ``max_group_hint`` (ADVICE r11): callers that already KNOW an
+    upper bound on their largest group (a profiled table, a
+    bounded-domain key, a fixture) pass it here and the profiling
+    job is skipped entirely — the dispatch compares the hint against
+    ``skew_threshold`` instead. The hint only chooses the strategy;
+    a wrong hint can cost performance (one-reducer sort), never
+    correctness (both paths emit identical ranks)."""
+    if max_group_hint is not None:
+        top = max_group_hint
+    else:
+        top = (
+            df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c"))
+            .first()[0]
+        ) or 0
     if top > skew_threshold:
         return (
             _grouped_rank_two_phase(
@@ -1835,6 +1858,7 @@ def quantile_normalize(
     tiebreak_col: str = "doc_id",
     digits: int = 4,
     skew_threshold: int = 10_000_000,
+    max_group_hint: int | None = None,
 ) -> DataFrame:
     """Per-group quantile (rank) normalization: map each value to its
     within-group quantile q = rank / (n + 1) ∈ (0, 1) — the
@@ -1856,7 +1880,9 @@ def quantile_normalize(
     two-phase per-group numbering (range shuffle + (pid, group)-keyed
     local windows — no per-group reducer), with n coming from the
     tiny offsets frame instead of a keyed count-window. Both paths
-    emit identical rows.
+    emit identical rows. ``max_group_hint`` (ADVICE r11) forwards to
+    ``grouped_rank_auto`` so callers that know their largest group's
+    bound skip the profiling job.
     """
     from ..functions.scalars import round_det
 
@@ -1867,6 +1893,7 @@ def quantile_normalize(
         "__rn",
         skew_threshold=skew_threshold,
         group_count_name="__n",
+        max_group_hint=max_group_hint,
     )
     return ranked.select(
         tiebreak_col,
@@ -2011,6 +2038,7 @@ def gini_utilization(
     user_col: str = "user_id",
     digits: int = 4,
     skew_threshold: int = 10_000_000,
+    max_group_hint: int | None = None,
 ) -> DataFrame:
     """Gini coefficient of per-entity utilization within each event
     type — the standard inequality statistic ("do 1% of patients
@@ -2049,6 +2077,7 @@ def gini_utilization(
         ["cnt", user_col],
         "__i",
         skew_threshold=skew_threshold,
+        max_group_hint=max_group_hint,
     )
     agg = ranked.groupBy(type_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),

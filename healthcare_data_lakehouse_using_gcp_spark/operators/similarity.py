@@ -136,13 +136,34 @@ def batched_query_topk(
             )
             over = [(sb, c) for sb, c in sub_counts if c > MAX_DRIVER_QUERIES]
             if over:
+                # diagnose before blaming (ADVICE r11): duplicates are
+                # the overwhelmingly likely cause (no hash level can
+                # separate equal ids), but a pathologically skewed
+                # second-level hash over DISTINCT ids is possible —
+                # check which actually happened so the error never
+                # misdiagnoses. One small count on the offending
+                # bucket only, on the failure path only.
+                n_distinct = (
+                    qb.select(query_id_col).distinct().count()
+                )
+                if n_distinct < cnt:
+                    cause = (
+                        f"duplicate values in {query_id_col!r} collide "
+                        f"at every hash level ({cnt} rows over "
+                        f"{n_distinct} distinct ids) — deduplicate "
+                        "query ids before calling batched_query_topk"
+                    )
+                else:
+                    cause = (
+                        f"ids are distinct ({n_distinct}) but the "
+                        "second-level xxhash64 split is pathologically "
+                        "skewed — lower batch_size or remap the ids "
+                        "before calling batched_query_topk"
+                    )
                 raise ValueError(
                     f"bucket {b} still exceeds MAX_DRIVER_QUERIES="
                     f"{MAX_DRIVER_QUERIES} after a second-level hash "
-                    f"re-split (sub-bucket sizes {over}): duplicate "
-                    f"values in {query_id_col!r} collide at every hash "
-                    "level — deduplicate query ids before calling "
-                    "batched_query_topk"
+                    f"re-split (sub-bucket sizes {over}): {cause}"
                 )
             for sb, _c in sub_counts:
                 qsb = qb.filter(sub == F.lit(sb))

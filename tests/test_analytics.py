@@ -1349,6 +1349,35 @@ def test_mann_whitney_null_arm_rows_are_excluded(spark):
     assert 0 <= row["u_stat"] <= row["n_a"] * row["n_b"]
 
 
+def test_mann_whitney_all_null_arm_group_still_surfaces(spark):
+    """ADVICE r11: the NULL-arm exclusion is per-ROW, not per-group —
+    a group whose rows ALL carry a NULL arm must still emit a row
+    (n_a = n_b = 0, NULL statistics), matching ks_two_sample and the
+    pre-r11 convention, so callers iterating groups never silently
+    lose one."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mixed", False, 1.0), ("mixed", True, 2.0),
+            ("allnull", None, 5.0), ("allnull", None, 6.0),
+        ],
+        "grp string, arm boolean, x double",
+    )
+    rows = {r["grp"]: r for r in mann_whitney_u(df, ["grp"], "arm", "x").collect()}
+    assert set(rows) == {"mixed", "allnull"}
+    r = rows["allnull"]
+    assert (r["n_a"], r["n_b"]) == (0, 0)
+    assert r["u_stat"] is None and r["z"] is None
+    # same convention as KS (which never had the filter)
+    ks = {r["grp"]: r for r in ks_two_sample(df, ["grp"], "arm", "x").collect()}
+    assert set(ks) == {"mixed", "allnull"}
+    assert (ks["allnull"]["n_a"], ks["allnull"]["n_b"]) == (0, 0)
+
+
 def test_grouped_rank_two_phase_keeps_null_group_rows(spark):
     """Code-review r11: the two-phase join must be NULL-SAFE on the
     group keys — a NULL group is a real window partition to the
