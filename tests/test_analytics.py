@@ -1215,6 +1215,93 @@ def test_grouped_rank_auto_two_phase_matches_window_and_plan_shape(spark):
     )
 
 
+def test_trailing_distinct_auto_dispatch_and_hll_plan_shape(spark):
+    """VERDICT r11 item 4a: the w9 allowlist's named HLL alternative
+    is now a CODE dispatch, not a docstring. Below the threshold the
+    probe picks the exact collect_set path; forced over it, the HLL
+    path must (a) tag itself, (b) window over the |days|-sized daily
+    sketch rollup (plan shows the sketch agg, no collect_set), and
+    (c) estimate within the sketch's error of the exact counts."""
+    import contextlib
+    import io
+    import datetime as dt
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        trailing_distinct_auto,
+    )
+
+    rows = [
+        (dt.date(2024, 3, 1 + d), f"u{(i * 7 + d) % 40}")
+        for d in range(10)
+        for i in range(3 + d)
+    ]
+    df = spark.createDataFrame(rows, "d date, id string")
+
+    exact, strat = trailing_distinct_auto(df, "d", "id", window_days=7)
+    assert strat == "exact"
+    hll, strat_h = trailing_distinct_auto(
+        df, "d", "id", window_days=7, distinct_threshold=0
+    )
+    assert strat_h == "hll"
+
+    e = {r["d"]: r["n_distinct"] for r in exact.collect()}
+    h = {r["d"]: r["n_distinct"] for r in hll.collect()}
+    assert set(e) == set(h)
+    # tiny universes are exact in HLL's sparse mode; allow 2% anyway
+    for day, n in e.items():
+        assert abs(h[day] - n) <= max(1, 0.02 * n), (day, n, h[day])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hll.explain("formatted")
+    plan = buf.getvalue()
+    assert "hll_union_agg" in plan or "hll_sketch" in plan, plan
+    assert "collect_set" not in plan, plan
+
+
+def test_equidepth_histogram_auto_dispatch_and_no_window_plan(spark):
+    """VERDICT r11 item 4b: the a14 allowlist's named
+    approx_percentile alternative is now a CODE dispatch. Below the
+    threshold the probe keeps the exact ntile path; forced over it,
+    the sketch path must (a) tag itself, (b) carry NO window node at
+    all (cutpoints from one mergeable agg + comparison binning), and
+    (c) partition the value range (counts sum to n, buckets
+    near-equal depth)."""
+    import contextlib
+    import io
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        equidepth_histogram_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(1000)], "k long, x double"
+    )
+    exact, strat = equidepth_histogram_auto(df, "x", buckets=4, tie_break="k")
+    assert strat == "exact"
+    approx, strat_a = equidepth_histogram_auto(
+        df, "x", buckets=4, row_threshold=10
+    )
+    assert strat_a == "approx_percentile"
+
+    rows = approx.collect()
+    assert sum(r["n"] for r in rows) == 1000
+    assert {r["bucket"] for r in rows} == {1, 2, 3, 4}
+    # near-equal depth: every bucket within 20% of the ideal 250
+    assert all(abs(r["n"] - 250) <= 50 for r in rows), rows
+    # buckets tile the range in order without overlap
+    by_bucket = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["hi"] <= b["lo"]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "percentile" not in plan  # cutpoints resolved driver-side
+
+
 def test_gini_and_quantile_normalize_skew_path_oracle_unchanged(spark):
     """The two consumers must emit identical rows whichever rank path
     the dispatch picks (oracle unchanged — VERDICT r10 item 3's

@@ -55,14 +55,19 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "mb_cooccurrence_lift": "rank over top-20 rows post-TakeOrderedAndProject",
     # monitoring-sized rollups with documented scale caveats and named
     # scale alternatives in their operator docstrings
-    "a14_equidepth": "equidepth cutpoints over a bin-sized rollup "
-    "(analytics.equidepth_histogram documents approx_percentile as "
-    "the scale path)",
+    "a14_equidepth": "exact ntile path CHOSEN BY "
+    "analytics.equidepth_histogram_auto's measured probe (fixture "
+    "rows < row_threshold); past it the dispatch swaps to "
+    "approx_percentile binning with no window at all "
+    "(test_analytics.py pins both strategies + plan shapes)",
     "w8_period_over_period": "lag over a |periods|-sized rollup "
     "(periods per group are calendar-bounded)",
-    "w9_rolling_distinct": "exact rolling-distinct verification path "
-    "(analytics.rolling_distinct documents the HLL variant as the "
-    "scale path)",
+    "w9_rolling_distinct": "exact collect_set path CHOSEN BY "
+    "analytics.trailing_distinct_auto's measured probe (fixture id "
+    "universe < distinct_threshold); past it the dispatch swaps to "
+    "daily HLL sketches re-unioned over the same RANGE frame — the "
+    "window input becomes the |days|-sized rollup "
+    "(test_analytics.py pins both strategies + plan shapes)",
     "text_zipf_fit": "rank over the vocab-capped histogram "
     "(text.zipf_fit caps the vocabulary before the window)",
     "abc_pareto_parts": "cumulative share over the |keys|-sized "
