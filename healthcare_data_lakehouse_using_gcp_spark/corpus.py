@@ -550,17 +550,30 @@ def query(name: str, sql: str | None):
 #     embedding_near_dup ⇒ legacy backlog 21 after r11 (target ≤21 MET).
 #     The two r11-born mleval twins (mleval_calibration, mleval_pr_grid)
 #     are tail-born under item 1's sanctioned exception.
-#   r12 (tranche 7): seat 16 of the 21 legacy (oldest-born first:
-#     text_source_divergence, text_bigram_pmi, text_bpe_pretokenize,
-#     ann_lsh_invariants, ann_ivf_invariants, ann_ivf_pq_invariants,
-#     text_bpe_invariants, classifier_trained_invariants,
-#     export_shuffled, sample_per_group_docs, text_winnow_fingerprint,
+#   r12 (tranche 7, DONE this round): seated 16 of the 21 legacy
+#     (oldest-born first: text_source_divergence, text_bigram_pmi,
+#     text_bpe_pretokenize, ann_lsh_invariants, ann_ivf_invariants,
+#     ann_ivf_pq_invariants, text_bpe_invariants,
+#     classifier_trained_invariants, export_shuffled,
+#     sample_per_group_docs, text_winnow_fingerprint,
 #     mix_concentration, events_repeat_within, a27_anomaly_zscore,
 #     a28_cusum_shift, doc_quantile_normalize) + the 2 mleval twins
-#     ⇒ ≤5 never-seated remain after r12 (target ≤5 MET).
+#     ⇒ exactly 5 oracle-bearing never-seated remain (target ≤5 MET).
+#   r12 ORACLE-LESS DISPOSITION (VERDICT r11 item 2 — the two
+#     detail twins the oracle-bearing counts silently excluded):
+#     text_bpe_train_apply and quality_classifier_trained are ALSO
+#     seated this round, once, for a rows-only driver row each
+#     (precedent: dedup_minhash_lsh r1-r3). They return to tail in
+#     r13; from then on their *_invariants summary twins — seated
+#     r12, oracle-exact — permanently carry their driver evidence,
+#     and the pytest floors (test_entry.py BPE invariants +
+#     classifier floors) keep gating the detail rows every run. The
+#     head-oracle guard carries a named one-round exception for
+#     exactly these two (test_entry.py).
 #   r13 (tranche 8): seat the remaining 5 (ts_seasonal_adjust,
 #     a29_dispersion, a30_gini_utilization, events_interarrival,
-#     events_churn_flows) ⇒ backlog 0.
+#     events_churn_flows) ⇒ backlog 0 for ALL 189 entries (the two
+#     oracle-less twins will by then have their r12 rows).
 #   Net-new corpus families are FROZEN until the backlog is <20
 #   (i.e. from r12 on, after which new entries must be seated within
 #   2 rounds of birth); the r11 mleval entries are the one sanctioned
@@ -578,8 +591,131 @@ def query(name: str, sql: str | None):
 # sanctioned ML-eval AUC (mleval_auc, newborn head seat) — plus the
 # rule-3 scheduled twin alternation (embedding_near_dup takes r11).
 # Eighteen compensating demotions, each with head-retained machinery
-# or a pytest pin:
+# or a pytest pin.
+# ---------------------------------------------------------------------
+# round-12 rotation (VERDICT r11 items 1+2, tranche 7): twenty
+# first-time seats — the 16 oldest oracle-bearing legacy (text-family
+# six: source_divergence, bigram_pmi, bpe_pretokenize, winnow,
+# mix_concentration, bpe_invariants; ANN invariants trio:
+# lsh/ivf/ivf_pq; classifier_trained_invariants; export_shuffled +
+# sample_per_group_docs; events_repeat_within; a27_anomaly_zscore +
+# a28_cusum_shift; doc_quantile_normalize), the 2 mleval twins
+# (calibration, pr_grid), and the 2 oracle-less detail twins'
+# one-time rows-only seats (text_bpe_train_apply,
+# quality_classifier_trained — VERDICT r11 item 2 disposition,
+# recorded in the drain plan above) — plus the rule-3 scheduled twin
+# alternation (embedding_near_dup_exact takes r12). Twenty-one
+# compensating demotions, each with head-retained machinery or a
+# pytest pin (ledger at the top of this tuple):
 _TAIL = (
+    # --- round-12 demotions (tranche-7 compensations: 21 seats freed
+    # for the 16 oldest oracle-bearing legacy never-seated + the 2
+    # mleval twins + the 2 oracle-less detail twins' one-time
+    # rows-only seats (VERDICT r11 item 2) + the rule-3 twin swap).
+    # Every demotion below is oracle-swept in tail on each pytest run
+    # and keeps its machinery head-exercised or pytest-pinned: ---
+    #   embedding_near_dup      — scheduled twin alternation (rule 3):
+    #                             r12 seats embedding_near_dup_exact
+    #                             (identical oracle)           [green r11]
+    #   dedup_minhash_invariants — banded-LSH + embedded-truth summary;
+    #                             dedup family keeps dedup_spans head
+    #                             and dedup_minhash_lsh benched every
+    #                             round; oracle-swept           [green r11]
+    #   ann_lsh_planted_invariants — ANN summary seats rotate to the
+    #                             r8-born invariants trio
+    #                             (ann_lsh/ivf/ivf_pq_invariants, r12);
+    #                             planted-cluster recall floor stays
+    #                             pinned in test_entry.py       [green r11]
+    #   ann_ivf_pq_rerank_invariants — same rotation; the rerank ≥ ADC
+    #                             recall assertion stays pinned in
+    #                             test_entry.py; ann_ivf_topk benched
+    #                                                           [green r11]
+    #   dedup_incremental_invariants — persisted band-index machinery
+    #                             pinned in test_llm_ops.py;
+    #                             oracle-swept                  [green r11]
+    #   cap_per_source          — per-group top-k cap = the same
+    #                             two-phase grouped rank shape as
+    #                             sample_per_group_docs (its r12
+    #                             replacement seat); oracle-swept
+    #                                                           [green r11]
+    #   sample_weighted         — md5-bucket determinism head-retained
+    #                             by sample_per_group_docs +
+    #                             export_shuffled (r12 seats);
+    #                             oracle-swept                  [green r11]
+    #   classifier_quality      — heuristic quality score executes
+    #                             head-side inside curate_corpus;
+    #                             classifier family seats rotate to
+    #                             classifier_trained_invariants +
+    #                             quality_classifier_trained (r12)
+    #                                                           [green r11]
+    #   text_normalize_unicode  — Arrow NFC machinery pinned in
+    #                             test_text.py goldens; text family
+    #                             takes SIX r12 seats (divergence,
+    #                             pmi, pretokenize, winnow, mix,
+    #                             bpe_invariants); oracle-swept [green r11]
+    #   text_repetition         — repetition ratios oracle-swept; the
+    #                             shingle machinery is dedup_spans
+    #                             (head)                        [green r11]
+    #   pack_documents          — greedy packing oracle-swept; its md5
+    #                             bucket + token-count exprs run
+    #                             head-side in curate_corpus    [green r11]
+    #   epoch_upsample          — sequence()-spine reshaping =
+    #                             gapfill/interpolate machinery;
+    #                             ts_interpolate keeps the reshape
+    #                             family head seat; oracle-swept
+    #                                                           [green r11]
+    #   melt_lineitem           — unpivot is a narrow in-scan expand,
+    #                             pinned in test_analytics.py;
+    #                             oracle-swept                  [green r11]
+    #   gapfill_daily           — date-spine fill machinery =
+    #                             ts_interpolate's (head);
+    #                             oracle-swept                  [green r11]
+    #   j5_semi_anti            — leftsemi/leftanti shapes execute
+    #                             head-side (j7_bloom_prefilter's
+    #                             semi-join; decontaminate's anti in
+    #                             tail sweep); oracle-swept     [green r11]
+    #   set_ops_nations         — INTERSECT/EXCEPT algebra
+    #                             oracle-swept; the distinct-set
+    #                             machinery is j5's              [green r11]
+    #   a16_winsorize           — percentile-clamp machinery =
+    #                             a10/a14 percentile family (tail,
+    #                             swept); robust-stat seats rotate to
+    #                             a27/a28 (r12)                 [green r11]
+    #   a17_mad_outliers        — double-median windows oracle-swept;
+    #                             same keyed-percentile machinery
+    #                                                           [green r11]
+    #   a19_mode                — deterministic mode = distinct-value
+    #                             rank (mleval_auc's frame, head);
+    #                             oracle-swept                  [green r11]
+    #   w8_period_over_period   — lag-over-rollup machinery =
+    #                             a27_anomaly_zscore's rolling frame
+    #                             (r12 seat); w3/w4/w9/w10 keep the
+    #                             window family heads; oracle-swept
+    #                                                           [green r11]
+    #   privacy_generalize      — coarsen-and-audit reuses
+    #                             privacy_k_anonymity's one-hash-agg
+    #                             audit (head); oracle-swept    [green r11]
+    "embedding_near_dup",
+    "dedup_minhash_invariants",
+    "ann_lsh_planted_invariants",
+    "ann_ivf_pq_rerank_invariants",
+    "dedup_incremental_invariants",
+    "cap_per_source",
+    "sample_weighted",
+    "classifier_quality",
+    "text_normalize_unicode",
+    "text_repetition",
+    "pack_documents",
+    "epoch_upsample",
+    "melt_lineitem",
+    "gapfill_daily",
+    "j5_semi_anti",
+    "set_ops_nations",
+    "a16_winsorize",
+    "a17_mad_outliers",
+    "a19_mode",
+    "w8_period_over_period",
+    "privacy_generalize",
     # --- round-11 demotions (tranche-6 compensations) ---
     #   j9_join_cardinality     — join-family seats rotate to
     #                             j5_semi_anti + set_ops_nations (r11);
@@ -667,13 +803,9 @@ _TAIL = (
     "survival_logrank",
     "attribution_last_touch",
     "w6_time_weighted_avg",
-    "embedding_near_dup_exact",
-    # --- r11 tail-born (VERDICT r10 item 1's sanctioned exception;
-    # oracle-swept every pytest run; r12 seating per the drain plan) —
-    # calibration bins + threshold-grid PR, the detail twins of the
-    # r11-seated mleval_auc head entry
-    "mleval_calibration",
-    "mleval_pr_grid",
+    # (embedding_near_dup_exact seated r12 — twin alternation;
+    #  mleval_calibration + mleval_pr_grid seated r12 per the drain
+    #  plan's sanctioned-exception schedule)
     # --- round-10 demotions (tranche-5 compensations) ---
     #   kll_quantiles           — sketch-family seat retained by
     #                             sketch_rollup_union (head); KLL
@@ -866,10 +998,8 @@ _TAIL = (
     "profile_orders",
     "sketch_profile",
     "layout_pruned_scan",
-    "text_source_divergence",
     "j1_band_join",
     "events_funnel",
-    "text_bigram_pmi",
     "a3_count_distinct",
     "a1_global_count",
     "f9_coalesce",
@@ -905,25 +1035,15 @@ _TAIL = (
     "ann_lsh_topk",
     "ann_ivf_pq_topk",
     "a10_percentile",
-    "text_bpe_pretokenize",
     "a6_weighted_score",
-    "text_bpe_train_apply",
-    "quality_classifier_trained",
     # r8 oracle-residue retirement (VERDICT r7 item 7): summary twins
     # folding the remaining rows-only entries' floors into oracle-
     # hashable one-row outputs — tail-resident (swept every pytest
     # run at sf0.01), so the ENTIRE corpus is now either oracle-exact
     # or an explicit detail/bench twin of an oracle-checked entry
-    "ann_lsh_invariants",
-    "ann_ivf_invariants",
-    "ann_ivf_pq_invariants",
-    "text_bpe_invariants",
-    "classifier_trained_invariants",
     # r8 late-born (tail until an r9 seat frees; oracle-swept every
     # pytest run): seeded-Laplace DP count release — the noise itself
     # is hash-checked cross-engine
-    "export_shuffled",
-    "sample_per_group_docs",
     # late-r8 batch 2 (tail-born; oracle-swept every pytest run):
     # graph family completion + time-series smoothing/interpolation
     # late-r8 batch 3 (tail-born; oracle-swept every pytest run):
@@ -934,7 +1054,6 @@ _TAIL = (
     # word-order-aware quality filter: add-k bigram LM perplexity
     # A/B experimentation: grouped Welch two-sample t-test
     # MOSS winnowing: local position-robust copy-detection fingerprints
-    "text_winnow_fingerprint",
     # skew-attack privacy refinement: t-closeness TVD audit
     # categorical independence test: grouped chi-square
     # fabricated-amounts screen: Benford first-digit audit
@@ -943,7 +1062,6 @@ _TAIL = (
     # corpus health: Zipf vocabulary fit
     # association rules: market-basket pair lift
     # training-mix dashboard: entropy/HHI/top-share concentration
-    "mix_concentration",
     # classic BI battery: Markov transitions, RFM tiles, ABC/Pareto
     # clinical time-to-event: Kaplan-Meier with right censoring
     # --- tail-born mid-r9 (second session) — r10 seating candidates ---
@@ -953,16 +1071,12 @@ _TAIL = (
     #   a27_anomaly_zscore      — rolling z over the a8 daily-rollup
     #                             shape; integer rolling sums keep the
     #                             oracle bit-exact      [new r9, no driver row]
-    "events_repeat_within",
-    "a27_anomaly_zscore",
     #   a28_cusum_shift         — SPC drift twin of a27: two stacked
     #                             cumulative windows, integer-exact
     #                             accumulator        [new r9, no driver row]
-    "a28_cusum_shift",
     #   doc_quantile_normalize  — per-source rank calibration: keyed
     #                             window + exact-int ratio
     #                                                [new r9, no driver row]
-    "doc_quantile_normalize",
     #   ts_seasonal_adjust      — dow seasonal index: two hash-aggs +
     #                             broadcast joins, integer-ratio exact
     #                                                [new r9, no driver row]
