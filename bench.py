@@ -521,9 +521,15 @@ def main() -> None:
                            "n_centroids=sqrt(n), n_probe=6"
         }
         walls = {}
+        # derive the base label from the PARSED sf, not a hardcoded
+        # 'sf0.1' (ADVICE r11): SPARK_GRAFT_SF_DIR at another base
+        # scale would otherwise emit mislabeled walls and a
+        # wrong-named ratio (the block currently only runs when
+        # sf == 0.1, but the label must not lie if that gate moves)
+        base_label = f"sf{sf:g}"
         tmp_root = _tempfile.mkdtemp(prefix="bench_ivf_idx_")
         try:
-            for label, d in (("sf0.1", sf_dir),
+            for label, d in ((base_label, sf_dir),
                              ("sf1", sf1_dir), ("sf3", sf3_dir)):
                 e, q = corpus._ann_queries(spark, d)
                 n_rows = e.count()
@@ -546,8 +552,11 @@ def main() -> None:
         finally:
             _shutil.rmtree(tmp_root, ignore_errors=True)
         serving_block["walls"] = walls
-        serving_block["x10_vs_sf0.1"] = round(walls["sf1"] / walls["sf0.1"], 2)
+        serving_block[f"x10_vs_{base_label}"] = round(
+            walls["sf1"] / walls[base_label], 2
+        )
         serving_block["x3_vs_sf1"] = round(walls["sf3"] / walls["sf1"], 2)
+        serving_block["x10_key"] = f"x10_vs_{base_label}"
         spark.catalog.clearCache()
 
     # --- end-of-run control drift (r11): the CONTROLS run early in
@@ -556,19 +565,34 @@ def main() -> None:
     # tail-half inflated ~7× while early queries stayed normal)
     # silently penalizes late-phase queries in a way the prev-round
     # normalization cannot see. Re-time the controls at the very end
-    # at sf0.1: end/min ratio ≈ 1 means the run was steady;
-    # ≳1.5 means tail-phase numbers (sf1/sf3/serving) are suspect and
-    # the run deserves a re-measure before anyone reads regressions.
+    # at sf0.1: ≲0.8 means the run was steady (see the calibration
+    # note below — late-run JVM warmth makes ~0.6-0.7 the healthy
+    # baseline); ≳1.5 means tail-phase numbers (sf1/sf3/serving) are
+    # suspect and the run deserves a re-measure before anyone reads
+    # regressions.
     # Min-to-min under the same adaptive protocol (code-review r11):
     # a single end sample vs a converged min would carry the 15-45%
-    # rep-spread bias and read 'drift' on a steady machine.
+    # rep-spread bias and read 'drift' on a steady machine. SAME
+    # reps/max_reps as the headline loop (ADVICE r11): the r11 build
+    # used floor 2 / cap 4 here, giving the end re-measure less
+    # convergence opportunity than the in-basket minimums it divides
+    # by — an upward bias on a steady machine.
+    # CALIBRATION (measured r12, quiet machine, load<1 at start): the
+    # steady-state baseline of this scalar is ~0.6-0.7, NOT 1.0 — the
+    # controls run EARLY in the basket, and after ~20 min of
+    # continuous work the JVM (JIT, codegen cache, page cache) runs
+    # the same plans ~30-40% faster (r11 read 0.69 on the run judged
+    # healthy; r12 read 0.60 on an idle box). Read it as: ≲0.8 =
+    # steady (late-run warmth), ~1 = the machine DEGRADED enough to
+    # cancel that warmth, ≳1.5 = serious mid-run degradation and the
+    # tail-phase numbers are suspect.
     drift_ratios = []
     for name in CONTROLS:
         runs = _timed_runs(
             lambda n=name: qs[n](spark, sf_dir).count(),
             spark.catalog.clearCache,
-            2,
-            4,
+            reps,
+            max_reps,
         )
         if timings.get(name):
             drift_ratios.append(min(runs) / timings[name])
@@ -631,6 +655,20 @@ def main() -> None:
         detail["x_vs_prev_control_normalized"] = (
             "unavailable: no parseable prior BENCH artifact"
         )
+    # Round-over-round for the serving probe (VERDICT r11 item 6):
+    # the prior compact line carries serving_ivf_x3 (and, from r12,
+    # serving_ivf_x10) — record the prior next to this run's scalars
+    # so the sub-linear-serving story is readable round to round
+    # without digging up two artifacts.
+    if serving_block is not None and prev:
+        for prev_key, cur_val in (
+            ("serving_ivf_x3", serving_block["x3_vs_sf1"]),
+            ("serving_ivf_x10", serving_block.get(serving_block["x10_key"])),
+        ):
+            if isinstance(prev.get(prev_key), (int, float)):
+                serving_block[f"{prev_key}_prev"] = [
+                    prev_name, prev[prev_key],
+                ]
     if sf1_block is not None:
         detail["sf1"] = sf1_block
     if sf3_block is not None:
@@ -669,10 +707,17 @@ def main() -> None:
         # prebuilt-index ivf_search sf3/sf1 wall ratio — the honest
         # sub-linear-serving scalar (~sqrt(3), vs 3 for a linear scan)
         out["serving_ivf_x3"] = serving_block["x3_vs_sf1"]
+        # sf1/base ratio too (VERDICT r11 item 6: both serving
+        # scalars readable round-over-round from the compact line;
+        # ~sqrt(10)≈3.2 healthy, 10 = linear scan)
+        x10 = serving_block.get(serving_block["x10_key"])
+        if x10 is not None:
+            out["serving_ivf_x10"] = x10
     if controls_drift_end is not None:
         # end-of-run control re-measure vs their in-basket minimums:
-        # ≈1 steady machine; ≳1.5 the run degraded mid-flight and the
-        # late-phase (sf1/sf3/serving) numbers are suspect
+        # ≲0.8 steady (late-run JVM warmth baseline ~0.6-0.7); ≳1.5
+        # the run degraded mid-flight and the late-phase
+        # (sf1/sf3/serving) numbers are suspect
         out["controls_drift_end"] = controls_drift_end
     print(finalize_headline_line(out, total))
     spark.stop()
