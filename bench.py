@@ -666,8 +666,10 @@ def main() -> None:
             ("serving_ivf_x10", serving_block.get(serving_block["x10_key"])),
         ):
             if isinstance(prev.get(prev_key), (int, float)):
+                # [prior artifact, prior value, this run's value] —
+                # the round-over-round pair readable in one place
                 serving_block[f"{prev_key}_prev"] = [
-                    prev_name, prev[prev_key],
+                    prev_name, prev[prev_key], cur_val,
                 ]
     if sf1_block is not None:
         detail["sf1"] = sf1_block

@@ -4642,6 +4642,10 @@ def a14_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import equidepth_histogram_auto
 
     o = _t(spark, sf_dir, "orders")
+    # probe deliberately NOT hinted away (unlike the rank-auto
+    # callers): this entry's allowlist rationale rests on the
+    # dispatch itself running in the driver path; the count probe is
+    # one metadata-cheap job. Shape-knowing callers pass row_hint.
     h, _strategy = equidepth_histogram_auto(
         o, "o_totalprice", buckets=4, tie_break="o_orderkey"
     )
@@ -6070,6 +6074,8 @@ def w9_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import trailing_distinct_auto
 
     ev = _t(spark, sf_dir, "events")
+    # probe deliberately NOT hinted away — see a14_equidepth's note;
+    # shape-knowing callers pass distinct_hint
     rolled, _strategy = trailing_distinct_auto(
         ev.select(F.to_date("ts").alias("d"), "user_id"), "d", "user_id",
         window_days=7,

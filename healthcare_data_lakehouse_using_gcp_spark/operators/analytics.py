@@ -203,6 +203,7 @@ def equidepth_histogram_auto(
     tie_break: str | None = None,
     row_threshold: int = 5_000_000,
     accuracy: int = 10_000,
+    row_hint: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Measured dispatch for the equi-depth histogram (VERDICT r11
     item 4, completing the ``grouped_rank_auto`` discipline): one
@@ -217,23 +218,40 @@ def equidepth_histogram_auto(
 
     Returns (histogram, strategy) with strategy in
     {"exact", "approx_percentile"} so callers and tests can see which
-    plan ran. Both paths emit the same schema (bucket, n, lo, hi);
-    the approx path's bucket BOUNDARIES carry the sketch's rank error
-    (counts are exact for the boundaries it picked) and ``tie_break``
-    does not apply (no ranking happens)."""
-    n = df.count()
+    plan ran. Both paths emit the same schema (bucket bigint, n, lo,
+    hi); the approx path's bucket BOUNDARIES carry the sketch's rank
+    error (counts are exact for the boundaries it picked) and
+    ``tie_break`` does not apply (no ranking happens). Edge cases
+    (code-review r12): an all-NULL value column yields NULL
+    cutpoints — the approx path then bins everything into bucket 1
+    (the exact ntile path instead spreads NULL rows across buckets;
+    neither is meaningful, but neither crashes); ``buckets=1`` skips
+    the cutpoint aggregation entirely. ``row_hint`` skips the count
+    probe for shape-knowing callers (same contract as
+    grouped_rank_auto's max_group_hint: strategy only, never
+    correctness of the path chosen)."""
+    n = df.count() if row_hint is None else row_hint
     if n <= row_threshold:
+        exact = equidepth_histogram(df, value_col, buckets, tie_break)
+        # ntile emits int; align with the approx path's long so the
+        # dispatch never changes the output schema (code-review r12)
         return (
-            equidepth_histogram(df, value_col, buckets, tie_break),
+            exact.withColumn("bucket", F.col("bucket").cast("long")),
             "exact",
         )
     v = F.col(value_col).cast("double")
     probs = [i / buckets for i in range(1, buckets)]
-    cuts = df.agg(
-        F.percentile_approx(
-            v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
-        )
-    ).first()[0]
+    if probs:
+        row = df.agg(
+            F.percentile_approx(
+                v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            )
+        ).first()[0]
+        # NULL result (all-NULL column) or NULL elements: no usable
+        # cutpoint — drop them rather than crash binning at scale
+        cuts = [c for c in (row or []) if c is not None]
+    else:
+        cuts = []
     bucket = F.lit(1).cast("long")
     for c in cuts:
         bucket = bucket + F.when(v > F.lit(float(c)), 1).otherwise(0)
@@ -583,6 +601,7 @@ def trailing_distinct_auto(
     id_col: str,
     window_days: int = 7,
     distinct_threshold: int = 1_000_000,
+    distinct_hint: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Measured dispatch for the rolling distinct-count (VERDICT r11
     item 4, completing the ``grouped_rank_auto`` discipline): one
@@ -600,10 +619,16 @@ def trailing_distinct_auto(
     callers and tests can see which plan ran. Both paths emit
     (date_col, n_distinct bigint); the HLL path's counts carry the
     sketch's standard error (~1-2% at default lgConfigK) — the exact
-    path remains the verification / oracle surface."""
-    approx_ids = df.agg(
-        F.approx_count_distinct(id_col).alias("__n")
-    ).first()["__n"]
+    path remains the verification / oracle surface. ``distinct_hint``
+    skips the probe for shape-knowing callers (same contract as
+    grouped_rank_auto's max_group_hint)."""
+    approx_ids = (
+        distinct_hint
+        if distinct_hint is not None
+        else df.agg(
+            F.approx_count_distinct(id_col).alias("__n")
+        ).first()["__n"]
+    )
     if approx_ids <= distinct_threshold:
         return (
             trailing_distinct(df, date_col, id_col, window_days),

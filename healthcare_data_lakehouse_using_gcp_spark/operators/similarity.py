@@ -141,17 +141,25 @@ def batched_query_topk(
                 # separate equal ids), but a pathologically skewed
                 # second-level hash over DISTINCT ids is possible —
                 # check which actually happened so the error never
-                # misdiagnoses. One small count on the offending
-                # bucket only, on the failure path only.
+                # misdiagnoses. The count runs over the OFFENDING
+                # sub-buckets only (code-review r12: incidental
+                # duplicates elsewhere in the bucket must not take
+                # the blame for a skew-caused overflow), on the
+                # failure path only.
+                rows_over = sum(c for _, c in over)
                 n_distinct = (
-                    qb.select(query_id_col).distinct().count()
+                    qb.filter(sub.isin([sb for sb, _ in over]))
+                    .select(query_id_col)
+                    .distinct()
+                    .count()
                 )
-                if n_distinct < cnt:
+                if n_distinct < rows_over:
                     cause = (
                         f"duplicate values in {query_id_col!r} collide "
-                        f"at every hash level ({cnt} rows over "
-                        f"{n_distinct} distinct ids) — deduplicate "
-                        "query ids before calling batched_query_topk"
+                        f"at every hash level ({rows_over} rows over "
+                        f"{n_distinct} distinct ids in the offending "
+                        "sub-buckets) — deduplicate query ids before "
+                        "calling batched_query_topk"
                     )
                 else:
                     cause = (

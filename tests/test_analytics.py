@@ -1301,6 +1301,38 @@ def test_equidepth_histogram_auto_dispatch_and_no_window_plan(spark):
     assert "Window" not in plan, plan
     assert "percentile" not in plan  # cutpoints resolved driver-side
 
+    # schema parity across the dispatch boundary (code-review r12):
+    # ntile emits int, the approx path long — the auto aligns both
+    assert dict(exact.dtypes)["bucket"] == dict(approx.dtypes)["bucket"]
+
+
+def test_equidepth_histogram_auto_null_column_and_one_bucket(spark):
+    """Code-review r12 edge cases: an all-NULL value column past the
+    threshold must not crash the approx path (NULL cutpoints → one
+    bucket), and buckets=1 must skip the cutpoint aggregation
+    entirely instead of passing an empty percentage array."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        equidepth_histogram_auto,
+    )
+
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(50)], "k long, x double"
+    )
+    h, strat = equidepth_histogram_auto(nulls, "x", buckets=4, row_threshold=10)
+    assert strat == "approx_percentile"
+    rows = h.collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 1 and rows[0]["n"] == 50
+    assert rows[0]["lo"] is None and rows[0]["hi"] is None
+
+    one = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    h1, strat1 = equidepth_histogram_auto(one, "x", buckets=1, row_threshold=10)
+    assert strat1 == "approx_percentile"
+    r1 = h1.collect()
+    assert len(r1) == 1 and r1[0]["n"] == 50
+    assert (r1[0]["lo"], r1[0]["hi"]) == (0.0, 49.0)
+
 
 def test_gini_and_quantile_normalize_skew_path_oracle_unchanged(spark):
     """The two consumers must emit identical rows whichever rank path

@@ -127,6 +127,30 @@ def test_every_head_entry_is_oracle_bearing():
         if n not in oracles and n not in ROWS_ONLY_HEAD_SANCTIONED_R12
     ]
     assert not missing, f"head entries without an oracle: {missing}"
+    # Tripwire (code-review r12): the exception is valid ONLY while
+    # the delegation condition it rests on holds — each sanctioned
+    # rows-only seat's *_invariants summary twin must sit in the SAME
+    # head window with a real oracle (that twin is the evidence the
+    # drain plan delegates to). The r13 rotation returns these two to
+    # tail; once the set is emptied this loop is a no-op and the
+    # guard is fully strict again.
+    twin_of = {
+        "text_bpe_train_apply": "text_bpe_invariants",
+        "quality_classifier_trained": "classifier_trained_invariants",
+    }
+    assert set(ROWS_ONLY_HEAD_SANCTIONED_R12) <= set(twin_of), (
+        "sanctioned rows-only set grew beyond the VERDICT r11 item 2 "
+        "pair — new oracle-less head seats are not allowed"
+    )
+    for name in ROWS_ONLY_HEAD_SANCTIONED_R12:
+        if name in head:
+            twin = twin_of[name]
+            assert twin in head and twin in oracles, (
+                f"{name} holds its sanctioned rows-only seat but its "
+                f"evidence twin {twin} is not an oracle-bearing head "
+                "entry — the delegation the exception rests on is "
+                "broken"
+            )
 
 
 def test_duplicate_query_name_raises_at_registration():
