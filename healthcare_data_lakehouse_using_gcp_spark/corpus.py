@@ -1099,6 +1099,17 @@ _TAIL = (
     #                             inner+anti+anti on one (m, u) key
     #                                                  [new r9, no driver row]
     "events_churn_flows",
+    # --- tail-born r12 (the freeze lifted: backlog <20 after the
+    # tranche-7 seating, so net-new entries are allowed again and
+    # MUST seat within 2 rounds of birth — this one in r13 or r14
+    # alongside tranche 8):
+    #   a31_weighted_percentile — frequency-weighted grouped
+    #                             percentiles (token-weighted quality
+    #                             quantiles); Spark percentile(col, p,
+    #                             frequency) vs the DuckDB
+    #                             expanded-multiset oracle
+    #                                               [new r12, no driver row]
+    "a31_weighted_percentile",
 )
 
 
@@ -3840,6 +3851,50 @@ def a10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p75", 4).alias("price_p75"),
             F.round("qty_p50", 4).alias("qty_p50"),
         )
+    )
+
+
+@query(
+    "a31_weighted_percentile",
+    """
+    WITH expanded AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem,
+           UNNEST(generate_series(1, CAST(l_quantity AS BIGINT)))
+    )
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS wp25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS wp50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS wp75
+    FROM expanded
+    GROUP BY l_returnflag
+    """,
+)
+def a31_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 (beyond-reference, born r12): WEIGHT-AWARE grouped
+    percentiles (operators/analytics.grouped_percentiles with
+    weight_col) — the token-weighted quantile a training-mix
+    dashboard needs (per-source median quality weighted by each
+    document's token count) and the duration-weighted SLA
+    percentile. Spark carries the integer frequency through ONE hash
+    aggregation (`percentile(col, p, frequency)`), never expanding
+    the multiset; the oracle IS the expanded multiset — DuckDB
+    quantile_cont over UNNEST(generate_series(1, w)) — so a green
+    row proves the frequency path exactly equals the semantics it
+    claims. Quantity weights are exact integers and prices exact
+    cents, so interpolation is bit-identical before the 4-dp
+    rounding."""
+    from .operators.analytics import grouped_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", weight_col="l_quantity"
+    )
+    return p.select(
+        "l_returnflag",
+        F.round("p25", 4).alias("wp25"),
+        F.round("p50", 4).alias("wp50"),
+        F.round("p75", 4).alias("wp75"),
     )
 
 
@@ -8892,6 +8947,7 @@ OPERATOR_MAP = {
     "A8": ["a8_daily_rollup"],
     "A9": ["a9_avg_quality_gate"],
     "A10": ["a10_percentile", "sketch_profile"],  # beyond-reference: grouped percentiles
+    "A31": ["a31_weighted_percentile"],  # beyond-reference: frequency-weighted percentiles (born r12)
     "A11": ["a11_rollup"],  # beyond-reference: ROLLUP grouping sets
     "A12": ["a12_dispersion"],  # beyond-reference: stddev/var/corr/covar
     "A13": ["a13_histogram"],  # beyond-reference: fixed-width histogram

@@ -35,21 +35,58 @@ def grouped_percentiles(
     value_col: str,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
     approx: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact (or sketched) percentiles of ``value_col`` per group.
 
     Output columns: group_cols + p<prob*100> for each prob (e.g.
     p25, p50, p75). Exact mode matches ANSI percentile_cont / DuckDB
     quantile_cont (linear interpolation).
+
+    ``weight_col`` (new r12): integer FREQUENCY weights — each row
+    counts as ``weight`` occurrences of its value, i.e. the exact
+    percentile of the expanded multiset, WITHOUT expanding it
+    (Spark's ``percentile(col, p, frequency)`` carries the weight
+    through the aggregation buffer). This is the token-weighted
+    quantile a training-mix dashboard needs ("the median quality
+    score per source, weighted by how many TOKENS each document
+    contributes") and the duration-weighted SLA percentile — an
+    unweighted quantile over documents answers a different, usually
+    wrong, question when document sizes vary by 100×. Weights must
+    be positive integers (fractional "importance" weights have no
+    exact multiset semantics — scale them to integers first);
+    equal to DuckDB ``quantile_cont`` over
+    ``UNNEST(generate_series(1, w))`` row expansion, which is the
+    oracle formulation. Not available with ``approx=True``
+    (approx_percentile takes no frequency) — raises ValueError.
+
+    Scale design (100 TB): identical to the unweighted form — ONE
+    hash aggregation with map-side partials; the weighted buffer is
+    (value, total_weight) pairs per distinct value, so a bounded
+    value domain costs bounded state no matter how large the weights
+    (the expanded multiset is never materialized anywhere).
     """
     def _name(p: float) -> str:
         pct = p * 100
         return f"p{int(pct)}" if float(pct).is_integer() else f"p{pct}".replace(".", "_")
 
-    fn = F.approx_percentile if approx else F.percentile
-    aggs = [
-        fn(F.col(value_col), F.lit(p)).alias(_name(p)) for p in probs
-    ]
+    if weight_col is not None and approx:
+        raise ValueError(
+            "weight_col requires exact mode: approx_percentile has no "
+            "frequency parameter (pre-aggregate to (value, weight) and "
+            "sketch that if you need an approximate weighted quantile)"
+        )
+    if weight_col is not None:
+        w = F.col(weight_col).cast("bigint")
+        aggs = [
+            F.percentile(F.col(value_col), F.lit(p), w).alias(_name(p))
+            for p in probs
+        ]
+    else:
+        fn = F.approx_percentile if approx else F.percentile
+        aggs = [
+            fn(F.col(value_col), F.lit(p)).alias(_name(p)) for p in probs
+        ]
     return df.groupBy(*group_cols).agg(*aggs)
 
 

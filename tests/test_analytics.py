@@ -1306,6 +1306,42 @@ def test_equidepth_histogram_auto_dispatch_and_no_window_plan(spark):
     assert dict(exact.dtypes)["bucket"] == dict(approx.dtypes)["bucket"]
 
 
+def test_weighted_percentiles_hand_computed(spark):
+    """grouped_percentiles(weight_col=...) must equal the exact
+    percentile of the EXPANDED multiset (each row repeated weight
+    times) — hand-computed here — and collapse to the unweighted
+    form when every weight is 1. approx=True with a weight raises
+    (approx_percentile has no frequency parameter)."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        grouped_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 3), ("a", 20.0, 1), ("b", 5.0, 2), ("b", 7.0, 2)],
+        "g string, v double, w long",
+    )
+    rows = {
+        r["g"]: r
+        for r in grouped_percentiles(
+            df, ["g"], "v", probs=(0.25, 0.5), weight_col="w"
+        ).collect()
+    }
+    # a expands to [10,10,10,20]: p25 → 10.0, p50 → 10.0
+    assert (rows["a"]["p25"], rows["a"]["p50"]) == (10.0, 10.0)
+    # b expands to [5,5,7,7]: p50 interpolates the middle pair → 6.0
+    assert rows["b"]["p50"] == 6.0
+
+    ones = df.withColumn("w", df.w * 0 + 1)
+    w1 = grouped_percentiles(ones, ["g"], "v", weight_col="w").collect()
+    plain = grouped_percentiles(df, ["g"], "v").collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, plain))
+
+    with _pytest.raises(ValueError, match="frequency"):
+        grouped_percentiles(df, ["g"], "v", approx=True, weight_col="w")
+
+
 def test_equidepth_histogram_auto_null_column_and_one_bucket(spark):
     """Code-review r12 edge cases: an all-NULL value column past the
     threshold must not crash the approx path (NULL cutpoints → one
