@@ -1110,6 +1110,12 @@ _TAIL = (
     #                             expanded-multiset oracle
     #                                               [new r12, no driver row]
     "a31_weighted_percentile",
+    #   sketch_join_size        — AMS/CMS inner-product join-size
+    #                             estimation (self-join F2 pair-count
+    #                             pre-check); estimate itself
+    #                             hash-matched by the md5-reproducible
+    #                             oracle sketch     [new r12, no driver row]
+    "sketch_join_size",
 )
 
 
@@ -4894,6 +4900,72 @@ def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         "est",
         (F.col("est") >= F.col("true_cnt")).alias("no_undercount"),
+    )
+
+
+@query(
+    "sketch_join_size",
+    r"""
+    WITH rows_ AS (SELECT unnest(range(4)) AS row),
+    sketch AS (
+      SELECT row,
+             CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || ':'
+                    || CAST(o_custkey AS VARCHAR)), 1, 15))
+                    ::UBIGINT % 2048 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN rows_
+      WHERE o_custkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ip AS (SELECT row, SUM(cnt * cnt) AS ip FROM sketch GROUP BY row),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+      FROM (SELECT COUNT(*) AS c FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+    )
+    SELECT exact_pairs,
+           CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_pairs,
+           (SELECT MIN(ip) FROM ip) >= exact_pairs AS est_is_upper_bound
+    FROM exact
+    """,
+)
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (born r12;
+    operators/sketches.cms_inner_product): the AMS/CMS inner-product
+    estimator for |A ⋈ B on k| — here the orders-on-custkey SELF-join
+    size Σ_k c(k)² (second frequency moment F2), the candidate-pair
+    count a key-equality self-join would emit. THE pre-check before
+    any expensive self-join or dedup blocking join at 100 TB: two
+    kilobyte sketch scans size the join; running it is never needed
+    to know it would explode. The md5 hash family is
+    engine-reproducible (cms_frequency's discipline), so the oracle
+    rebuilds the identical sketch AND the identical estimate in SQL —
+    the estimate itself hash-matches, and est_is_upper_bound pins the
+    one-sided guarantee (est ≥ exact, always) as checked data next to
+    the DuckDB-recomputed exact pair count."""
+    from .operators.sketches import cms_build, cms_inner_product
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    sketch = cms_build(o, "o_custkey", width=2048, depth=4)
+    est = cms_inner_product(sketch, sketch, depth=4, est_col="est_pairs")
+    exact = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("exact_pairs"))
+    )
+    # 1-row × 1-row combine on a literal equi-key (a bare crossJoin
+    # could compile to the plan-sweep-banned CartesianProduct node)
+    return (
+        exact.withColumn("__k", F.lit(1))
+        .join(est.withColumn("__k", F.lit(1)), "__k")
+        .select(
+            "exact_pairs",
+            "est_pairs",
+            (F.col("est_pairs") >= F.col("exact_pairs")).alias(
+                "est_is_upper_bound"
+            ),
+        )
     )
 
 
@@ -8997,6 +9069,7 @@ OPERATOR_MAP = {
         "sketch_profile",
         "sketch_rollup_union",
         "cms_frequency",
+        "sketch_join_size",  # born r12: CMS inner-product join sizing
     ],
     "Reshape-timeseries": ["pivot_daily_events", "melt_lineitem",
                            "gapfill_daily", "ts_interpolate"],

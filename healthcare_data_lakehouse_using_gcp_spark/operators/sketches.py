@@ -284,6 +284,53 @@ def cms_merge(*sketches: DataFrame, count_name: str = "cnt") -> DataFrame:
     )
 
 
+def cms_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int,
+    count_name: str = "cnt",
+    est_col: str = "est",
+) -> DataFrame:
+    """Join-CARDINALITY estimate from two count-min sketches built
+    with the SAME (width, depth, hash family): per depth row the
+    bucket-wise inner product Σ_b cntA[d,b]·cntB[d,b], minimized
+    over the rows — the classic AMS/CMS estimator for
+    |A ⋈ B on k| = Σ_k cA(k)·cB(k). One-sided like the point
+    estimate: est ≥ true ALWAYS (collisions only add non-negative
+    cross terms); est ≤ true + ε·Nₐ·N_b with probability
+    ≥ 1 − 2^−depth (ε ≈ e/width). Passing the SAME sketch twice
+    estimates the self-join size Σ_k c(k)² — the second frequency
+    moment F2, i.e. the candidate-pair count a key-equality
+    self-join would emit: the skew pre-check to run BEFORE a dedup
+    blocking join or any large self-join, for the price of one
+    sketch scan instead of the join.
+
+    Returns a single-row frame (``est_col`` BIGINT). Scale design
+    (100 TB): both operands are ≤ depth × width cells REGARDLESS of
+    input size, and they merge (cms_merge), so per-day sketches
+    built at ingest answer join-size questions about any date range
+    without touching raw data; the cell join here is
+    kilobytes-by-kilobytes. A depth row with NO shared buckets has
+    inner product 0 and would vanish from the join — the
+    range(depth) left join keeps it so the min correctly reads 0
+    for disjoint key sets."""
+    a = sketch_a.select("row", "bucket", F.col(count_name).alias("__ca"))
+    b = sketch_b.select("row", "bucket", F.col(count_name).alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    rows = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return rows.join(per_row, "row", "left").agg(
+        F.min(F.coalesce(F.col("__ip"), F.lit(0)))
+        .cast("bigint")
+        .alias(est_col)
+    )
+
+
 def cms_query(
     sketch: DataFrame,
     keys: DataFrame,

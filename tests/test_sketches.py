@@ -278,3 +278,38 @@ def test_kll_partition_sketches_are_mergeable_and_bounded(spark):
             est = v
             break
     assert abs(est / 20_000 - 0.5) <= 0.05  # uniform: value ~ rank
+
+
+def test_cms_inner_product_join_size(spark):
+    """cms_inner_product is the AMS/CMS join-cardinality estimator:
+    with a collision-free width it equals the exact join size; with
+    collisions it can only OVERcount (one-sided); two sketches over
+    disjoint key sets estimate 0 (the range(depth) left join keeps
+    bucket-disjoint rows at inner product 0)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 1 + [("c",)] * 3, "k string"
+    )
+    b = spark.createDataFrame([("a",)] * 4 + [("c",)] * 2, "k string")
+    # exact |A join B on k| = 2*4 + 3*2 = 14; self-join F2(A) = 4+1+9
+    wide_a = cms_build(a, "k", width=1 << 16, depth=4)
+    wide_b = cms_build(b, "k", width=1 << 16, depth=4)
+    assert cms_inner_product(wide_a, wide_b, depth=4).first()["est"] == 14
+    f2 = cms_inner_product(wide_a, wide_a, depth=4).first()["est"]
+    assert f2 == 4 + 1 + 9
+
+    # narrow width forces collisions: still an upper bound, never under
+    tight_a = cms_build(a, "k", width=2, depth=4)
+    tight_b = cms_build(b, "k", width=2, depth=4)
+    assert cms_inner_product(tight_a, tight_b, depth=4).first()["est"] >= 14
+
+    # disjoint key sets: exact 0, and with a wide sketch the estimate
+    # reads exactly 0 via the kept-at-zero depth rows
+    c = spark.createDataFrame([("x",)] * 3 + [("y",)], "k string")
+    wide_c = cms_build(c, "k", width=1 << 16, depth=4)
+    assert cms_inner_product(wide_a, wide_c, depth=4).first()["est"] == 0
