@@ -687,3 +687,55 @@ def test_grouped_rank_two_phase_equals_window(spark, rows, threshold):
     assert got == want
     if threshold == 0:
         assert strat == "two_phase"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts_a=st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.integers(min_value=1, max_value=6),
+        min_size=1,
+        max_size=8,
+    ),
+    counts_b=st.dictionaries(
+        st.sampled_from(list("defghijk")),
+        st.integers(min_value=1, max_value=6),
+        max_size=8,
+    ),
+    width=st.sampled_from([2, 8, 1 << 16]),
+)
+def test_cms_inner_product_never_undercounts(spark, counts_a, counts_b, width):
+    """r12: the CMS inner-product join-size estimate must be an UPPER
+    bound on the exact join cardinality Σ_k cA(k)·cB(k) for arbitrary
+    key multisets — including forced-collision widths (2, 8), partial
+    and empty key overlap, and the self-join (F2) case — and must be
+    EXACT when the width is collision-free for these tiny key sets."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    rows_a = [(k,) for k, c in counts_a.items() for _ in range(c)]
+    rows_b = [(k,) for k, c in counts_b.items() for _ in range(c)]
+    exact_cross = sum(
+        counts_a[k] * counts_b.get(k, 0) for k in counts_a
+    )
+    exact_self = sum(c * c for c in counts_a.values())
+    a = spark.createDataFrame(rows_a, "k string")
+    sa = cms_build(a, "k", width=width, depth=4)
+    if rows_b:
+        b = spark.createDataFrame(rows_b, "k string")
+        sb = cms_build(b, "k", width=width, depth=4)
+        est = cms_inner_product(sa, sb, depth=4).first()["est"]
+        assert est >= exact_cross
+        if width == 1 << 16:
+            assert est == exact_cross
+    est_self = cms_inner_product(sa, sa, depth=4).first()["est"]
+    assert est_self >= exact_self
+    if width == 1 << 16:
+        assert est_self == exact_self
