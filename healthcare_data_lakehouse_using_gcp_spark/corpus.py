@@ -1116,6 +1116,17 @@ _TAIL = (
     #                             hash-matched by the md5-reproducible
     #                             oracle sketch     [new r12, no driver row]
     "sketch_join_size",
+    #   mleval_lift             — cumulative-gains/lift deciles via the
+    #                             distinct-score frame (NO NTILE; exact
+    #                             integer ceil-div buckets); completes
+    #                             the eval battery — seat r13/r14
+    #                                               [new r12, no driver row]
+    "mleval_lift",
+    #   skyline_parts           — 2-D skyline (Pareto front) as ONE
+    #                             keyed window vs the O(n²) NOT-EXISTS
+    #                             oracle — seat r13/r14
+    #                                               [new r12, no driver row]
+    "skyline_parts",
 )
 
 
@@ -8993,6 +9004,122 @@ def mleval_pr_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mleval_lift",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), ps AS (
+      SELECT g, s, COUNT(*) AS n, SUM(y) AS p FROM r GROUP BY g, s
+    ), tot AS (
+      SELECT g, SUM(n) AS tn, SUM(p) AS tp FROM ps GROUP BY g
+    ), cum AS (
+      SELECT ps.g, s, n, p, tn, tp,
+             SUM(n) OVER (PARTITION BY ps.g ORDER BY s DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn
+      FROM ps JOIN tot USING (g)
+    ), bkt AS (
+      SELECT g, (cn * 10 + tn - 1) // tn AS bucket, n, p, tn, tp FROM cum
+    ), pb AS (
+      SELECT g, bucket, tn, tp, SUM(n) AS bn, SUM(p) AS bp
+      FROM bkt GROUP BY g, bucket, tn, tp
+    ), cum2 AS (
+      SELECT g, bucket, bn, bp, tn, tp,
+             SUM(bn) OVER (PARTITION BY g ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n,
+             SUM(bp) OVER (PARTITION BY g ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos
+      FROM pb
+    )
+    SELECT g AS o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+           CAST(bn AS BIGINT) AS n, CAST(bp AS BIGINT) AS n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+           CASE WHEN tp = 0 THEN NULL
+                ELSE FLOOR(CAST(cum_pos AS DOUBLE) / tp * 1000000 + 0.5)
+                     / 1000000 END AS gain,
+           FLOOR(CAST(cum_n AS DOUBLE) / tn * 1000000 + 0.5) / 1000000
+             AS capture,
+           CASE WHEN tp = 0 THEN NULL
+                ELSE FLOOR((CAST(cum_pos AS DOUBLE) / cum_n)
+                           / (CAST(tp AS DOUBLE) / tn) * 1000000 + 0.5)
+                     / 1000000 END AS lift
+    FROM cum2
+    """,
+)
+def mleval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-eval (beyond-reference, born r12): cumulative-gains / lift
+    table by score decile (operators/mleval.lift_gains) — the
+    keep-budget view a corpus filter is negotiated over ("the top
+    10% of scores holds how many of the positives?"), completing the
+    eval battery next to AUC / calibration / PR-grid. NO per-row
+    NTILE: one hash agg to the distinct-score frame, a keyed
+    cumulative window over it, and tie-stable deciles via exact
+    integer ceiling division (cum_n·10 + total − 1) div total — all
+    rows sharing a score land in one bucket, deterministically on
+    both engines. Counts stay BIGINT; gain/capture/lift are
+    divisions of exact integers, bit-identical before the 6-dp
+    round. Same orders fixture as mleval_auc (price-bucket score,
+    finished-status label, per priority class)."""
+    from .operators.mleval import lift_gains
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 1000).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return lift_gains(
+        scored, "score", "label", n_buckets=10, by=["o_orderpriority"]
+    )
+
+
+@query(
+    "skyline_parts",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_brand, p_size, p_retailprice FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    )
+    SELECT p_brand, p_size, p_retailprice
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_brand = a.p_brand
+        AND b.p_size >= a.p_size
+        AND b.p_retailprice <= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front (beyond-reference, born r12): per-brand
+    non-dominated parts, maximizing size while minimizing price
+    (operators/analytics.skyline_2d) — the classic multi-criteria
+    OLAP operator (Börzsönyi et al., ICDE 2001). The ORACLE is the
+    textbook O(n²) NOT-EXISTS dominance form; the Spark plan is ONE
+    keyed window over the distinct points (sort x DESC, y DESC in
+    direction-normalized space, keep where y strictly exceeds the
+    running max over preceding rows) — a hash match proves the
+    linear-scan plan equals the quadratic dominance definition.
+    Dominance compares raw parquet values (exact int / identical
+    doubles), so parity is exact with no rounding at all."""
+    from .operators.analytics import skyline_2d
+
+    p = _t(spark, sf_dir, "part")
+    return skyline_2d(
+        p,
+        "p_size",
+        "p_retailprice",
+        by=["p_brand"],
+        maximize=(True, False),
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9131,7 +9258,9 @@ OPERATOR_MAP = {
     "Churn": ["events_churn_flows"],  # beyond-reference: MoM user set flows
     # beyond-reference: the evaluation half of the quality-classifier
     # loop (exact AUC / calibration / threshold sweep)
-    "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid"],
+    "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid",
+                "mleval_lift"],  # lift born r12: gains/lift deciles
+    "Skyline": ["skyline_parts"],  # born r12: 2-D Pareto front
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

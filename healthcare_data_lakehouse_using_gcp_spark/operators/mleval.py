@@ -146,6 +146,111 @@ def calibration_bins(
     )
 
 
+def lift_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative-gains / lift table: bucket rows into ``n_buckets``
+    score-descending quantile buckets, then report per-bucket and
+    cumulative capture — "the top decile of the model's scores holds
+    3.2× its share of positives" is the table a corpus filter's
+    keep-budget is negotiated over (keep the top-k% of documents:
+    what fraction of the good ones survive?).
+
+    NO per-row global rank (the textbook NTILE form needs one):
+    aggregate to ONE ROW PER DISTINCT SCORE (hash agg, map-side
+    partial), run a keyed cumulative-count window over that frame,
+    and assign each score run to the bucket of its LAST row via
+    exact integer ceiling division ``(cum_n·k + total − 1) div
+    total``. Tie handling is therefore deterministic and engine-
+    independent: all rows sharing a score land in one bucket
+    (buckets flex around heavy ties instead of splitting them
+    arbitrarily, the same contract NTILE cannot keep), which is why
+    the whole table stays BIGINT-exact until the final 6-dp ratios.
+
+    Output: by + bucket (1..k, empty buckets absent when a score run
+    spans them), n, n_pos, cum_n, cum_pos, gain (= cum_pos /
+    total_pos), capture (= cum_n / total_n), lift (= (cum_pos /
+    cum_n) / (total_pos / total_n); NULL when the group has no
+    positives). Ratios are divisions of exact BIGINTs — identical
+    doubles cross-engine before the rounding.
+
+    Scale design (100 TB): window state is O(|distinct scores|) per
+    group, never O(rows); totals ride the groupBy key (constant per
+    group) so no second scan; lift divides two exact double ratios
+    instead of cross-multiplying BIGINTs, so it cannot overflow at
+    any scale."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    by = by or []
+    # NULL scores are unrankable (and engines disagree on NULL sort
+    # placement under DESC) — excluded up front.
+    df = df.where(F.col(score_col).isNotNull())
+    lab = F.col(label_col).cast("bigint")
+    per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(lab).alias("__p"),
+    )
+    totals = per_score.groupBy(*by).agg(
+        F.sum("__n").alias("__tn"), F.sum("__p").alias("__tp")
+    )
+    joined = (
+        per_score.join(totals, on=by)
+        if by
+        else per_score.crossJoin(F.broadcast(totals))
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("__s").desc())
+    cum = joined.withColumn(
+        "__cn", F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    bucket = F.expr(
+        f"(__cn * {int(n_buckets)} + __tn - 1) div __tn"
+    ).cast("bigint")
+    per_bucket = (
+        cum.withColumn("bucket", bucket)
+        .groupBy(*by, "bucket", "__tn", "__tp")
+        .agg(F.sum("__n").alias("n"), F.sum("__p").alias("n_pos"))
+    )
+    w2 = Window.partitionBy(*by).orderBy("bucket")
+    cum2 = per_bucket.select(
+        *by,
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(w2.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_n"
+        ),
+        F.sum("n_pos")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"),
+        "__tn",
+        "__tp",
+    )
+    base_rate = F.try_divide(
+        F.col("__tp").cast("double"), F.col("__tn").cast("double")
+    )
+    return cum2.select(
+        *by,
+        "bucket",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        _round6(F.try_divide(F.col("cum_pos"), F.col("__tp"))).alias("gain"),
+        _round6(F.col("cum_n").cast("double") / F.col("__tn")).alias(
+            "capture"
+        ),
+        _round6(
+            F.try_divide(
+                F.col("cum_pos").cast("double") / F.col("cum_n"), base_rate
+            )
+        ).alias("lift"),
+    )
+
+
 def precision_recall_at(
     df: DataFrame,
     score_col: str,

@@ -1556,3 +1556,112 @@ def test_grouped_rank_two_phase_keeps_null_group_rows(spark):
     got = sorted((tuple(r) for r in ranked_2.collect()), key=key)
     assert len(got) == 9  # every row survives, including NULL group
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# skyline_2d (Pareto front)
+# ---------------------------------------------------------------------
+
+
+def _brute_skyline(pts, maxx, maxy):
+    """Textbook O(n²) dominance over distinct (g, x, y) points."""
+    pts = set(pts)
+    out = set()
+    for g, x, y in pts:
+        dominated = False
+        for g2, x2, y2 in pts:
+            if g2 != g:
+                continue
+            bx = x2 >= x if maxx else x2 <= x
+            sx = x2 > x if maxx else x2 < x
+            by_ = y2 >= y if maxy else y2 <= y
+            sy = y2 > y if maxy else y2 < y
+            if bx and by_ and (sx or sy):
+                dominated = True
+                break
+        if not dominated:
+            out.add((g, x, y))
+    return out
+
+
+def test_skyline_matches_bruteforce_all_directions(spark):
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    rng = random.Random(7)
+    rows = [
+        ("g%d" % (i % 3), rng.randint(0, 20), rng.randint(0, 20))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    for maxx in (True, False):
+        for maxy in (True, False):
+            got = {
+                tuple(r)
+                for r in skyline_2d(
+                    df, "x", "y", by=["g"], maximize=(maxx, maxy)
+                ).collect()
+            }
+            assert got == _brute_skyline(rows, maxx, maxy), (maxx, maxy)
+
+
+def test_skyline_ungrouped_two_phase_equals_bruteforce(spark):
+    """Ungrouped path = local skyline keyed by spark_partition_id,
+    then a global scan over the union of local fronts; phase 1 never
+    discards a true front point (dominance transitivity)."""
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    want = {
+        (x, y) for (_, x, y) in _brute_skyline([("a", x, y) for x, y in rows], True, True)
+    }
+    assert got == want
+
+
+def test_skyline_keep_rows_and_nulls(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    rows = [
+        ("a", 1, 5, 10),
+        ("a", 2, 5, 10),  # duplicate front point, different id
+        ("a", 3, 4, 9),   # dominated
+        ("a", 4, None, 99),  # NULL criterion: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, x int, y int")
+    front = skyline_2d(df, "x", "y", by=["g"]).collect()
+    assert [(r["x"], r["y"]) for r in front] == [(5, 10)]
+    kept = skyline_2d(df, "x", "y", by=["g"], keep_rows=True)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2]
+    assert set(kept.columns) == set(df.columns)
+
+
+def test_skyline_plan_keyed_window_no_join(spark):
+    """The grouped plan is ONE keyed window over the distinct points —
+    no self-join, no unpartitioned window (the 100 TB contract vs the
+    O(n²) NOT-EXISTS oracle form)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i % 11, i % 7) for i in range(100)],
+        "g string, x int, y int",
+    )
+    plan = (
+        skyline_2d(df, "x", "y", by=["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    win_at = plan.find("Window")
+    # the window spec carries the group key (keyed, not global):
+    import re
+
+    win_line = plan[win_at : plan.find("\n", win_at)]
+    assert re.search(r"windowspecdefinition\(g#", win_line), win_line

@@ -132,3 +132,82 @@ def test_auc_plan_has_no_per_row_window(spark):
     win_at = plan.find("Window")
     agg_below = plan.find("Aggregate", win_at)
     assert win_at >= 0 and agg_below > win_at, plan
+
+
+def test_lift_hand_case(spark):
+    """4 rows, 2 buckets: top half (scores 4, 3) holds both positives
+    -> gain 1.0 at bucket 1, lift = 2× base rate."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [(4, 1), (3, 1), (2, 0), (1, 0)], "s int, y int"
+    )
+    got = {r["bucket"]: r for r in lift_gains(df, "s", "y", 2).collect()}
+    assert set(got) == {1, 2}
+    b1, b2 = got[1], got[2]
+    assert (b1["n"], b1["n_pos"], b1["cum_n"], b1["cum_pos"]) == (2, 2, 2, 2)
+    assert b1["gain"] == 1.0 and b1["capture"] == 0.5 and b1["lift"] == 2.0
+    assert (b2["n"], b2["n_pos"], b2["cum_n"], b2["cum_pos"]) == (2, 0, 4, 2)
+    assert b2["gain"] == 1.0 and b2["capture"] == 1.0 and b2["lift"] == 1.0
+
+
+def test_lift_ties_collapse_into_one_bucket(spark):
+    """All rows share one score: NTILE would split them arbitrarily;
+    lift_gains puts the whole run in the LAST bucket it spans (k),
+    keeping tie handling deterministic."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame([(5, i % 2) for i in range(10)], "s int, y int")
+    rows = lift_gains(df, "s", "y", 4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 4
+    assert rows[0]["n"] == 10 and rows[0]["lift"] == 1.0
+
+
+def test_lift_no_positives_group_null_lift(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 1, 0), ("b", 2, 0), ("b", 1, 0)],
+        "g string, s int, y int",
+    )
+    got = {
+        (r["g"], r["bucket"]): r
+        for r in lift_gains(df, "s", "y", 2, by=["g"]).collect()
+    }
+    assert got[("b", 1)]["lift"] is None and got[("b", 1)]["gain"] is None
+    assert got[("b", 1)]["capture"] == 0.5
+    assert got[("a", 1)]["lift"] == 2.0
+
+
+def test_lift_null_scores_excluded(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [(4, 1), (None, 1), (1, 0)], "s int, y int"
+    )
+    rows = lift_gains(df, "s", "y", 2).collect()
+    assert sum(r["n"] for r in rows) == 2  # the NULL-score row is gone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        lift_gains(df, "s", "y", 0)
+
+
+def test_lift_plan_windows_over_aggregate_only(spark):
+    """Both cumulative windows run over aggregated frames (distinct
+    scores, then buckets) — an Aggregate sits below the first Window
+    in the optimized plan, same 100 TB contract as auc_roc."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [("g", i % 7, i % 2) for i in range(100)], "g string, s bigint, y int"
+    )
+    plan = (
+        lift_gains(df, "s", "y", 10, by=["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    win_at = plan.find("Window")
+    agg_below = plan.find("Aggregate", win_at)
+    assert win_at >= 0 and agg_below > win_at, plan
