@@ -1127,6 +1127,11 @@ _TAIL = (
     #                             oracle — seat r13/r14
     #                                               [new r12, no driver row]
     "skyline_parts",
+    #   skyline_parts_3d        — d>2 skyline path: Arrow local fronts
+    #                             + guarded broadcast dominance
+    #                             anti-join vs the same oracle form —
+    #                             seat r13/r14   [new r12, no driver row]
+    "skyline_parts_3d",
 )
 
 
@@ -9120,6 +9125,53 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skyline_parts_3d",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_brand, p_size, p_retailprice,
+             CAST(p_partkey % 97 AS BIGINT) AS lead_time
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    )
+    SELECT p_brand, p_size, p_retailprice, lead_time
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_brand = a.p_brand
+        AND b.p_size >= a.p_size
+        AND b.p_retailprice <= a.p_retailprice
+        AND b.lead_time <= a.lead_time
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice
+             OR b.lead_time < a.lead_time))
+    """,
+)
+def skyline_parts_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-d skyline (beyond-reference, born r12): three-criteria
+    Pareto front per brand — maximize size, minimize price, minimize
+    a deterministic synthetic lead-time (p_partkey % 97; same
+    exact-fixture idiom as mleval's o_orderkey % 1024 score). Where
+    the 2-D entry proves the keyed-window scan, this one proves the
+    d>2 path (operators/analytics.skyline): Arrow-vectorized local
+    fronts (mapInPandas, lossless by dominance transitivity) +
+    a broadcast anti-join over the guarded candidate set — Catalyst
+    extracts p_brand as the equi key, so the global pass is a keyed
+    BroadcastHashJoin with the dominance residual. Oracle is the
+    textbook O(n²) NOT-EXISTS form; dominance compares exact ints /
+    identical doubles, so parity is exact with no rounding."""
+    from .operators.analytics import skyline
+
+    p = _t(spark, sf_dir, "part").withColumn(
+        "lead_time", (F.col("p_partkey") % 97).cast("bigint")
+    )
+    return skyline(
+        p,
+        ["p_size", "p_retailprice", "lead_time"],
+        by=["p_brand"],
+        maximize=[True, False, False],
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9260,7 +9312,7 @@ OPERATOR_MAP = {
     # loop (exact AUC / calibration / threshold sweep)
     "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid",
                 "mleval_lift"],  # lift born r12: gains/lift deciles
-    "Skyline": ["skyline_parts"],  # born r12: 2-D Pareto front
+    "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -2351,3 +2351,149 @@ def skyline_2d(
         on=by + [x_col, y_col],
         how="leftsemi",
     )
+
+
+def skyline(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] | None = None,
+    maximize: Sequence[bool] | None = None,
+    keep_rows: bool = False,
+    max_candidates: int = 1_000_000,
+) -> DataFrame:
+    """General d-criteria skyline (Pareto front), d ≥ 2. For d = 2
+    this delegates to ``skyline_2d``'s pure-JVM keyed window scan;
+    for d > 2 (where the cumulative-max trick does not exist) the
+    plan is the classic distributed two-phase skyline:
+
+    1. **Local front** (Arrow-vectorized ``mapInPandas``): inside
+       each batch, full-lexicographic-descending sort in direction-
+       normalized space, then a vectorized dominance scan — sorted
+       that way, no later point can dominate an earlier survivor, so
+       one forward pass with the running front matrix is exact for
+       the batch. Batch-local pruning is LOSSLESS globally: dominance
+       is transitive, so any point dominated within its batch is
+       dominated by a batch survivor.
+    2. **Global front**: the surviving candidates (the only
+       data-proportional bound in the plan — guarded by
+       ``max_candidates``, fail-loud) self-anti-join on the dominance
+       predicate with the candidate frame broadcast as the build
+       side. With ``by`` keys Catalyst extracts them as equi-join
+       keys (BroadcastHashJoin LeftAnti, dominance as the residual);
+       ungrouped it is a BroadcastNestedLoopJoin — either way the
+       build side is bounded by construction, and distinct points
+       never dominate themselves so no self-exclusion key is needed.
+       The candidate frame is lazily ``localCheckpoint``-ed so the
+       guard's count() is the single materializing job and the
+       join's two scans never re-run phase 1.
+
+    Rows with NULL (or float NaN) in any criterion are excluded
+    (incomparable under dominance). ``keep_rows=True`` recovers the
+    original rows via a broadcast semi-join, as in ``skyline_2d``.
+
+    Scale design (100 TB): phase 1 reduces n to the union of
+    per-partition fronts (expected O(ln^(d-1) n) per partition for
+    independent criteria); only that candidate set is ever pairwise
+    compared. Worst-case anti-chain data (everything on the front)
+    degrades to the guard's fail-loud raise rather than a silent
+    O(n²) shuffle."""
+    cols = list(cols)
+    d = len(cols)
+    if d < 2:
+        raise ValueError("skyline needs at least 2 criteria columns")
+    by = list(by) if by else []
+    maxs = list(maximize) if maximize is not None else [True] * d
+    if len(maxs) != d:
+        raise ValueError("maximize must have one flag per criteria column")
+    if d == 2:
+        return skyline_2d(
+            df, cols[0], cols[1], by=by, maximize=(maxs[0], maxs[1]),
+            keep_rows=keep_rows,
+        )
+
+    keep = None
+    for f in df.schema.fields:
+        if f.name not in cols:
+            continue
+        cond = F.col(f.name).isNotNull()
+        if f.dataType.typeName() in ("double", "float"):
+            cond = cond & ~F.isnan(F.col(f.name))
+        keep = cond if keep is None else keep & cond
+    pts = df.where(keep).select(*by, *cols).distinct()
+
+    out_schema = pts.schema
+    by_names = list(by)
+    col_names = list(cols)
+    signs = [1.0 if m else -1.0 for m in maxs]
+
+    def _local_front(batches):
+        import numpy as np
+
+        for b in batches:
+            if b.empty:
+                yield b
+                continue
+            mat = b[col_names].to_numpy(dtype="float64") * np.asarray(signs)
+            if by_names:
+                groups = b.groupby(by_names, sort=False, dropna=False).indices
+            else:
+                groups = {None: np.arange(len(b))}
+            keep_mask = np.zeros(len(b), dtype=bool)
+            for idx in groups.values():
+                idx = np.asarray(idx)
+                sub = mat[idx]
+                order = np.lexsort(
+                    tuple(-sub[:, j] for j in reversed(range(len(col_names))))
+                )
+                front_rows: list = []
+                front_mat = None
+                for i in order:
+                    p = sub[i]
+                    if front_mat is not None and bool(
+                        (
+                            (front_mat >= p).all(axis=1)
+                            & (front_mat > p).any(axis=1)
+                        ).any()
+                    ):
+                        continue
+                    front_rows.append(i)
+                    front_mat = sub[np.asarray(front_rows)]
+                keep_mask[idx[np.asarray(front_rows)]] = True
+            yield b[keep_mask]
+
+    cand = pts.mapInPandas(_local_front, schema=out_schema).localCheckpoint(
+        eager=False
+    )
+    n_cand = cand.count()  # the checkpoint-materializing job IS the guard
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"skyline candidate front has {n_cand} points "
+            f"(> max_candidates={max_candidates}); the data is close to "
+            "an anti-chain — raise the cap knowingly, or pre-bucket on a "
+            "coarse grid and skyline per cell before the global pass"
+        )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    ge = []
+    gt = []
+    for c, m in zip(col_names, maxs):
+        bc, ac = F.col(f"b.{c}"), F.col(f"a.{c}")
+        ge.append(bc >= ac if m else bc <= ac)
+        gt.append(bc > ac if m else bc < ac)
+    dominates = F.lit(True)
+    for cnd in ge:
+        dominates = dominates & cnd
+    any_strict = F.lit(False)
+    for cnd in gt:
+        any_strict = any_strict | cnd
+    dominates = dominates & any_strict
+    for k in by_names:
+        dominates = dominates & (F.col(f"b.{k}") == F.col(f"a.{k}"))
+    front = a.join(F.broadcast(b), on=dominates, how="left_anti")
+    if not keep_rows:
+        return front
+    return df.join(
+        F.broadcast(front.select(*by_names, *col_names)),
+        on=by_names + col_names,
+        how="leftsemi",
+    )

@@ -1665,3 +1665,131 @@ def test_skyline_plan_keyed_window_no_join(spark):
 
     win_line = plan[win_at : plan.find("\n", win_at)]
     assert re.search(r"windowspecdefinition\(g#", win_line), win_line
+
+
+def _brute_skyline_d(rows, maxs):
+    """O(n²) dominance over distinct (g, *criteria) tuples, any d."""
+    pts = set(rows)
+    out = set()
+    for p in pts:
+        g, v = p[0], p[1:]
+        dominated = False
+        for q in pts:
+            if q[0] != g:
+                continue
+            w = q[1:]
+            ge = all(
+                (wj >= vj) if m else (wj <= vj)
+                for wj, vj, m in zip(w, v, maxs)
+            )
+            gt = any(
+                (wj > vj) if m else (wj < vj)
+                for wj, vj, m in zip(w, v, maxs)
+            )
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            out.add(p)
+    return out
+
+
+def test_skyline_3d_matches_bruteforce(spark):
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rng = random.Random(13)
+    rows = [
+        ("g%d" % (i % 2), rng.randint(0, 12), rng.randint(0, 12), rng.randint(0, 12))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y int, z int").repartition(8)
+    for maxs in [(True, True, True), (True, False, True), (False, False, False)]:
+        got = {
+            tuple(r)
+            for r in skyline(
+                df, ["x", "y", "z"], by=["g"], maximize=list(maxs)
+            ).collect()
+        }
+        assert got == _brute_skyline_d(rows, maxs), maxs
+
+
+def test_skyline_3d_ungrouped_and_d2_delegation(spark):
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rng = random.Random(17)
+    rows = [
+        ("a", rng.randint(0, 15), rng.randint(0, 15), rng.randint(0, 15))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y int, z int")
+    got = {
+        (r["x"], r["y"], r["z"])
+        for r in skyline(df.drop("g").repartition(8), ["x", "y", "z"]).collect()
+    }
+    want = {p[1:] for p in _brute_skyline_d(rows, (True, True, True))}
+    assert got == want
+    # d=2 delegates to the pure-JVM window scan — no Python in the plan
+    d2 = skyline(df, ["x", "y"], by=["g"], maximize=[True, False])
+    plan = d2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Join" not in plan
+    got2 = {tuple(r) for r in d2.collect()}
+    assert got2 == _brute_skyline_d(
+        [(g, x, y) for (g, x, y, _) in rows], (True, False)
+    )
+
+
+def test_skyline_3d_guard_and_plan(spark):
+    """Anti-chain-ish data past max_candidates fails loud; the global
+    pass is a BROADCAST join (hash on the group key, or nested-loop
+    ungrouped) over the checkpointed candidate frame — never a
+    cartesian, never row-wise Python."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    df = spark.createDataFrame(
+        [("g", i % 5, i % 3, i % 7) for i in range(60)],
+        "g string, x int, y int, z int",
+    )
+    with _pytest.raises(ValueError, match="max_candidates"):
+        skyline(df, ["x", "y", "z"], by=["g"], max_candidates=1)
+    plan = (
+        skyline(df, ["x", "y", "z"], by=["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    ungrouped = (
+        skyline(df.drop("g"), ["x", "y", "z"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in ungrouped, ungrouped
+
+
+def test_skyline_nan_and_null_criteria_excluded(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rows = [
+        ("g", 1.0, 1.0, 1.0),
+        ("g", float("nan"), 9.0, 9.0),
+        ("g", None, 9.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double, z double")
+    got = skyline(df, ["x", "y", "z"], by=["g"]).collect()
+    assert [(r["x"], r["y"], r["z"]) for r in got] == [(1.0, 1.0, 1.0)]
+    with _pytest_raises_value_error():
+        skyline(df, ["x"], by=["g"])
+
+
+def _pytest_raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError, match="at least 2 criteria")

@@ -739,3 +739,89 @@ def test_cms_inner_product_never_undercounts(spark, counts_a, counts_b, width):
     assert est_self >= exact_self
     if width == 1 << 16:
         assert est_self == exact_self
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-8, 8), st.integers(-8, 8)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_skyline_equals_dominance_definition(spark, pts, maxx, maxy):
+    """skyline_2d's linear keyed scan must equal the O(n²) dominance
+    definition for ANY point multiset (duplicates, negatives, single
+    groups, all-collinear fronts) and any direction pair."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    rows = [("g%d" % g, x, y) for g, x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    got = {
+        tuple(r)
+        for r in skyline_2d(df, "x", "y", by=["g"], maximize=(maxx, maxy)).collect()
+    }
+    want = set()
+    uniq = set(rows)
+    for g, x, y in uniq:
+        dominated = False
+        for g2, x2, y2 in uniq:
+            if g2 != g:
+                continue
+            bx = x2 >= x if maxx else x2 <= x
+            sx = x2 > x if maxx else x2 < x
+            by_ = y2 >= y if maxy else y2 <= y
+            sy = y2 > y if maxy else y2 < y
+            if bx and by_ and (sx or sy):
+                dominated = True
+                break
+        if not dominated:
+            want.add((g, x, y))
+    assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.booleans()), min_size=1, max_size=80
+    ),
+    st.integers(1, 8),
+)
+def test_lift_gains_invariants(spark, rows, k):
+    """For any score/label multiset and bucket count: buckets strictly
+    increase with cumulative counts, the last row captures everything
+    (gain = capture = lift = 1 when positives exist), per-bucket n/n_pos
+    re-sum to the cumulative columns, and capture breakpoints respect
+    the ceil-div contract cum_n = ceil-assignable to its bucket."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s int, y int"
+    )
+    out = sorted(
+        lift_gains(df, "s", "y", k).collect(), key=lambda r: r["bucket"]
+    )
+    total = len(rows)
+    tp = sum(1 for _, y in rows if y)
+    assert out, "non-empty input must produce at least one bucket"
+    # buckets strictly ascending within 1..k
+    buckets = [r["bucket"] for r in out]
+    assert buckets == sorted(set(buckets)) and 1 <= buckets[0] and buckets[-1] == k
+    # cumulative columns re-sum the per-bucket columns
+    cn = cp = 0
+    for r in out:
+        cn += r["n"]
+        cp += r["n_pos"]
+        assert (r["cum_n"], r["cum_pos"]) == (cn, cp)
+        # ceil-div contract: this bucket is exactly the one the last
+        # row of the run lands in
+        assert r["bucket"] == (r["cum_n"] * k + total - 1) // total
+    assert cn == total and cp == tp
+    last = out[-1]
+    assert last["capture"] == 1.0
+    if tp > 0:
+        assert last["gain"] == 1.0 and last["lift"] == 1.0
+    else:
+        assert last["gain"] is None and last["lift"] is None
