@@ -1132,6 +1132,12 @@ _TAIL = (
     #                             anti-join vs the same oracle form —
     #                             seat r13/r14   [new r12, no driver row]
     "skyline_parts_3d",
+    #   hierarchy_roots         — parent-pointer forest → (root, depth)
+    #                             via pointer doubling (O(log depth)
+    #                             equi-joins) vs the RECURSIVE-CTE
+    #                             oracle — seat r13/r14
+    #                                               [new r12, no driver row]
+    "hierarchy_roots",
 )
 
 
@@ -9172,6 +9178,47 @@ def skyline_parts_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hierarchy_roots",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w ON c.c_custkey // 10 = w.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+)
+def hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (beyond-reference, born r12): resolve
+    every node of a parent-pointer forest to (root, depth) —
+    operators/graph.hierarchy_flatten, the dbt-style ragged-hierarchy
+    model computed distributedly. Fixture: the deterministic decimal
+    tree over customer keys (parent = custkey div 10; keys < 10 are
+    roots — same synthetic-exact idiom as mleval's modular score).
+    The ORACLE is the warehouse plan (a RECURSIVE CTE walking one
+    level per iteration); the Spark plan is POINTER DOUBLING — the
+    state frame self-joins so known ancestors jump 2^k → 2^(k+1),
+    O(log depth) keyed equi-joins total — so the hash match proves
+    the logarithmic plan equals the level-walking semantics. All
+    columns exact BIGINTs; no rounding anywhere."""
+    from .operators.graph import hierarchy_flatten
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").cast("bigint").alias("node"),
+        F.when(
+            F.col("c_custkey") >= 10, F.expr("c_custkey div 10")
+        ).cast("bigint").alias("parent"),
+    )
+    return hierarchy_flatten(edges, "node", "parent")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9313,6 +9360,7 @@ OPERATOR_MAP = {
     "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid",
                 "mleval_lift"],  # lift born r12: gains/lift deciles
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
+    "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

@@ -110,3 +110,73 @@ def test_k_core_peels_cascade(spark):
     # one peel is not enough for the cascade: node 2 still alive
     one = {r["node"] for r in k_core(e, k=2, peels=1).collect()}
     assert 2 in one and 1 not in one
+
+
+# ---------------------------------------------------------------------
+# hierarchy_flatten (pointer doubling)
+# ---------------------------------------------------------------------
+
+
+def test_hierarchy_flatten_matches_sequential_walk(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    edges = [(i, i // 10 if i >= 10 else None) for i in range(1, 200)]
+    df = spark.createDataFrame(edges, "node int, parent int")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(df, "node", "parent").collect()
+    }
+    par = dict(edges)
+    for n, _ in edges:
+        x, d = n, 0
+        while par.get(x) is not None:
+            x, d = par[x], d + 1
+        assert got[n] == (x, d), n
+    assert len(got) == len(edges)
+
+
+def test_hierarchy_flatten_log_rounds_on_deep_chain(spark):
+    """A 63-deep chain must resolve in ~log2(63)+1 rounds, not 63 —
+    the pointer-doubling contract the module docstring sells."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    chain = [(i, i + 1 if i < 63 else None) for i in range(64)]
+    df = spark.createDataFrame(chain, "node int, parent int")
+    counter: list = []
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(
+            df, "node", "parent", iteration_counter=counter
+        ).collect()
+    }
+    assert got[0] == (63, 63) and got[63] == (63, 0)
+    assert counter[0] <= 8, counter
+
+
+def test_hierarchy_flatten_isolated_null_parent_root_kept(spark):
+    """A NULL-parent node that is NOBODY's parent is still a root row
+    (regression: the universe must come from the original frame, not
+    the NULL-filtered edge list)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (10, 1)], "node int, parent int"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(df, "node", "parent").collect()
+    }
+    assert got == {0: (0, 0), 1: (1, 0), 10: (1, 1)}
+
+
+def test_hierarchy_flatten_cycle_and_multiparent_fail_loud(spark):
+    import pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "node int, parent int")
+    with pytest.raises(RuntimeError, match="cycle"):
+        hierarchy_flatten(cyc, "node", "parent", max_iters=6)
+    mp = spark.createDataFrame([(1, 2), (1, 3)], "node int, parent int")
+    with pytest.raises(ValueError, match="multiple"):
+        hierarchy_flatten(mp, "node", "parent")
