@@ -2267,6 +2267,39 @@ def gini_utilization(
     )
 
 
+def _dominance_comparable(df: DataFrame, crit_cols: Sequence[str]) -> DataFrame:
+    """Drop rows with NULL — or, for float columns, NaN — in any
+    criterion: both are incomparable under dominance (and Spark sorts
+    NaN above every real value, which would poison a running-max
+    scan)."""
+    cond = None
+    float_types = ("double", "float")
+    for f in df.schema.fields:
+        if f.name not in crit_cols:
+            continue
+        c = F.col(f.name).isNotNull()
+        if f.dataType.typeName() in float_types:
+            c = c & ~F.isnan(F.col(f.name))
+        cond = c if cond is None else cond & c
+    return df.where(cond)
+
+
+def _front_semi_join(
+    df: DataFrame, front: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Recover ORIGINAL rows lying on the front via a broadcast
+    semi-join, NULL-SAFE on every key — a NULL group key is a real
+    group (the repo-wide contract), and a plain == join would drop
+    its front rows."""
+    a = df.alias("__orig")
+    f = front.select(*keys).alias("__front")
+    cond = None
+    for c in keys:
+        t = F.col(f"__orig.{c}").eqNullSafe(F.col(f"__front.{c}"))
+        cond = t if cond is None else cond & t
+    return a.join(F.broadcast(f), on=cond, how="leftsemi")
+
+
 def skyline_2d(
     df: DataFrame,
     x_col: str,
@@ -2294,8 +2327,10 @@ def skyline_2d(
     a dominator with greater x precedes with y ≥ ours (max catches
     it); an equal-x dominator has greater y and also precedes; and
     conversely a surviving point can have no dominator in either
-    case. Rows with NULL in either criterion are excluded
-    (incomparable under dominance).
+    case. Rows with NULL — or float NaN — in either criterion are
+    excluded (incomparable under dominance; NaN additionally sorts
+    above every real value in Spark and would poison the running
+    max).
 
     ``keep_rows=True`` returns the ORIGINAL rows (all columns,
     duplicates included) lying on the front, via a broadcast
@@ -2311,14 +2346,14 @@ def skyline_2d(
     the union of local fronts; for independently distributed 2-D
     data the expected front of an n-point partition is O(ln n), so
     the global stage's input is ~P·ln(n/P) rows, not n. For d > 2
-    criteria the cumulative-max scan does not apply — block on a
-    coarse grid and verify candidates instead (not implemented
-    here)."""
+    criteria the cumulative-max scan does not apply — use
+    ``skyline``, which runs the two-phase local-front +
+    broadcast-dominance-anti-join plan."""
     by = list(by) if by else []
     sx = F.col(x_col) if maximize[0] else -F.col(x_col)
     sy = F.col(y_col) if maximize[1] else -F.col(y_col)
     pts = (
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        _dominance_comparable(df, [x_col, y_col])
         .select(*by, x_col, y_col)
         .distinct()
         .withColumn("__sx", sx)
@@ -2346,11 +2381,7 @@ def skyline_2d(
     front = front.drop("__sx", "__sy")
     if not keep_rows:
         return front
-    return df.join(
-        F.broadcast(front.select(*by, x_col, y_col)),
-        on=by + [x_col, y_col],
-        how="leftsemi",
-    )
+    return _front_semi_join(df, front, by + [x_col, y_col])
 
 
 def skyline(
@@ -2367,13 +2398,16 @@ def skyline(
     plan is the classic distributed two-phase skyline:
 
     1. **Local front** (Arrow-vectorized ``mapInPandas``): inside
-       each batch, full-lexicographic-descending sort in direction-
-       normalized space, then a vectorized dominance scan — sorted
-       that way, no later point can dominate an earlier survivor, so
-       one forward pass with the running front matrix is exact for
-       the batch. Batch-local pruning is LOSSLESS globally: dominance
-       is transitive, so any point dominated within its batch is
-       dominated by a batch survivor.
+       each batch, a dominance scan over preallocated per-column
+       front buffers — each incoming point is vector-compared against
+       the current front in the columns' NATIVE dtypes (BIGINTs stay
+       exact past 2^53; no float unification), dominated front
+       members are evicted when a new point supersedes them, so the
+       scan is exact in ANY visit order. A float lexsort merely
+       front-loads likely winners to keep the buffer small. Batch-
+       local pruning is LOSSLESS globally: dominance is transitive,
+       so any point dominated within its batch is dominated by a
+       batch survivor.
     2. **Global front**: the surviving candidates (the only
        data-proportional bound in the plan — guarded by
        ``max_candidates``, fail-loud) self-anti-join on the dominance
@@ -2411,29 +2445,75 @@ def skyline(
             keep_rows=keep_rows,
         )
 
-    keep = None
-    for f in df.schema.fields:
-        if f.name not in cols:
-            continue
-        cond = F.col(f.name).isNotNull()
-        if f.dataType.typeName() in ("double", "float"):
-            cond = cond & ~F.isnan(F.col(f.name))
-        keep = cond if keep is None else keep & cond
-    pts = df.where(keep).select(*by, *cols).distinct()
+    pts = _dominance_comparable(df, cols).select(*by, *cols).distinct()
 
     out_schema = pts.schema
     by_names = list(by)
     col_names = list(cols)
-    signs = [1.0 if m else -1.0 for m in maxs]
 
     def _local_front(batches):
         import numpy as np
+
+        def _group_front(sub_cols):
+            """Exact front positions for one group's columns (native
+            dtypes). Preallocated buffers + eviction of superseded
+            front members — correct in any visit order; the float
+            lexsort is only a heuristic that keeps the front small."""
+            m = len(sub_cols[0])
+            sort_keys = []
+            for j in reversed(range(len(sub_cols))):
+                k = sub_cols[j].astype("float64", copy=True)
+                if maxs[j]:
+                    k = -k
+                sort_keys.append(k)
+            order = np.lexsort(tuple(sort_keys))
+            fbuf = [np.empty(m, dtype=a.dtype) for a in sub_cols]
+            fidx = np.empty(m, dtype="int64")
+            fcnt = 0
+            for i in order:
+                p = [a[i] for a in sub_cols]
+                if fcnt:
+                    ge = np.ones(fcnt, dtype=bool)
+                    gt = np.zeros(fcnt, dtype=bool)
+                    for j, mx in enumerate(maxs):
+                        fj = fbuf[j][:fcnt]
+                        if mx:
+                            ge &= fj >= p[j]
+                            gt |= fj > p[j]
+                        else:
+                            ge &= fj <= p[j]
+                            gt |= fj < p[j]
+                    if bool((ge & gt).any()):
+                        continue
+                    # evict front members the new point dominates
+                    ge2 = np.ones(fcnt, dtype=bool)
+                    gt2 = np.zeros(fcnt, dtype=bool)
+                    for j, mx in enumerate(maxs):
+                        fj = fbuf[j][:fcnt]
+                        if mx:
+                            ge2 &= p[j] >= fj
+                            gt2 |= p[j] > fj
+                        else:
+                            ge2 &= p[j] <= fj
+                            gt2 |= p[j] < fj
+                    keep = ~(ge2 & gt2)
+                    if not keep.all():
+                        kn = int(keep.sum())
+                        for j in range(len(sub_cols)):
+                            fbuf[j][:kn] = fbuf[j][:fcnt][keep]
+                        fidx[:kn] = fidx[:fcnt][keep]
+                        fcnt = kn
+                for j in range(len(sub_cols)):
+                    fbuf[j][fcnt] = p[j]
+                fidx[fcnt] = i
+                fcnt += 1
+            return fidx[:fcnt]
 
         for b in batches:
             if b.empty:
                 yield b
                 continue
-            mat = b[col_names].to_numpy(dtype="float64") * np.asarray(signs)
+            cols_data = [b[c].to_numpy() for c in col_names]
             if by_names:
                 groups = b.groupby(by_names, sort=False, dropna=False).indices
             else:
@@ -2441,24 +2521,8 @@ def skyline(
             keep_mask = np.zeros(len(b), dtype=bool)
             for idx in groups.values():
                 idx = np.asarray(idx)
-                sub = mat[idx]
-                order = np.lexsort(
-                    tuple(-sub[:, j] for j in reversed(range(len(col_names))))
-                )
-                front_rows: list = []
-                front_mat = None
-                for i in order:
-                    p = sub[i]
-                    if front_mat is not None and bool(
-                        (
-                            (front_mat >= p).all(axis=1)
-                            & (front_mat > p).any(axis=1)
-                        ).any()
-                    ):
-                        continue
-                    front_rows.append(i)
-                    front_mat = sub[np.asarray(front_rows)]
-                keep_mask[idx[np.asarray(front_rows)]] = True
+                sub_cols = [a[idx] for a in cols_data]
+                keep_mask[idx[_group_front(sub_cols)]] = True
             yield b[keep_mask]
 
     cand = pts.mapInPandas(_local_front, schema=out_schema).localCheckpoint(
@@ -2488,12 +2552,10 @@ def skyline(
         any_strict = any_strict | cnd
     dominates = dominates & any_strict
     for k in by_names:
-        dominates = dominates & (F.col(f"b.{k}") == F.col(f"a.{k}"))
+        # NULL-SAFE: a NULL group key is a real group, and plain ==
+        # would exempt its points from global dominance entirely
+        dominates = dominates & F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
     front = a.join(F.broadcast(b), on=dominates, how="left_anti")
     if not keep_rows:
         return front
-    return df.join(
-        F.broadcast(front.select(*by_names, *col_names)),
-        on=by_names + col_names,
-        how="leftsemi",
-    )
+    return _front_semi_join(df, front, by_names + col_names)

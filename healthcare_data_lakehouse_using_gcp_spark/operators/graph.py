@@ -279,12 +279,24 @@ def hierarchy_flatten(
         .distinct()
     )
     if check_forest:
-        dup = e.groupBy("node").count().where(F.col("count") > 1).limit(1).collect()
+        # count DECLARATIONS on the original frame: two distinct real
+        # parents, or a real parent plus a NULL (root) declaration,
+        # are both ambiguous — checking the NULL-filtered edge list
+        # would wave the root-and-child contradiction through
+        decl = edges.groupBy(F.col(node_col).alias("node")).agg(
+            (
+                F.countDistinct(parent_col)
+                + F.max(F.col(parent_col).isNull().cast("int"))
+            ).alias("__n_decl")
+        )
+        dup = decl.where(F.col("__n_decl") > 1).limit(1).collect()
         if dup:
             raise ValueError(
                 f"hierarchy_flatten: node {dup[0]['node']!r} has multiple "
-                "parents — input is not a forest (pass check_forest=False "
-                "only if a prior stage already guarantees uniqueness)"
+                "parent declarations (several parents, or a parent plus a "
+                "NULL root marker) — input is not a forest (pass "
+                "check_forest=False only if a prior stage already "
+                "guarantees uniqueness)"
             )
     # universe from the ORIGINAL frame (NULL-parent rows declare roots
     # even when nobody points at them) plus every referenced parent

@@ -176,35 +176,40 @@ def lift_gains(
     total_pos), capture (= cum_n / total_n), lift (= (cum_pos /
     cum_n) / (total_pos / total_n); NULL when the group has no
     positives). Ratios are divisions of exact BIGINTs — identical
-    doubles cross-engine before the rounding.
+    doubles cross-engine before the rounding. A NULL group key is a
+    real group (the repo-wide contract): totals come from a window
+    over the same keyed partitioning, never a name-based join that
+    NULL keys would fall out of. Rows with a NULL LABEL count toward
+    n / cum_n / capture (they are kept corpus volume) but contribute
+    0 positives.
 
     Scale design (100 TB): window state is O(|distinct scores|) per
-    group, never O(rows); totals ride the groupBy key (constant per
-    group) so no second scan; lift divides two exact double ratios
-    instead of cross-multiplying BIGINTs, so it cannot overflow at
-    any scale."""
+    group, never O(rows); per-group totals are an unbounded frame
+    over the SAME distinct-score partitioning (no extra shuffle, no
+    join); lift divides two exact double ratios instead of
+    cross-multiplying BIGINTs, so it cannot overflow at any scale."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     by = by or []
     # NULL scores are unrankable (and engines disagree on NULL sort
     # placement under DESC) — excluded up front.
     df = df.where(F.col(score_col).isNotNull())
-    lab = F.col(label_col).cast("bigint")
+    lab = F.coalesce(F.col(label_col).cast("bigint"), F.lit(0))
     per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(lab).alias("__p"),
     )
-    totals = per_score.groupBy(*by).agg(
-        F.sum("__n").alias("__tn"), F.sum("__p").alias("__tp")
-    )
-    joined = (
-        per_score.join(totals, on=by)
-        if by
-        else per_score.crossJoin(F.broadcast(totals))
-    )
     w = Window.partitionBy(*by).orderBy(F.col("__s").desc())
-    cum = joined.withColumn(
-        "__cn", F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        per_score.withColumn(
+            "__cn",
+            F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__tn", F.sum("__n").over(w_all))
+        .withColumn("__tp", F.sum("__p").over(w_all))
     )
     bucket = F.expr(
         f"(__cn * {int(n_buckets)} + __tn - 1) div __tn"

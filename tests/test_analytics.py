@@ -1793,3 +1793,57 @@ def _pytest_raises_value_error():
     import pytest as _pytest
 
     return _pytest.raises(ValueError, match="at least 2 criteria")
+
+
+def test_skyline_null_group_key_is_a_real_group(spark):
+    """A NULL by-key is a real group (repo-wide contract): its
+    dominated points must be removed by the GLOBAL pass even when
+    dominator and victim land in different partitions, and keep_rows
+    must recover its front rows (review r12: plain == in the
+    dominance/semi joins exempted NULL groups)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        skyline,
+        skyline_2d,
+    )
+
+    rows = [(None, 1, 1, 1), (None, 2, 2, 2), ("g", 1, 1, 1)]
+    df = spark.createDataFrame(
+        rows, "g string, x int, y int, z int"
+    ).repartition(6)
+    got = {
+        tuple(r) for r in skyline(df, ["x", "y", "z"], by=["g"]).collect()
+    }
+    assert got == {(None, 2, 2, 2), ("g", 1, 1, 1)}
+    kept = skyline_2d(df, "x", "y", by=["g"], keep_rows=True).collect()
+    assert {(r["g"], r["x"], r["y"]) for r in kept} == {
+        (None, 2, 2),
+        ("g", 1, 1),
+    }
+
+
+def test_skyline_d2_via_generic_excludes_nan(spark):
+    """skyline()'s d=2 delegation must apply the same NaN exclusion
+    as the d>2 branch (review r12: the delegation used to bypass the
+    filter and Spark sorts NaN above every real value)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rows = [("g", 1.0, 1.0), ("g", float("nan"), 9.0), ("g", 2.0, float("nan"))]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = skyline(df, ["x", "y"], by=["g"]).collect()
+    assert [(r["x"], r["y"]) for r in got] == [(1.0, 1.0)]
+
+
+def test_skyline_bigint_exact_past_2_53(spark):
+    """The local front compares NATIVE dtypes: two BIGINTs that
+    collide in float64 (2^53 vs 2^53+1) must stay incomparable-exact
+    — both are true front points (review r12: the float64 matrix
+    merged them and pruned one)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    big = 2**53
+    rows = [("g", big + 1, 4, 0), ("g", big, 5, 0)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, z long")
+    got = {
+        (r["x"], r["y"]) for r in skyline(df, ["x", "y", "z"], by=["g"]).collect()
+    }
+    assert got == {(big + 1, 4), (big, 5)}

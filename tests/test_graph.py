@@ -180,3 +180,18 @@ def test_hierarchy_flatten_cycle_and_multiparent_fail_loud(spark):
     mp = spark.createDataFrame([(1, 2), (1, 3)], "node int, parent int")
     with pytest.raises(ValueError, match="multiple"):
         hierarchy_flatten(mp, "node", "parent")
+
+
+def test_hierarchy_flatten_root_and_child_declaration_conflict(spark):
+    """A node declared BOTH root (NULL parent) and child must fail the
+    forest check (review r12: the NULL filter ran before the
+    duplicate check and waved the contradiction through)."""
+    import pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    df = spark.createDataFrame(
+        [(5, None), (5, 2), (2, None)], "node int, parent int"
+    )
+    with pytest.raises(ValueError, match="parent declarations"):
+        hierarchy_flatten(df, "node", "parent")

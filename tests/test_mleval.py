@@ -211,3 +211,36 @@ def test_lift_plan_windows_over_aggregate_only(spark):
     win_at = plan.find("Window")
     agg_below = plan.find("Aggregate", win_at)
     assert win_at >= 0 and agg_below > win_at, plan
+
+
+def test_lift_null_group_key_is_a_real_group(spark):
+    """NULL group keys must survive (review r12: the totals join was
+    name-based and dropped the whole NULL group); totals now ride a
+    window over the same keyed partitioning."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [(None, 3, 1), (None, 1, 0), ("b", 2, 1), ("b", 1, 0)],
+        "g string, s int, y int",
+    )
+    got = {
+        (r["g"], r["bucket"]): r
+        for r in lift_gains(df, "s", "y", 2, by=["g"]).collect()
+    }
+    assert (None, 1) in got and (None, 2) in got
+    assert got[(None, 1)]["lift"] == 2.0 and got[(None, 2)]["gain"] == 1.0
+
+
+def test_lift_null_labels_count_as_volume_not_positives(spark):
+    """Rows with NULL labels stay in n / cum_n / capture but add 0
+    positives — n_pos must be 0, never NULL-poisoned (review r12)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import lift_gains
+
+    df = spark.createDataFrame(
+        [(4, None), (3, None), (2, 1), (1, 0)], "s int, y int"
+    )
+    got = {r["bucket"]: r for r in lift_gains(df, "s", "y", 2).collect()}
+    assert (got[1]["n"], got[1]["n_pos"]) == (2, 0)
+    assert got[1]["gain"] == 0.0
+    assert (got[2]["cum_n"], got[2]["cum_pos"]) == (4, 1)
+    assert got[2]["gain"] == 1.0 and got[2]["capture"] == 1.0
