@@ -163,6 +163,17 @@ HEADLINE = [
     # oracle gate. Headline sum covers 24 queries from r11 on
     "attribution_last_touch",
     "ann_ivf_topk",
+    # late-r12 additions: the 2-D skyline (distinct + ONE keyed window
+    # scan — the multi-criteria OLAP shape; wall should track the
+    # distinct, x-ratios near-linear) and hierarchy flattening — the
+    # basket's first ITERATIVE-algorithm row (pointer doubling:
+    # O(log depth) keyed self-joins, one localCheckpoint + one agg per
+    # round). Its wall is ROUND-dominated (fixed per-round job costs ×
+    # ~4 rounds at these depths), so expect flat-ish x-ratios — growth
+    # would mean the per-round joins stopped being the cheap part.
+    # Headline sum covers 26 queries from r12 on
+    "skyline_parts",
+    "hierarchy_roots",
 ]
 
 # Secondary sf1 pass (VERDICT r3 item 5): the scale-sensitive subset —
@@ -210,6 +221,11 @@ SF1_SUBSET = [
     # union+window should scale with the event volume
     "attribution_last_touch",
     "ann_ivf_topk",
+    # late-r12: skyline's distinct + window scan should scale with the
+    # part count; hierarchy's per-round join cost scales with keys but
+    # round COUNT only with log(depth) — x10 data, same ~4 rounds
+    "skyline_parts",
+    "hierarchy_roots",
 ]
 
 

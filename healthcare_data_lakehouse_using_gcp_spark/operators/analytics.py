@@ -2307,6 +2307,7 @@ def skyline_2d(
     by: Sequence[str] | None = None,
     maximize: tuple[bool, bool] = (True, True),
     keep_rows: bool = False,
+    max_candidates: int = 1_000_000,
 ) -> DataFrame:
     """Two-criteria skyline (Pareto front): the points no other point
     dominates — classic multi-criteria OLAP (Börzsönyi et al., ICDE
@@ -2345,7 +2346,10 @@ def skyline_2d(
     phase 1 never discards a front point), then the same scan over
     the union of local fronts; for independently distributed 2-D
     data the expected front of an n-point partition is O(ln n), so
-    the global stage's input is ~P·ln(n/P) rows, not n. For d > 2
+    the global stage's input is ~P·ln(n/P) rows, not n — and
+    ``max_candidates`` fail-louds near-anti-chain data before it
+    reaches the single-reducer global scan (the count doubles as the
+    lazy localCheckpoint's materializing job). For d > 2
     criteria the cumulative-max scan does not apply — use
     ``skyline``, which runs the two-phase local-front +
     broadcast-dominance-anti-join plan."""
@@ -2374,9 +2378,22 @@ def skyline_2d(
     if by:
         front = _scan(pts, by)
     else:
-        local = _scan(
-            pts.withColumn("__pid", F.spark_partition_id()), ["__pid"]
-        ).drop("__pid")
+        local = (
+            _scan(pts.withColumn("__pid", F.spark_partition_id()), ["__pid"])
+            .drop("__pid")
+            .localCheckpoint(eager=False)
+        )
+        # the checkpoint-materializing count IS the fail-loud guard:
+        # near-anti-chain data would otherwise push ~n rows through
+        # the phase-2 single-reducer window silently
+        n_local = local.count()
+        if n_local > max_candidates:
+            raise ValueError(
+                f"skyline_2d local fronts total {n_local} points "
+                f"(> max_candidates={max_candidates}); the data is close "
+                "to an anti-chain — raise the cap knowingly, or skyline "
+                "per coarse x-bucket first"
+            )
         front = _scan(local, [])
     front = front.drop("__sx", "__sy")
     if not keep_rows:
@@ -2442,7 +2459,7 @@ def skyline(
     if d == 2:
         return skyline_2d(
             df, cols[0], cols[1], by=by, maximize=(maxs[0], maxs[1]),
-            keep_rows=keep_rows,
+            keep_rows=keep_rows, max_candidates=max_candidates,
         )
 
     pts = _dominance_comparable(df, cols).select(*by, *cols).distinct()

@@ -65,11 +65,17 @@ def auc_roc(
     denominator 2·P·N stay BIGINT — ``auc`` is their ratio (NULL for
     degenerate all-positive/all-negative groups, via try_divide).
 
+    Rows with a NULL label are EXCLUDED up front: they are neither
+    positive nor negative, so they belong to no (pos, neg) pair —
+    and an all-NULL score run would otherwise NULL-poison the
+    cumulative negative count.
+
     Output: by + n_pos, n_neg, auc_num2, auc (6-dp). A keyed window
     when ``by`` is non-empty; with by=[] the window is global but
     runs over the distinct-score frame (bounded by score
     cardinality, not rows)."""
     by = by or []
+    df = df.where(F.col(label_col).isNotNull())
     lab = F.col(label_col).cast("bigint")
     per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n"),
@@ -122,9 +128,14 @@ def calibration_bins(
     aggregation (map-side partial); scores outside [lo, hi] clamp
     into the edge bins so no row silently drops.
 
+    Rows with a NULL label are excluded (they can neither confirm
+    nor refute a bin's claimed probability, and an all-NULL bin
+    would NULL-poison frac_pos).
+
     Output: by + bin (0..n_bins-1), n, n_pos, frac_pos (6-dp),
     avg_score (6-dp)."""
     by = by or []
+    df = df.where(F.col(label_col).isNotNull())
     s = F.col(score_col).cast("double")
     bin_raw = F.floor((s - F.lit(lo)) * n_bins / F.lit(hi - lo))
     bin_ = F.greatest(
@@ -273,11 +284,16 @@ def precision_recall_at(
     qualifying rows still appear (tp = fp = 0, precision NULL) so
     the sweep's domain is the caller's grid, not the data's.
 
+    Rows with a NULL label are excluded — tp/fp/fn are undefined for
+    an unlabeled row, and an all-NULL score run would NULL-poison
+    the confusion counts.
+
     Output: by + threshold, tp, fp, fn, precision, recall, f1
     (ratios 6-dp; NULL where undefined)."""
     if not thresholds:
         raise ValueError("empty threshold grid")
     by = by or []
+    df = df.where(F.col(label_col).isNotNull())
     lab = F.col(label_col).cast("bigint")
     per_score = df.groupBy(*by, F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n"),

@@ -1847,3 +1847,23 @@ def test_skyline_bigint_exact_past_2_53(spark):
         (r["x"], r["y"]) for r in skyline(df, ["x", "y", "z"], by=["g"]).collect()
     }
     assert got == {(big + 1, 4), (big, 5)}
+
+
+def test_skyline_2d_ungrouped_guard(spark):
+    """Near-anti-chain 2-D data must fail loud before the phase-2
+    single-reducer window, mirroring the d>2 max_candidates guard."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    # perfect anti-chain: every point on the front
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(100)], "x int, y int"
+    ).repartition(4)
+    with _pytest.raises(ValueError, match="max_candidates"):
+        skyline_2d(df, "x", "y", max_candidates=10)
+    # and the guard passes through the generic entry point
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    with _pytest.raises(ValueError, match="max_candidates"):
+        skyline(df, ["x", "y"], max_candidates=10)

@@ -73,12 +73,16 @@ def test_pathological_overflow_keeps_contract_scalars(capsys):
 
 
 def test_basket_membership_contract():
-    # VERDICT r10 item 4: basket = 24 queries incl. the as-of
-    # attribution plan and a sub-linear ANN representative; the
+    # VERDICT r10 item 4 (24 from r11) + late-r12 additions: basket =
+    # 26 queries incl. the as-of attribution plan, a sub-linear ANN
+    # representative, the 2-D skyline window scan, and the first
+    # iterative-algorithm row (pointer-doubling hierarchy flatten);
     # normalization controls stay members; sf1 subset ⊆ headline
-    assert len(HEADLINE) == 24
+    assert len(HEADLINE) == 26
     assert "attribution_last_touch" in HEADLINE
     assert "ann_ivf_topk" in HEADLINE
+    assert "skyline_parts" in HEADLINE
+    assert "hierarchy_roots" in HEADLINE
     assert set(CONTROLS) <= set(HEADLINE)
     assert set(SF1_SUBSET) <= set(HEADLINE)
     assert len(set(HEADLINE)) == len(HEADLINE)

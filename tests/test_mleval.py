@@ -244,3 +244,29 @@ def test_lift_null_labels_count_as_volume_not_positives(spark):
     assert got[1]["gain"] == 0.0
     assert (got[2]["cum_n"], got[2]["cum_pos"]) == (4, 1)
     assert got[2]["gain"] == 1.0 and got[2]["capture"] == 1.0
+
+
+def test_mleval_null_labels_excluded_everywhere(spark):
+    """NULL labels are neither positive nor negative: auc_roc,
+    calibration_bins and precision_recall_at must exclude them
+    instead of NULL-poisoning sums when a whole score run / bin is
+    unlabeled (review r12 follow-through from the lift_gains
+    finding)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+        auc_roc,
+        calibration_bins,
+        precision_recall_at,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, None), (0.7, None), (0.2, 0)],
+        "s double, y int",
+    )
+    a = auc_roc(df, "s", "y").collect()[0]
+    assert (a["n_pos"], a["n_neg"], a["auc"]) == (1, 1, 1.0)
+    cal = {r["bin"]: r for r in calibration_bins(df, "s", "y", n_bins=10).collect()}
+    # the unlabeled 0.8/0.7 rows vanish: bins 8 and 7 absent entirely
+    assert set(cal) == {9, 2}
+    assert cal[9]["n"] == 1 and cal[9]["frac_pos"] == 1.0
+    pr = {r["threshold"]: r for r in precision_recall_at(df, "s", "y", [0.5]).collect()}
+    assert (pr[0.5]["tp"], pr[0.5]["fp"], pr[0.5]["fn"]) == (1, 0, 0)
