@@ -825,3 +825,100 @@ def test_lift_gains_invariants(spark, rows, k):
         assert last["gain"] == 1.0 and last["lift"] == 1.0
     else:
         assert last["gain"] is None and last["lift"] is None
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.one_of(st.none(), st.integers(0, 40))),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hierarchy_flatten_equals_sequential_walk(spark, decls):
+    """For ANY parent-pointer declaration set: after dropping
+    conflicting declarations (to satisfy the forest contract) and
+    breaking cycles, pointer doubling must equal a sequential Python
+    walk on every node of the universe."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    # one declaration per node (forest contract), drop self-loops
+    par: dict = {}
+    for n, p in decls:
+        if n not in par and p != n:
+            par[n] = p
+    # break cycles: walk each node; any node that re-visits gets its
+    # parent pointer cut to None
+    for n in list(par):
+        seen = set()
+        x = n
+        while x is not None and par.get(x) is not None:
+            if x in seen:
+                par[x] = None
+                break
+            seen.add(x)
+            x = par[x]
+    rows = [(n, p) for n, p in par.items()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "node int, parent int")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(df, "node", "parent").collect()
+    }
+    universe = set(par) | {p for p in par.values() if p is not None}
+    assert set(got) == universe
+    for n in universe:
+        x, d = n, 0
+        while par.get(x) is not None:
+            x, d = par[x], d + 1
+        assert got[n] == (x, d), n
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(-5, 5),
+            st.integers(-5, 5),
+            st.integers(-5, 5),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),
+)
+def test_skyline_d3_equals_dominance_definition(spark, pts, maxs):
+    """The d>2 two-phase plan (Arrow local fronts + broadcast
+    dominance anti-join) must equal the O(n²) dominance definition
+    for ANY 3-criteria multiset and direction triple."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rows = [("g%d" % g, x, y, z) for g, x, y, z in pts]
+    df = spark.createDataFrame(rows, "g string, x int, y int, z int").repartition(4)
+    got = {
+        tuple(r)
+        for r in skyline(df, ["x", "y", "z"], by=["g"], maximize=list(maxs)).collect()
+    }
+    uniq = set(rows)
+    want = set()
+    for p in uniq:
+        dominated = False
+        for q in uniq:
+            if q[0] != p[0]:
+                continue
+            ge = all(
+                (qj >= pj) if m else (qj <= pj)
+                for qj, pj, m in zip(q[1:], p[1:], maxs)
+            )
+            gt = any(
+                (qj > pj) if m else (qj < pj)
+                for qj, pj, m in zip(q[1:], p[1:], maxs)
+            )
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            want.add(p)
+    assert got == want
