@@ -1138,6 +1138,12 @@ _TAIL = (
     #                             oracle — seat r13/r14
     #                                               [new r12, no driver row]
     "hierarchy_roots",
+    #   bootstrap_ci_orders     — seeded Poisson-bootstrap mean CI; the
+    #                             oracle rebuilds the md5 replica
+    #                             weights, means and percentile
+    #                             envelope in SQL — seat r13/r14
+    #                                               [new r12, no driver row]
+    "bootstrap_ci_orders",
 )
 
 
@@ -9219,6 +9225,86 @@ def hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchy_flatten(edges, "node", "parent")
 
 
+@query(
+    "bootstrap_ci_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g, o_orderkey,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS x
+      FROM orders
+    ), rep AS (
+      SELECT g, o_orderkey, x, b
+      FROM r CROSS JOIN (SELECT UNNEST(generate_series(-1, 19)) AS b)
+    ), keyed AS (
+      SELECT g, b, x,
+             (('0x' || substr(md5(concat_ws('§', '11',
+                 CAST(b AS VARCHAR), CAST(o_orderkey AS VARCHAR))), 1, 8)
+              )::BIGINT + 0.5) / 4294967296.0 AS u
+      FROM rep
+    ), weighted AS (
+      SELECT g, b, x,
+             CASE WHEN b = -1 THEN 1
+                  WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+      FROM keyed
+    ), means AS (
+      SELECT g, b,
+             CASE WHEN SUM(w) = 0 THEN NULL
+                  ELSE CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             END AS mean
+      FROM weighted GROUP BY g, b
+    )
+    SELECT g AS o_orderpriority,
+           FLOOR(MAX(CASE WHEN b = -1 THEN mean END) * 1000000 + 0.5)
+             / 1000000 AS point_mean,
+           FLOOR(quantile_cont(CASE WHEN b >= 0 THEN mean END, 0.025)
+                 * 1000000 + 0.5) / 1000000 AS ci_lo,
+           FLOOR(quantile_cont(CASE WHEN b >= 0 THEN mean END, 0.975)
+                 * 1000000 + 0.5) / 1000000 AS ci_hi,
+           CAST(20 AS BIGINT) AS n_replicas
+    FROM means GROUP BY g
+    """,
+)
+def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uncertainty quantification (beyond-reference, born
+    r12): seeded POISSON-BOOTSTRAP 95% CI for the mean whole-dollar
+    order value per priority class
+    (operators/analytics.poisson_bootstrap_ci) — the error bar a
+    monitoring delta needs before it is read as real. Each row draws
+    an independent Poisson(1) weight per replica from an md5-uniform
+    keyed on (seed, replica, order key) — the dp_noisy_counts idiom —
+    so the ORACLE rebuilds the identical 20 replicas in SQL and the
+    hash match covers the whole mechanism: weights, replica means,
+    and the interpolated percentile envelope. Integral values keep
+    every replica mean a ratio of exact BIGINTs, so the doubles are
+    bit-identical cross-engine before the 6-dp rounding. One explode
+    + one hash agg (map-side partials shrink the B+1 copies to
+    |groups|·21 cells before the shuffle); no windows, no joins."""
+    from .operators.analytics import poisson_bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("value"),
+    )
+    return poisson_bootstrap_ci(
+        scored,
+        "value",
+        "o_orderkey",
+        by=["o_orderpriority"],
+        n_replicas=20,
+        seed=11,
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9361,6 +9447,7 @@ OPERATOR_MAP = {
                 "mleval_lift"],  # lift born r12: gains/lift deciles
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
+    "Bootstrap": ["bootstrap_ci_orders"],  # born r12: Poisson-bootstrap CI
     # beyond-reference, domain-aligned: data-level privacy (the
     # reference's HIPAA surface is infra-only)
     "Privacy": [

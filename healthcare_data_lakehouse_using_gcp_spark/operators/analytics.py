@@ -2576,3 +2576,116 @@ def skyline(
     if not keep_rows:
         return front
     return _front_semi_join(df, front, by_names + col_names)
+
+
+# Poisson(1) CDF thresholds, truncated at 8 (P(W > 8) ≈ 1e-6; both
+# engines truncate identically so parity is exact). Literal doubles —
+# the corpus oracle states the SAME constants, so the weight is a
+# pure deterministic function of (seed, replica, row id) on both
+# engines.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: Sequence[str] | None = None,
+    n_replicas: int = 20,
+    *,
+    seed: int,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    digits: int = 6,
+) -> DataFrame:
+    """Seeded POISSON BOOTSTRAP confidence interval for the per-group
+    mean of ``value_col`` — the uncertainty bar a pipeline metric
+    needs before anyone reads a day-over-day delta as real. The
+    classic resample-with-replacement bootstrap is undistributable
+    (each replica is a global sample); the Poisson bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"; cf. Kleiner et al.'s Bag of Little Bootstraps) gives
+    each row an independent Poisson(1) weight per replica — row-local,
+    one pass, mergeable.
+
+    Determinism: the weight is an inverse-CDF lookup on an
+    md5-derived uniform keyed on (seed, replica, row id) — the
+    dp_noisy_counts idiom — so a release is REPRODUCIBLE across runs
+    AND engines (the corpus oracle rebuilds the identical weights in
+    SQL). Replica −1 carries weight 1 everywhere: the exact-sample
+    point estimate rides the same pipeline, so no second scan and no
+    group-key join (a NULL group key stays a real group).
+
+    With an integral ``value_col`` every replica mean is a ratio of
+    exact BIGINTs (order-independent), so the percentile
+    interpolation over the B means is bit-identical cross-engine
+    before rounding. Float value columns work but inherit summation-
+    order noise at the last ulp — round accordingly.
+
+    Output: by + point_mean, ci_lo, ci_hi (``digits``-dp),
+    n_replicas. Replicas whose total weight lands 0 (vanishingly
+    rare past tiny groups) yield NULL means and are ignored by the
+    percentile on both engines.
+
+    Scale design (100 TB): ONE explode (B+1 copies — partial
+    aggregation collapses them map-side to |groups|·(B+1) cells, so
+    the shuffle is replica-count-sized, not data-sized), one hash
+    agg, one |groups|-sized percentile agg. No windows, no joins,
+    nothing collects."""
+    if n_replicas < 2:
+        raise ValueError("n_replicas must be >= 2")
+    by = list(by) if by else []
+    b_col = F.explode(
+        F.sequence(F.lit(-1), F.lit(int(n_replicas) - 1))
+    ).alias("__b")
+    base = df.select(
+        *by,
+        F.col(value_col).alias("__x"),
+        F.col(id_col).cast("string").alias("__id"),
+    ).select("*", b_col)
+    key = F.concat_ws(
+        "§", F.lit(str(seed)), F.col("__b").cast("string"), F.col("__id")
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.when(F.col("__b") == -1, F.lit(1))
+    for k, c in enumerate(_POISSON1_CDF):
+        w = w.when(u < F.lit(c), F.lit(k))
+    w = w.otherwise(F.lit(len(_POISSON1_CDF))).cast("bigint")
+    means = (
+        base.withColumn("__w", w)
+        .groupBy(*by, "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__x")).alias("__sx"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            *by,
+            "__b",
+            F.try_divide(
+                F.col("__sx").cast("double"), F.col("__sw").cast("double")
+            ).alias("__mean"),
+        )
+    )
+    from ..functions.scalars import round_det
+
+    boot_mean = F.when(F.col("__b") >= 0, F.col("__mean"))
+    return means.groupBy(*by).agg(
+        round_det(
+            F.max(F.when(F.col("__b") == -1, F.col("__mean"))), digits
+        ).alias("point_mean"),
+        round_det(F.percentile(boot_mean, F.lit(lo)), digits).alias("ci_lo"),
+        round_det(F.percentile(boot_mean, F.lit(hi)), digits).alias("ci_hi"),
+        F.lit(int(n_replicas)).cast("bigint").alias("n_replicas"),
+    )

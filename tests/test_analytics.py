@@ -1867,3 +1867,113 @@ def test_skyline_2d_ungrouped_guard(spark):
 
     with _pytest.raises(ValueError, match="max_candidates"):
         skyline(df, ["x", "y"], max_candidates=10)
+
+
+# ---------------------------------------------------------------------
+# poisson_bootstrap_ci
+# ---------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_independent_replication(spark):
+    """The whole mechanism — md5 replica weights, replica means,
+    interpolated percentile envelope — must equal an independent
+    hashlib/python replication bit for bit (integral values keep
+    every mean an exact-BIGINT ratio)."""
+    import hashlib
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        _POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g%d" % (i % 2), i, 10 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id int, x int")
+    out = {
+        r["g"]: r
+        for r in poisson_bootstrap_ci(
+            df, "x", "id", by=["g"], n_replicas=20, seed=7
+        ).collect()
+    }
+
+    def w_of(seed, b, i):
+        if b == -1:
+            return 1
+        h = hashlib.md5(f"{seed}§{b}§{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        for k, c in enumerate(_POISSON1_CDF):
+            if u < c:
+                return k
+        return 8
+
+    def pct(vals, p):
+        n = len(vals)
+        r = (n - 1) * p
+        lo_i = int(math.floor(r))
+        frac = r - lo_i
+        return vals[lo_i] + (vals[min(lo_i + 1, n - 1)] - vals[lo_i]) * frac
+
+    for g in ("g0", "g1"):
+        sub = [(i, x) for (gg, i, x) in rows if gg == g]
+        means = []
+        for b in range(-1, 20):
+            sx = sum(w_of(7, b, i) * x for i, x in sub)
+            sw = sum(w_of(7, b, i) for i, x in sub)
+            means.append(sx / sw)
+        point, boot = means[0], sorted(means[1:])
+        want = tuple(
+            math.floor(v * 1e6 + 0.5) / 1e6
+            for v in (point, pct(boot, 0.025), pct(boot, 0.975))
+        )
+        got = (out[g]["point_mean"], out[g]["ci_lo"], out[g]["ci_hi"])
+        assert got == want, (g, got, want)
+        assert got[1] <= got[0] <= got[2]
+
+
+def test_bootstrap_ci_seed_sensitivity_and_null_group(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(None if i % 2 else "g", i, float(i % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id int, x double")
+    a = {
+        r["g"]: r
+        for r in poisson_bootstrap_ci(
+            df, "x", "id", by=["g"], n_replicas=10, seed=1
+        ).collect()
+    }
+    # a NULL group key is a real group
+    assert None in a and "g" in a
+    b = {
+        r["g"]: r
+        for r in poisson_bootstrap_ci(
+            df, "x", "id", by=["g"], n_replicas=10, seed=2
+        ).collect()
+    }
+    # different seed, different replicas — point estimate identical
+    assert a["g"]["point_mean"] == b["g"]["point_mean"]
+    assert (a["g"]["ci_lo"], a["g"]["ci_hi"]) != (b["g"]["ci_lo"], b["g"]["ci_hi"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_replicas"):
+        poisson_bootstrap_ci(df, "x", "id", n_replicas=1, seed=1)
+
+
+def test_bootstrap_ci_plan_no_window_no_join(spark):
+    """Explode + two hash aggs only — the shuffle is replica-count-
+    sized thanks to map-side partials; no window, no join."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i % 5) for i in range(100)], "g string, id int, x int"
+    )
+    plan = (
+        poisson_bootstrap_ci(df, "x", "id", by=["g"], seed=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan, plan
