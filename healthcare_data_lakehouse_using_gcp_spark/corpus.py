@@ -9222,7 +9222,11 @@ def hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") >= 10, F.expr("c_custkey div 10")
         ).cast("bigint").alias("parent"),
     )
-    return hierarchy_flatten(edges, "node", "parent")
+    # parent is derived functionally from the PRIMARY KEY, so the
+    # forest property holds by construction — skip the guard's
+    # duplicate-declaration agg job (the guard itself is pinned in
+    # tests/test_graph.py)
+    return hierarchy_flatten(edges, "node", "parent", check_forest=False)
 
 
 @query(
