@@ -9299,6 +9299,9 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice")).cast("bigint").alias("value"),
     )
+    # o_orderkey is the table's PRIMARY KEY — unique and non-NULL by
+    # construction, so the id-uniqueness guard job is skipped (the
+    # guard itself is pinned in tests/test_analytics.py)
     return poisson_bootstrap_ci(
         scored,
         "value",
@@ -9306,6 +9309,7 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["o_orderpriority"],
         n_replicas=20,
         seed=11,
+        check_ids=False,
     )
 
 

@@ -2606,6 +2606,7 @@ def poisson_bootstrap_ci(
     lo: float = 0.025,
     hi: float = 0.975,
     digits: int = 6,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Seeded POISSON BOOTSTRAP confidence interval for the per-group
     mean of ``value_col`` — the uncertainty bar a pipeline metric
@@ -2631,6 +2632,16 @@ def poisson_bootstrap_ci(
     before rounding. Float value columns work but inherit summation-
     order noise at the last ulp — round accordingly.
 
+    Row contracts: rows with a NULL value are EXCLUDED up front
+    (they carry no information about the mean; keeping their weights
+    in the denominator would silently deflate every replica).
+    ``id_col`` must be a UNIQUE, non-NULL row key — the weights'
+    independence (the entire statistical contract) hangs on it, so by
+    default one guard aggregation verifies count == countDistinct
+    and no NULL ids, and fails loud otherwise; callers whose id is a
+    primary key by construction pass ``check_ids=False`` to skip the
+    job.
+
     Output: by + point_mean, ci_lo, ci_hi (``digits``-dp),
     n_replicas. Replicas whose total weight lands 0 (vanishingly
     rare past tiny groups) yield NULL means and are ignored by the
@@ -2644,6 +2655,23 @@ def poisson_bootstrap_ci(
     if n_replicas < 2:
         raise ValueError("n_replicas must be >= 2")
     by = list(by) if by else []
+    df = df.where(F.col(value_col).isNotNull())
+    if check_ids:
+        chk = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(id_col).alias("__nn"),
+            F.countDistinct(id_col).alias("__nd"),
+        ).first()
+        if chk["__nn"] != chk["__n"] or chk["__nd"] != chk["__n"]:
+            raise ValueError(
+                f"poisson_bootstrap_ci: id_col {id_col!r} has "
+                f"{chk['__n'] - chk['__nn']} NULLs and "
+                f"{chk['__nn'] - chk['__nd']} duplicates among "
+                f"{chk['__n']} rows — colliding ids resample as one "
+                "block and silently corrupt the CI; pass a unique "
+                "non-NULL row key (check_ids=False only when the key "
+                "is a primary key by construction)"
+            )
     b_col = F.explode(
         F.sequence(F.lit(-1), F.lit(int(n_replicas) - 1))
     ).alias("__b")

@@ -1977,3 +1977,37 @@ def test_bootstrap_ci_plan_no_window_no_join(spark):
         .toString()
     )
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_bootstrap_ci_null_values_and_id_guard(spark):
+    """NULL values are excluded (their weights must not deflate the
+    means) and NULL/duplicate ids fail loud — colliding ids resample
+    as one block and silently corrupt the CI (review r12)."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, None)], "g string, id int, x int"
+    )
+    row = poisson_bootstrap_ci(
+        df, "x", "id", by=["g"], n_replicas=5, seed=3
+    ).collect()[0]
+    assert row["point_mean"] == 10.0  # not 5.0
+    dup = spark.createDataFrame(
+        [("g", 1, 10), ("g", 1, 20)], "g string, id int, x int"
+    )
+    with _pytest.raises(ValueError, match="duplicates"):
+        poisson_bootstrap_ci(dup, "x", "id", by=["g"], n_replicas=5, seed=3)
+    nulls = spark.createDataFrame(
+        [("g", None, 10), ("g", 2, 20)], "g string, id int, x int"
+    )
+    with _pytest.raises(ValueError, match="NULLs"):
+        poisson_bootstrap_ci(nulls, "x", "id", by=["g"], n_replicas=5, seed=3)
+    # check_ids=False skips the guard job for PK-backed callers
+    out = poisson_bootstrap_ci(
+        dup, "x", "id", by=["g"], n_replicas=5, seed=3, check_ids=False
+    ).collect()
+    assert len(out) == 1
