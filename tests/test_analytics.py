@@ -2011,3 +2011,44 @@ def test_bootstrap_ci_null_values_and_id_guard(spark):
         dup, "x", "id", by=["g"], n_replicas=5, seed=3, check_ids=False
     ).collect()
     assert len(out) == 1
+
+
+def test_skyline_4d_matches_bruteforce(spark):
+    """The d>2 path is generic over d — pin it at four criteria with
+    mixed directions against the quadratic definition."""
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline
+
+    rng = random.Random(23)
+    rows = [
+        ("g", rng.randint(0, 6), rng.randint(0, 6), rng.randint(0, 6), rng.randint(0, 6))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, a int, b int, c int, d int")
+    maxs = (True, False, True, False)
+    got = {
+        tuple(r)
+        for r in skyline(
+            df, ["a", "b", "c", "d"], by=["g"], maximize=list(maxs)
+        ).collect()
+    }
+    uniq = set(rows)
+    want = set()
+    for p in uniq:
+        dominated = False
+        for q in uniq:
+            ge = all(
+                (qj >= pj) if m else (qj <= pj)
+                for qj, pj, m in zip(q[1:], p[1:], maxs)
+            )
+            gt = any(
+                (qj > pj) if m else (qj < pj)
+                for qj, pj, m in zip(q[1:], p[1:], maxs)
+            )
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            want.add(p)
+    assert got == want

@@ -195,3 +195,24 @@ def test_hierarchy_flatten_root_and_child_declaration_conflict(spark):
     )
     with pytest.raises(ValueError, match="parent declarations"):
         hierarchy_flatten(df, "node", "parent")
+
+
+def test_hierarchy_flatten_kilochain_log_rounds(spark):
+    """A 1,000-deep chain must resolve in ⌈log2(1000)⌉ + 1 ≈ 11
+    rounds — the doubling claim at a depth where level-walking would
+    need 1,000 joins."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    n = 1000
+    chain = [(i, i + 1 if i < n else None) for i in range(n + 1)]
+    df = spark.createDataFrame(chain, "node int, parent int")
+    counter: list = []
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(
+            df, "node", "parent", iteration_counter=counter, check_forest=False
+        ).collect()
+    }
+    assert got[0] == (n, n) and got[n] == (n, 0)
+    assert len(got) == n + 1
+    assert counter[0] <= 12, counter

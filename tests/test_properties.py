@@ -922,3 +922,75 @@ def test_skyline_d3_equals_dominance_definition(spark, pts, maxs):
         if not dominated:
             want.add(p)
     assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t,
+    ),
+    st.integers(2, 6),
+    st.integers(0, 1000),
+)
+def test_bootstrap_ci_bit_parity_any_frame(spark, rows, n_replicas, seed):
+    """poisson_bootstrap_ci must equal an independent hashlib/python
+    replication bit for bit on ANY integral frame, replica count and
+    seed — weights, replica means, percentile interpolation and the
+    6-dp floor-round all included."""
+    import hashlib
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        _POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    data = [(g, i, (i * 7 + g) % 13) for i, (g, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, id int, x int")
+    got = {
+        r["g"]: (r["point_mean"], r["ci_lo"], r["ci_hi"])
+        for r in poisson_bootstrap_ci(
+            df, "x", "id", by=["g"], n_replicas=n_replicas, seed=seed
+        ).collect()
+    }
+
+    def w_of(b, i):
+        if b == -1:
+            return 1
+        h = hashlib.md5(f"{seed}§{b}§{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        for k, c in enumerate(_POISSON1_CDF):
+            if u < c:
+                return k
+        return 8
+
+    def pct(vals, p):
+        n = len(vals)
+        r = (n - 1) * p
+        lo_i = int(math.floor(r))
+        frac = r - lo_i
+        return vals[lo_i] + (vals[min(lo_i + 1, n - 1)] - vals[lo_i]) * frac
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for g in {d[0] for d in data}:
+        sub = [(i, x) for (gg, i, x) in data if gg == g]
+        means = []
+        for b in range(-1, n_replicas):
+            sw = sum(w_of(b, i) for i, _ in sub)
+            if sw == 0:
+                means.append(None)
+                continue
+            means.append(sum(w_of(b, i) * x for i, x in sub) / sw)
+        point = means[0]
+        boot = sorted(m for m in means[1:] if m is not None)
+        want = (
+            r6(point),
+            r6(pct(boot, 0.025)) if boot else None,
+            r6(pct(boot, 0.975)) if boot else None,
+        )
+        assert got[g] == want, (g, got[g], want)
