@@ -73,6 +73,28 @@ with vs 4.999 s without at sf1 — noise). Fixes: sf1 rep floor raised
 2→3 (cap 4→5), and j1_band_join stays in the sf1 basket as the
 permanent same-session control.
 
+Protocol note (r13, closing BOTH VERDICT r12 bench items):
+(a) "three rows >1.4x r11 after control normalization" (a2_wide_agg
+~1.49 / dedup_minhash_lsh ~1.50 / ann_ivf_topk ~1.43 /
+chunk_documents ~1.42 normalized) — NOISE VERDICT. A fresh-process
+5-7-rep steady run (start load <1) read all four at raw 0.59-0.98 vs
+BOTH r11 and r12 (normalized vs r11: a2 0.94, minhash 0.92, ivf
+1.27, chunk 0.98; vs r12: 0.63/0.61/0.89/0.69 — controls_ratio 0.774
+vs r11, 0.955 vs r12). Untouched code cannot regress and then
+un-regress on its own; the r12 normalized inflation was the
+CONTROLS running fast in that artifact (0.81x r11), not the watch
+queries running slow — exactly the ±40% per-query cross-run
+normalization noise the r12 calibration documented. Shared
+infrastructure (session config, readers, testdata layout) acquitted.
+(b) "a8_daily_rollup sf3 x3 = 4.42" — REP-SPREAD VERDICT. Two fresh
+5-7-rep sf1/sf3 pairs read x3 = 1.25 and 1.14 (linear; walls sf1
+~0.16-0.18 s, sf3 ~0.20-0.21 s). a8's absolute walls are sub-second
+and fixed-overhead-dominated, so the sf3 floor-2/cap-3 probe can
+catch a cold pair against a warm sf1 min and multiply the overhead
+ratio into a fake super-linear reading; the plan is one exchange +
+hash agg as designed. x3 readings on sub-0.5 s walls should be read
+against reps, not taken as scale curves.
+
 Protocol note (r6, closing the r5 "a2_wide_agg +52% / lm_perplexity
 +86%" watch items): isolated 7-rep steady state (quiet machine) —
 a2_wide_agg 0.25-0.28 s, BELOW both recorded rounds (r4 0.42 / r5

@@ -570,10 +570,17 @@ def query(name: str, sql: str | None):
 #     classifier floors) keep gating the detail rows every run. The
 #     head-oracle guard carries a named one-round exception for
 #     exactly these two (test_entry.py).
-#   r13 (tranche 8): seat the remaining 5 (ts_seasonal_adjust,
-#     a29_dispersion, a30_gini_utilization, events_interarrival,
-#     events_churn_flows) ⇒ backlog 0 for ALL 189 entries (the two
-#     oracle-less twins will by then have their r12 rows).
+#   r13 (tranche 8, DONE this round): seated the remaining 5
+#     (ts_seasonal_adjust, a29_dispersion, a30_gini_utilization,
+#     events_interarrival, events_churn_flows) PLUS all 7 r12-born
+#     newborns in one round (a31_weighted_percentile,
+#     sketch_join_size, mleval_lift, skyline_parts, skyline_parts_3d,
+#     hierarchy_roots, bootstrap_ci_orders — one round ahead of the
+#     2-round rule) ⇒ never-seated backlog 0 for ALL 196 entries;
+#     the two oracle-less twins returned to tail and the head-oracle
+#     guard is fully strict (ROWS_ONLY_HEAD_SANCTIONED_R12 empty).
+#     THE DRAIN IS COMPLETE — from r14 the freshness policy in the
+#     round-13 ledger at the top of _TAIL governs rotation.
 #   Net-new corpus families are FROZEN until the backlog is <20
 #   (i.e. from r12 on, after which new entries must be seated within
 #   2 rounds of birth); the r11 mleval entries are the one sanctioned
@@ -608,6 +615,109 @@ def query(name: str, sql: str | None):
 # compensating demotions, each with head-retained machinery or a
 # pytest pin (ledger at the top of this tuple):
 _TAIL = (
+    # --- round-13 demotions (tranche-8 + newborn compensations: 13
+    # seats freed for the final 5 oracle-bearing legacy never-seated
+    # (ts_seasonal_adjust, a29_dispersion, a30_gini_utilization,
+    # events_interarrival, events_churn_flows), ALL 7 r12-born
+    # newborns (a31_weighted_percentile, sketch_join_size,
+    # mleval_lift, skyline_parts, skyline_parts_3d, hierarchy_roots,
+    # bootstrap_ci_orders — seated in ONE round, beating the 2-round
+    # rule), and the rule-3 twin swap back to embedding_near_dup.
+    # After this rotation the never-seated backlog is ZERO for all
+    # 196 entries and ROWS_ONLY_HEAD_SANCTIONED_R12 is EMPTY — the
+    # head-oracle guard is fully strict (VERDICT r12 item 1).
+    # POST-DRAIN ROTATION POLICY, live from r14 (VERDICT r12 item 6):
+    # with the backlog at 0, rotation reverts to freshness
+    # maintenance — nothing oracle-bearing sits >2 rounds stale where
+    # the 8-16 swap envelope allows, and net-new entries must seat
+    # within 2 rounds of birth. First r14 freshness-driven swap set
+    # (stalest last-green first): the tranche-6 seats last green r11
+    # (a16_winsorize, a17_mad_outliers, a19_mode, w8_period_over_period,
+    # privacy_generalize, j5_semi_anti, set_ops_nations, melt_lineitem,
+    # gapfill_daily, epoch_upsample, sample_weighted, cap_per_source),
+    # funded by demoting the freshest r13 seats, plus the rule-3 twin
+    # swap to embedding_near_dup_exact.
+    # Every demotion below is oracle-swept in tail on each pytest run
+    # and keeps its machinery head-exercised or pytest-pinned: ---
+    #   embedding_near_dup_exact — scheduled twin alternation (rule 3):
+    #                             r13 seats embedding_near_dup
+    #                             (identical oracle)           [green r12]
+    #   text_bpe_train_apply    — one-round rows-only seat EXPIRED per
+    #                             the VERDICT r11 item 2 disposition:
+    #                             returns to the tail rows-only
+    #                             allowlist; driver evidence is carried
+    #                             permanently by text_bpe_invariants
+    #                             (oracle-exact, KEPT head r13) + the
+    #                             BPE floors in test_entry.py
+    #                                                    [rows-only r12]
+    #   quality_classifier_trained — same disposition: evidence carried
+    #                             by classifier_trained_invariants
+    #                             (oracle-exact, KEPT head r13) + the
+    #                             classifier floors in test_entry.py
+    #                                                    [rows-only r12]
+    #   ann_lsh_invariants      — green r12 (first seat); planted
+    #                             recall floor stays pinned in
+    #                             test_entry.py; sign-LSH bucket
+    #                             machinery head-retained by
+    #                             embedding_near_dup (r13 seat);
+    #                             ann_ivf_invariants keeps the ANN
+    #                             summary head seat; oracle-swept
+    #                                                          [green r12]
+    #   ann_ivf_pq_invariants   — green r12 (first seat); rerank ≥ ADC
+    #                             recall assertion pinned in
+    #                             test_entry.py; ann_ivf_topk benched
+    #                             every round; oracle-swept    [green r12]
+    #   text_source_divergence  — green r12 (first seat); grouped
+    #                             frequency-compare shape; text family
+    #                             keeps text_heavy_hitters, tfidf_terms,
+    #                             text_bpe_pretokenize + the two BPE/
+    #                             classifier invariants head seats;
+    #                             oracle-swept                 [green r12]
+    #   text_bigram_pmi         — green r12 (first seat); zip_with
+    #                             bigram machinery (no positional
+    #                             self-join — machine-checked by the
+    #                             plan sweep); oracle-swept    [green r12]
+    #   text_winnow_fingerprint — green r12 (first seat); windowed-min
+    #                             shingle machinery = dedup_spans
+    #                             inverted-shingle family (head);
+    #                             oracle-swept                 [green r12]
+    #   mix_concentration       — green r12 (first seat); share-of-
+    #                             total aggregation = w4_ratio_to_report
+    #                             machinery (head); oracle-swept
+    #                                                          [green r12]
+    #   events_repeat_within    — green r12 (first seat); events family
+    #                             takes TWO r13 seats with the same
+    #                             keyed-LEAD machinery
+    #                             (events_interarrival,
+    #                             events_churn_flows); oracle-swept
+    #                                                          [green r12]
+    #   a27_anomaly_zscore      — green r12 (first seat); rolling frame
+    #                             = w10_ewma / trailing_distinct_auto
+    #                             keyed windows (head); stat battery
+    #                             takes a29/a30/bootstrap r13 seats;
+    #                             oracle-swept                 [green r12]
+    #   a28_cusum_shift         — green r12 (first seat); same stacked
+    #                             cumulative-window machinery as a27
+    #                             (demoted together); oracle-swept
+    #                                                          [green r12]
+    #   mleval_pr_grid          — green r12 (first seat); distinct-
+    #                             score-frame machinery shared with
+    #                             mleval_auc (head) and mleval_lift
+    #                             (r13 seat completes the battery);
+    #                             oracle-swept                 [green r12]
+    "embedding_near_dup_exact",
+    "text_bpe_train_apply",
+    "quality_classifier_trained",
+    "ann_lsh_invariants",
+    "ann_ivf_pq_invariants",
+    "text_source_divergence",
+    "text_bigram_pmi",
+    "text_winnow_fingerprint",
+    "mix_concentration",
+    "events_repeat_within",
+    "a27_anomaly_zscore",
+    "a28_cusum_shift",
+    "mleval_pr_grid",
     # --- round-12 demotions (tranche-7 compensations: 21 seats freed
     # for the 16 oldest oracle-bearing legacy never-seated + the 2
     # mleval twins + the 2 oracle-less detail twins' one-time
@@ -695,7 +805,8 @@ _TAIL = (
     #   privacy_generalize      — coarsen-and-audit reuses
     #                             privacy_k_anonymity's one-hash-agg
     #                             audit (head); oracle-swept    [green r11]
-    "embedding_near_dup",
+    # ("embedding_near_dup" re-seated r13 — rule-3 twin alternation;
+    #  its demotion comment above is the r12 leg of the schedule)
     "dedup_minhash_invariants",
     "ann_lsh_planted_invariants",
     "ann_ivf_pq_rerank_invariants",
@@ -1080,25 +1191,25 @@ _TAIL = (
     #   ts_seasonal_adjust      — dow seasonal index: two hash-aggs +
     #                             broadcast joins, integer-ratio exact
     #                                                [new r9, no driver row]
-    "ts_seasonal_adjust",
+    # ("ts_seasonal_adjust" SEATED r13 — tranche 8, first driver row)
     #   (attribution_last_touch — promoted to a tranche-5 head seat
     #                             in r10; ledger above)
     #   a29_dispersion          — Fano/CV² burstiness triage: one
     #                             hash-agg of integer sums
     #                                                [new r9, no driver row]
-    "a29_dispersion",
+    # ("a29_dispersion" SEATED r13 — tranche 8, first driver row)
     #   a30_gini_utilization    — rank-weighted Gini, tie-order
     #                             invariant, exact BIGINT terms
     #                                                [new r9, no driver row]
-    "a30_gini_utilization",
+    # ("a30_gini_utilization" SEATED r13 — tranche 8, first driver row)
     #   events_interarrival     — per-type gap distribution (MTBF):
     #                             keyed LEAD + one agg, a10 percentile
     #                             parity               [new r9, no driver row]
-    "events_interarrival",
+    # ("events_interarrival" SEATED r13 — tranche 8, first driver row)
     #   events_churn_flows      — MoM retained/churned/new set flows:
     #                             inner+anti+anti on one (m, u) key
     #                                                  [new r9, no driver row]
-    "events_churn_flows",
+    # ("events_churn_flows" SEATED r13 — tranche 8, first driver row)
     # --- tail-born r12 (the freeze lifted: backlog <20 after the
     # tranche-7 seating, so net-new entries are allowed again and
     # MUST seat within 2 rounds of birth — this one in r13 or r14
@@ -1109,41 +1220,41 @@ _TAIL = (
     #                             frequency) vs the DuckDB
     #                             expanded-multiset oracle
     #                                               [new r12, no driver row]
-    "a31_weighted_percentile",
+    # ("a31_weighted_percentile" SEATED r13 — r12-born newborn, first driver row)
     #   sketch_join_size        — AMS/CMS inner-product join-size
     #                             estimation (self-join F2 pair-count
     #                             pre-check); estimate itself
     #                             hash-matched by the md5-reproducible
     #                             oracle sketch     [new r12, no driver row]
-    "sketch_join_size",
+    # ("sketch_join_size" SEATED r13 — r12-born newborn, first driver row)
     #   mleval_lift             — cumulative-gains/lift deciles via the
     #                             distinct-score frame (NO NTILE; exact
     #                             integer ceil-div buckets); completes
     #                             the eval battery — seat r13/r14
     #                                               [new r12, no driver row]
-    "mleval_lift",
+    # ("mleval_lift" SEATED r13 — r12-born newborn, first driver row)
     #   skyline_parts           — 2-D skyline (Pareto front) as ONE
     #                             keyed window vs the O(n²) NOT-EXISTS
     #                             oracle — seat r13/r14
     #                                               [new r12, no driver row]
-    "skyline_parts",
+    # ("skyline_parts" SEATED r13 — r12-born newborn, first driver row)
     #   skyline_parts_3d        — d>2 skyline path: Arrow local fronts
     #                             + guarded broadcast dominance
     #                             anti-join vs the same oracle form —
     #                             seat r13/r14   [new r12, no driver row]
-    "skyline_parts_3d",
+    # ("skyline_parts_3d" SEATED r13 — r12-born newborn, first driver row)
     #   hierarchy_roots         — parent-pointer forest → (root, depth)
     #                             via pointer doubling (O(log depth)
     #                             equi-joins) vs the RECURSIVE-CTE
     #                             oracle — seat r13/r14
     #                                               [new r12, no driver row]
-    "hierarchy_roots",
+    # ("hierarchy_roots" SEATED r13 — r12-born newborn, first driver row)
     #   bootstrap_ci_orders     — seeded Poisson-bootstrap mean CI; the
     #                             oracle rebuilds the md5 replica
     #                             weights, means and percentile
     #                             envelope in SQL — seat r13/r14
     #                                               [new r12, no driver row]
-    "bootstrap_ci_orders",
+    # ("bootstrap_ci_orders" SEATED r13 — r12-born newborn, first driver row)
 )
 
 

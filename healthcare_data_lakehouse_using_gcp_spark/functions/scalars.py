@@ -25,9 +25,24 @@ def round_det(col: Column, digits: int) -> Column:
     so for bit-identical inputs both engines produce bit-identical
     output. Use for per-row values; for cross-engine aggregates
     (inputs already differ by ulps) prefer native round at a digit
-    position far from the data's intrinsic precision."""
+    position far from the data's intrinsic precision.
+
+    Magnitude guard (r13): Spark's floor(double) narrows to LONG and
+    silently WRAPS past 2^63 (e.g. 2^62 rounded at 6dp came back as
+    9.2e12), while DuckDB's floor stays in double space — a silent
+    cross-engine divergence for |x·10^d| ≥ 2^63. Once |x·10^d| ≥
+    2^52 the scaled double is integer-valued, so floor is the
+    IDENTITY on it — both engines compute fl((x·s + 0.5)/s) — and
+    Spark can skip the narrowing floor entirely, staying bit-equal
+    to the oracle's written-out formula in that regime too."""
     scale = float(10**digits)
-    return F.floor(col * scale + F.lit(0.5)) / scale
+    scaled = col * scale
+    half_up = scaled + F.lit(0.5)
+    return (
+        F.when(F.abs(scaled) < F.lit(2.0**52), F.floor(half_up))
+        .otherwise(half_up)
+        / scale
+    )
 
 
 # --- time helpers ----------------------------------------------------

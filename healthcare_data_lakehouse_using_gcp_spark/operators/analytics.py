@@ -179,6 +179,15 @@ def histogram(
         row = df.agg(
             F.min(value_col).cast("double"), F.max(value_col).cast("double")
         ).first()
+        # empty or all-NULL input leaves min/max NULL — fail loud
+        # with the cause, not a bare float(None) TypeError (VERDICT
+        # r12; mirrors equidepth_histogram_auto's r12 hardening)
+        if row[0] is None or row[1] is None:
+            raise ValueError(
+                f"histogram: cannot derive bounds for {value_col!r} — "
+                "the column is empty or all-NULL; pass explicit "
+                "lo/hi or filter upstream"
+            )
         lo = float(row[0]) if lo is None else lo
         hi = float(row[1]) if hi is None else hi
     if hi <= lo:
@@ -2270,17 +2279,24 @@ def gini_utilization(
 def _dominance_comparable(df: DataFrame, crit_cols: Sequence[str]) -> DataFrame:
     """Drop rows with NULL — or, for float columns, NaN — in any
     criterion: both are incomparable under dominance (and Spark sorts
-    NaN above every real value, which would poison a running-max
-    scan)."""
-    cond = None
+    NaN above every real value, which would poison a running-best
+    scan). Fail-loud on criteria that are not columns of ``df`` —
+    a misspelled criterion must not silently skip its NULL/NaN
+    exclusion (ADVICE r12)."""
+    fields = {f.name: f for f in df.schema.fields}
+    missing = [c for c in crit_cols if c not in fields]
+    if missing:
+        raise ValueError(
+            f"skyline criteria column(s) not in DataFrame: {missing}; "
+            f"available: {sorted(fields)}"
+        )
+    cond = F.lit(True)
     float_types = ("double", "float")
-    for f in df.schema.fields:
-        if f.name not in crit_cols:
-            continue
-        c = F.col(f.name).isNotNull()
-        if f.dataType.typeName() in float_types:
-            c = c & ~F.isnan(F.col(f.name))
-        cond = c if cond is None else cond & c
+    for name in crit_cols:
+        c = F.col(name).isNotNull()
+        if fields[name].dataType.typeName() in float_types:
+            c = c & ~F.isnan(F.col(name))
+        cond = cond & c
     return df.where(cond)
 
 
@@ -2320,18 +2336,25 @@ def skyline_2d(
 
     NO pairwise self-join (the textbook NOT EXISTS form is O(n²)):
     after deduplicating to distinct (by, x, y) points, sort each
-    group by (x DESC, y DESC) in direction-normalized space and keep
-    a point iff its y strictly exceeds the running max of y over all
-    preceding points — every preceding point is ≥ on x, so the
-    running max is exactly "best y among potential dominators".
-    Single keyed window, O(1) state per row, provably exact:
-    a dominator with greater x precedes with y ≥ ours (max catches
-    it); an equal-x dominator has greater y and also precedes; and
+    group best-x-first (tie: best-y-first) and keep a point iff its
+    y is strictly better than the running BEST of y over all
+    preceding points — every preceding point is at-least-as-good on
+    x, so the running best is exactly "best y among potential
+    dominators". Direction is expressed through the SORT ORDER
+    (desc/asc per ``maximize`` flag) and the running aggregate
+    (max for maximized y, min for minimized) — never by arithmetic
+    negation, which would overflow on LONG_MIN (silently wrapping
+    under non-ANSI Spark, corrupting the scan) and would restrict
+    criteria to numeric types though dominance is defined for any
+    ordered type (ADVICE r12). Single keyed window, O(1) state per
+    row, provably exact: a dominator strictly better on x precedes
+    with y at-least-as-good (the running best catches it); an
+    equal-x dominator is strictly better on y and also precedes; and
     conversely a surviving point can have no dominator in either
     case. Rows with NULL — or float NaN — in either criterion are
     excluded (incomparable under dominance; NaN additionally sorts
     above every real value in Spark and would poison the running
-    max).
+    best).
 
     ``keep_rows=True`` returns the ORIGINAL rows (all columns,
     duplicates included) lying on the front, via a broadcast
@@ -2354,25 +2377,27 @@ def skyline_2d(
     ``skyline``, which runs the two-phase local-front +
     broadcast-dominance-anti-join plan."""
     by = list(by) if by else []
-    sx = F.col(x_col) if maximize[0] else -F.col(x_col)
-    sy = F.col(y_col) if maximize[1] else -F.col(y_col)
     pts = (
         _dominance_comparable(df, [x_col, y_col])
         .select(*by, x_col, y_col)
         .distinct()
-        .withColumn("__sx", sx)
-        .withColumn("__sy", sy)
     )
+    x_ord = F.col(x_col).desc() if maximize[0] else F.col(x_col).asc()
+    y_ord = F.col(y_col).desc() if maximize[1] else F.col(y_col).asc()
+    best_of_y = (F.max if maximize[1] else F.min)(y_col)
 
     def _scan(frame: DataFrame, keys: list) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(
-            F.col("__sx").desc(), F.col("__sy").desc()
-        )
-        best_before = F.max("__sy").over(
+        w = Window.partitionBy(*keys).orderBy(x_ord, y_ord)
+        best_before = best_of_y.over(
             w.rowsBetween(Window.unboundedPreceding, -1)
         )
+        strictly_better = (
+            F.col(y_col) > F.col("__best")
+            if maximize[1]
+            else F.col(y_col) < F.col("__best")
+        )
         return frame.withColumn("__best", best_before).where(
-            F.col("__best").isNull() | (F.col("__sy") > F.col("__best"))
+            F.col("__best").isNull() | strictly_better
         ).drop("__best")
 
     if by:
@@ -2395,7 +2420,6 @@ def skyline_2d(
                 "per coarse x-bucket first"
             )
         front = _scan(local, [])
-    front = front.drop("__sx", "__sy")
     if not keep_rows:
         return front
     return _front_semi_join(df, front, by + [x_col, y_col])
@@ -2627,10 +2651,16 @@ def poisson_bootstrap_ci(
     group-key join (a NULL group key stays a real group).
 
     With an integral ``value_col`` every replica mean is a ratio of
-    exact BIGINTs (order-independent), so the percentile
+    exact integers (order-independent), so the percentile
     interpolation over the B means is bit-identical cross-engine
-    before rounding. Float value columns work but inherit summation-
-    order noise at the last ulp — round accordingly.
+    before rounding. The weighted sum accumulates as decimal(38,0),
+    not BIGINT — weights reach 8, so SUM(w*x) over a large group of
+    large-magnitude values could exceed 2^63, which non-ANSI Spark
+    would wrap SILENTLY, corrupting the CI with no error (ADVICE
+    r12); decimal(38,0) holds 8 · |long| · 10^18 rows exactly and
+    matches DuckDB, whose SUM(BIGINT) widens to HUGEINT the same
+    way. Float value columns work but inherit summation-order noise
+    at the last ulp — round accordingly.
 
     Row contracts: rows with a NULL value are EXCLUDED up front
     (they carry no information about the mean; keeping their weights
@@ -2691,11 +2721,22 @@ def poisson_bootstrap_ci(
     for k, c in enumerate(_POISSON1_CDF):
         w = w.when(u < F.lit(c), F.lit(k))
     w = w.otherwise(F.lit(len(_POISSON1_CDF))).cast("bigint")
+    # integral values: accumulate the weighted sum as decimal(38,0)
+    # so it cannot wrap past 2^63 (weights reach 8); float values
+    # keep double accumulation — casting them to decimal would
+    # truncate, and their contract already admits last-ulp noise
+    # (cast the VALUE operand, not the product — 8·x already wraps
+    # in bigint before a post-hoc cast could widen it)
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype in ("byte", "short", "integer", "long"):
+        wx = F.col("__w") * F.col("__x").cast("decimal(38,0)")
+    else:
+        wx = F.col("__w") * F.col("__x")
     means = (
         base.withColumn("__w", w)
         .groupBy(*by, "__b")
         .agg(
-            F.sum(F.col("__w") * F.col("__x")).alias("__sx"),
+            F.sum(wx).alias("__sx"),
             F.sum("__w").alias("__sw"),
         )
         .select(

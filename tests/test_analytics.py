@@ -2052,3 +2052,115 @@ def test_skyline_4d_matches_bruteforce(spark):
         if not dominated:
             want.add(p)
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# r13 hardening regressions (ADVICE r12 + VERDICT r12 item 4)
+# ---------------------------------------------------------------------
+
+
+def test_histogram_auto_bounds_empty_and_all_null_fail_loud(spark):
+    """Auto-bounds on an empty or all-NULL column must raise a
+    diagnostic ValueError, not the bare float(None) TypeError the
+    min/max pre-pass used to surface (VERDICT r12 item 4; mirrors the
+    r12 equidepth_histogram_auto hardening)."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import histogram
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="empty or all-NULL"):
+        histogram(empty, "v", bins=4)
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    with _pytest.raises(ValueError, match="empty or all-NULL"):
+        histogram(allnull, "v", bins=4)
+    # explicit bounds still work on empty input (no pre-pass)
+    assert histogram(empty, "v", bins=2, lo=0.0, hi=1.0).count() == 0
+
+
+def test_skyline_minimize_survives_long_min(spark):
+    """Direction is expressed via sort order + running min/max, NOT
+    arithmetic negation: -LONG_MIN overflows (non-ANSI Spark wraps it
+    back to LONG_MIN, silently corrupting the scan). A LONG_MIN point
+    under minimize must dominate everything (ADVICE r12)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    lmin = -(2**63)
+    rows = [("g", lmin, lmin), ("g", 0, 0), ("g", -5, 7), ("g", 7, -5)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            df, "x", "y", by=["g"], maximize=(False, False)
+        ).collect()
+    }
+    assert got == {(lmin, lmin)}
+    # and maximize keeps LONG_MIN rows only when undominated
+    got_max = {
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            df, "x", "y", by=["g"], maximize=(True, True)
+        ).collect()
+    }
+    want = _brute_skyline(rows, True, True)
+    assert got_max == {(x, y) for (_, x, y) in want}
+
+
+def test_skyline_orderable_non_numeric_criteria(spark):
+    """Dominance is defined for ANY ordered type — with negation gone,
+    string criteria work (sort order + running min/max only)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import skyline_2d
+
+    rows = [
+        ("g", "a", "zz"), ("g", "b", "zz"), ("g", "b", "aa"),
+        ("g", "a", "mm"),
+    ]
+    df = spark.createDataFrame(rows, "g string, sx string, sy string")
+    got = {
+        (r["sx"], r["sy"])
+        for r in skyline_2d(
+            df, "sx", "sy", by=["g"], maximize=(True, True)
+        ).collect()
+    }
+    assert got == {(x, y) for (_, x, y) in _brute_skyline(rows, True, True)}
+
+
+def test_skyline_missing_criterion_fails_loud(spark):
+    """A misspelled criterion used to be silently skipped by the
+    NULL/NaN exclusion (and an all-miss produced where(None)) —
+    must raise a ValueError naming the column (ADVICE r12)."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        skyline,
+        skyline_2d,
+    )
+
+    df = spark.createDataFrame([("g", 1, 2)], "g string, x int, y int")
+    with _pytest.raises(ValueError, match="nope"):
+        skyline_2d(df, "x", "nope", by=["g"])
+    with _pytest.raises(ValueError, match="typo"):
+        skyline(df, ["x", "y", "typo"], by=["g"])
+
+
+def test_bootstrap_ci_weighted_sum_survives_bigint_overflow(spark):
+    """Weights reach 8, so SUM(w*x) over large-magnitude BIGINTs can
+    exceed 2^63 — the accumulator must widen to decimal(38,0) (the
+    hierarchy_flatten digest idiom) instead of wrapping silently
+    under non-ANSI Spark (ADVICE r12). 3 rows of 2^62 already
+    overflow the unweighted point-estimate sum."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    v = 2**62
+    df = spark.createDataFrame(
+        [("g", i, v) for i in range(3)], "g string, id int, x long"
+    )
+    row = poisson_bootstrap_ci(
+        df, "x", "id", by=["g"], n_replicas=8, seed=5
+    ).collect()[0]
+    assert row["point_mean"] == float(v)  # exact ratio 3*2^62 / 3
+    # every replica mean is a mean of copies of v: ci collapses to v
+    # (replicas with total weight 0 are NULL and ignored)
+    assert row["ci_lo"] == float(v) and row["ci_hi"] == float(v)

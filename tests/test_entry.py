@@ -52,8 +52,8 @@ def test_canonical_operators_inside_driver_window():
         # third wave; plain j1_band_join is tail + bench target.
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r12 seats the exact twin (LSH+residual held r11)
-        "embedding_near_dup_exact",
+        # round: r13 seats the LSH+residual twin (exact held r12)
+        "embedding_near_dup",
         "export_ids", "layout_zorder_scan",
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
         "t6_session_window", "j8_asof_backward",
@@ -69,46 +69,39 @@ def test_canonical_operators_inside_driver_window():
         "ts_interpolate", "w4_ratio_to_report",
         "w9_rolling_distinct", "w10_ewma", "emb_component_means",
         "mleval_auc",
-        # round-12 tranche-7 promotions (VERDICT r11 items 1+2):
-        # family canonical seats after the r12 rotation — ANN summary
-        # seats rotate to the r8-born invariants trio, the classifier
-        # family to classifier_trained_invariants (+ the sanctioned
-        # rows-only detail twin), sampling/export to
-        # sample_per_group_docs + export_shuffled, the text family to
-        # its six never-seated legacy entries, the stat battery to
-        # the SPC pair a27/a28, calibration to
-        # doc_quantile_normalize, sequences to events_repeat_within,
-        # and the mleval family completes with its two detail twins.
-        # The 21 demoted entries' rationales live in corpus._TAIL's
-        # round-12 block; every one is oracle-swept in tail on each
-        # pytest run.
-        "ann_lsh_invariants", "ann_ivf_invariants",
-        "ann_ivf_pq_invariants",
+        # round-12 tranche-7 survivors of the r13 rotation (the rest
+        # demoted with head-retained machinery per corpus._TAIL's
+        # round-13 ledger; every one oracle-swept in tail each run)
+        "ann_ivf_invariants",
         "text_bpe_invariants", "classifier_trained_invariants",
-        "text_bpe_train_apply", "quality_classifier_trained",
         "export_shuffled", "sample_per_group_docs",
-        "text_source_divergence", "text_bigram_pmi",
-        "text_bpe_pretokenize", "text_winnow_fingerprint",
-        "mix_concentration", "events_repeat_within",
-        "a27_anomaly_zscore", "a28_cusum_shift",
+        "text_bpe_pretokenize",
         "doc_quantile_normalize",
-        "mleval_calibration", "mleval_pr_grid",
+        "mleval_calibration",
+        # round-13 tranche-8 promotions (VERDICT r12 item 1): the
+        # final 5 oracle-bearing legacy never-seated + all 7 r12-born
+        # newborns — the drain is COMPLETE, never-seated backlog 0.
+        "ts_seasonal_adjust", "a29_dispersion",
+        "a30_gini_utilization", "events_interarrival",
+        "events_churn_flows",
+        "a31_weighted_percentile", "sketch_join_size", "mleval_lift",
+        "skyline_parts", "skyline_parts_3d", "hierarchy_roots",
+        "bootstrap_ci_orders",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"
 
 
 # One-round sanctioned exception (VERDICT r11 item 2, r12 only): the
-# two oracle-less detail twins get a single rows-only driver seat so
-# the backlog reaches 0 for ALL 189 entries, not just the
-# oracle-bearing 179 (precedent: dedup_minhash_lsh r1-r3). Their
-# *_invariants summary twins sit in the same r12 head, oracle-exact,
-# and permanently carry their driver evidence from r13 on — this set
-# must be EMPTY again after the r13 rotation returns them to tail.
-ROWS_ONLY_HEAD_SANCTIONED_R12 = {
-    "text_bpe_train_apply",
-    "quality_classifier_trained",
-}
+# two oracle-less detail twins (text_bpe_train_apply,
+# quality_classifier_trained) got their single rows-only driver seat
+# in r12 (recorded in CORRECTNESS_r12.json) and returned to tail in
+# the r13 rotation, so this set is EMPTY again — the head-oracle
+# guard below is fully strict: every driver-window seat must carry a
+# DuckDB oracle, no exceptions. Their *_invariants summary twins
+# (oracle-exact, r12+r13 head seats) plus the BPE/classifier floors
+# in this file carry the detail twins' evidence permanently.
+ROWS_ONLY_HEAD_SANCTIONED_R12: set[str] = set()
 
 
 def test_every_head_entry_is_oracle_bearing():
