@@ -1255,6 +1255,30 @@ _TAIL = (
     #                             envelope in SQL — seat r13/r14
     #                                               [new r12, no driver row]
     # ("bootstrap_ci_orders" SEATED r13 — r12-born newborn, first driver row)
+    # --- tail-born r13 (post-drain policy: net-new entries MUST seat
+    # within 2 rounds of birth — these three join the r14 freshness
+    # rotation named in the round-13 header above):
+    #   ab_cuped                — CUPED variance-reduced A/B readout
+    #                             (Deng et al., WSDM 2013): adjusted
+    #                             means/variances from ALGEBRA on
+    #                             exact integer-cent moments
+    #                             (decimal(38,0) = HUGEINT), no
+    #                             row-level adjusted column, no
+    #                             reassociation window — seat r14
+    #                                               [new r13, no driver row]
+    "ab_cuped",
+    #   a32_mutual_information  — MI/entropy battery per year over
+    #                             the joint count frame (one hash agg
+    #                             + keyed margin windows over ≤15
+    #                             cells) — seat r14 [new r13, no driver row]
+    "a32_mutual_information",
+    #   mleval_conformal        — Mondrian split-conformal intervals:
+    #                             exact-order-statistic q_hat per
+    #                             group + empirical test coverage,
+    #                             hash-exact via integer-cents
+    #                             prediction — seat r14
+    #                                               [new r13, no driver row]
+    "mleval_conformal",
 )
 
 
@@ -9424,6 +9448,277 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ab_cuped",
+    """
+    WITH unit AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                 THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS x,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                 THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS y,
+             CASE WHEN ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                        1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                 THEN 1 ELSE 0 END) > 0
+    ), m AS (
+      SELECT arm,
+             COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM unit GROUP BY arm
+    ), t AS (
+      SELECT arm, n, sx, sy, sxx, syy, sxy,
+             CAST(SUM(n) OVER () AS DOUBLE) AS nn,
+             CAST(SUM(sx) OVER () AS DOUBLE) AS gsx,
+             CAST(SUM(sy) OVER () AS DOUBLE) AS gsy,
+             CAST(SUM(sxx) OVER () AS DOUBLE) AS gsxx,
+             CAST(SUM(sxy) OVER () AS DOUBLE) AS gsxy
+      FROM m
+    ), s AS (
+      SELECT arm, n,
+             (gsxy - gsx * gsy / nn) / (gsxx - gsx * gsx / nn) AS theta,
+             gsx / nn AS mxp,
+             CAST(n AS DOUBLE) AS na,
+             CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+             CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+             CAST(sxy AS DOUBLE) AS dsxy
+      FROM t
+    ), o AS (
+      SELECT arm, n,
+             dsy / na AS mean_y,
+             dsx / na AS mean_x,
+             (dsyy - dsy * dsy / na) / (na - 1) AS var_y,
+             (dsxx - dsx * dsx / na) / (na - 1) AS var_x,
+             (dsxy - dsx * dsy / na) / (na - 1) AS cov_xy,
+             theta, mxp
+      FROM s
+    )
+    SELECT arm,
+           CAST(n AS BIGINT) AS n_units,
+           FLOOR(mean_y * 10000 + 0.5) / 10000 AS mean_metric,
+           FLOOR((mean_y - theta * (mean_x - mxp)) * 10000 + 0.5) / 10000
+             AS mean_adjusted,
+           CASE WHEN ABS(var_y * 10000) < 4503599627370496.0
+                THEN FLOOR(var_y * 10000 + 0.5) / 10000
+                ELSE (var_y * 10000 + 0.5) / 10000 END AS var_metric,
+           CASE WHEN ABS((var_y - 2.0 * theta * cov_xy
+                          + theta * theta * var_x) * 10000)
+                     < 4503599627370496.0
+                THEN FLOOR((var_y - 2.0 * theta * cov_xy
+                            + theta * theta * var_x) * 10000 + 0.5) / 10000
+                ELSE ((var_y - 2.0 * theta * cov_xy
+                       + theta * theta * var_x) * 10000 + 0.5) / 10000
+                END AS var_adjusted,
+           FLOOR((1.0 - (var_y - 2.0 * theta * cov_xy
+                         + theta * theta * var_x) / var_y) * 100.0
+                 * 10000 + 0.5) / 10000 AS var_reduction_pct,
+           FLOOR(theta * 1000000 + 0.5) / 1000000 AS theta
+    FROM o
+    """,
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experimentation (beyond-reference, born r13): CUPED
+    variance-reduced readout (Deng et al., WSDM 2013) — pre-period
+    spend per customer is the covariate, post-period spend the
+    metric, an md5 parity of the customer key the deterministic arm
+    assignment. θ = pooled cov/var; both the adjusted means and the
+    adjusted variances come from ALGEBRA on exact integer-cent
+    moments (decimal(38,0) in Spark = HUGEINT in DuckDB), so the
+    whole readout is hash-exact with NO reassociation window — the
+    row-level adjusted column is never materialized. The variance
+    columns' magnitude (cents², ~1e17 here) exercises round_det's
+    r13 no-narrowing regime, which the oracle states with the same
+    2^52 guard. operators/analytics.cuped_adjustment."""
+    from .operators.analytics import cuped_adjustment
+    from .operators.text import _hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    unit = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < cutoff, cents).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cutoff, cents).otherwise(0)
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0)
+            ).alias("__n_post"),
+        )
+        .where(F.col("__n_post") > 0)
+        .select(
+            "o_custkey",
+            "x",
+            "y",
+            F.when(_hash_bucket("o_custkey", 2) == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+        )
+    )
+    return cuped_adjustment(unit, "arm", "y", "x").orderBy("arm")
+
+
+@query(
+    "a32_mutual_information",
+    """
+    WITH j AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             o_orderpriority AS x, o_orderstatus AS y,
+             COUNT(*) AS nxy
+      FROM orders GROUP BY 1, 2, 3
+    ), e AS (
+      SELECT *,
+             SUM(nxy) OVER (PARTITION BY o_year) AS n,
+             SUM(nxy) OVER (PARTITION BY o_year, x) AS nx,
+             SUM(nxy) OVER (PARTITION BY o_year, y) AS ny
+      FROM j
+    ), h AS (
+      SELECT o_year, MAX(n) AS n,
+             -SUM(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (LN(CAST(nx AS DOUBLE)) / 0.6931471805599453
+                     - LN(CAST(n AS DOUBLE)) / 0.6931471805599453))
+               AS hx,
+             -SUM(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (LN(CAST(ny AS DOUBLE)) / 0.6931471805599453
+                     - LN(CAST(n AS DOUBLE)) / 0.6931471805599453))
+               AS hy,
+             -SUM(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (LN(CAST(nxy AS DOUBLE)) / 0.6931471805599453
+                     - LN(CAST(n AS DOUBLE)) / 0.6931471805599453))
+               AS hxy
+      FROM e GROUP BY o_year
+    )
+    SELECT o_year,
+           CAST(n AS BIGINT) AS n,
+           FLOOR(hx * 1000000 + 0.5) / 1000000 AS h_x,
+           FLOOR(hy * 1000000 + 0.5) / 1000000 AS h_y,
+           FLOOR(hxy * 1000000 + 0.5) / 1000000 AS h_xy,
+           FLOOR((hx + hy - hxy) * 1000000 + 0.5) / 1000000 AS mi,
+           CASE WHEN hx > 0 AND hy > 0
+                THEN FLOOR((hx + hy - hxy) / SQRT(hx * hy)
+                           * 1000000 + 0.5) / 1000000
+                END AS nmi
+    FROM h
+    """,
+)
+def a32_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 (beyond-reference, born r13): mutual-information /
+    entropy battery between order priority and order status per
+    year — the feature-selection dependence screen. One hash agg to
+    the joint count frame (≤15 cells per year), keyed margin
+    windows over that frame, one final agg — counts exact BIGINTs,
+    log terms deterministic doubles of exact-integer ratios; the
+    1e-6 rounding sits ~9 orders above the ≤15-term reassociation
+    noise. operators/analytics.mutual_information."""
+    from .operators.analytics import mutual_information
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    return mutual_information(
+        o, "o_orderpriority", "o_orderstatus", by=["o_year"]
+    ).orderBy("o_year")
+
+
+@query(
+    "mleval_conformal",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS yc,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             )::BIGINT % 10 AS b
+      FROM orders
+    ), t AS (
+      SELECT g, CAST(yc AS DOUBLE) AS yd,
+             CASE WHEN b < 6 THEN 'train'
+                  WHEN b < 8 THEN 'calib'
+                  ELSE 'test' END AS role,
+             yc
+      FROM r
+    ), c AS (
+      SELECT g,
+             COUNT(*) FILTER (WHERE role = 'train') AS n_train,
+             COUNT(*) FILTER (WHERE role = 'calib') AS n_calib,
+             COUNT(*) FILTER (WHERE role = 'test') AS n_test,
+             SUM(CAST(yc AS HUGEINT))
+               FILTER (WHERE role = 'train') AS train_sum
+      FROM t GROUP BY g
+    ), p AS (
+      SELECT g, n_train, n_calib, n_test,
+             CAST(train_sum AS DOUBLE) / CAST(n_train AS DOUBLE) AS pred,
+             CAST(CEIL((n_calib + 1) * 0.9) AS BIGINT) AS k
+      FROM c
+    ), cal AS (
+      SELECT t.g, ABS(t.yd - p.pred) AS r, t.yd, p.k
+      FROM t JOIN p ON t.g = p.g
+      WHERE t.role = 'calib'
+    ), q AS (
+      SELECT g, r AS qhat FROM (
+        SELECT g, r, k,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, yd) AS rn
+        FROM cal
+      ) WHERE rn = k
+    ), tst AS (
+      SELECT t.g, p.n_train, p.n_calib, p.n_test, p.pred,
+             ABS(t.yd - p.pred) AS r, q.qhat
+      FROM t JOIN p ON t.g = p.g JOIN q ON t.g = q.g
+      WHERE t.role = 'test'
+    )
+    SELECT g AS o_orderpriority,
+           n_train, n_calib, n_test,
+           FLOOR(MAX(pred) * 10000 + 0.5) / 10000 AS prediction,
+           FLOOR(MAX(qhat) * 10000 + 0.5) / 10000 AS q_hat,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE r <= qhat) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS coverage,
+           0.9 AS target
+    FROM tst
+    GROUP BY g, n_train, n_calib, n_test
+    """,
+)
+def mleval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-eval (beyond-reference, born r13): Mondrian split-conformal
+    prediction intervals per priority class — the distribution-free
+    ± band with a finite-sample coverage guarantee. Roles come from
+    an md5 decile of the order key (6/2/2 train/calib/test), the
+    point predictor is the exact-integer train mean (cents), q_hat
+    is the k-th-smallest calibration residual (exact order
+    statistic, no interpolation — k's ceil((n+1)(1−α)) is computed
+    in double on BOTH engines, so a representation-boundary k is
+    identically conservative on both), and test coverage is an
+    exact integer ratio — hash-exact end to end.
+    operators/mleval.conformal_interval."""
+    from .operators.mleval import conformal_interval
+    from .operators.text import _hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    b = _hash_bucket("o_orderkey", 10)
+    rows = o.select(
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("yc"),
+        F.when(b < 6, "train").when(b < 8, "calib").otherwise("test")
+        .alias("role"),
+    )
+    return conformal_interval(
+        rows, ["o_orderpriority"], "yc", "role", alpha=0.1
+    ).orderBy("o_orderpriority")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9563,7 +9858,10 @@ OPERATOR_MAP = {
     # beyond-reference: the evaluation half of the quality-classifier
     # loop (exact AUC / calibration / threshold sweep)
     "ML-eval": ["mleval_auc", "mleval_calibration", "mleval_pr_grid",
-                "mleval_lift"],  # lift born r12: gains/lift deciles
+                "mleval_lift",  # lift born r12: gains/lift deciles
+                "mleval_conformal"],  # born r13: split-conformal intervals
+    "A-B-CUPED": ["ab_cuped"],  # born r13: variance-reduced experiment readout
+    "A32": ["a32_mutual_information"],  # born r13: MI/entropy dependence screen
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
     "Bootstrap": ["bootstrap_ci_orders"],  # born r12: Poisson-bootstrap CI

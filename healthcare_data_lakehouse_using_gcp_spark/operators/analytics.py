@@ -2758,3 +2758,206 @@ def poisson_bootstrap_ci(
         round_det(F.percentile(boot_mean, F.lit(hi)), digits).alias("ci_hi"),
         F.lit(int(n_replicas)).cast("bigint").alias("n_replicas"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    digits: int = 4,
+) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng, Xu, Kohavi &
+    Walker, WSDM 2013, "Improving the Sensitivity of Online
+    Controlled Experiments by Utilizing Pre-Experiment Data") — the
+    standard trick that makes an experiment read as if it had run on
+    several times the traffic. Input is UNIT grain (one row per
+    randomization unit): an assignment arm, the experiment-period
+    metric y, and a pre-experiment covariate x (same metric measured
+    before assignment, so it is independent of the arm). The adjusted
+    metric y' = y − θ·(x − mean(x)) with θ = cov(x,y)/var(x) has the
+    same expected arm difference (x's mean is arm-independent under
+    randomization) but variance var(y)·(1 − ρ²).
+
+    θ is POOLED across arms (the paper's estimator — a per-arm θ
+    would bias the delta). The whole readout is ALGEBRA on moments:
+    per arm (n, Σx, Σy, Σx², Σy², Σxy) from ONE hash aggregation;
+    pooled moments are sums of the per-arm rows (an unbounded-frame
+    window over the |arms|-sized frame); then
+    mean_adjusted_a = ȳ_a − θ·(x̄_a − x̄) and
+    var_adjusted_a = var_a(y) − 2θ·cov_a(x,y) + θ²·var_a(x) — the
+    row-level adjusted column is never materialized, so there is NO
+    second pass and (for integral inputs) NO floating-point
+    reassociation anywhere: integral metrics/covariates accumulate
+    as decimal(38,0) (exact, order-independent, matching DuckDB's
+    HUGEINT widening) and every output is deterministic scalar
+    arithmetic on those exact sums. Float inputs fall back to double
+    sums with the a22_welch_ttest rounding convention.
+
+    Row contract: units with NULL metric or NULL covariate are
+    EXCLUDED up front (a NULL covariate cannot be centered; imputing
+    mean(x) silently shrinks θ — callers who want imputation do it
+    explicitly upstream). Fail-loud when pooled var(x) is zero
+    (constant covariate: θ undefined) and when fewer than 2 units
+    survive. A NULL arm is a real arm (repo-wide NULL-group
+    contract).
+
+    Scale design (100 TB): ONE data-proportional hash aggregation
+    (map-side combined to |arms| 7-number rows); everything after
+    runs on the |arms|-sized frame. No joins, no broadcast, no
+    row-level adjusted column, nothing data-sized collects."""
+    from ..functions.scalars import round_det
+
+    def _acc(c):
+        t = df.schema[c].dataType.typeName()
+        col = F.col(c)
+        if t in ("byte", "short", "integer", "long"):
+            return col.cast("decimal(38,0)")
+        return col.cast("double")
+
+    x, y = _acc(covariate_col), _acc(metric_col)
+    units = df.where(
+        F.col(covariate_col).isNotNull() & F.col(metric_col).isNotNull()
+    )
+    per_arm = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    w = Window.partitionBy()  # |arms|-sized frame: bounded by design
+    tot = per_arm.select(
+        "*",
+        F.sum("__n").over(w).alias("__gn"),
+        F.sum("__sx").over(w).cast("double").alias("__gsx"),
+        F.sum("__sy").over(w).cast("double").alias("__gsy"),
+        F.sum("__sxx").over(w).cast("double").alias("__gsxx"),
+        F.sum("__sxy").over(w).cast("double").alias("__gsxy"),
+    )
+    chk = tot.select(
+        F.max("__gn").alias("n"),
+        F.max(
+            F.col("__gsxx") - F.col("__gsx") * F.col("__gsx") / F.col("__gn")
+        ).alias("vxn"),
+    ).first()
+    if chk["n"] is None or chk["n"] < 2:
+        raise ValueError(
+            f"cuped_adjustment: {chk['n'] or 0} usable unit rows after "
+            "the NULL-metric/NULL-covariate exclusion — need at least 2"
+        )
+    if chk["vxn"] <= 0:
+        raise ValueError(
+            f"cuped_adjustment: covariate {covariate_col!r} is constant "
+            "(var(x)=0) — theta = cov(x,y)/var(x) is undefined; pick a "
+            "covariate that varies across units"
+        )
+    nn = F.col("__gn").cast("double")
+    theta = (F.col("__gsxy") - F.col("__gsx") * F.col("__gsy") / nn) / (
+        F.col("__gsxx") - F.col("__gsx") * F.col("__gsx") / nn
+    )
+    mx_pool = F.col("__gsx") / nn
+    na = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    mean_y = sy / na
+    mean_x = sx / na
+    var_y = F.when(na > 1, (syy - sy * sy / na) / (na - 1))
+    var_x = F.when(na > 1, (sxx - sx * sx / na) / (na - 1))
+    cov_xy = F.when(na > 1, (sxy - sx * sy / na) / (na - 1))
+    var_adj = var_y - F.lit(2.0) * theta * cov_xy + theta * theta * var_x
+    return tot.select(
+        "arm",
+        F.col("__n").alias("n_units"),
+        round_det(mean_y, digits).alias("mean_metric"),
+        round_det(mean_y - theta * (mean_x - mx_pool), digits).alias(
+            "mean_adjusted"
+        ),
+        round_det(var_y, digits).alias("var_metric"),
+        round_det(var_adj, digits).alias("var_adjusted"),
+        round_det(
+            (F.lit(1.0) - var_adj / var_y) * F.lit(100.0), digits
+        ).alias("var_reduction_pct"),
+        round_det(theta, 6).alias("theta"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Mutual information and entropy battery between two categorical
+    columns, per optional group — the feature-selection /
+    dependence-screening primitive (does o_orderpriority carry
+    information about o_orderstatus? does `source` predict `lang`?).
+    Emits per group: n, h_x, h_y, h_xy (Shannon entropies in BITS),
+    mi = H(X) + H(Y) − H(X,Y), and nmi = MI / sqrt(H(X)·H(Y))
+    (NULL when either marginal entropy is 0 — a constant column
+    carries no information to normalize by).
+
+    All information terms reduce to sums over the JOINT count frame:
+    H(X) = −Σ_xy (n_xy/n)·log(n_x/n) because Σ_y n_xy = n_x, so one
+    hash aggregation to joint counts (|X|·|Y| rows per group — the
+    data-independent frame) plus two keyed margin windows and one
+    final per-group aggregation produce every statistic. Counts are
+    exact BIGINTs; logs are deterministic doubles of exact-integer
+    ratios, so cross-engine agreement is ulp-tight and the 1e-6
+    rounding sits far above it.
+
+    NULL contract: a NULL category in ``x_col``/``y_col`` is a REAL
+    category (dependence screening must see missingness — it is
+    often the most informative value); eqNullSafe-equivalent
+    grouping comes free from groupBy. NULL group keys in ``by``
+    are real groups.
+
+    Scale design (100 TB): ONE data-proportional shuffle (the joint
+    count agg, map-side combined to Σ|X|·|Y| cells). The margin
+    windows and final agg run on the joint frame — kilobytes
+    regardless of input rows. No joins, no collect."""
+    from ..functions.scalars import round_det
+
+    by = list(by) if by else []
+    joint = df.groupBy(
+        *by, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__nxy"))
+    w_g = Window.partitionBy(*by) if by else Window.partitionBy()
+    w_x = Window.partitionBy(*by, "__x")
+    w_y = Window.partitionBy(*by, "__y")
+    enriched = (
+        joint.withColumn("__n", F.sum("__nxy").over(w_g))
+        .withColumn("__nx", F.sum("__nxy").over(w_x))
+        .withColumn("__ny", F.sum("__nxy").over(w_y))
+    )
+    ln2 = 0.6931471805599453
+    p = F.col("__nxy").cast("double") / F.col("__n").cast("double")
+    lg = lambda c: F.log(c.cast("double")) / F.lit(ln2)  # noqa: E731
+    h_x = -F.sum(p * (lg(F.col("__nx")) - lg(F.col("__n"))))
+    h_y = -F.sum(p * (lg(F.col("__ny")) - lg(F.col("__n"))))
+    h_xy = -F.sum(p * (lg(F.col("__nxy")) - lg(F.col("__n"))))
+    out = enriched.groupBy(*by).agg(
+        F.max("__n").alias("n"),
+        h_x.alias("__hx"),
+        h_y.alias("__hy"),
+        h_xy.alias("__hxy"),
+    )
+    mi = F.col("__hx") + F.col("__hy") - F.col("__hxy")
+    nmi = F.when(
+        (F.col("__hx") > 0) & (F.col("__hy") > 0),
+        mi / F.sqrt(F.col("__hx") * F.col("__hy")),
+    )
+    return out.select(
+        *by,
+        "n",
+        round_det(F.col("__hx"), digits).alias("h_x"),
+        round_det(F.col("__hy"), digits).alias("h_y"),
+        round_det(F.col("__hxy"), digits).alias("h_xy"),
+        round_det(mi, digits).alias("mi"),
+        round_det(nmi, digits).alias("nmi"),
+    )

@@ -336,3 +336,173 @@ def precision_recall_at(
             )
         ).alias("f1"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    role_col: str,
+    alpha: float = 0.1,
+    digits: int = 4,
+) -> DataFrame:
+    """Mondrian (group-conditional) SPLIT-CONFORMAL prediction
+    intervals (Vovk et al., "Algorithmic Learning in a Random World";
+    Lei et al., JASA 2018) — the distribution-free way to attach a
+    finite-sample-valid ± band to ANY point predictor, per group.
+    ``role_col`` partitions rows into 'train' / 'calib' / 'test'
+    (deterministic assignment is the caller's job — e.g. an md5
+    bucket of the row key, so both engines and every rerun see the
+    same split).
+
+    Per group: the point predictor is the TRAIN mean of
+    ``value_col`` (the simplest exchangeability-respecting model —
+    swap in any model upstream by adding a prediction column; the
+    conformal machinery is identical); the nonconformity score is
+    the absolute residual |y − ŷ|; q_hat is the k-th smallest CALIB
+    residual with k = ⌈(n_calib + 1)·(1 − alpha)⌉ — the EXACT order
+    statistic, no interpolation, which is what the finite-sample
+    guarantee P(|y_test − ŷ| ≤ q_hat) ≥ 1 − alpha is proven for.
+    TEST rows then report achieved coverage — the honest empirical
+    check next to the theoretical target.
+
+    Exactness: the corpus entry feeds integer-cents values, so the
+    train mean is a ratio of exact integers (identical double on
+    both engines), every residual is an exact double difference of
+    identical inputs, the order statistic is selection (not
+    arithmetic), and coverage is an exact integer ratio — the whole
+    pipeline is hash-exact cross-engine with no reassociation
+    window. Rounding at ``digits`` only cosmetifies the output.
+
+    Fail-loud contracts: unknown role values raise (a typo'd role
+    silently vanishing a split would corrupt the guarantee); any
+    group where k > n_calib raises with the group named (alpha too
+    small for the calibration size — q_hat would be undefined);
+    groups missing any of the three splits raise. NULL values are
+    excluded up front (no information); a NULL group key is a real
+    group (eqNullSafe joins).
+
+    Scale design (100 TB): train means = one hash agg (|groups|
+    rows, broadcast back); calib quantile = ONE keyed window
+    (row_number over residual order per group — no global sort);
+    q_hat frame is |groups|-sized and broadcast onto test. No
+    data-proportional collect; the only full-data operations are
+    one agg, one keyed window, two broadcast joins."""
+    from ..functions.scalars import round_det
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    v = F.col(value_col).cast("double")
+    # integral inputs accumulate the train sum EXACTLY (decimal(38,0),
+    # matching DuckDB's HUGEINT widening): the prediction is then one
+    # double division of identical exact integers on both engines, so
+    # residuals/ranks/q_hat are bit-identical — the hash-exactness
+    # contract in the docstring. Float inputs keep double sums.
+    vt = df.schema[value_col].dataType.typeName()
+    acc = (
+        F.col(value_col).cast("decimal(38,0)")
+        if vt in ("byte", "short", "integer", "long")
+        else v
+    )
+    base = df.where(v.isNotNull()).select(
+        *group_cols,
+        v.alias("__y"),
+        acc.alias("__yacc"),
+        F.col(role_col).alias("__role"),
+    )
+    # NULL-safe: ~isin() is NULL for a NULL role, which where() would
+    # silently drop — exactly the silent vanish the guard exists for
+    bad = base.where(
+        F.col("__role").isNull()
+        | ~F.col("__role").isin("train", "calib", "test")
+    )
+    bad_row = bad.select("__role").first()
+    if bad_row is not None:
+        raise ValueError(
+            f"conformal_interval: unknown role {bad_row['__role']!r} in "
+            f"{role_col!r} — every row must be 'train', 'calib' or 'test'"
+        )
+    counts = base.groupBy(*group_cols).agg(
+        F.count(F.when(F.col("__role") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("__role") == "calib", 1)).alias("n_calib"),
+        F.count(F.when(F.col("__role") == "test", 1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("__role") == "train", F.col("__yacc"))
+        ).alias("__train_sum"),
+    )
+    # k and the split-presence guard: both need only the |groups|-sized
+    # counts frame — one driver scan of bounded size
+    import math as _math
+
+    k_expr = F.ceil(
+        (F.col("n_calib") + 1) * F.lit(1.0 - alpha)
+    ).cast("bigint")
+    gframe = counts.withColumn("__k", k_expr)
+    bad_g = gframe.where(
+        (F.col("n_train") == 0)
+        | (F.col("n_calib") == 0)
+        | (F.col("n_test") == 0)
+        | (F.col("__k") > F.col("n_calib"))
+    ).first()
+    if bad_g is not None:
+        need = _math.ceil((bad_g["n_calib"] + 1) * (1.0 - alpha))
+        raise ValueError(
+            "conformal_interval: group "
+            f"{[bad_g[c] for c in group_cols]!r} has splits "
+            f"(train={bad_g['n_train']}, calib={bad_g['n_calib']}, "
+            f"test={bad_g['n_test']}) and needs k={need} ≤ n_calib — "
+            "every group requires all three splits and a calibration "
+            "set large enough for alpha"
+        )
+    pred = gframe.select(
+        *group_cols,
+        "n_train",
+        "n_calib",
+        "n_test",
+        "__k",
+        (
+            F.col("__train_sum").cast("double")
+            / F.col("n_train").cast("double")
+        ).alias("__pred"),
+    )
+
+    def _keyed(a: DataFrame, b: DataFrame) -> DataFrame:
+        cond = None
+        for c in group_cols:
+            t = a[c].eqNullSafe(b[c])
+            cond = t if cond is None else cond & t
+        return a.join(F.broadcast(b), on=cond, how="inner").drop(
+            *[b[c] for c in group_cols]
+        )
+
+    scored = _keyed(base, pred).withColumn(
+        "__r", F.abs(F.col("__y") - F.col("__pred"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__r", "__y")
+    qhat = (
+        scored.where(F.col("__role") == "calib")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == F.col("__k"))
+        .select(*group_cols, F.col("__r").alias("__qhat"))
+    )
+    test = _keyed(
+        scored.where(F.col("__role") == "test").select(
+            *group_cols, "__r", "n_train", "n_calib", "n_test", "__pred"
+        ),
+        qhat,
+    )
+    return test.groupBy(
+        *group_cols,
+        "n_train",
+        "n_calib",
+        "n_test",
+    ).agg(
+        round_det(F.max("__pred"), digits).alias("prediction"),
+        round_det(F.max("__qhat"), digits).alias("q_hat"),
+        round_det(
+            F.count(F.when(F.col("__r") <= F.col("__qhat"), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            digits,
+        ).alias("coverage"),
+        F.lit(round(1.0 - alpha, 6)).alias("target"),
+    )

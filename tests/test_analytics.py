@@ -2164,3 +2164,192 @@ def test_bootstrap_ci_weighted_sum_survives_bigint_overflow(spark):
     # every replica mean is a mean of copies of v: ci collapses to v
     # (replicas with total weight 0 are NULL and ignored)
     assert row["ci_lo"] == float(v) and row["ci_hi"] == float(v)
+
+
+# ---------------------------------------------------------------------
+# cuped_adjustment (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_cuped_hand_computed_and_contracts(spark):
+    """Hand-computed θ and adjusted moments on a 6-unit experiment;
+    NULL metric/covariate rows excluded; NULL arm is a real arm;
+    constant covariate fails loud."""
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cuped_adjustment,
+    )
+
+    rows = [
+        ("A", 10, 1), ("A", 20, 3), ("A", 30, 5),
+        ("B", 12, 2), ("B", 22, 4), ("B", 35, 6),
+        ("A", None, 9), ("B", 7, None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "arm string, y long, x long")
+    out = {r["arm"]: r for r in cuped_adjustment(df, "arm", "y", "x").collect()}
+    # pooled moments over the 6 kept units
+    xs = [1, 3, 5, 2, 4, 6]
+    ys = [10, 20, 30, 12, 22, 35]
+    n = 6.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(out["A"]["theta"] - round(theta, 6)) < 1e-9
+    for arm, keep in (("A", [0, 1, 2]), ("B", [3, 4, 5])):
+        ax = [xs[i] for i in keep]
+        ay = [ys[i] for i in keep]
+        na = float(len(keep))
+        my, mx = sum(ay) / na, sum(ax) / na
+        vy = sum((v - my) ** 2 for v in ay) / (na - 1)
+        vx = sum((v - mx) ** 2 for v in ax) / (na - 1)
+        cv = sum((a - mx) * (b - my) for a, b in zip(ax, ay)) / (na - 1)
+        va = vy - 2 * theta * cv + theta * theta * vx
+        r = out[arm]
+        assert r["n_units"] == 3
+        # outputs are rounded at 1e-4 — tolerate the half-step
+        assert abs(r["mean_metric"] - my) < 1e-4
+        assert abs(r["mean_adjusted"] - (my - theta * (mx - sx / n))) < 1e-4
+        assert abs(r["var_metric"] - vy) < 1e-4
+        assert abs(r["var_adjusted"] - va) < 2e-4
+    # NULL arm is a real group
+    withnull = spark.createDataFrame(
+        rows[:6] + [(None, 50, 7), (None, 60, 9)], "arm string, y long, x long"
+    )
+    arms = {r["arm"] for r in cuped_adjustment(withnull, "arm", "y", "x").collect()}
+    assert arms == {"A", "B", None}
+    # constant covariate: theta undefined
+    const = spark.createDataFrame(
+        [("A", 1, 5), ("B", 2, 5)], "arm string, y long, x long"
+    )
+    with _pytest.raises(ValueError, match="constant"):
+        cuped_adjustment(const, "arm", "y", "x")
+    # fewer than 2 usable units
+    tiny = spark.createDataFrame(
+        [("A", 1, 5), ("B", None, 6)], "arm string, y long, x long"
+    )
+    with _pytest.raises(ValueError, match="at least 2"):
+        cuped_adjustment(tiny, "arm", "y", "x")
+
+
+def test_cuped_reduces_variance_on_correlated_covariate(spark):
+    """The point of CUPED: with a covariate strongly correlated to
+    the metric, adjusted variance drops by ≈ρ²; with an independent
+    covariate it stays put (never grows materially)."""
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cuped_adjustment,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(400):
+        x = rng.randint(0, 1000)
+        noise = rng.randint(-50, 50)
+        rows.append(("A" if i % 2 == 0 else "B", x + noise, x))
+    df = spark.createDataFrame(rows, "arm string, y long, x long")
+    out = cuped_adjustment(df, "arm", "y", "x").collect()
+    for r in out:
+        assert r["var_adjusted"] < 0.1 * r["var_metric"], r
+        assert r["var_reduction_pct"] > 90.0
+
+
+def test_cuped_plan_single_data_agg_no_join(spark):
+    """ONE data-proportional hash aggregation; the pooled window runs
+    over the |arms| frame; no joins anywhere (the r13 design replaced
+    the broadcast-θ join with moment algebra)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        cuped_adjustment,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), i, i % 7) for i in range(100)],
+        "arm string, y long, x long",
+    )
+    plan = (
+        cuped_adjustment(df, "arm", "y", "x")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------
+# mutual_information (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_mutual_information_hand_computed(spark):
+    """Perfect dependence: MI = H(X) = H(Y), NMI = 1. Independence:
+    MI = 0. NULL categories are real categories."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    # perfect dependence: y determined by x, both uniform over 2 values
+    dep = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")], "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["n"] == 4
+    assert abs(r["h_x"] - 1.0) < 1e-9 and abs(r["h_y"] - 1.0) < 1e-9
+    assert abs(r["h_xy"] - 1.0) < 1e-9
+    assert abs(r["mi"] - 1.0) < 1e-9 and abs(r["nmi"] - 1.0) < 1e-9
+    # independence: all four combos equally likely
+    ind = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")], "x string, y string"
+    )
+    r2 = mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r2["mi"]) < 1e-9
+    assert abs(r2["h_xy"] - 2.0) < 1e-9
+    # skewed hand-computed case: p(a,p)=1/2, p(a,q)=1/4, p(b,q)=1/4
+    sk = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("a", "q"), ("b", "q")], "x string, y string"
+    )
+    r3 = mutual_information(sk, "x", "y").collect()[0]
+    hx = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    hy = -(0.5 * math.log2(0.5) + 0.5 * math.log2(0.5))
+    hxy = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+    assert abs(r3["h_x"] - round(hx, 6)) < 1e-6
+    assert abs(r3["h_y"] - round(hy, 6)) < 1e-6
+    assert abs(r3["h_xy"] - round(hxy, 6)) < 1e-6
+    assert abs(r3["mi"] - round(hx + hy - hxy, 6)) < 1e-5
+    # NULL is a real category: a NULL-y row shifts the joint frame
+    withnull = spark.createDataFrame(
+        [("a", "p"), ("a", None), ("b", "p"), ("b", None)], "x string, y string"
+    )
+    r4 = mutual_information(withnull, "x", "y").collect()[0]
+    assert r4["n"] == 4 and abs(r4["h_y"] - 1.0) < 1e-9
+    # constant column: zero marginal entropy, NMI undefined (NULL)
+    const = spark.createDataFrame(
+        [("a", "p"), ("a", "q")], "x string, y string"
+    )
+    r5 = mutual_information(const, "x", "y").collect()[0]
+    assert r5["h_x"] == 0.0 and r5["nmi"] is None
+
+
+def test_mutual_information_grouped_keyed_windows(spark):
+    """Grouped MI: every window in the plan is keyed (no global
+    reducer) and groups compute independently."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    rows = [("g1", "a", "p")] * 3 + [("g1", "b", "q")] * 3 + [
+        ("g2", "a", "p"), ("g2", "a", "q"), ("g2", "b", "p"), ("g2", "b", "q"),
+    ]
+    df = spark.createDataFrame(rows, "g string, x string, y string")
+    out = {r["g"]: r for r in mutual_information(df, "x", "y", by=["g"]).collect()}
+    assert abs(out["g1"]["mi"] - 1.0) < 1e-9   # perfectly dependent
+    assert abs(out["g2"]["mi"]) < 1e-9          # independent
+    qe = (
+        mutual_information(df, "x", "y", by=["g"])
+        ._jdf.queryExecution()
+    )
+    plan = qe.sparkPlan().toString()
+    assert "Join" not in plan, plan

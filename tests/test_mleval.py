@@ -270,3 +270,159 @@ def test_mleval_null_labels_excluded_everywhere(spark):
     assert cal[9]["n"] == 1 and cal[9]["frac_pos"] == 1.0
     pr = {r["threshold"]: r for r in precision_recall_at(df, "s", "y", [0.5]).collect()}
     assert (pr[0.5]["tp"], pr[0.5]["fp"], pr[0.5]["fn"]) == (1, 0, 0)
+
+
+# ---------------------------------------------------------------------
+# conformal_interval (born r13)
+# ---------------------------------------------------------------------
+
+
+def _brute_conformal(rows, alpha):
+    """Independent Python replication: train mean → calib k-th order
+    statistic → test coverage, per group."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(lambda: defaultdict(list))
+    for g, y, role in rows:
+        by_g[g][role].append(y)
+    out = {}
+    for g, d in by_g.items():
+        pred = sum(d["train"]) / len(d["train"])
+        res = sorted(abs(y - pred) for y in d["calib"])
+        k = math.ceil((len(res) + 1) * (1 - alpha))
+        qhat = res[k - 1]
+        cov = sum(1 for y in d["test"] if abs(y - pred) <= qhat) / len(d["test"])
+        out[g] = (pred, qhat, cov)
+    return out
+
+
+def test_conformal_matches_bruteforce(spark):
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+        conformal_interval,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for g in ("g1", "g2"):
+        for i in range(120):
+            role = "train" if i % 10 < 6 else ("calib" if i % 10 < 8 else "test")
+            rows.append((g, rng.randint(0, 1000), role))
+    df = spark.createDataFrame(rows, "g string, y long, role string")
+    got = {
+        r["g"]: r
+        for r in conformal_interval(df, ["g"], "y", "role", alpha=0.2).collect()
+    }
+    want = _brute_conformal(rows, 0.2)
+    for g, (pred, qhat, cov) in want.items():
+        r = got[g]
+        assert r["n_train"] == 72 and r["n_calib"] == 24 and r["n_test"] == 24
+        assert abs(r["prediction"] - pred) < 1e-4
+        assert abs(r["q_hat"] - qhat) < 1e-4
+        assert abs(r["coverage"] - cov) < 1e-4
+        assert r["target"] == 0.8
+
+
+def test_conformal_guarantee_over_many_splits(spark):
+    """The finite-sample guarantee is marginal over exchangeable
+    splits: averaged over several deterministic role rotations of the
+    same data, empirical coverage must be ≥ 1 − alpha − slack."""
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+        conformal_interval,
+    )
+
+    rng = random.Random(23)
+    vals = [rng.randint(0, 500) for _ in range(200)]
+    covs = []
+    for shift in range(5):
+        rows = [
+            (
+                "g",
+                v,
+                "train"
+                if (i + shift) % 10 < 6
+                else ("calib" if (i + shift) % 10 < 8 else "test"),
+            )
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "g string, y long, role string")
+        covs.append(
+            conformal_interval(df, ["g"], "y", "role", alpha=0.2).collect()[0][
+                "coverage"
+            ]
+        )
+    assert sum(covs) / len(covs) >= 0.8 - 0.1, covs
+
+
+def test_conformal_fail_loud_contracts(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+        conformal_interval,
+    )
+
+    ok = [("g", float(i), ["train", "calib", "test"][i % 3]) for i in range(60)]
+    # unknown role
+    bad = spark.createDataFrame(
+        ok + [("g", 1.0, "vaildate")], "g string, y double, role string"
+    )
+    with _pytest.raises(ValueError, match="unknown role"):
+        conformal_interval(bad, ["g"], "y", "role")
+    # NULL role must not silently vanish
+    nul = spark.createDataFrame(
+        ok + [("g", 1.0, None)], "g string, y double, role string"
+    )
+    with _pytest.raises(ValueError, match="unknown role"):
+        conformal_interval(nul, ["g"], "y", "role")
+    # missing split in one group
+    miss = spark.createDataFrame(
+        ok + [("h", 1.0, "train"), ("h", 2.0, "calib")],
+        "g string, y double, role string",
+    )
+    with _pytest.raises(ValueError, match="all three splits"):
+        conformal_interval(miss, ["g"], "y", "role")
+    # alpha too small for the calibration size: k > n_calib
+    df = spark.createDataFrame(ok, "g string, y double, role string")
+    with _pytest.raises(ValueError, match="calibration"):
+        conformal_interval(df, ["g"], "y", "role", alpha=0.001)
+    # bad alpha
+    with _pytest.raises(ValueError, match="alpha"):
+        conformal_interval(df, ["g"], "y", "role", alpha=1.5)
+    # NULL group key is a real group
+    ng = spark.createDataFrame(
+        [(None, float(i), ["train", "calib", "test"][i % 3]) for i in range(60)],
+        "g string, y double, role string",
+    )
+    row = conformal_interval(ng, ["g"], "y", "role", alpha=0.2).collect()
+    assert len(row) == 1 and row[0]["g"] is None
+
+
+def test_conformal_plan_keyed_window_broadcast_joins(spark):
+    """The calibration quantile is ONE keyed window; the q_hat/pred
+    frames join back via broadcast (|groups|-sized build sides)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.mleval import (
+        conformal_interval,
+    )
+
+    rows = [
+        ("g%d" % (i % 3), i, ["train", "calib", "test"][(i // 3) % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, y long, role string")
+    qe = (
+        conformal_interval(df, ["g"], "y", "role", alpha=0.2)
+        ._jdf.queryExecution()
+    )
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    sp = qe.sparkPlan().toString()
+    # every WindowExec keyed
+    import re
+
+    for m in re.finditer(r"Window \[", sp):
+        line = sp[m.start(): sp.find("\n", m.start())]
+        assert "windowspecdefinition(g#" in line or "partitionBy" in line, line

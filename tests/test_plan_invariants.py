@@ -73,6 +73,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "abc_pareto_parts": "cumulative share over the |keys|-sized "
     "rollup (analytics.abc_pareto documents the two-phase numbering "
     "swap at extreme key counts)",
+    "ab_cuped": "pooled-moment window over the |arms|-sized per-arm "
+    "moment frame (one row per experiment arm — bounded by the "
+    "assignment design, never data-proportional; "
+    "analytics.cuped_adjustment collapses units map-side first)",
 }
 
 
