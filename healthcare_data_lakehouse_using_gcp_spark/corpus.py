@@ -630,13 +630,16 @@ _TAIL = (
     # with the backlog at 0, rotation reverts to freshness
     # maintenance — nothing oracle-bearing sits >2 rounds stale where
     # the 8-16 swap envelope allows, and net-new entries must seat
-    # within 2 rounds of birth. First r14 freshness-driven swap set
-    # (stalest last-green first): the tranche-6 seats last green r11
-    # (a16_winsorize, a17_mad_outliers, a19_mode, w8_period_over_period,
-    # privacy_generalize, j5_semi_anti, set_ops_nations, melt_lineitem,
-    # gapfill_daily, epoch_upsample, sample_weighted, cap_per_source),
-    # funded by demoting the freshest r13 seats, plus the rule-3 twin
-    # swap to embedding_near_dup_exact.
+    # within 2 rounds of birth. First r14 swap set (16 = the envelope
+    # cap): the 3 r13-born newborns take their mandatory first seats
+    # (ab_cuped, a32_mutual_information, mleval_conformal — ledger
+    # entries at the end of this tuple), then the stalest last-green
+    # tranche-6 seats from r11 (a16_winsorize, a17_mad_outliers,
+    # a19_mode, w8_period_over_period, privacy_generalize,
+    # j5_semi_anti, set_ops_nations, melt_lineitem, gapfill_daily,
+    # epoch_upsample, sample_weighted, cap_per_source), funded by
+    # demoting the freshest r13 seats, plus the rule-3 twin swap to
+    # embedding_near_dup_exact.
     # Every demotion below is oracle-swept in tail on each pytest run
     # and keeps its machinery head-exercised or pytest-pinned: ---
     #   embedding_near_dup_exact — scheduled twin alternation (rule 3):
@@ -1279,6 +1282,18 @@ _TAIL = (
     #                             prediction — seat r14
     #                                               [new r13, no driver row]
     "mleval_conformal",
+    #   ab_ate_stratified       — stratified ATE (subclassification):
+    #                             exact integer-cent stratum means;
+    #                             pooled ATE via a window over the
+    #                             ≤|strata| frame — seat r14/r15
+    #                                               [new r13, no driver row]
+    "ab_ate_stratified",
+    #   a33_jackknife_ratio     — leave-one-out jackknife SE for
+    #                             ratio metrics: exact totals,
+    #                             centered deviations (no
+    #                             cancellation) — seat r14/r15
+    #                                               [new r13, no driver row]
+    "a33_jackknife_ratio",
 )
 
 
@@ -9719,6 +9734,153 @@ def mleval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+@query(
+    "ab_ate_stratified",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS stratum,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             )::BIGINT % 2 = 0 AS t,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS yc
+      FROM orders
+    ), s AS (
+      SELECT stratum,
+             COUNT(*) AS n_s,
+             COUNT(*) FILTER (WHERE t) AS n_treated,
+             COUNT(*) FILTER (WHERE NOT t) AS n_control,
+             SUM(CAST(yc AS HUGEINT)) FILTER (WHERE t) AS s1,
+             SUM(CAST(yc AS HUGEINT)) FILTER (WHERE NOT t) AS s0
+      FROM r GROUP BY stratum
+    ), e AS (
+      SELECT *,
+             SUM(n_s) OVER () AS n,
+             CAST(s1 AS DOUBLE) / CAST(n_treated AS DOUBLE) AS m1,
+             CAST(s0 AS DOUBLE) / CAST(n_control AS DOUBLE) AS m0
+      FROM s
+    ), c AS (
+      SELECT *, m1 - m0 AS eff,
+             CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE) AS w
+      FROM e
+    ), f AS (
+      SELECT *, w * eff AS contrib FROM c
+    ), g AS (
+      SELECT *, SUM(contrib) OVER () AS ate FROM f
+    )
+    SELECT stratum,
+           CAST(n_s AS BIGINT) AS n_s,
+           CAST(n_treated AS BIGINT) AS n_treated,
+           CAST(n_control AS BIGINT) AS n_control,
+           FLOOR(m1 * 10000 + 0.5) / 10000 AS mean_treated,
+           FLOOR(m0 * 10000 + 0.5) / 10000 AS mean_control,
+           FLOOR(eff * 10000 + 0.5) / 10000 AS effect,
+           FLOOR(w * 1000000 + 0.5) / 1000000 AS weight,
+           FLOOR(contrib * 10000 + 0.5) / 10000 AS contribution,
+           FLOOR(ate * 10000 + 0.5) / 10000 AS ate
+    FROM g
+    """,
+)
+def ab_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal readout (beyond-reference, born r13): stratified
+    average-treatment-effect (subclassification — Cochran 1968) of an
+    md5-parity "treatment" on order value, blocked on priority class.
+    Stratum means are exact integer-cent ratios (decimal(38,0) =
+    HUGEINT); the pooled ATE is a window sum over the ≤|strata| frame
+    carried on every row so the oracle hash covers the estimate
+    itself. operators/analytics.stratified_ate."""
+    from .operators.analytics import stratified_ate
+    from .operators.text import _hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        F.col("o_orderpriority"),
+        (_hash_bucket("o_orderkey", 2) == 0).alias("t"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("yc"),
+    )
+    return stratified_ate(rows, "o_orderpriority", "t", "yc").orderBy(
+        "stratum"
+    )
+
+
+@query(
+    "a33_jackknife_ratio",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    ), t AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT)) AS sx
+      FROM r GROUP BY g
+    ), d AS (
+      SELECT r.g,
+             t.n,
+             CAST(t.sy AS DOUBLE) AS syd,
+             CAST(t.sx AS DOUBLE) AS sxd,
+             CAST(r.y AS DOUBLE) AS yd,
+             CAST(r.x AS DOUBLE) AS xd
+      FROM r JOIN t USING (g)
+    ), v AS (
+      SELECT g, n,
+             syd / sxd AS ratio,
+             (syd - yd) / (sxd - xd) - syd / sxd AS di
+      FROM d
+    ), a AS (
+      SELECT g,
+             CAST(MAX(n) AS BIGINT) AS n_units,
+             MAX(ratio) AS ratio,
+             SUM(di) AS sd,
+             SUM(di * di) AS sdd,
+             CAST(MAX(n) AS DOUBLE) AS na
+      FROM v GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           n_units,
+           FLOOR(ratio * 1000000 + 0.5) / 1000000 AS ratio,
+           FLOOR(SQRT(GREATEST((na - 1) / na * (sdd - sd * sd / na), 0.0))
+                 * 1000000 + 0.5) / 1000000 AS se_jack,
+           FLOOR((na - 1) * (sd / na) * 1000000 + 0.5) / 1000000
+             AS bias_jack,
+           FLOOR((ratio - 1.959964
+                  * SQRT(GREATEST((na - 1) / na * (sdd - sd * sd / na),
+                                  0.0)))
+                 * 1000000 + 0.5) / 1000000 AS ci_lo,
+           FLOOR((ratio + 1.959964
+                  * SQRT(GREATEST((na - 1) / na * (sdd - sd * sd / na),
+                                  0.0)))
+                 * 1000000 + 0.5) / 1000000 AS ci_hi
+    FROM a
+    """,
+)
+def a33_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 (beyond-reference, born r13): leave-one-out jackknife
+    standard error for the revenue-per-unit ratio per return flag —
+    the deterministic, seedless companion to bootstrap_ci_orders for
+    RATIO metrics (whose naive delta-method variance everyone
+    hand-waves). Totals are exact integer sums; per-row leave-out
+    deviations d_i = r_i − R are near zero by construction so their
+    accumulation has no catastrophic cancellation; the 1e-6 rounding
+    sits ~5 orders above the d-sums' reassociation noise.
+    operators/analytics.jackknife_ratio_se."""
+    from .operators.analytics import jackknife_ratio_se
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    return jackknife_ratio_se(rows, ["l_returnflag"], "y", "x").orderBy(
+        "l_returnflag"
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -9862,6 +10024,8 @@ OPERATOR_MAP = {
                 "mleval_conformal"],  # born r13: split-conformal intervals
     "A-B-CUPED": ["ab_cuped"],  # born r13: variance-reduced experiment readout
     "A32": ["a32_mutual_information"],  # born r13: MI/entropy dependence screen
+    "Causal-ATE": ["ab_ate_stratified"],  # born r13: subclassification estimator
+    "A33": ["a33_jackknife_ratio"],  # born r13: jackknife SE for ratio metrics
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
     "Bootstrap": ["bootstrap_ci_orders"],  # born r12: Poisson-bootstrap CI

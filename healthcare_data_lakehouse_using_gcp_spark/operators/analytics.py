@@ -2961,3 +2961,216 @@ def mutual_information(
         round_det(mi, digits).alias("mi"),
         round_det(nmi, digits).alias("nmi"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+    digits: int = 4,
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate (the
+    subclassification estimator — Cochran 1968; the workhorse
+    observational-causal readout when randomization is stratum-level
+    or confounding is blocked by a discrete covariate):
+    ATE = Σ_s (n_s/n)·(ȳ_treated,s − ȳ_control,s). Emits one row per
+    stratum — n_s, n_treated, n_control, the two means, the stratum
+    effect, its n_s/n weight, the weighted contribution — plus the
+    pooled ``ate`` repeated on every row (a window sum over the
+    |strata|-sized frame, so the caller never re-aggregates and the
+    oracle hash covers the estimate itself).
+
+    Exactness: with an integral outcome both stratum means are
+    ratios of exact integers (decimal(38,0) accumulators = DuckDB
+    HUGEINT); effects/weights/contributions are deterministic scalar
+    doubles, and the pooled sum spans ≤|strata| terms — rounding at
+    ``digits`` sits far above that reassociation window. Float
+    outcomes inherit the a22 double-sum convention.
+
+    Fail-loud: any stratum missing a treated or control arm raises
+    (its effect is undefined — the positivity violation must be
+    handled upstream by coarsening or dropping, not silently
+    NULLed). NULL treatment flags raise (a row that is neither arm
+    corrupts the weights); NULL outcomes are excluded; a NULL
+    stratum is a real stratum.
+
+    Scale design (100 TB): ONE data-proportional hash aggregation
+    (map-side combined to |strata| rows); the weight/ate windows run
+    over that bounded frame. No joins, nothing collects but the
+    |strata|-sized guard frame."""
+    from ..functions.scalars import round_det
+
+    t = F.col(treated_col)
+    y = F.col(outcome_col)
+    bad = df.where(t.isNull()).select(F.lit(1)).first()
+    if bad is not None:
+        raise ValueError(
+            f"stratified_ate: NULL values in treatment flag "
+            f"{treated_col!r} — a row in neither arm corrupts the "
+            "stratum weights; filter or impute upstream"
+        )
+    vt = df.schema[outcome_col].dataType.typeName()
+    acc = (
+        y.cast("decimal(38,0)")
+        if vt in ("byte", "short", "integer", "long")
+        else y.cast("double")
+    )
+    rows = df.where(y.isNotNull())
+    per_s = rows.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count(F.when(t, 1)).alias("n_treated"),
+        F.count(F.when(~t, 1)).alias("n_control"),
+        F.sum(F.when(t, acc)).alias("__s1"),
+        F.sum(F.when(~t, acc)).alias("__s0"),
+    )
+    empty = per_s.where(
+        (F.col("n_treated") == 0) | (F.col("n_control") == 0)
+    ).first()
+    if empty is not None:
+        raise ValueError(
+            f"stratified_ate: stratum {empty['stratum']!r} has "
+            f"n_treated={empty['n_treated']}, "
+            f"n_control={empty['n_control']} — its effect is undefined "
+            "(positivity violation); coarsen or drop the stratum "
+            "upstream"
+        )
+    w = Window.partitionBy()  # |strata|-sized frame: bounded by design
+    mean1 = F.col("__s1").cast("double") / F.col("n_treated").cast("double")
+    mean0 = F.col("__s0").cast("double") / F.col("n_control").cast("double")
+    out = (
+        per_s.withColumn("__n", F.sum("n_s").over(w))
+        .withColumn("__eff", mean1 - mean0)
+        .withColumn(
+            "__w", F.col("n_s").cast("double") / F.col("__n").cast("double")
+        )
+        .withColumn("__contrib", F.col("__w") * F.col("__eff"))
+        .withColumn("__ate", F.sum(F.col("__contrib")).over(w))
+    )
+    return out.select(
+        "stratum",
+        "n_s",
+        "n_treated",
+        "n_control",
+        round_det(mean1, digits).alias("mean_treated"),
+        round_det(mean0, digits).alias("mean_control"),
+        round_det(F.col("__eff"), digits).alias("effect"),
+        round_det(F.col("__w"), 6).alias("weight"),
+        round_det(F.col("__contrib"), digits).alias("contribution"),
+        round_det(F.col("__ate"), digits).alias("ate"),
+    )
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    num_col: str,
+    den_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Leave-one-out JACKKNIFE standard error for per-group RATIO
+    metrics R = Σy/Σx (revenue per unit, clicks per session, tokens
+    per document — the metrics whose delta-method variance everyone
+    approximates and the jackknife gets right without derivatives;
+    Efron & Stein 1981). The bootstrap twin
+    (``poisson_bootstrap_ci``) resamples; the jackknife is the
+    deterministic, closed-form companion — no seeds, no replicas.
+
+    Each row i is one leave-out unit: r_i = (Sy − y_i)/(Sx − x_i)
+    from the group totals. To keep the accumulation NUMERICALLY SAFE
+    the per-row deviations d_i = r_i − R are summed (not r_i itself:
+    Σr² − n·r̄² cancels catastrophically at scale; Σd² does not —
+    the deviations are near zero by construction). Then
+    se² = (n−1)/n · Σ(d_i − d̄)² and the jackknife bias estimate is
+    (n−1)·d̄. Output per group: n_units, ratio,
+    se_jack, bias_jack, plus ratio ± 1.959964·se as a normal-theory
+    interval (the jackknife's standard use).
+
+    Exactness: integral numerator/denominator accumulate as
+    decimal(38,0) (= HUGEINT), so totals and R are identical doubles
+    cross-engine; every d_i is deterministic row-local double
+    arithmetic on them; the d-sums' reassociation noise is
+    ~|d|·n·2⁻⁵³ with d near zero — many orders below the ``digits``
+    rounding. Fail-loud on groups where any leave-one-out
+    denominator hits zero (r_i undefined — the ratio is degenerate
+    for jackknifing) and on groups with n < 2.
+
+    Scale design (100 TB): one hash agg to |groups| totals,
+    broadcast back (|groups|-sized build side), one map-side pass
+    for d_i, one final hash agg. No windows, no sort, nothing
+    collects."""
+    from ..functions.scalars import round_det
+
+    group_cols = list(group_cols)
+    ycol, xcol = F.col(num_col), F.col(den_col)
+    rows = df.where(ycol.isNotNull() & xcol.isNotNull())
+
+    def _acc(c: str):
+        t = df.schema[c].dataType.typeName()
+        col = F.col(c)
+        if t in ("byte", "short", "integer", "long"):
+            return col.cast("decimal(38,0)")
+        return col.cast("double")
+
+    totals = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_acc(num_col)).alias("__sy"),
+        F.sum(_acc(den_col)).alias("__sx"),
+    )
+    small = totals.where(F.col("__n") < 2).first()
+    if small is not None:
+        raise ValueError(
+            f"jackknife_ratio_se: group "
+            f"{[small[c] for c in group_cols]!r} has n={small['__n']} — "
+            "leave-one-out needs at least 2 units"
+        )
+    a = rows.alias("__u")
+    b = totals.alias("__t")
+    cond = None
+    for c in group_cols:
+        t = F.col(f"__u.{c}").eqNullSafe(F.col(f"__t.{c}"))
+        cond = t if cond is None else cond & t
+    joined = a.join(F.broadcast(b), on=cond, how="inner").select(
+        *[F.col(f"__u.{c}").alias(c) for c in group_cols],
+        F.col(f"__u.{num_col}").cast("double").alias("__y"),
+        F.col(f"__u.{den_col}").cast("double").alias("__x"),
+        F.col("__t.__n").alias("__n"),
+        F.col("__t.__sy").cast("double").alias("__syd"),
+        F.col("__t.__sx").cast("double").alias("__sxd"),
+    )
+    ratio = F.col("__syd") / F.col("__sxd")
+    loo_den = F.col("__sxd") - F.col("__x")
+    d_i = (F.col("__syd") - F.col("__y")) / loo_den - ratio
+    dev = joined.withColumn("__bad", loo_den == 0).withColumn("__d", d_i)
+    bad_g = dev.where(F.col("__bad")).select(*group_cols).first()
+    if bad_g is not None:
+        raise ValueError(
+            f"jackknife_ratio_se: group "
+            f"{[bad_g[c] for c in group_cols]!r} has a leave-one-out "
+            f"denominator of zero (one unit carries the entire "
+            f"{den_col!r} total) — the ratio is degenerate for "
+            "jackknifing in that group"
+        )
+    z = 1.959964
+    agg = dev.groupBy(*group_cols).agg(
+        F.max("__n").alias("n_units"),
+        F.max(ratio).alias("__r"),
+        F.sum("__d").alias("__sd"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__sdd"),
+    )
+    na = F.col("n_units").cast("double")
+    var_j = (
+        (na - 1)
+        / na
+        * (F.col("__sdd") - F.col("__sd") * F.col("__sd") / na)
+    )
+    se = F.sqrt(F.greatest(var_j, F.lit(0.0)))
+    return agg.select(
+        *group_cols,
+        "n_units",
+        round_det(F.col("__r"), digits).alias("ratio"),
+        round_det(se, digits).alias("se_jack"),
+        round_det((na - 1) * (F.col("__sd") / na), digits).alias("bias_jack"),
+        round_det(F.col("__r") - F.lit(z) * se, digits).alias("ci_lo"),
+        round_det(F.col("__r") + F.lit(z) * se, digits).alias("ci_hi"),
+    )

@@ -2353,3 +2353,126 @@ def test_mutual_information_grouped_keyed_windows(spark):
     )
     plan = qe.sparkPlan().toString()
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------
+# stratified_ate + jackknife_ratio_se (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_stratified_ate_hand_computed_and_contracts(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        stratified_ate,
+    )
+
+    rows = [
+        ("s1", True, 10), ("s1", True, 14), ("s1", False, 8), ("s1", False, 10),
+        ("s2", True, 30), ("s2", False, 20),
+        ("s1", True, None),  # NULL outcome excluded
+    ]
+    df = spark.createDataFrame(rows, "s string, t boolean, y long")
+    out = {r["stratum"]: r for r in stratified_ate(df, "s", "t", "y").collect()}
+    # s1: mean1=(10+14)/2=12, mean0=9, eff=3, w=4/6; s2: eff=10, w=2/6
+    assert out["s1"]["n_s"] == 4 and out["s2"]["n_s"] == 2
+    assert out["s1"]["effect"] == 3.0 and out["s2"]["effect"] == 10.0
+    ate = (4 / 6) * 3 + (2 / 6) * 10
+    for r in out.values():
+        assert abs(r["ate"] - ate) < 1e-4
+    assert abs(out["s1"]["contribution"] - (4 / 6) * 3) < 1e-4
+    # NULL stratum is a real stratum
+    ns = spark.createDataFrame(
+        rows[:6] + [(None, True, 5), (None, False, 3)],
+        "s string, t boolean, y long",
+    )
+    got = {r["stratum"] for r in stratified_ate(ns, "s", "t", "y").collect()}
+    assert got == {"s1", "s2", None}
+    # NULL treatment flag fails loud
+    nt = spark.createDataFrame(
+        rows[:6] + [("s1", None, 5)], "s string, t boolean, y long"
+    )
+    with _pytest.raises(ValueError, match="NULL values in treatment"):
+        stratified_ate(nt, "s", "t", "y")
+    # positivity violation: a stratum with no control arm
+    pv = spark.createDataFrame(
+        rows[:6] + [("s3", True, 9)], "s string, t boolean, y long"
+    )
+    with _pytest.raises(ValueError, match="positivity"):
+        stratified_ate(pv, "s", "t", "y")
+
+
+def _brute_jackknife(vals):
+    """Reference leave-one-out jackknife for R = Σy/Σx."""
+    import math
+
+    n = len(vals)
+    sy = sum(y for y, _ in vals)
+    sx = sum(x for _, x in vals)
+    r = sy / sx
+    loo = [(sy - y) / (sx - x) for y, x in vals]
+    rbar = sum(loo) / n
+    var = (n - 1) / n * sum((v - rbar) ** 2 for v in loo)
+    return r, math.sqrt(var), (n - 1) * (rbar - r)
+
+
+def test_jackknife_ratio_matches_bruteforce(spark):
+    import random
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        jackknife_ratio_se,
+    )
+
+    rng = random.Random(31)
+    data = {}
+    rows = []
+    for g in ("a", "b", None):
+        vals = [(rng.randint(50, 500), rng.randint(1, 20)) for _ in range(40)]
+        data[g] = vals
+        rows += [(g, y, x) for y, x in vals]
+    df = spark.createDataFrame(rows, "g string, y long, x long")
+    out = {r["g"]: r for r in jackknife_ratio_se(df, ["g"], "y", "x").collect()}
+    for g, vals in data.items():
+        r, se, bias = _brute_jackknife(vals)
+        got = out[g]
+        assert got["n_units"] == 40
+        assert abs(got["ratio"] - r) < 1e-6
+        assert abs(got["se_jack"] - se) < 1e-5, (g, got["se_jack"], se)
+        assert abs(got["bias_jack"] - bias) < 1e-5
+        assert abs(got["ci_lo"] - (r - 1.959964 * se)) < 1e-4
+        assert abs(got["ci_hi"] - (r + 1.959964 * se)) < 1e-4
+
+
+def test_jackknife_fail_loud_contracts(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        jackknife_ratio_se,
+    )
+
+    # n < 2
+    tiny = spark.createDataFrame([("g", 5, 2)], "g string, y long, x long")
+    with _pytest.raises(ValueError, match="at least 2"):
+        jackknife_ratio_se(tiny, ["g"], "y", "x")
+    # one unit carries the whole denominator: leave-out hits 0
+    deg = spark.createDataFrame(
+        [("g", 5, 7), ("g", 3, 0), ("g", 2, 0)], "g string, y long, x long"
+    )
+    with _pytest.raises(ValueError, match="denominator of zero"):
+        jackknife_ratio_se(deg, ["g"], "y", "x")
+
+
+def test_jackknife_plan_broadcast_join_no_window(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        jackknife_ratio_se,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i + 1, (i % 9) + 1) for i in range(200)],
+        "g string, y long, x long",
+    )
+    qe = jackknife_ratio_se(df, ["g"], "y", "x")._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

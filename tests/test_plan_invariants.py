@@ -77,6 +77,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "moment frame (one row per experiment arm — bounded by the "
     "assignment design, never data-proportional; "
     "analytics.cuped_adjustment collapses units map-side first)",
+    "ab_ate_stratified": "total/ate windows over the |strata|-sized "
+    "per-stratum moment frame (bounded by the blocking design; "
+    "analytics.stratified_ate collapses rows map-side first)",
 }
 
 
