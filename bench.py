@@ -497,11 +497,19 @@ def main() -> None:
         sf3_timings: dict[str, float] = {}
         sf3_runs: dict[str, list[float]] = {}
         for name in SF1_SUBSET:
+            # r13 (the a8_daily_rollup x3=4.42 adjudication): queries
+            # whose sf1 wall is sub-0.5 s are fixed-overhead-dominated,
+            # and a floor-2 sf3 probe catching a cold pair against a
+            # warm sf1 min multiplies that overhead into a fake
+            # super-linear x3 reading. One extra floor/cap rep on the
+            # sub-second rows costs ~a second total and removes the
+            # failure mode; the heavies keep the cheap probe.
+            subsec = sf1_block["queries"].get(name, 1.0) < 0.5
             runs = _timed_runs(
                 lambda n=name: qs[n](spark, sf3_dir).count(),
                 spark.catalog.clearCache,
-                reps3,
-                max_reps3,
+                reps3 + 1 if subsec else reps3,
+                max_reps3 + 1 if subsec else max_reps3,
             )
             sf3_timings[name] = min(runs)
             sf3_runs[name] = runs

@@ -151,3 +151,85 @@ def test_exact_ratio_oracles_are_boundary_immune_by_construction(spark):
             r["from_state"],
             r["to_state"],
         )
+
+
+def test_a32_mutual_information_boundaries(spark):
+    """r13-born: the entropy battery goes through LN — the one
+    newborn family in the transcendental class. Sweep every emitted
+    statistic at its 1e6 rounding scale (computed at digits=12, i.e.
+    ≤5e-13 from the unrounded value — negligible vs the 1e-6 tol)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    o = _load(spark, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    out = mutual_information(
+        o, "o_orderpriority", "o_orderstatus", by=["o_year"], digits=12
+    ).collect()
+    for col in ("h_x", "h_y", "h_xy", "mi", "nmi"):
+        _assert_off_boundary(out, col, 1000000, "a32_mutual_information")
+
+
+def test_a33_jackknife_boundaries(spark):
+    """r13-born: the jackknife's d-sums are order-dependent float
+    accumulations (the survival_logrank class) — sweep the emitted
+    statistics at the 1e6 rounding scale."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        jackknife_ratio_se,
+    )
+
+    li = _load(spark, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    out = jackknife_ratio_se(
+        rows, ["l_returnflag"], "y", "x", digits=12
+    ).collect()
+    for col in ("se_jack", "bias_jack"):
+        _assert_off_boundary(out, col, 1000000, "a33_jackknife_ratio")
+    # ci_lo/ci_hi = exact-integer-ratio ± z·se: the ratio part is
+    # bit-identical cross-engine by construction, so the only noise
+    # is additive from the z·se term (d-sum reassociation, ≲1e-11
+    # absolute → ≲1e-5 in 1e6-scaled units). The generic helper's
+    # |x·s|·1e-12 tolerance wrongly scales with the exact part's
+    # magnitude (~0.2 here) — use an absolute 1e-3 bound (100×
+    # safety over the real noise) instead.
+    for col in ("ci_lo", "ci_hi"):
+        for r in out:
+            xs = r[col] * 1000000
+            dist = abs((xs % 1.0) - 0.5)
+            assert dist > 1e-3, (
+                f"a33_jackknife_ratio.{col}: {r[col]!r} sits {dist:.3e} "
+                "from a rounding boundary (additive-noise tol 1e-3)"
+            )
+
+
+def test_ab_ate_boundaries(spark):
+    """r13-born: the pooled ATE is an order-dependent ≤|strata|-term
+    window sum — sweep it (and the per-stratum contribution) at the
+    1e4 rounding scale. Means/effects are exact-integer ratios —
+    boundary-immune by construction, swept anyway for free."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        stratified_ate,
+    )
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        _hash_bucket,
+    )
+
+    o = _load(spark, "orders")
+    rows = o.select(
+        F.col("o_orderpriority"),
+        (_hash_bucket("o_orderkey", 2) == 0).alias("t"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("yc"),
+    )
+    out = stratified_ate(rows, "o_orderpriority", "t", "yc", digits=12).collect()
+    for col in ("ate", "contribution", "effect"):
+        _assert_off_boundary(out, col, 10000, "ab_ate_stratified")

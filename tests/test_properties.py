@@ -1090,3 +1090,46 @@ def test_cuped_pooled_variance_never_increases(spark, units):
     r = cuped_adjustment(df, "arm", "y", "x", digits=6).collect()[0]
     if r["var_metric"] is not None and r["var_adjusted"] is not None:
         assert r["var_adjusted"] <= r["var_metric"] + 1e-4, r
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("st"),
+            st.booleans(),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=8,
+        max_size=60,
+    ).filter(
+        lambda v: all(
+            any(t for s2, t, _ in v if s2 == s)
+            and any(not t for s2, t, _ in v if s2 == s)
+            for s in {s for s, _, _ in v}
+        )
+    )
+)
+def test_stratified_ate_sign_flip_and_constant(spark, rows):
+    """Relabeling treatment/control flips every effect (and the ATE)
+    in sign exactly; a constant outcome gives effect 0 everywhere."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        stratified_ate,
+    )
+
+    df = spark.createDataFrame(rows, "s string, t boolean, y long")
+    fwd = {r["stratum"]: r for r in stratified_ate(df, "s", "t", "y").collect()}
+    flipped = spark.createDataFrame(
+        [(s, not t, y) for s, t, y in rows], "s string, t boolean, y long"
+    )
+    rev = {
+        r["stratum"]: r for r in stratified_ate(flipped, "s", "t", "y").collect()
+    }
+    for s in fwd:
+        assert abs(fwd[s]["effect"] + rev[s]["effect"]) < 2e-4
+        assert abs(fwd[s]["ate"] + rev[s]["ate"]) < 2e-4
+    const = spark.createDataFrame(
+        [(s, t, 7) for s, t, _ in rows], "s string, t boolean, y long"
+    )
+    for r in stratified_ate(const, "s", "t", "y").collect():
+        assert r["effect"] == 0.0 and r["ate"] == 0.0
