@@ -1294,6 +1294,18 @@ _TAIL = (
     #                             cancellation) — seat r14/r15
     #                                               [new r13, no driver row]
     "a33_jackknife_ratio",
+    #   ts_forecast_eval        — naive-1 / seasonal-naive accuracy
+    #                             battery (MAE/RMSE/bias/MASE) over
+    #                             calendar-true RANGE lags; exact
+    #                             integer errors — seat r14/r15
+    #                                               [new r13, no driver row]
+    "ts_forecast_eval",
+    #   linkage_fs_scores       — Fellegi-Sunter linkage scoring over
+    #                             nation-blocked pairs; integer
+    #                             milli-bit weights keep the composite
+    #                             score exact — seat r14/r15
+    #                                               [new r13, no driver row]
+    "linkage_fs_scores",
 )
 
 
@@ -9881,6 +9893,175 @@ def a33_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_forecast_eval",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1, 2
+    ), lagged AS (
+      SELECT g, d, y,
+             MAX(y) OVER (PARTITION BY g ORDER BY d
+                          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+               AS f1,
+             MAX(y) OVER (PARTITION BY g ORDER BY d
+                          RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING)
+               AS fs
+      FROM daily
+    ), ev AS (
+      SELECT g,
+             CAST(y AS HUGEINT) - CAST(f1 AS HUGEINT) AS e1,
+             CAST(y AS HUGEINT) - CAST(fs AS HUGEINT) AS es
+      FROM lagged WHERE f1 IS NOT NULL AND fs IS NOT NULL
+    ), a AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             SUM(ABS(e1)) AS a1, SUM(e1 * e1) AS q1,
+             SUM(ABS(es)) AS asum, SUM(es * es) AS qs,
+             SUM(es) AS bs,
+             CAST(COUNT(*) AS DOUBLE) AS na
+      FROM ev GROUP BY g
+    )
+    SELECT g AS o_orderpriority,
+           n_eval,
+           FLOOR(CAST(a1 AS DOUBLE) / na * 1000000 + 0.5) / 1000000
+             AS mae_naive1,
+           FLOOR(SQRT(CAST(q1 AS DOUBLE) / na) * 1000000 + 0.5) / 1000000
+             AS rmse_naive1,
+           FLOOR(CAST(asum AS DOUBLE) / na * 1000000 + 0.5) / 1000000
+             AS mae_snaive,
+           FLOOR(SQRT(CAST(qs AS DOUBLE) / na) * 1000000 + 0.5) / 1000000
+             AS rmse_snaive,
+           FLOOR(CAST(bs AS DOUBLE) / na * 1000000 + 0.5) / 1000000
+             AS bias_snaive,
+           CASE WHEN CAST(a1 AS DOUBLE) / na > 0
+                THEN FLOOR((CAST(asum AS DOUBLE) / na)
+                           / (CAST(a1 AS DOUBLE) / na)
+                           * 1000000 + 0.5) / 1000000
+                END AS mase_snaive
+    FROM a
+    """,
+)
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (beyond-reference, born r13): forecast-accuracy
+    battery (Hyndman & Koehler 2006) scoring the naive-1 and
+    seasonal-naive(7) baselines on per-priority daily revenue —
+    MAE/RMSE/bias plus MASE, the scale-free headline. Lags are
+    calendar-true RANGE windows on the integer day (a missing day is
+    NULL, never the wrong day), both baselines score the identical
+    day set, and every error is an exact integer cent (decimal(38,0)
+    = HUGEINT accumulators cast BEFORE squaring), so the whole
+    battery is hash-exact. operators/analytics.forecast_eval_naive."""
+    from .operators.analytics import forecast_eval_naive
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("y")
+    )
+    return forecast_eval_naive(
+        daily, ["o_orderpriority"], "d", "y", season=7
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "linkage_fs_scores",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), p AS (
+      SELECT (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4170
+                   WHEN NOT levenshtein(a.c_name, b.c_name) <= 2
+                     THEN -3248
+                   ELSE 0 END
+              + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 2170
+                     WHEN NOT a.c_mktsegment = b.c_mktsegment THEN -3000
+                     ELSE 0 END
+              + CASE WHEN ABS(a.cents - b.cents) < 100000 THEN 3000
+                     WHEN NOT ABS(a.cents - b.cents) < 100000 THEN -2170
+                     ELSE 0 END) AS score
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    ), t AS (
+      SELECT CASE WHEN score >= 6000 THEN 'match'
+                  WHEN score >= 0 THEN 'possible'
+                  ELSE 'non_match' END AS tier,
+             score
+      FROM p
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(score) AS BIGINT) AS total_score,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score,
+           FLOOR(CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS avg_score
+    FROM t GROUP BY tier
+    """,
+)
+def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (beyond-reference, born r13): Fellegi–Sunter
+    probabilistic record-linkage scoring over nation-blocked customer
+    pairs — three fields (name within 2 edits, segment equality,
+    account balance within $1000) with integer MILLI-BIT
+    log-likelihood weights (fs_weights(0.9,0.05)/(0.9,0.2)/(0.8,0.1)
+    → literals stated identically in the oracle), so every pair
+    score is an exact integer and the tier aggregate is hash-exact.
+    The principled scoring layer the edit-distance fuzzy joins feed.
+    operators/fuzzy.fs_linkage_scores."""
+    from .operators.fuzzy import fs_linkage_scores
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    fields = [
+        (
+            "name",
+            F.levenshtein(F.col("c_name_a"), F.col("c_name_b")) <= 2,
+            4170,
+            -3248,
+        ),
+        (
+            "segment",
+            F.col("c_mktsegment_a") == F.col("c_mktsegment_b"),
+            2170,
+            -3000,
+        ),
+        (
+            "acct",
+            F.abs(F.col("cents_a") - F.col("cents_b")) < 100000,
+            3000,
+            -2170,
+        ),
+    ]
+    return fs_linkage_scores(
+        c,
+        "c_custkey",
+        ["c_nationkey"],
+        fields,
+        match_threshold=6000,
+        possible_threshold=0,
+    ).orderBy("tier")
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -10026,6 +10207,8 @@ OPERATOR_MAP = {
     "A32": ["a32_mutual_information"],  # born r13: MI/entropy dependence screen
     "Causal-ATE": ["ab_ate_stratified"],  # born r13: subclassification estimator
     "A33": ["a33_jackknife_ratio"],  # born r13: jackknife SE for ratio metrics
+    "Forecast-eval": ["ts_forecast_eval"],  # born r13: MAE/RMSE/MASE battery
+    "FS-linkage": ["linkage_fs_scores"],  # born r13: probabilistic record linkage
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
     "Bootstrap": ["bootstrap_ci_orders"],  # born r12: Poisson-bootstrap CI

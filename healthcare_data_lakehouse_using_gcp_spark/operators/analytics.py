@@ -3174,3 +3174,114 @@ def jackknife_ratio_se(
         round_det(F.col("__r") - F.lit(z) * se, digits).alias("ci_lo"),
         round_det(F.col("__r") + F.lit(z) * se, digits).alias("ci_hi"),
     )
+
+
+def forecast_eval_naive(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    season: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Forecast-accuracy battery for per-series baselines — the
+    evaluation half every time-series pipeline needs before any model
+    claim means anything (Hyndman & Koehler 2006, "Another look at
+    measures of forecast accuracy"). Input is SERIES grain (one row
+    per group × integer day); two standard baselines are scored on
+    every day where their lag exists: naive-1 (yesterday's value)
+    and seasonal-naive (the value ``season`` days back). Emits per
+    group: n_eval, MAE/RMSE for both baselines, the seasonal
+    baseline's mean error (bias), and MASE — the scale-free headline
+    (seasonal MAE / naive-1 MAE; < 1 means seasonality helps) that
+    makes series of different magnitude comparable.
+
+    Lags are CALENDAR-true RANGE-frame windows on the integer day
+    (range between N preceding and N preceding), not row lags — a
+    missing day yields NULL, never silently the wrong day's value.
+    Evaluation is restricted to days where BOTH lags exist so the
+    two baselines are scored on the identical day set (otherwise
+    MASE compares different samples and lies).
+
+    Exactness: with an integral value column every error is an exact
+    integer; absolute/squared errors accumulate as decimal(38,0)
+    (= DuckDB HUGEINT), so MAE/RMSE/MASE are deterministic scalar
+    arithmetic on exact integers — hash-exact cross-engine, no
+    reassociation window. Fail-loud when no group has a single
+    evaluable day (wrong day/season unit diagnosis beats 0 rows).
+
+    Scale design (100 TB): the input is the |groups|·|days| rollup
+    (the caller aggregates raw events first — one data-proportional
+    shuffle there); here it is two keyed RANGE windows over that
+    rollup and ONE final hash agg. No joins, no global sort."""
+    from ..functions.scalars import round_det
+
+    group_cols = list(group_cols)
+    if season < 2:
+        raise ValueError(f"season must be >= 2, got {season}")
+    day = F.col(day_col).cast("long")
+    base = df.select(
+        *group_cols, day.alias("__d"), F.col(value_col).alias("__y")
+    ).where(F.col("__y").isNotNull())
+    w1 = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__d")
+        .rangeBetween(-1, -1)
+    )
+    ws = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__d")
+        .rangeBetween(-season, -season)
+    )
+    lagged = base.select(
+        "*",
+        F.max("__y").over(w1).alias("__f1"),
+        F.max("__y").over(ws).alias("__fs"),
+    ).where(F.col("__f1").isNotNull() & F.col("__fs").isNotNull())
+
+    vt = df.schema[value_col].dataType.typeName()
+    exact = vt in ("byte", "short", "integer", "long")
+
+    def _acc(c):
+        return c.cast("decimal(38,0)") if exact else c.cast("double")
+
+    # cast each error BEFORE squaring — a large daily-cents diff
+    # squared in BIGINT would wrap before any post-hoc widening
+    e1 = _acc(F.col("__y") - F.col("__f1"))
+    es = _acc(F.col("__y") - F.col("__fs"))
+    agg = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(e1)).alias("__a1"),
+        F.sum(e1 * e1).alias("__q1"),
+        F.sum(F.abs(es)).alias("__as"),
+        F.sum(es * es).alias("__qs"),
+        F.sum(es).alias("__bs"),
+    )
+    if agg.where(F.col("n_eval") > 0).first() is None:
+        raise ValueError(
+            "forecast_eval_naive: no group has a single day where both "
+            f"the 1-day and {season}-day lags exist — check that "
+            f"{day_col!r} is an integer DAY number and the series spans "
+            f"more than {season} days"
+        )
+    na = F.col("n_eval").cast("double")
+    mae1 = F.col("__a1").cast("double") / na
+    maes = F.col("__as").cast("double") / na
+    return agg.select(
+        *group_cols,
+        "n_eval",
+        round_det(mae1, digits).alias("mae_naive1"),
+        round_det(
+            F.sqrt(F.col("__q1").cast("double") / na), digits
+        ).alias("rmse_naive1"),
+        round_det(maes, digits).alias("mae_snaive"),
+        round_det(
+            F.sqrt(F.col("__qs").cast("double") / na), digits
+        ).alias("rmse_snaive"),
+        round_det(F.col("__bs").cast("double") / na, digits).alias(
+            "bias_snaive"
+        ),
+        F.when(mae1 > 0, round_det(maes / mae1, digits)).alias(
+            "mase_snaive"
+        ),
+    )

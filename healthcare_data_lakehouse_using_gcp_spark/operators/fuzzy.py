@@ -126,3 +126,110 @@ def fuzzy_join(
             "distance",
         )
     )
+
+
+def fs_weights(m: float, u: float, scale: int = 1000) -> tuple[int, int]:
+    """Fellegi–Sunter field weights as INTEGER milli-bits:
+    agreement weight log2(m/u), disagreement weight
+    log2((1−m)/(1−u)), each scaled by ``scale`` and rounded ONCE to
+    an integer literal. Integer weights make every pair's composite
+    score an exact integer — order-independent, hash-exact across
+    engines — while losing nothing practical (0.001-bit resolution).
+    m = P(field agrees | pair is a true match), u = P(agrees | pair
+    is a non-match); requires 0 < u < m < 1 (agreement must be MORE
+    likely among matches, else the field's evidence is inverted)."""
+    import math
+
+    if not (0.0 < u < m < 1.0):
+        raise ValueError(
+            f"fs_weights: need 0 < u < m < 1, got m={m}, u={u} — m is "
+            "P(agree | match), u is P(agree | non-match)"
+        )
+    wa = round(scale * math.log2(m / u))
+    wd = round(scale * math.log2((1.0 - m) / (1.0 - u)))
+    return wa, wd
+
+
+def fs_linkage_scores(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple[str, "F.Column", int, int]],
+    match_threshold: int,
+    possible_threshold: int,
+    digits: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    JASA 1969) — the principled scoring layer above blocking/fuzzy
+    candidate generation: each candidate pair accumulates per-field
+    log-likelihood-ratio weights (agreement → log2(m/u), disagreement
+    → log2((1−m)/(1−u)), missing → 0: no evidence either way) and is
+    classified match / possible / non_match by the two thresholds.
+
+    ``fields`` is a list of (name, agreement Column over the
+    suffixed pair frame, w_agree, w_disagree) — build agreement
+    expressions against columns renamed ``<col>_a`` / ``<col>_b``,
+    and take the integer milli-bit weights from ``fs_weights`` so the
+    composite score is an EXACT integer (hash-exact cross-engine; a
+    float weight sum would be reassociation-ordered).
+
+    Output per tier: n_pairs, total/min/max score and the exact-ratio
+    mean score — the review-queue sizing numbers (how many pairs land
+    in the clerical-review band) rather than the raw pair dump.
+
+    Scale design (100 TB): candidate pairs come from an EQUI-join on
+    the blocking key (Catalyst extracts the equality conjuncts;
+    pairs materialize only within blocks — the fuzzy_self_join
+    discipline; a hot block is ordinary join skew: AQE split or
+    salt). Per-pair scoring is pure Column arithmetic in the join's
+    output stage; ONE final hash agg to ≤3 tier rows. The id_a <
+    id_b residual keeps each unordered pair once."""
+    from functools import reduce as _reduce
+
+    from ..functions.scalars import round_det
+
+    if not block_cols:
+        raise ValueError(
+            "fs_linkage_scores: blocking columns are required — an "
+            "unblocked self-join is the O(n²) pair space this operator "
+            "exists to avoid"
+        )
+    a = df.select([F.col(c).alias(f"{c}_a") for c in df.columns])
+    b = df.select([F.col(c).alias(f"{c}_b") for c in df.columns])
+    cond = _reduce(
+        lambda x, y: x & y,
+        [F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols],
+    ) & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    pairs = a.join(b, on=cond)
+    score = F.lit(0).cast("bigint")
+    for name, agree, wa, wd in fields:
+        score = score + (
+            F.when(agree, F.lit(int(wa)))
+            .when(~agree, F.lit(int(wd)))
+            .otherwise(F.lit(0))  # NULL agreement: no evidence
+            .cast("bigint")
+        )
+    scored = pairs.select(score.alias("__score"))
+    tier = (
+        F.when(F.col("__score") >= match_threshold, "match")
+        .when(F.col("__score") >= possible_threshold, "possible")
+        .otherwise("non_match")
+    )
+    agg = scored.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__score").alias("__total"),
+        F.min("__score").alias("min_score"),
+        F.max("__score").alias("max_score"),
+    )
+    return agg.select(
+        "tier",
+        "n_pairs",
+        F.col("__total").cast("bigint").alias("total_score"),
+        "min_score",
+        "max_score",
+        round_det(
+            F.col("__total").cast("double")
+            / F.col("n_pairs").cast("double"),
+            digits,
+        ).alias("avg_score"),
+    )

@@ -2476,3 +2476,99 @@ def test_jackknife_plan_broadcast_join_no_window(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------
+# forecast_eval_naive (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_forecast_eval_hand_computed(spark):
+    """Hand-computed MAE/RMSE/MASE on a 10-day series with one gap:
+    calendar-true lags mean the day after the gap has no naive-1
+    forecast and drops out of the eval set entirely."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        forecast_eval_naive,
+    )
+
+    # days 0..10 with day 5 missing; season=3 for compactness
+    series = {0: 10, 1: 12, 2: 9, 3: 15, 4: 11, 6: 14, 7: 8, 8: 13, 9: 7, 10: 16}
+    df = spark.createDataFrame(
+        [("g", d, y) for d, y in series.items()], "g string, d long, y long"
+    )
+    out = forecast_eval_naive(df, ["g"], "d", "y", season=3).collect()[0]
+    ev = [
+        d for d in series
+        if (d - 1) in series and (d - 3) in series
+    ]
+    e1 = [series[d] - series[d - 1] for d in ev]
+    es = [series[d] - series[d - 3] for d in ev]
+    n = len(ev)
+    mae1 = sum(abs(e) for e in e1) / n
+    maes = sum(abs(e) for e in es) / n
+    assert out["n_eval"] == n
+    assert abs(out["mae_naive1"] - mae1) < 1e-6
+    assert abs(out["mae_snaive"] - maes) < 1e-6
+    assert abs(out["rmse_snaive"] - math.sqrt(sum(e * e for e in es) / n)) < 1e-6
+    assert abs(out["bias_snaive"] - sum(es) / n) < 1e-6
+    assert abs(out["mase_snaive"] - maes / mae1) < 1e-5
+
+
+def test_forecast_eval_contracts(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        forecast_eval_naive,
+    )
+
+    # constant series: mae1 = 0 → MASE NULL (not a division blowup)
+    const = spark.createDataFrame(
+        [("g", d, 5) for d in range(10)], "g string, d long, y long"
+    )
+    r = forecast_eval_naive(const, ["g"], "d", "y", season=3).collect()[0]
+    assert r["mae_naive1"] == 0.0 and r["mase_snaive"] is None
+    # series shorter than the season: nothing evaluable → fail loud
+    short = spark.createDataFrame(
+        [("g", d, 5) for d in range(3)], "g string, d long, y long"
+    )
+    with _pytest.raises(ValueError, match="no group has a single day"):
+        forecast_eval_naive(short, ["g"], "d", "y", season=7)
+    with _pytest.raises(ValueError, match="season"):
+        forecast_eval_naive(const, ["g"], "d", "y", season=1)
+    # NULL group key is a real group; NULL values excluded
+    ng = spark.createDataFrame(
+        [(None, d, 5 + d) for d in range(10)] + [(None, 4, None)],
+        "g string, d long, y long",
+    )
+    rows = forecast_eval_naive(ng.where("y is not null or y is null"),
+                               ["g"], "d", "y", season=3).collect()
+    assert len(rows) == 1 and rows[0]["g"] is None
+
+
+def test_forecast_eval_plan_keyed_windows_no_join(spark):
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        forecast_eval_naive,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i // 3, (i * 7) % 23) for i in range(90)],
+        "g string, d long, y long",
+    )
+    qe = forecast_eval_naive(df, ["g"], "d", "y")._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Join" not in plan, plan
+    sp = qe.sparkPlan()
+    # both RANGE windows keyed by g
+    names = []
+    stack = [sp]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "WindowExec":
+            assert not node.partitionSpec().isEmpty(), "unpartitioned window"
+            names.append(1)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert names, "no WindowExec found"

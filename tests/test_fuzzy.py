@@ -101,3 +101,98 @@ def test_variant_fanout_is_linear(spark):
         F.size(fuzzy.deletion_variants_col("s", 2)).alias("n")
     ).first()["n"]
     assert 7 < n2 <= 1 + 6 + 15  # ≤ len choose 2 extra keys
+
+
+# ---------------------------------------------------------------------
+# Fellegi-Sunter linkage scoring (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_fs_weights_math_and_contracts():
+    import math
+
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.fuzzy import fs_weights
+
+    wa, wd = fs_weights(0.9, 0.05)
+    assert wa == round(1000 * math.log2(0.9 / 0.05)) == 4170
+    assert wd == round(1000 * math.log2(0.1 / 0.95)) == -3248
+    # inverted evidence must fail loud
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_weights(0.2, 0.9)
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_weights(1.0, 0.5)
+
+
+def test_fs_linkage_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.fuzzy import (
+        fs_linkage_scores,
+    )
+
+    rows = [
+        (1, "blk", "anna", "X"),
+        (2, "blk", "annb", "X"),   # name agrees (lev 1), seg agrees
+        (3, "blk", "zzzz", "Y"),   # nothing agrees with 1/2
+        (4, "other", "anna", "X"),  # different block: never paired with 1
+        (5, "blk", "annc", None),  # NULL segment: no evidence
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string, seg string")
+    fields = [
+        ("name", F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1, 100, -50),
+        ("seg", F.col("seg_a") == F.col("seg_b"), 30, -20),
+    ]
+    out = {
+        r["tier"]: r
+        for r in fs_linkage_scores(
+            df, "id", ["blk"], fields, match_threshold=100, possible_threshold=0
+        ).collect()
+    }
+    # pairs within blk: (1,2)=130, (1,3)=-70, (2,3)=-70, (1,5)=100+0,
+    # (2,5)=100+0, (3,5)=-50+0
+    assert out["match"]["n_pairs"] == 3
+    assert out["match"]["total_score"] == 130 + 100 + 100
+    assert out["match"]["max_score"] == 130
+    assert out["non_match"]["n_pairs"] == 3
+    assert out["non_match"]["total_score"] == -70 - 70 - 50
+    assert "possible" not in out
+    # avg is the exact ratio
+    assert abs(out["match"]["avg_score"] - 330 / 3) < 1e-6
+
+
+def test_fs_linkage_requires_blocking(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.fuzzy import (
+        fs_linkage_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError, match="blocking"):
+        fs_linkage_scores(df, "id", [], [], 1, 0)
+
+
+def test_fs_linkage_plan_equi_join_on_block(spark):
+    """Catalyst must extract the block equality as the join key — the
+    pair space materializes per block, never as a cartesian."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.fuzzy import (
+        fs_linkage_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "b%d" % (i % 4), "n%d" % i) for i in range(40)],
+        "id long, blk string, name string",
+    )
+    fields = [("name", F.col("name_a") == F.col("name_b"), 10, -5)]
+    plan = (
+        fs_linkage_scores(df, "id", ["blk"], fields, 10, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
