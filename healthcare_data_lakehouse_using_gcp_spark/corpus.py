@@ -1306,6 +1306,17 @@ _TAIL = (
     #                             score exact — seat r14/r15
     #                                               [new r13, no driver row]
     "linkage_fs_scores",
+    #   ab_msprt_always_valid   — anytime-valid sequential monitoring
+    #                             (mixture SPRT in log space; running
+    #                             stats bit-aligned via shared prefix
+    #                             order) — seat r14/r15
+    #                                               [new r13, no driver row]
+    "ab_msprt_always_valid",
+    #   audit_capture_recapture — Chapman capture-recapture coverage
+    #                             audit from two independent md5
+    #                             samplers; exact-integer arithmetic
+    #                             — seat r14/r15 [new r13, no driver row]
+    "audit_capture_recapture",
 )
 
 
@@ -10062,6 +10073,196 @@ def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tier")
 
 
+@query(
+    "ab_msprt_always_valid",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             )::BIGINT % 2 = 0 AS t,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS yc
+      FROM orders
+    ), daily AS (
+      SELECT g, d,
+             COUNT(*) FILTER (WHERE t) AS na,
+             COUNT(*) FILTER (WHERE NOT t) AS nb,
+             SUM(CAST(yc AS HUGEINT)) FILTER (WHERE t) AS sa,
+             SUM(CAST(yc AS HUGEINT)) FILTER (WHERE NOT t) AS sb
+      FROM r GROUP BY g, d
+    ), diffs AS (
+      SELECT g, d,
+             CAST(FLOOR(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                        + 0.5) AS BIGINT) AS x
+      FROM daily WHERE na > 0 AND nb > 0
+    ), st AS (
+      SELECT g,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS tsx,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                  AS DOUBLE) AS tsxx
+      FROM diffs GROUP BY g
+    ), s2t AS (
+      SELECT g, (tsxx - tsx * tsx / nn) / (nn - 1) AS s2 FROM st
+    ), cum AS (
+      SELECT diffs.g, d, s2,
+             COUNT(*) OVER (PARTITION BY diffs.g ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS n,
+             SUM(CAST(x AS HUGEINT))
+               OVER (PARTITION BY diffs.g ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS sx
+      FROM diffs JOIN s2t ON diffs.g = s2t.g
+    ), ll AS (
+      SELECT g, d, n, s2,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS dbar,
+             0.5 * LN(s2 / (s2 + CAST(n AS DOUBLE) * 100000000.0))
+               + (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 100000000.0)
+                 / (2.0 * s2 * (s2 + CAST(n AS DOUBLE) * 100000000.0))
+               AS log_lambda
+      FROM cum
+    ), mx AS (
+      SELECT g, d, n, dbar, log_lambda,
+             MAX(log_lambda) OVER (PARTITION BY g ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS m
+      FROM ll
+    )
+    SELECT g AS o_orderpriority,
+           d AS period,
+           CAST(n AS BIGINT) AS n,
+           FLOOR(dbar * 1000000 + 0.5) / 1000000 AS cum_mean_diff,
+           FLOOR(log_lambda * 1000000 + 0.5) / 1000000 AS log_lambda,
+           FLOOR(LEAST(1.0, EXP(-m)) * 1000000 + 0.5) / 1000000
+             AS p_always_valid,
+           m > 2.995732273553991 AS rejected
+    FROM mx
+    """,
+)
+def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation (beyond-reference, born r13): always-valid
+    sequential monitoring (mixture SPRT — Johari et al., KDD 2017)
+    of the daily md5-parity arm-mean difference per priority class.
+    The full per-day monitoring series — cumulative mean delta,
+    log Λ, the anytime-valid p-value, and the α=0.05 rejection flag
+    (threshold −ln 0.05 stated as the same literal in the oracle).
+    Cumulative window sums follow the SAME prefix order on both
+    engines so the running statistics are bit-aligned; σ² uses the
+    written-out moment formula, never var_samp (different algorithms
+    across engines). h = (1000 dollars)² in cents².
+    operators/analytics.msprt_always_valid."""
+    from .operators.analytics import msprt_always_valid
+    from .operators.text import _hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("bigint").alias("d"),
+        )
+        .agg(
+            F.count(F.when(_hash_bucket("o_orderkey", 2) == 0, 1)).alias("na"),
+            F.count(F.when(_hash_bucket("o_orderkey", 2) != 0, 1)).alias("nb"),
+            F.sum(
+                F.when(_hash_bucket("o_orderkey", 2) == 0, cents)
+            ).cast("decimal(38,0)").alias("sa"),
+            F.sum(
+                F.when(_hash_bucket("o_orderkey", 2) != 0, cents)
+            ).cast("decimal(38,0)").alias("sb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "o_orderpriority",
+            "d",
+            # quantize the daily diff to WHOLE CENTS: an integral
+            # diff series takes the operator's exact decimal
+            # accumulation path, which is what keeps the cumulative
+            # stats order-independent across engines (DuckDB windows
+            # sum via segment trees, Spark via prefix scans)
+            F.floor(
+                F.col("sa").cast("double") / F.col("na").cast("double")
+                - F.col("sb").cast("double") / F.col("nb").cast("double")
+                + F.lit(0.5)
+            ).cast("bigint").alias("x"),
+        )
+    )
+    return msprt_always_valid(
+        daily, ["o_orderpriority"], "d", "x", mixture_h=1e8, alpha=0.05
+    ).orderBy("o_orderpriority", "period")
+
+
+@query(
+    "audit_capture_recapture",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT % 10000 < 3000 AS in_a,
+             ('0x' || substr(md5('b§' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT % 10000 < 2500 AS in_b
+      FROM documents
+    ), a AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE in_b) AS BIGINT) AS n_b,
+             CAST(COUNT(*) FILTER (WHERE in_a AND in_b) AS BIGINT)
+               AS m_overlap,
+             CAST(COUNT(*) FILTER (WHERE in_a OR in_b) AS BIGINT)
+               AS n_union
+      FROM f
+    ), d AS (
+      SELECT *,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(m_overlap AS DOUBLE) AS m
+      FROM a
+    ), e AS (
+      SELECT *,
+             (na + 1) * (nb + 1) / (m + 1) - 1 AS n_hat,
+             SQRT((na + 1) * (nb + 1) * (na - m) * (nb - m)
+                  / ((m + 1) * (m + 1) * (m + 2))) AS se
+      FROM d
+    )
+    SELECT n_a, n_b, m_overlap, n_union,
+           FLOOR(n_hat * 10000 + 0.5) / 10000 AS n_estimated,
+           FLOOR(se * 10000 + 0.5) / 10000 AS se,
+           FLOOR((n_hat - 1.959964 * se) * 10000 + 0.5) / 10000 AS ci_lo,
+           FLOOR((n_hat + 1.959964 * se) * 10000 + 0.5) / 10000 AS ci_hi,
+           FLOOR(m / nb * 1000000 + 0.5) / 1000000 AS capture_rate_a,
+           FLOOR(m / na * 1000000 + 0.5) / 1000000 AS capture_rate_b
+    FROM e
+    """,
+)
+def audit_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline auditing (beyond-reference, born r13): Chapman
+    capture–recapture estimate of the documents population from two
+    INDEPENDENT md5 samplers (30% on md5(id), 25% on md5('b§'+id)) —
+    the coverage-audit trick that sizes a full pipeline pass (total
+    duplicates, PII hits) from two cheap samples. N̂ should bracket
+    the true document count; every output is exact-integer
+    arithmetic. operators/analytics.capture_recapture_estimate."""
+    from .operators.analytics import capture_recapture_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    bucket_a = (
+        F.conv(F.substring(F.md5(ids), 1, 8), 16, 10).cast("bigint") % 10000
+    )
+    bucket_b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b§"), ids)), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10000
+    )
+    return capture_recapture_estimate(
+        d, "doc_id", bucket_a < 3000, bucket_b < 2500
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -10209,6 +10410,8 @@ OPERATOR_MAP = {
     "A33": ["a33_jackknife_ratio"],  # born r13: jackknife SE for ratio metrics
     "Forecast-eval": ["ts_forecast_eval"],  # born r13: MAE/RMSE/MASE battery
     "FS-linkage": ["linkage_fs_scores"],  # born r13: probabilistic record linkage
+    "mSPRT": ["ab_msprt_always_valid"],  # born r13: anytime-valid p-values
+    "Capture-recapture": ["audit_capture_recapture"],  # born r13: coverage audit
     "Skyline": ["skyline_parts", "skyline_parts_3d"],  # born r12: Pareto fronts (2-D window scan; d>2 two-phase)
     "Hierarchy": ["hierarchy_roots"],  # born r12: pointer-doubling flatten
     "Bootstrap": ["bootstrap_ci_orders"],  # born r12: Poisson-bootstrap CI

@@ -3285,3 +3285,232 @@ def forecast_eval_naive(
             "mase_snaive"
         ),
     )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    diff_col: str,
+    mixture_h: float = 1.0,
+    alpha: float = 0.05,
+    digits: int = 6,
+) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT) on a per-period
+    difference series — the inference that lets an experiment be
+    PEEKED AT every day without inflating false positives (Johari,
+    Koomen, Pekelis & Walsh, KDD 2017, "Peeking at A/B Tests"; Robbins
+    1970). Input is series grain: one row per group × integer period
+    carrying that period's observed difference (e.g. the daily
+    arm-mean delta). For each prefix length n with cumulative mean
+    difference δ̄_n and plug-in per-period variance σ², the normal
+    mixture-SPRT likelihood ratio against H0: δ = 0 is
+
+        log Λ_n = ½·ln(σ² / (σ² + n·h)) + n²·δ̄²·h / (2σ²(σ² + n·h))
+
+    and the ALWAYS-VALID p-value is p_n = min(1, exp(−max_{s≤n}
+    log Λ_s)) — monotone non-increasing, valid at every stopping
+    time. Emits the full monitoring series per group: (period, n,
+    cum_mean_diff, log_lambda, p_always_valid, rejected at
+    ``alpha``) — the dashboard column a daily experiment readout
+    needs.
+
+    σ² is the plug-in FULL-SERIES empirical variance per group (the
+    standard pragmatic choice for retrospective monitoring;
+    substitute a pre-registered σ² upstream by passing a constant
+    column if the analysis is prospective — the statistic's form is
+    unchanged). Computed in one hash agg and broadcast back
+    (|groups|-sized build side). Working in LOG space keeps Λ finite
+    where exp would overflow to inf.
+
+    Fail-loud: groups with < 2 periods or zero variance (constant
+    diff series — σ²=0 makes the statistic undefined) raise with the
+    group named. NULL diffs are excluded; a NULL group key is a real
+    group.
+
+    Scale design (100 TB): the input is the |groups|·|periods|
+    rollup (caller aggregates raw events first); here it is one hash
+    agg (σ²), one broadcast join, and TWO keyed cumulative windows
+    (running sums, then running max of log Λ). No global sort, no
+    data-proportional collect."""
+    import math as _math
+
+    from ..functions.scalars import round_det
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if mixture_h <= 0:
+        raise ValueError(f"mixture_h must be positive, got {mixture_h}")
+    group_cols = list(group_cols)
+    # INTEGRAL diff series accumulate as decimal(38,0): exact sums
+    # are order-INDEPENDENT, which matters doubly here — DuckDB
+    # evaluates windowed aggregates with a segment tree whose
+    # summation order differs from Spark's prefix accumulation, so
+    # cumulative DOUBLE sums drift by last ulps across engines
+    # (observed as 1e-6-boundary flips at sf0.1). Quantize a float
+    # diff to its natural integer unit upstream (e.g. whole cents)
+    # to get the hash-exact path; float inputs keep double sums with
+    # that caveat.
+    vt = df.schema[diff_col].dataType.typeName()
+    exact = vt in ("byte", "short", "integer", "long")
+    xacc = (
+        F.col(diff_col).cast("decimal(38,0)")
+        if exact
+        else F.col(diff_col).cast("double")
+    )
+    base = df.where(F.col(diff_col).isNotNull()).select(
+        *group_cols,
+        F.col(day_col).cast("long").alias("__d"),
+        xacc.alias("__x"),
+    )
+    # explicit moment formula, NOT var_samp: Spark's Welford-style
+    # aggregate and DuckDB's variance are different algorithms with
+    # different rounding — the written-out (Σx² − (Σx)²/n)/(n−1) is
+    # the same IEEE expression on both engines (ulp-tight, the
+    # a22_welch_ttest discipline)
+    stats = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nn"),
+        F.sum("__x").alias("__tsx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__tsxx"),
+    )
+    nnd = F.col("__nn").cast("double")
+    # cast the (possibly exact-decimal) sums to double BEFORE the
+    # moment arithmetic so the expression is the same IEEE chain the
+    # oracle writes out
+    tsxd = F.col("__tsx").cast("double")
+    tsxxd = F.col("__tsxx").cast("double")
+    stats = stats.withColumn(
+        "__s2",
+        F.when(F.col("__nn") > 1, (tsxxd - tsxd * tsxd / nnd) / (nnd - 1)),
+    )
+    bad = stats.where(
+        (F.col("__nn") < 2) | (F.col("__s2") <= 0) | F.col("__s2").isNull()
+    ).first()
+    if bad is not None:
+        raise ValueError(
+            f"msprt_always_valid: group "
+            f"{[bad[c] for c in group_cols]!r} has n={bad['__nn']} "
+            f"periods and variance {bad['__s2']!r} — the statistic "
+            "needs ≥2 periods and a non-constant diff series"
+        )
+    a = base.alias("__p")
+    b = stats.alias("__s")
+    cond = None
+    for c in group_cols:
+        t = F.col(f"__p.{c}").eqNullSafe(F.col(f"__s.{c}"))
+        cond = t if cond is None else cond & t
+    joined = a.join(F.broadcast(b), on=cond, how="inner").select(
+        *[F.col(f"__p.{c}").alias(c) for c in group_cols],
+        "__d",
+        "__x",
+        F.col("__s.__s2").alias("__s2"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.select(
+        *group_cols,
+        "__d",
+        "__s2",
+        F.count(F.lit(1)).over(w_cum).alias("__n"),
+        F.sum("__x").over(w_cum).alias("__sx"),
+    )
+    n = F.col("__n").cast("double")
+    dbar = F.col("__sx").cast("double") / n
+    h = F.lit(float(mixture_h))
+    s2 = F.col("__s2")
+    log_lam = F.lit(0.5) * F.log(s2 / (s2 + n * h)) + (
+        n * n * dbar * dbar * h
+    ) / (F.lit(2.0) * s2 * (s2 + n * h))
+    scored = cum.withColumn("__ll", log_lam).withColumn(
+        "__mx", F.max("__ll").over(w_cum)
+    )
+    p = F.least(F.lit(1.0), F.exp(-F.col("__mx")))
+    thresh = F.lit(-_math.log(alpha))
+    return scored.select(
+        *group_cols,
+        F.col("__d").alias("period"),
+        F.col("__n").alias("n"),
+        round_det(dbar, digits).alias("cum_mean_diff"),
+        round_det(F.col("__ll"), digits).alias("log_lambda"),
+        round_det(p, digits).alias("p_always_valid"),
+        (F.col("__mx") > thresh).alias("rejected"),
+    )
+
+
+def capture_recapture_estimate(
+    df: DataFrame,
+    id_col: str,
+    in_a: "F.Column",
+    in_b: "F.Column",
+    digits: int = 4,
+) -> DataFrame:
+    """Chapman capture–recapture population estimate (Chapman 1951;
+    the bias-corrected Lincoln–Petersen index) from two independent
+    "capture" samplers over the same population:
+    N̂ = (n_a + 1)(n_b + 1)/(m + 1) − 1, with m = |A ∩ B|. The
+    data-engineering use: AUDIT coverage of an expensive pipeline
+    stage (how many duplicates / PII hits / near-matches exist IN
+    TOTAL?) from two cheap independent samples — e.g. two disjoint
+    md5-bucket samplers each reporting what they caught — without
+    running the exhaustive pass. Also emits the ~95% interval via
+    Chapman's variance estimate and the two capture rates.
+
+    One hash aggregation of four conditional counts; every output is
+    deterministic scalar arithmetic on exact integers — hash-exact.
+    Fail-loud when the overlap m is 0 (independence or coverage
+    assumptions are broken badly enough that the estimate is
+    meaningless) and when either sample is empty.
+
+    Scale design (100 TB): ONE map-side-combined aggregation to a
+    single row; the samplers themselves are the caller's (narrow
+    md5-bucket filters in the scan stage)."""
+    from ..functions.scalars import round_det
+
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.count(F.when(in_a & in_b, 1)).alias("m_overlap"),
+        F.count(F.when(in_a | in_b, 1)).alias("n_union"),
+    )
+    row = agg.first()
+    if row["n_a"] == 0 or row["n_b"] == 0:
+        raise ValueError(
+            f"capture_recapture_estimate: empty capture sample "
+            f"(n_a={row['n_a']}, n_b={row['n_b']}) — both samplers must "
+            "catch at least one unit"
+        )
+    if row["m_overlap"] == 0:
+        raise ValueError(
+            "capture_recapture_estimate: zero overlap between the two "
+            "samples — the estimate is unbounded; the samplers are not "
+            "covering the same population (or it is far larger than "
+            "either sample)"
+        )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    m = F.col("m_overlap").cast("double")
+    n_hat = (na + 1) * (nb + 1) / (m + 1) - 1
+    var = (
+        (na + 1)
+        * (nb + 1)
+        * (na - m)
+        * (nb - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    se = F.sqrt(var)
+    z = 1.959964
+    return agg.select(
+        "n_a",
+        "n_b",
+        "m_overlap",
+        "n_union",
+        round_det(n_hat, digits).alias("n_estimated"),
+        round_det(se, digits).alias("se"),
+        round_det(n_hat - F.lit(z) * se, digits).alias("ci_lo"),
+        round_det(n_hat + F.lit(z) * se, digits).alias("ci_hi"),
+        round_det(m / nb, 6).alias("capture_rate_a"),
+        round_det(m / na, 6).alias("capture_rate_b"),
+    )

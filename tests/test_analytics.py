@@ -2572,3 +2572,127 @@ def test_forecast_eval_plan_keyed_windows_no_join(spark):
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     assert names, "no WindowExec found"
+
+
+# ---------------------------------------------------------------------
+# msprt_always_valid + capture_recapture_estimate (born r13)
+# ---------------------------------------------------------------------
+
+
+def test_msprt_matches_independent_replication(spark):
+    """Python replication of the log-Λ recursion over a hand-built
+    diff series; the p-value must be monotone non-increasing."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        msprt_always_valid,
+    )
+
+    xs = [3, -1, 4, 1, -5, 9, 2, -6, 5, 3]
+    df = spark.createDataFrame(
+        [("g", d, x) for d, x in enumerate(xs)], "g string, d long, x long"
+    )
+    h = 4.0
+    out = msprt_always_valid(
+        df, ["g"], "d", "x", mixture_h=h, alpha=0.1
+    ).orderBy("period").collect()
+    n_all = len(xs)
+    mu = sum(xs) / n_all
+    s2 = sum((v - mu) ** 2 for v in xs) / (n_all - 1)
+    run_max, prev_p = None, 1.0
+    for i, r in enumerate(out):
+        n = i + 1
+        dbar = sum(xs[: i + 1]) / n
+        ll = 0.5 * math.log(s2 / (s2 + n * h)) + (
+            n * n * dbar * dbar * h
+        ) / (2 * s2 * (s2 + n * h))
+        run_max = ll if run_max is None else max(run_max, ll)
+        p = min(1.0, math.exp(-run_max))
+        assert r["n"] == n
+        assert abs(r["log_lambda"] - ll) < 1e-5
+        assert abs(r["p_always_valid"] - p) < 1e-5
+        assert r["p_always_valid"] <= prev_p + 1e-9  # anytime-valid: monotone
+        prev_p = r["p_always_valid"]
+        assert r["rejected"] == (run_max > -math.log(0.1))
+
+
+def test_msprt_fail_loud_contracts(spark):
+    import pytest as _pytest
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        msprt_always_valid,
+    )
+
+    const = spark.createDataFrame(
+        [("g", d, 5) for d in range(10)], "g string, d long, x long"
+    )
+    with _pytest.raises(ValueError, match="non-constant"):
+        msprt_always_valid(const, ["g"], "d", "x")
+    one = spark.createDataFrame([("g", 0, 5)], "g string, d long, x long")
+    with _pytest.raises(ValueError, match="non-constant"):
+        msprt_always_valid(one, ["g"], "d", "x")
+    ok = spark.createDataFrame(
+        [("g", d, d % 3) for d in range(9)], "g string, d long, x long"
+    )
+    with _pytest.raises(ValueError, match="alpha"):
+        msprt_always_valid(ok, ["g"], "d", "x", alpha=2.0)
+    with _pytest.raises(ValueError, match="mixture_h"):
+        msprt_always_valid(ok, ["g"], "d", "x", mixture_h=0.0)
+    # NULL group key is a real group
+    ng = spark.createDataFrame(
+        [(None, d, d % 3) for d in range(9)], "g string, d long, x long"
+    )
+    assert msprt_always_valid(ng, ["g"], "d", "x").count() == 9
+
+
+def test_msprt_under_true_effect_rejects(spark):
+    """A large persistent shift must drive the always-valid p below
+    alpha (power sanity, not a tuned threshold)."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        msprt_always_valid,
+    )
+
+    xs = [100 + (d % 5) for d in range(60)]  # strong positive effect
+    df = spark.createDataFrame(
+        [("g", d, x) for d, x in enumerate(xs)], "g string, d long, x long"
+    )
+    last = (
+        msprt_always_valid(df, ["g"], "d", "x", mixture_h=100.0, alpha=0.05)
+        .orderBy("period")
+        .collect()[-1]
+    )
+    assert last["rejected"] and last["p_always_valid"] < 0.05
+
+
+def test_capture_recapture_hand_computed_and_contracts(spark):
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.analytics import (
+        capture_recapture_estimate,
+    )
+
+    # population 100; A = ids < 40 (n_a=40); B = ids % 2 == 0 (n_b=50);
+    # overlap = even ids < 40 = 20 → Chapman: 41*51/21 - 1
+    df = spark.range(100).withColumnRenamed("id", "uid")
+    out = capture_recapture_estimate(
+        df, "uid", F.col("uid") < 40, F.col("uid") % 2 == 0
+    ).collect()[0]
+    assert (out["n_a"], out["n_b"], out["m_overlap"]) == (40, 50, 20)
+    n_hat = 41 * 51 / 21 - 1
+    assert abs(out["n_estimated"] - n_hat) < 1e-4
+    var = 41 * 51 * 20 * 30 / (21 * 21 * 22)
+    assert abs(out["se"] - math.sqrt(var)) < 1e-4
+    assert out["n_union"] == 70
+    assert abs(out["capture_rate_a"] - 20 / 50) < 1e-6
+    # empty sample and zero overlap fail loud
+    with _pytest.raises(ValueError, match="empty capture"):
+        capture_recapture_estimate(
+            df, "uid", F.col("uid") < 0, F.col("uid") % 2 == 0
+        )
+    with _pytest.raises(ValueError, match="zero overlap"):
+        capture_recapture_estimate(
+            df, "uid", F.col("uid") < 40, F.col("uid") >= 60
+        )

@@ -233,3 +233,35 @@ def test_ab_ate_boundaries(spark):
     out = stratified_ate(rows, "o_orderpriority", "t", "yc", digits=12).collect()
     for col in ("ate", "contribution", "effect"):
         _assert_off_boundary(out, col, 10000, "ab_ate_stratified")
+
+
+def test_ab_msprt_boundaries(spark):
+    """r13-born: log Λ goes through LN/EXP with a σ² built from
+    hash-agg float moments — the transcendental class. Sweep
+    log_lambda and p at the 1e6 scale, and additionally assert the
+    running max keeps clear of the α=0.05 rejection threshold
+    (−ln 0.05): a regen landing max log Λ within engine ulps of the
+    literal would flip the boolean `rejected` column itself."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark import corpus
+
+    out = corpus.ab_msprt_always_valid(spark, SF_DIR).collect()
+    thresh = -math.log(0.05)
+    # the binding statistic for `rejected` is the RUNNING MAX per
+    # group — recompute it and check its distance to the literal
+    from collections import defaultdict
+
+    run = defaultdict(lambda: float("-inf"))
+    for r in sorted(out, key=lambda r: (str(r["o_orderpriority"]), r["period"])):
+        g = r["o_orderpriority"]
+        run[g] = max(run[g], r["log_lambda"])
+        assert abs(run[g] - thresh) > 1e-7, (
+            f"group {g} period {r['period']}: running max log-lambda "
+            f"{run[g]} sits within engine-ulp range of the rejection "
+            "threshold — a regen could flip `rejected`"
+        )
+    _assert_off_boundary(out, "log_lambda", 1000000, "ab_msprt_always_valid")
+    _assert_off_boundary(
+        out, "p_always_valid", 1000000, "ab_msprt_always_valid"
+    )
