@@ -1317,6 +1317,13 @@ _TAIL = (
     #                             samplers; exact-integer arithmetic
     #                             — seat r14/r15 [new r13, no driver row]
     "audit_capture_recapture",
+    #   layout_hilbert_scan     — 2-D Hilbert-curve clustering (unit-
+    #                             step adjacency; automaton derived
+    #                             from textbook xy2d at import);
+    #                             content-preservation oracle +
+    #                             pytest pruning gate — seat r14/r15
+    #                                               [new r13, no driver row]
+    "layout_hilbert_scan",
 )
 
 
@@ -10263,6 +10270,58 @@ def audit_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_scratch_write(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders Hilbert-clustered on (o_custkey, o_totalprice) to
+    a PID-keyed scratch dir; shared by the layout_hilbert_scan corpus
+    entry and the pytest pruning gate so both audit the SAME files."""
+    import tempfile
+
+    from .sources.layout import write_hilbert
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        f"hilbert_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_hilbert(
+        o, path, cols=["o_custkey", "o_totalprice"], bits=10, num_files=16
+    )
+    return path
+
+
+@query(
+    "layout_hilbert_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey >= 30 AND o_custkey < 120
+      AND o_totalprice >= 100000 AND o_totalprice < 200000
+    """,
+)
+def layout_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout write → rectangle read-back (sources/layout.
+    write_hilbert, born r13): orders rewritten clustered along the
+    2-D HILBERT curve on (o_custkey, o_totalprice) — the automaton is
+    derived at import from the textbook xy2d algorithm and pinned
+    bit-exact against it in test_layout.py — then scanned with a
+    BOTH-DIMENSION rectangle predicate, the query shape where
+    Hilbert's unit-step adjacency (no Z-shaped seam jumps) keeps
+    per-file bounding boxes tightest. The driver hash-match proves
+    the curve rewrite is content-preserving; the pruning VALUE on
+    both dimensions is gated in test_layout.py over the same scratch
+    files."""
+    path = _hilbert_scratch_write(spark, sf_dir)
+    return spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= 30)
+        & (F.col("o_custkey") < 120)
+        & (F.col("o_totalprice") >= 100000)
+        & (F.col("o_totalprice") < 200000)
+    )
+
+
 OPERATOR_MAP = {
     # SURVEY.md §2 row → corpus keys covering it
     "S1": ["t1_tumbling_window"],  # streaming source exercised in tests/test_streaming.py
@@ -10333,7 +10392,8 @@ OPERATOR_MAP = {
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
-    "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan"],
+    "Export-layout": ["export_ids", "layout_pruned_scan", "layout_zorder_scan",
+                      "layout_hilbert_scan"],  # hilbert born r13
     "Sketches": [
         "text_heavy_hitters",
         "sketch_profile",

@@ -66,6 +66,51 @@ def write_range_sorted(
     writer.parquet(path)
 
 
+def _quantize_cols(
+    df: DataFrame, cols: list[str], bits: int, quantize: str
+) -> list:
+    """Map each numeric column onto [0, 2^bits) long buckets — the
+    shared quantization front of the Z-order and Hilbert layouts
+    (semantics documented on ``zorder_layout``: "minmax" = linear
+    scale, one 2-scalar driver agg per column; "quantile" =
+    equal-population buckets from approxQuantile cutpoints, bits
+    capped at 8). NULLs quantize to bucket 0."""
+    if quantize not in ("minmax", "quantile"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize == "quantile" and bits > 8:
+        raise ValueError("quantile mode caps bits at 8 (2^bits comparisons/row)")
+    top = (1 << bits) - 1
+    scaled = []
+    if quantize == "quantile":
+        probs = [i / (top + 1) for i in range(1, top + 1)]
+        for c in cols:
+            cuts = df.stat.approxQuantile(c, probs, 0.001)
+            arr = F.array(*[F.lit(float(x)) for x in cuts])
+            q = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, cut: acc
+                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+            )
+            scaled.append(F.coalesce(q, F.lit(0).cast("long")))
+    else:
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            span = (mx - mn) if (mn is not None and mx is not None) else 0
+            if not span:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            q = F.floor(
+                (F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) * top / F.lit(span)
+            ).cast("long")
+            scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
+    return scaled
+
+
 def zorder_value(
     scaled_cols: list, bits: int, out_name: str = "__z"
 ):
@@ -121,39 +166,7 @@ def zorder_layout(
     still prune them). The audit functions below show whether the
     resulting per-file rectangles came out tight.
     """
-    if quantize not in ("minmax", "quantile"):
-        raise ValueError(f"unknown quantize mode {quantize!r}")
-    if quantize == "quantile" and bits > 8:
-        raise ValueError("quantile mode caps bits at 8 (2^bits comparisons/row)")
-    top = (1 << bits) - 1
-    scaled = []
-    if quantize == "quantile":
-        probs = [i / (top + 1) for i in range(1, top + 1)]
-        for c in cols:
-            cuts = df.stat.approxQuantile(c, probs, 0.001)
-            arr = F.array(*[F.lit(float(x)) for x in cuts])
-            q = F.aggregate(
-                arr,
-                F.lit(0).cast("long"),
-                lambda acc, cut: acc
-                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
-            )
-            scaled.append(F.coalesce(q, F.lit(0).cast("long")))
-    else:
-        stats = df.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in cols],
-            *[F.max(c).alias(f"mx_{c}") for c in cols],
-        ).first()
-        for c in cols:
-            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-            span = (mx - mn) if (mn is not None and mx is not None) else 0
-            if not span:
-                scaled.append(F.lit(0).cast("long"))
-                continue
-            q = F.floor(
-                (F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) * top / F.lit(span)
-            ).cast("long")
-            scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), q)))
+    scaled = _quantize_cols(df, cols, bits, quantize)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     return (
         df.withColumn("__z", zorder_value(scaled, bits))
@@ -299,3 +312,165 @@ def prunable_fraction(path: str, column: str, lo, hi) -> float:
         return 0.0
     skipped = sum(1 for _f, _rg, mn, mx in rgs if mx < lo or mn > hi)
     return skipped / len(rgs)
+
+
+def _hilbert_automaton() -> dict:
+    """Derive the 2-D Hilbert quadrant automaton FROM the textbook
+    xy2d bit-rotation algorithm (Wikipedia "Hilbert curve", the
+    standard public formulation), instead of hard-coding a table that
+    could silently drift from it: states are distinct quadrant→digit
+    maps discovered by walking a depth-4 quadtree of the reference
+    implementation; transitions are the observed child maps. Returns
+    {state: {(rx, ry): (digit, next_state)}} — asserts the automaton
+    closes at exactly 4 states with a total deterministic transition
+    function, so a derivation bug fails at import, not in data."""
+
+    def xy2d(order: int, x: int, y: int) -> int:
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    order = 4
+    n = 1 << order
+    maps: dict[tuple, dict] = {}
+    for x in range(n):
+        for y in range(n):
+            d = xy2d(order, x, y)
+            path: tuple = ()
+            for lev in range(order - 1, -1, -1):
+                q = ((x >> lev) & 1, (y >> lev) & 1)
+                dig = (d >> (2 * lev)) & 3
+                node = maps.setdefault(path, {})
+                assert node.setdefault(q, dig) == dig, "xy2d inconsistent"
+                path = path + (q,)
+    sig: dict[tuple, int] = {}
+
+    def state_of(path: tuple) -> int:
+        key = tuple(sorted(maps[path].items()))
+        return sig.setdefault(key, len(sig))
+
+    table: dict[int, dict] = {}
+    for path, m in maps.items():
+        if len(path) >= order - 1:
+            continue  # children are leaves without full maps
+        s_id = state_of(path)
+        row = table.setdefault(s_id, {})
+        for q, dig in m.items():
+            entry = (dig, state_of(path + (q,)))
+            assert row.setdefault(q, entry) == entry, "nondeterministic"
+    assert len(table) == 4 and all(len(r) == 4 for r in table.values()), (
+        "Hilbert automaton did not close at 4 total states"
+    )
+    return table
+
+
+_HILBERT_TABLE = _hilbert_automaton()
+
+
+def hilbert_value(scaled_x, scaled_y, bits: int, out_name: str = "__h"):
+    """2-D Hilbert index of two already-quantized long columns (each
+    in [0, 2^bits)) — the space-filling curve with strictly better
+    locality than Z-order: consecutive indices are always
+    UNIT-adjacent cells (no Z-shaped jumps across the space), so
+    per-file bounding rectangles come out tighter for the same file
+    count. Evaluated as ONE ``aggregate()`` fold over the bit
+    positions with the 4-state quadrant automaton (derived at import
+    from the textbook algorithm, above) as a literal when-chain —
+    constant expression size per step, pure JVM, no UDF. 2·bits must
+    fit a signed long (≤ 62 → bits ≤ 31; practical layouts use
+    8-16)."""
+    if bits < 1 or bits > 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xcol = scaled_x.cast("long")
+    ycol = scaled_y.cast("long")
+
+    def step(acc, i):
+        p = F.pow(F.lit(2.0), i.cast("double"))
+        rx = F.floor(xcol.cast("double") / p).cast("long") % 2
+        ry = F.floor(ycol.cast("double") / p).cast("long") % 2
+        digit = F.lit(None).cast("long")
+        nstate = F.lit(None).cast("long")
+        dchain = None
+        schain = None
+        for st, row in _HILBERT_TABLE.items():
+            for (qx, qy), (dig, ns) in row.items():
+                cond = (
+                    (acc["s"] == st) & (rx == qx) & (ry == qy)
+                )
+                dchain = (
+                    F.when(cond, F.lit(dig))
+                    if dchain is None
+                    else dchain.when(cond, F.lit(dig))
+                )
+                schain = (
+                    F.when(cond, F.lit(ns))
+                    if schain is None
+                    else schain.when(cond, F.lit(ns))
+                )
+        return F.struct(
+            (acc["d"] * 4 + dchain.cast("long")).alias("d"),
+            schain.cast("long").alias("s"),
+        )
+
+    seq = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("d"), F.lit(0).cast("long").alias("s")
+    )
+    return F.aggregate(seq, acc0, step, lambda a: a["d"]).alias(out_name)
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+    quantize: str = "minmax",
+) -> DataFrame:
+    """``df`` re-laid-out along the 2-D HILBERT curve on numeric
+    ``cols`` — the drop-in alternative to ``zorder_layout`` when the
+    clustered dimensions are exactly two (the common case: key ×
+    time, key × value). Same quantization modes and write path as
+    Z-order; the difference is the curve: Hilbert's unit-step
+    adjacency avoids Z-order's quadrant-jump seams, so file bounding
+    boxes are tighter and stats pruning strictly no worse (typically
+    better on the seam-crossing query bands). For d > 2 clustered
+    columns use ``zorder_layout`` — the bit-interleave generalizes,
+    the automaton here is the 2-D one."""
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_layout clusters exactly 2 columns, got {len(cols)} "
+            "— use zorder_layout for other dimensionalities"
+        )
+    scaled = _quantize_cols(df, cols, bits, quantize)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("__h", hilbert_value(scaled[0], scaled[1], bits))
+        .repartitionByRange(n, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+    quantize: str = "minmax",
+) -> None:
+    """Write ``df`` Hilbert-clustered on two numeric ``cols`` —
+    ``hilbert_layout`` + an overwrite parquet write."""
+    hilbert_layout(df, cols, bits, num_files, quantize).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -249,3 +249,136 @@ def test_corpus_layout_scratch_prunes_real_lineitem(spark):
         path, "l_shipdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 7, 1)
     )
     assert frac >= 0.6, f"only {frac:.2%} of row groups prunable"
+
+
+# ---------------------------------------------------------------------
+# Hilbert-curve clustering (born r13)
+# ---------------------------------------------------------------------
+
+
+def _xy2d_reference(order, x, y):
+    """Textbook Hilbert xy→d (the public bit-rotation algorithm the
+    import-time automaton is derived from)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_value_matches_textbook_on_full_grid(spark):
+    """Bit-exact parity with the reference algorithm over the entire
+    64×64 grid — the automaton derivation cannot drift."""
+    bits = 6
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", layout.hilbert_value(F.col("x"), F.col("y"), bits, "h")
+        ).collect()
+    }
+    assert all(got[(x, y)] == _xy2d_reference(bits, x, y) for x, y in rows)
+
+
+def test_hilbert_unit_step_locality(spark):
+    """The curve's defining property — consecutive indices are UNIT
+    adjacent cells (|dx|+|dy| == 1 for every step), which Z-order
+    violates at every quadrant seam. This is WHY Hilbert file
+    rectangles come out tighter."""
+    bits = 5
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        r["h"]: (r["x"], r["y"])
+        for r in df.select(
+            "x", "y", layout.hilbert_value(F.col("x"), F.col("y"), bits, "h")
+        ).collect()
+    }
+    assert len(got) == n * n  # bijection
+    assert all(
+        abs(got[d][0] - got[d + 1][0]) + abs(got[d][1] - got[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+    # and Z-order does NOT have this property (the seam jumps exist)
+    zgot = {}
+    zdf = df.select(
+        "x", "y",
+        layout.zorder_value(
+            [F.col("x").cast("long"), F.col("y").cast("long")], bits, "z"
+        ),
+    )
+    for r in zdf.collect():
+        zgot[r["z"]] = (r["x"], r["y"])
+    z_steps = [
+        abs(zgot[d][0] - zgot[d + 1][0]) + abs(zgot[d][1] - zgot[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    assert max(z_steps) > 1
+
+
+def test_hilbert_prunes_both_dimensions(grid, tmp_path, spark):
+    h_path = str(tmp_path / "hilbert")
+    layout.write_hilbert(grid, h_path, ["x", "y"], bits=7, num_files=16)
+    hx = layout.prunable_fraction(h_path, "x", 0, 15)
+    hy = layout.prunable_fraction(h_path, "y", 0, 15)
+    assert hx >= 0.5, f"hilbert x pruning only {hx:.2%}"
+    assert hy >= 0.5, f"hilbert y pruning only {hy:.2%}"
+    # content preserved
+    back = spark.read.parquet(h_path)
+    assert back.count() == 16_384
+    assert back.agg(F.sum("x"), F.sum("y")).first() == grid.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+
+
+def test_hilbert_fail_loud_and_quantile_mode(grid, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 2"):
+        layout.hilbert_layout(grid, ["x"], bits=7)
+    with _pytest.raises(ValueError, match="exactly 2"):
+        layout.hilbert_layout(grid, ["x", "y", "x"], bits=7)
+    # quantile quantization path works end to end
+    p = str(tmp_path / "hq")
+    layout.write_hilbert(grid, p, ["x", "y"], bits=6, num_files=8,
+                         quantize="quantile")
+    assert layout.prunable_fraction(p, "x", 0, 15) >= 0.3
+
+
+def test_corpus_hilbert_scratch_prunes_real_orders(spark):
+    """Pruning floor on the SAME files the layout_hilbert_scan corpus
+    entry reads back (driver row = content equality; this = the curve
+    buys footer pruning on both clustered columns of real orders)."""
+    import os
+
+    from healthcare_data_lakehouse_using_gcp_spark import corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata unavailable")
+    path = corpus._hilbert_scratch_write(spark, sf_dir)
+    stats = (
+        spark.read.parquet(path)
+        .agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+        )
+        .first()
+    )
+    ck_band = (stats[0], stats[0] + (stats[1] - stats[0]) * 0.1)
+    tp_band = (stats[2], stats[2] + (stats[3] - stats[2]) * 0.1)
+    fc = layout.prunable_fraction(path, "o_custkey", *ck_band)
+    ft = layout.prunable_fraction(path, "o_totalprice", *tp_band)
+    assert fc >= 0.3, f"o_custkey pruning only {fc:.2%}"
+    assert ft >= 0.3, f"o_totalprice pruning only {ft:.2%}"
