@@ -324,3 +324,141 @@ def streaming_funnel(
             timeoutConf=timeout_conf,
         )
     )
+
+
+MSPRT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("period", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cum_mean_diff", T.DoubleType()),
+        T.StructField("log_lambda", T.DoubleType()),
+        T.StructField("p_always_valid", T.DoubleType()),
+        T.StructField("rejected", T.BooleanType()),
+        T.StructField("n_late_dropped", T.LongType()),
+    ]
+)
+
+MSPRT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sx", T.DoubleType()),
+        T.StructField("sxx", T.DoubleType()),
+        T.StructField("max_ll", T.DoubleType()),
+        T.StructField("last_period", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def msprt_monitor_stream(
+    diffs: DataFrame,
+    mixture_h: float = 1.0,
+    alpha: float = 0.05,
+    sigma2: float | None = None,
+) -> DataFrame:
+    """STREAMING always-valid experiment monitor — the continuous
+    form of ``analytics.msprt_always_valid``: per experiment group,
+    each arriving period-difference observation extends the running
+    (n, Σx, Σx²) state, recomputes log Λ, folds it into the running
+    max, and emits the monitoring row (anytime-valid p + rejection
+    flag) as the data arrives — peek at the dashboard every
+    micro-batch without inflating false positives; that is the whole
+    point of the mixture-SPRT construction.
+
+    Input columns: group (string), period (long, the day/bucket
+    index), x (double, that period's observed difference).
+
+    σ²: pass a PRE-REGISTERED ``sigma2`` for the statistically
+    cleanest prospective guarantee; with ``sigma2=None`` the running
+    sample variance is plugged in (n ≥ 2 required before a statistic
+    is emitted — earlier rows emit NULL log Λ / p = 1), the standard
+    pragmatic monitoring choice. The batch twin uses the FULL-series
+    plug-in, so exact numeric parity with the batch operator holds
+    when both are given the same fixed ``sigma2``.
+
+    Ordering contract: periods must arrive non-decreasing per group
+    (the upstream daily rollup emits them in order). A LATE period
+    (≤ the last processed one) is DROPPED — never silently folded
+    out of order, which would corrupt the running max's anytime
+    validity — and surfaces in the ``n_late_dropped`` counter on
+    every emitted row.
+
+    Scale design: state is 6 scalars per experiment group
+    (hash-partitioned by the state store); per-batch work is one
+    pass over that group's new rows. No timeout: an experiment
+    monitor lives until the stream stops — groups are few (one per
+    experiment × metric), so state size is not data-proportional."""
+    import math as _math
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if mixture_h <= 0:
+        raise ValueError(f"mixture_h must be positive, got {mixture_h}")
+    if sigma2 is not None and sigma2 <= 0:
+        raise ValueError(f"sigma2 must be positive, got {sigma2}")
+    thresh = -_math.log(alpha)
+    h = float(mixture_h)
+
+    def _update(key, pdfs, state: GroupState):
+        (group,) = key
+        n, sx, sxx, max_ll, last_p, n_late = (
+            state.get if state.exists else (0, 0.0, 0.0, None, None, 0)
+        )
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("period")
+            for _, row in pdf.iterrows():
+                period = int(row["period"])
+                if last_p is not None and period <= last_p:
+                    n_late += 1
+                    continue
+                last_p = period
+                x = float(row["x"])
+                n += 1
+                sx += x
+                sxx += x * x
+                if sigma2 is not None:
+                    s2 = sigma2
+                elif n >= 2:
+                    s2 = (sxx - sx * sx / n) / (n - 1)
+                else:
+                    s2 = None
+                if s2 is not None and s2 > 0:
+                    dbar = sx / n
+                    ll = 0.5 * _math.log(s2 / (s2 + n * h)) + (
+                        n * n * dbar * dbar * h
+                    ) / (2.0 * s2 * (s2 + n * h))
+                    max_ll = ll if max_ll is None else max(max_ll, ll)
+                else:
+                    ll = None
+                p = (
+                    min(1.0, _math.exp(-max_ll))
+                    if max_ll is not None
+                    else 1.0
+                )
+                out.append(
+                    {
+                        "group": group,
+                        "period": period,
+                        "n": n,
+                        "cum_mean_diff": sx / n,
+                        "log_lambda": ll,
+                        "p_always_valid": p,
+                        "rejected": (
+                            max_ll is not None and max_ll > thresh
+                        ),
+                        "n_late_dropped": n_late,
+                    }
+                )
+        state.update((n, sx, sxx, max_ll, last_p, n_late))
+        if out:
+            yield pd.DataFrame(out)
+
+    return diffs.select("group", "period", "x").groupBy("group").applyInPandasWithState(
+        _update,
+        outputStructType=MSPRT_OUT_SCHEMA,
+        stateStructType=MSPRT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -224,3 +224,70 @@ def test_streaming_funnel_matches_batch_funnel(spark, tmp_path):
     for (step, _), idx in got.items():
         live[(idx, step)] = live.get((idx, step), 0) + 1
     assert live == expected
+
+
+def test_msprt_monitor_stream_matches_batch_operator(spark, tmp_path):
+    """Cross-batch streaming monitor == the batch msprt operator when
+    both use the same pre-registered sigma2; late periods are dropped
+    and counted, never folded out of order."""
+    import math
+    import time
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import (
+        msprt_monitor_stream,
+    )
+
+    xs = [3.0, -1.0, 4.0, 1.0, -5.0, 9.0, 2.0, -6.0]
+    inp = str(tmp_path / "msprt_in")
+    _write_batch(
+        inp,
+        [{"group": "g", "period": d, "x": x} for d, x in enumerate(xs[:4])],
+        1,
+    )
+    time.sleep(2)
+    _write_batch(
+        inp,
+        # second batch: remaining periods + one LATE duplicate of
+        # period 1 (must be dropped + counted)
+        [{"group": "g", "period": d + 4, "x": x} for d, x in enumerate(xs[4:])]
+        + [{"group": "g", "period": 1, "x": 99.0}],
+        2,
+    )
+    stream = (
+        spark.readStream.schema("group string, period long, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    sigma2 = 20.0
+    h = 4.0
+    out_rows = []
+    q = (
+        msprt_monitor_stream(stream, mixture_h=h, alpha=0.1, sigma2=sigma2)
+        .writeStream.format("memory")
+        .queryName("msprt_mon")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out_rows = spark.sql(
+            "SELECT * FROM msprt_mon ORDER BY period"
+        ).collect()
+    finally:
+        q.stop()
+    assert [r["period"] for r in out_rows] == list(range(8))
+    # independent replication with the same fixed sigma2
+    run_max = None
+    for i, r in enumerate(out_rows):
+        n = i + 1
+        dbar = sum(xs[: i + 1]) / n
+        ll = 0.5 * math.log(sigma2 / (sigma2 + n * h)) + (
+            n * n * dbar * dbar * h
+        ) / (2 * sigma2 * (sigma2 + n * h))
+        run_max = ll if run_max is None else max(run_max, ll)
+        assert abs(r["log_lambda"] - ll) < 1e-9
+        assert abs(r["p_always_valid"] - min(1.0, math.exp(-run_max))) < 1e-9
+        assert abs(r["cum_mean_diff"] - dbar) < 1e-9
+    # the late period-1 row was dropped and surfaced in the counter
+    assert out_rows[-1]["n_late_dropped"] == 1
+    assert all(r["n_late_dropped"] == 0 for r in out_rows[:4])
