@@ -398,8 +398,6 @@ def hilbert_value(scaled_x, scaled_y, bits: int, out_name: str = "__h"):
         p = F.pow(F.lit(2.0), i.cast("double"))
         rx = F.floor(xcol.cast("double") / p).cast("long") % 2
         ry = F.floor(ycol.cast("double") / p).cast("long") % 2
-        digit = F.lit(None).cast("long")
-        nstate = F.lit(None).cast("long")
         dchain = None
         schain = None
         for st, row in _HILBERT_TABLE.items():
