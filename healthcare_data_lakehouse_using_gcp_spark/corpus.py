@@ -630,21 +630,99 @@ _TAIL = (
     # with the backlog at 0, rotation reverts to freshness
     # maintenance — nothing oracle-bearing sits >2 rounds stale where
     # the 8-16 swap envelope allows, and net-new entries must seat
-    # within 2 rounds of birth. First r14 swap set (16 = the envelope
-    # cap): the 3 r13-born newborns take their mandatory first seats
-    # (ab_cuped, a32_mutual_information, mleval_conformal — ledger
-    # entries at the end of this tuple), then the stalest last-green
-    # tranche-6 seats from r11 (a16_winsorize, a17_mad_outliers,
-    # a19_mode, w8_period_over_period, privacy_generalize,
-    # j5_semi_anti, set_ops_nations, melt_lineitem, gapfill_daily,
-    # epoch_upsample, sample_weighted, cap_per_source), funded by
-    # demoting the freshest r13 seats, plus the rule-3 twin swap to
-    # embedding_near_dup_exact.
+    # within 2 rounds of birth.
+    # r14 swap set, EXECUTED this round (VERDICT r13 item 1 — this
+    # paragraph supersedes the pre-late-births 3-newborn draft the
+    # r13 verdict flagged as stale): ALL TEN r13-born newborns take
+    # their mandatory first seats (ab_cuped, a32_mutual_information,
+    # mleval_conformal, ab_ate_stratified, a33_jackknife_ratio,
+    # ts_forecast_eval, linkage_fs_scores, ab_msprt_always_valid,
+    # audit_capture_recapture, layout_hilbert_scan) plus the rule-3
+    # twin swap to embedding_near_dup_exact — 11 promotions, funded
+    # by demoting the 10 freshest r13 first-seats (each green r13,
+    # rationales in the round-14 demotion block below) + the
+    # embedding_near_dup twin. skyline_parts and hierarchy_roots
+    # (also green r13) KEEP their head seats as the r13 tranche's
+    # head representatives.
+    # r15 PLANNED swap set (VERDICT r13 item 5, schedule now, seat
+    # r15): the stalest oracle-green driver seats are the r2-era core
+    # rows — w1_row_number, a1_global_count, a3_count_distinct,
+    # f6_case_map, f9_coalesce, f13_in_list, o3_top_limit (last
+    # driver-green r2) — plus the stalest tranche-6 r11 seats as
+    # envelope allows (a16_winsorize, a17_mad_outliers, a19_mode,
+    # w8_period_over_period, privacy_generalize, j5_semi_anti,
+    # set_ops_nations, melt_lineitem) and the rule-3 twin swap back
+    # to embedding_near_dup; fund by demoting the r14 newborn seats
+    # (their first CORRECTNESS rows banked) with invariants/pytest
+    # rationales per entry.
+    # --- round-14 demotions (VERDICT r13 item 1: 11 seats freed for
+    # the 10 r13-born newborns' mandatory first seats + the rule-3
+    # twin swap to embedding_near_dup_exact). Every demotion below is
+    # green r13 (first seat banked), oracle-swept in tail on each
+    # pytest run, and keeps its machinery head-exercised or
+    # pytest-pinned: ---
+    #   embedding_near_dup      — scheduled twin alternation (rule 3):
+    #                             r14 seats embedding_near_dup_exact
+    #                             (identical oracle)           [green r13]
+    "embedding_near_dup",
+    #   ts_seasonal_adjust      — calendar/seasonal machinery head-
+    #                             retained by ts_forecast_eval's
+    #                             seasonal-naive RANGE lags (r14 seat);
+    #                             oracle-swept                 [green r13]
+    "ts_seasonal_adjust",
+    #   a29_dispersion          — one hash-agg of integer sums; the
+    #                             stat battery takes CUPED / MI /
+    #                             jackknife r14 seats; oracle-swept
+    #                                                          [green r13]
+    "a29_dispersion",
+    #   a30_gini_utilization    — rank-weighted keyed window = the
+    #                             w4_ratio_to_report machinery (head);
+    #                             oracle-swept                 [green r13]
+    "a30_gini_utilization",
+    #   events_interarrival     — keyed-LEAD gap machinery; the keyed
+    #                             calendar-window family is head-
+    #                             exercised by ts_forecast_eval (r14)
+    #                             + t6_session_window; oracle-swept
+    #                                                          [green r13]
+    "events_interarrival",
+    #   events_churn_flows      — inner+anti set-flow algebra; join
+    #                             family keeps j6/j7/j8 + the r14
+    #                             linkage_fs_scores blocked-pair join;
+    #                             oracle-swept                 [green r13]
+    "events_churn_flows",
+    #   a31_weighted_percentile — exact order-statistic machinery
+    #                             head-retained by mleval_conformal's
+    #                             per-group q_hat (r14 seat);
+    #                             oracle-swept                 [green r13]
+    "a31_weighted_percentile",
+    #   sketch_join_size        — sketch family keeps the
+    #                             sketch_rollup_union head seat;
+    #                             oracle-swept                 [green r13]
+    "sketch_join_size",
+    #   mleval_lift             — eval battery keeps mleval_auc +
+    #                             mleval_calibration head seats and
+    #                             gains mleval_conformal (r14);
+    #                             oracle-swept                 [green r13]
+    "mleval_lift",
+    #   skyline_parts_3d        — Arrow local-front + guarded
+    #                             broadcast dominance machinery pinned
+    #                             in test_analytics.py; skyline_parts
+    #                             KEEPS its head seat; oracle-swept
+    #                                                          [green r13]
+    "skyline_parts_3d",
+    #   bootstrap_ci_orders     — resampling family hands the head
+    #                             seat to a33_jackknife_ratio (r14);
+    #                             the decimal(38,0) weighted-sum
+    #                             discipline is head-exercised by
+    #                             ab_cuped / ab_msprt_always_valid;
+    #                             oracle-swept                 [green r13]
+    "bootstrap_ci_orders",
     # Every demotion below is oracle-swept in tail on each pytest run
     # and keeps its machinery head-exercised or pytest-pinned: ---
     #   embedding_near_dup_exact — scheduled twin alternation (rule 3):
-    #                             r13 seats embedding_near_dup
-    #                             (identical oracle)           [green r12]
+    #                             r13 seated embedding_near_dup;
+    #                             PROMOTED r14 (twin swap back — entry
+    #                             moved to head)               [green r12]
     #   text_bpe_train_apply    — one-round rows-only seat EXPIRED per
     #                             the VERDICT r11 item 2 disposition:
     #                             returns to the tail rows-only
@@ -708,7 +786,7 @@ _TAIL = (
     #                             mleval_auc (head) and mleval_lift
     #                             (r13 seat completes the battery);
     #                             oracle-swept                 [green r12]
-    "embedding_near_dup_exact",
+    # ("embedding_near_dup_exact" PROMOTED r14 — rule-3 twin swap)
     "text_bpe_train_apply",
     "quality_classifier_trained",
     "ann_lsh_invariants",
@@ -1269,61 +1347,61 @@ _TAIL = (
     #                             row-level adjusted column, no
     #                             reassociation window — seat r14
     #                                               [new r13, no driver row]
-    "ab_cuped",
+    # ("ab_cuped" SEATED r14 — r13-born newborn, first driver row)
     #   a32_mutual_information  — MI/entropy battery per year over
     #                             the joint count frame (one hash agg
     #                             + keyed margin windows over ≤15
     #                             cells) — seat r14 [new r13, no driver row]
-    "a32_mutual_information",
+    # ("a32_mutual_information" SEATED r14 — r13-born newborn, first driver row)
     #   mleval_conformal        — Mondrian split-conformal intervals:
     #                             exact-order-statistic q_hat per
     #                             group + empirical test coverage,
     #                             hash-exact via integer-cents
     #                             prediction — seat r14
     #                                               [new r13, no driver row]
-    "mleval_conformal",
+    # ("mleval_conformal" SEATED r14 — r13-born newborn, first driver row)
     #   ab_ate_stratified       — stratified ATE (subclassification):
     #                             exact integer-cent stratum means;
     #                             pooled ATE via a window over the
     #                             ≤|strata| frame — seat r14/r15
     #                                               [new r13, no driver row]
-    "ab_ate_stratified",
+    # ("ab_ate_stratified" SEATED r14 — r13-born newborn, first driver row)
     #   a33_jackknife_ratio     — leave-one-out jackknife SE for
     #                             ratio metrics: exact totals,
     #                             centered deviations (no
     #                             cancellation) — seat r14/r15
     #                                               [new r13, no driver row]
-    "a33_jackknife_ratio",
+    # ("a33_jackknife_ratio" SEATED r14 — r13-born newborn, first driver row)
     #   ts_forecast_eval        — naive-1 / seasonal-naive accuracy
     #                             battery (MAE/RMSE/bias/MASE) over
     #                             calendar-true RANGE lags; exact
     #                             integer errors — seat r14/r15
     #                                               [new r13, no driver row]
-    "ts_forecast_eval",
+    # ("ts_forecast_eval" SEATED r14 — r13-born newborn, first driver row)
     #   linkage_fs_scores       — Fellegi-Sunter linkage scoring over
     #                             nation-blocked pairs; integer
     #                             milli-bit weights keep the composite
     #                             score exact — seat r14/r15
     #                                               [new r13, no driver row]
-    "linkage_fs_scores",
+    # ("linkage_fs_scores" SEATED r14 — r13-born newborn, first driver row)
     #   ab_msprt_always_valid   — anytime-valid sequential monitoring
     #                             (mixture SPRT in log space; running
     #                             stats bit-aligned via shared prefix
     #                             order) — seat r14/r15
     #                                               [new r13, no driver row]
-    "ab_msprt_always_valid",
+    # ("ab_msprt_always_valid" SEATED r14 — r13-born newborn, first driver row)
     #   audit_capture_recapture — Chapman capture-recapture coverage
     #                             audit from two independent md5
     #                             samplers; exact-integer arithmetic
     #                             — seat r14/r15 [new r13, no driver row]
-    "audit_capture_recapture",
+    # ("audit_capture_recapture" SEATED r14 — r13-born newborn, first driver row)
     #   layout_hilbert_scan     — 2-D Hilbert-curve clustering (unit-
     #                             step adjacency; automaton derived
     #                             from textbook xy2d at import);
     #                             content-preservation oracle +
     #                             pytest pruning gate — seat r14/r15
     #                                               [new r13, no driver row]
-    "layout_hilbert_scan",
+    # ("layout_hilbert_scan" SEATED r14 — r13-born newborn, first driver row)
 )
 
 
@@ -10176,12 +10254,22 @@ def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(_hash_bucket("o_orderkey", 2) == 0, 1)).alias("na"),
             F.count(F.when(_hash_bucket("o_orderkey", 2) != 0, 1)).alias("nb"),
+            # cast the VALUE operand, not the finished sum: summing
+            # bigint cents and widening after could wrap in bigint
+            # first (the poisson_bootstrap_ci pitfall); widening each
+            # term matches the oracle's SUM(CAST(... AS HUGEINT))
             F.sum(
-                F.when(_hash_bucket("o_orderkey", 2) == 0, cents)
-            ).cast("decimal(38,0)").alias("sa"),
+                F.when(
+                    _hash_bucket("o_orderkey", 2) == 0,
+                    cents.cast("decimal(38,0)"),
+                )
+            ).alias("sa"),
             F.sum(
-                F.when(_hash_bucket("o_orderkey", 2) != 0, cents)
-            ).cast("decimal(38,0)").alias("sb"),
+                F.when(
+                    _hash_bucket("o_orderkey", 2) != 0,
+                    cents.cast("decimal(38,0)"),
+                )
+            ).alias("sb"),
         )
         .where((F.col("na") > 0) & (F.col("nb") > 0))
         .select(

@@ -3208,7 +3208,9 @@ def forecast_eval_naive(
     (= DuckDB HUGEINT), so MAE/RMSE/MASE are deterministic scalar
     arithmetic on exact integers — hash-exact cross-engine, no
     reassociation window. Fail-loud when no group has a single
-    evaluable day (wrong day/season unit diagnosis beats 0 rows).
+    evaluable day (wrong day/season unit diagnosis beats 0 rows) and
+    when any (group, day) appears twice — the series-grain contract
+    is enforced, never silently max-collapsed.
 
     Scale design (100 TB): the input is the |groups|·|days| rollup
     (the caller aggregates raw events first — one data-proportional
@@ -3223,6 +3225,25 @@ def forecast_eval_naive(
     base = df.select(
         *group_cols, day.alias("__d"), F.col(value_col).alias("__y")
     ).where(F.col("__y").isNotNull())
+    # SERIES-grain contract is load-bearing: a duplicate (group, day)
+    # would make the RANGE(-N,-N) frame span >1 row and F.max would
+    # silently collapse duplicates to the larger value as "the lag".
+    # Fail loud instead (grain violations upstream are bugs, not data).
+    dup = (
+        base.groupBy(*group_cols, "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        keys = ", ".join(f"{c}={r[c]!r}" for c in group_cols)
+        raise ValueError(
+            "forecast_eval_naive: input is not series grain — "
+            f"({keys}, {day_col}={r['__d']}) appears {r['__c']} times; "
+            "aggregate to one row per group x day before calling"
+        )
     w1 = (
         Window.partitionBy(*group_cols)
         .orderBy("__d")
@@ -3458,22 +3479,33 @@ def capture_recapture_estimate(
     running the exhaustive pass. Also emits the ~95% interval via
     Chapman's variance estimate and the two capture rates.
 
-    One hash aggregation of four conditional counts; every output is
-    deterministic scalar arithmetic on exact integers — hash-exact.
-    Fail-loud when the overlap m is 0 (independence or coverage
-    assumptions are broken badly enough that the estimate is
-    meaningless) and when either sample is empty.
+    The estimator counts UNITS, not rows: the input is first reduced
+    to one row per ``id_col`` (a unit is "captured" by a sampler if
+    ANY of its rows is), so duplicate rows per unit cannot inflate
+    the capture counts. Then one hash aggregation of four conditional
+    counts; every output is deterministic scalar arithmetic on exact
+    integers — hash-exact. Fail-loud when the overlap m is 0
+    (independence or coverage assumptions are broken badly enough
+    that the estimate is meaningless) and when either sample is
+    empty.
 
-    Scale design (100 TB): ONE map-side-combined aggregation to a
-    single row; the samplers themselves are the caller's (narrow
-    md5-bucket filters in the scan stage)."""
+    Scale design (100 TB): one keyed dedup agg (map-side partials on
+    the id key) then ONE map-side-combined aggregation to a single
+    row; the samplers themselves are the caller's (narrow md5-bucket
+    filters in the scan stage)."""
     from ..functions.scalars import round_det
 
-    agg = df.agg(
-        F.count(F.when(in_a, 1)).alias("n_a"),
-        F.count(F.when(in_b, 1)).alias("n_b"),
-        F.count(F.when(in_a & in_b, 1)).alias("m_overlap"),
-        F.count(F.when(in_a | in_b, 1)).alias("n_union"),
+    units = df.groupBy(id_col).agg(
+        F.max(in_a.cast("boolean")).alias("__in_a"),
+        F.max(in_b.cast("boolean")).alias("__in_b"),
+    )
+    a = F.col("__in_a")
+    b = F.col("__in_b")
+    agg = units.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.count(F.when(a & b, 1)).alias("m_overlap"),
+        F.count(F.when(a | b, 1)).alias("n_union"),
     )
     row = agg.first()
     if row["n_a"] == 0 or row["n_b"] == 0:

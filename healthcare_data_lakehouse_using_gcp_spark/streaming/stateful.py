@@ -378,11 +378,14 @@ def msprt_monitor_stream(
     when both are given the same fixed ``sigma2``.
 
     Ordering contract: periods must arrive non-decreasing per group
-    (the upstream daily rollup emits them in order). A LATE period
-    (≤ the last processed one) is DROPPED — never silently folded
-    out of order, which would corrupt the running max's anytime
-    validity — and surfaces in the ``n_late_dropped`` counter on
-    every emitted row.
+    ACROSS micro-batches (the upstream daily rollup emits them in
+    order); WITHIN a micro-batch arrival order is free — the whole
+    batch is materialized and sorted by period before folding, so
+    Arrow chunk boundaries cannot reorder rows. A genuinely late
+    period (≤ the last period of a PRIOR batch) is DROPPED — never
+    silently folded out of order, which would corrupt the running
+    max's anytime validity — and surfaces in the ``n_late_dropped``
+    counter on every emitted row.
 
     Scale design: state is 6 scalars per experiment group
     (hash-partitioned by the state store); per-batch work is one
@@ -406,9 +409,18 @@ def msprt_monitor_stream(
             state.get if state.exists else (0, 0.0, 0.0, None, None, 0)
         )
         out: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("period")
-            for _, row in pdf.iterrows():
+        # Materialize the WHOLE micro-batch before sorting: Spark gives
+        # no ordering guarantee across the iterator's Arrow chunks, so
+        # sorting each chunk independently would let a group that spans
+        # chunks deliver an earlier period in a later chunk and the
+        # late-row guard below would silently drop an in-batch row,
+        # corrupting (n, sx, sxx, max_ll). State is 6 scalars per group
+        # and a group's batch slice is one experiment's new periods —
+        # bounded, so the concat is not data-proportional.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("period")
+            for _, row in batch.iterrows():
                 period = int(row["period"])
                 if last_p is not None and period <= last_p:
                     n_late += 1

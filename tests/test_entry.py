@@ -52,8 +52,8 @@ def test_canonical_operators_inside_driver_window():
         # third wave; plain j1_band_join is tail + bench target.
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r13 seats the LSH+residual twin (exact held r12)
-        "embedding_near_dup",
+        # round: r14 seats the exact twin (LSH+residual held r13)
+        "embedding_near_dup_exact",
         "export_ids", "layout_zorder_scan",
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
         "t6_session_window", "j8_asof_backward",
@@ -78,15 +78,18 @@ def test_canonical_operators_inside_driver_window():
         "text_bpe_pretokenize",
         "doc_quantile_normalize",
         "mleval_calibration",
-        # round-13 tranche-8 promotions (VERDICT r12 item 1): the
-        # final 5 oracle-bearing legacy never-seated + all 7 r12-born
-        # newborns — the drain is COMPLETE, never-seated backlog 0.
-        "ts_seasonal_adjust", "a29_dispersion",
-        "a30_gini_utilization", "events_interarrival",
-        "events_churn_flows",
-        "a31_weighted_percentile", "sketch_join_size", "mleval_lift",
-        "skyline_parts", "skyline_parts_3d", "hierarchy_roots",
-        "bootstrap_ci_orders",
+        # round-13 tranche-8 survivors of the r14 rotation (the rest
+        # demoted green-r13 with head-retained machinery per
+        # corpus._TAIL's round-14 ledger; every one oracle-swept in
+        # tail each run)
+        "skyline_parts", "hierarchy_roots",
+        # round-14 promotions (VERDICT r13 item 1): ALL TEN r13-born
+        # newborns take their mandatory first driver seats — the
+        # never-seated backlog returns to 0 for all 206 entries.
+        "ab_cuped", "a32_mutual_information", "mleval_conformal",
+        "ab_ate_stratified", "a33_jackknife_ratio", "ts_forecast_eval",
+        "linkage_fs_scores", "ab_msprt_always_valid",
+        "audit_capture_recapture", "layout_hilbert_scan",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

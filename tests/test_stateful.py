@@ -291,3 +291,71 @@ def test_msprt_monitor_stream_matches_batch_operator(spark, tmp_path):
     # the late period-1 row was dropped and surfaced in the counter
     assert out_rows[-1]["n_late_dropped"] == 1
     assert all(r["n_late_dropped"] == 0 for r in out_rows[:4])
+
+
+def test_msprt_monitor_stream_multi_chunk_batch(spark, tmp_path):
+    """A group spanning MULTIPLE Arrow chunks within one micro-batch
+    must fold all rows in period order — Spark guarantees nothing
+    about cross-chunk ordering, so the operator materializes and
+    sorts the whole batch before folding. Regression: chunk-local
+    sorting would mis-drop in-batch rows as 'late' (ADVICE r13).
+    maxRecordsPerBatch=2 forces the 8-row group across 4 chunks, and
+    the file carries the periods REVERSED so any chunk-local sort
+    sees later periods first."""
+    import math
+
+    from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import (
+        msprt_monitor_stream,
+    )
+
+    xs = [3.0, -1.0, 4.0, 1.0, -5.0, 9.0, 2.0, -6.0]
+    inp = str(tmp_path / "msprt_chunks")
+    _write_batch(
+        inp,
+        [
+            {"group": "g", "period": d, "x": xs[d]}
+            for d in reversed(range(8))
+        ],
+        1,
+    )
+    sigma2 = 20.0
+    h = 4.0
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema("group string, period long, x double")
+            .json(inp)
+        )
+        q = (
+            msprt_monitor_stream(stream, mixture_h=h, alpha=0.1, sigma2=sigma2)
+            .writeStream.format("memory")
+            .queryName("msprt_chunked")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out_rows = spark.sql(
+                "SELECT * FROM msprt_chunked ORDER BY period"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    # every period folded exactly once, nothing mis-dropped as late
+    assert [r["period"] for r in out_rows] == list(range(8))
+    assert all(r["n_late_dropped"] == 0 for r in out_rows)
+    run_max = None
+    for i, r in enumerate(out_rows):
+        n = i + 1
+        dbar = sum(xs[: i + 1]) / n
+        ll = 0.5 * math.log(sigma2 / (sigma2 + n * h)) + (
+            n * n * dbar * dbar * h
+        ) / (2 * sigma2 * (sigma2 + n * h))
+        run_max = ll if run_max is None else max(run_max, ll)
+        assert abs(r["log_lambda"] - ll) < 1e-9
+        assert abs(r["cum_mean_diff"] - dbar) < 1e-9
+        assert abs(r["p_always_valid"] - min(1.0, math.exp(-run_max))) < 1e-9
