@@ -95,6 +95,33 @@ ratio into a fake super-linear reading; the plan is one exchange +
 hash agg as designed. x3 readings on sub-0.5 s walls should be read
 against reps, not taken as scale curves.
 
+Protocol note (r14, closing VERDICT r13 items 2+3+4):
+(a) the r13 drift cluster (sketch_profile 1.92x / hierarchy_roots
+1.61x / tfidf_terms 1.52x / ann_ivf_topk 1.50x raw) — NOISE VERDICT.
+Isolated fresh-process 5-7-rep runs (start load 0.20) read the
+controls themselves at 1.35x r12 / 1.22x r13 in the same session;
+control-normalized, the cluster sits at 1.05 / 1.10 / 0.84 / 0.73 vs
+r12 (ann_ivf_topk raw 3.308 s, BELOW r12's 3.356) — none of their
+code paths changed in r13, consistent with the r11->r12 bounce of
+the same queries. (b) dedup_spans x3 re-read: fresh sf1/sf3 pairs
+give x3 = 1.78 (sf1 min 1.91 s, sf3 min 3.392 s) vs the r13 driver
+reading of 4.04 — sub-linear on a quiet box; the interpreted-HOF
+chop stays (no vectorization warranted; watch item CLOSED unless a
+quiet-box reading exceeds 4 again). (c) BASKET CHANGE, r14: the
+ann_ivf_topk headline row (whole verified pipeline: index build +
+search + embedded exact truth — fixed-cost dominated at bench n,
+22% of the r13 headline) is REPLACED by ann_ivf_search — ivf_search
+over a prebuilt SAVED cid-partitioned index (built+saved+reloaded
+once per run, untimed; build wall reported as ann_ivf_build_wall on
+the bench_detail line). The headline row now times exactly what a
+serving user pays per query batch; the build's scaling story stays
+covered by the serving_ivf probe's sf0.1/sf1/sf3 walls (the x10
+scale witness, unchanged). Cross-round per-query comparison for
+"ann_ivf_topk" therefore ENDS at r13 (the name no longer appears);
+ann_ivf_search starts its own series at r14. The corpus/driver entry
+ann_ivf_topk is untouched (still oracle-gated via its invariants
+twin, still the full verified pipeline).
+
 Protocol note (r6, closing the r5 "a2_wide_agg +52% / lm_perplexity
 +86%" watch items): isolated 7-rep steady state (quiet machine) —
 a2_wide_agg 0.25-0.28 s, BELOW both recorded rounds (r4 0.42 / r5
@@ -184,7 +211,12 @@ HEADLINE = [
     # bench row because every corpus entry must stay inside the
     # oracle gate. Headline sum covers 24 queries from r11 on
     "attribution_last_touch",
-    "ann_ivf_topk",
+    # r14 (VERDICT r13 item 4): "ann_ivf_search" replaces the
+    # ann_ivf_topk pipeline row — serving-path ivf_search over a
+    # prebuilt saved index; the build runs once per bench, untimed
+    # (wall on the bench_detail line). NOT a corpus entry: the timed
+    # callable is installed by main() in SPECIAL_HEADLINE.
+    "ann_ivf_search",
     # late-r12 additions: the 2-D skyline (distinct + ONE keyed window
     # scan — the multi-criteria OLAP shape; wall should track the
     # distinct, x-ratios near-linear) and hierarchy flattening — the
@@ -235,14 +267,12 @@ SF1_SUBSET = [
     # o_custkey; super-linear growth would mean the delta sides
     # stopped behaving delta-sized (plan regressed to a full rebuild)
     "j10_join_delta",
-    # round-11 (VERDICT r10 item 4): ann_ivf_topk's x3 reads the
-    # build+search+truth pipeline (linear terms with small constants
-    # + large fixed costs — expect x3 well under ann_cosine's only
-    # because fixed costs amortize, NOT as proof of sub-linear
-    # search; see the HEADLINE scope note); attribution's as-of
-    # union+window should scale with the event volume
+    # round-11 (VERDICT r10 item 4): attribution's as-of union+window
+    # should scale with the event volume. r14: ann_ivf_topk's sf1/sf3
+    # rows DROPPED with the headline row (its x3 read fixed costs,
+    # not scaling — the serving_ivf probe's sf0.1/sf1/sf3 walls are
+    # the IVF scale witness now)
     "attribution_last_touch",
-    "ann_ivf_topk",
     # late-r12: skyline's distinct + window scan should scale with the
     # part count; hierarchy's per-round join cost scales with keys but
     # round COUNT only with log(depth) — x10 data, same ~4 rounds
@@ -391,6 +421,39 @@ def main() -> None:
     wg.join(wg.withColumnRenamed("m", "m2"), "id").count()
     wg.unpersist()
 
+    # r14 serving-path IVF headline fixture (protocol note (c)):
+    # build + save (partitionBy cid) + reload ONCE, untimed — the
+    # "ann_ivf_search" headline row then times ONLY ivf_search over
+    # the reloaded parquet index (probed-cid broadcast join, DPP-
+    # pruned scan), the wall a serving user pays per query batch.
+    # Same sqrt(n) centroid sizing and shared _ann_queries fixture as
+    # the serving_ivf scale probe, so the two read the same plan.
+    import math as _math
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    _ivf_tmp = _tempfile.mkdtemp(prefix="bench_ivf_headline_")
+    _t0 = time.perf_counter()
+    _ann_e, _ann_q = corpus._ann_queries(spark, sf_dir)
+    _ann_n = _ann_e.count()
+    _ann_ncent = max(16, int(_math.isqrt(_ann_n)))
+    _built_idx, _built_cents = build_ivf_index(_ann_e, n_centroids=_ann_ncent)
+    save_ivf_index(_built_idx, _built_cents, _ivf_tmp)
+    _ivf_idx, _ivf_cents = load_ivf_index(spark, _ivf_tmp)
+    ivf_build_wall = round(time.perf_counter() - _t0, 3)
+    special_headline = {
+        "ann_ivf_search": lambda: ivf_search(
+            _ivf_idx, _ivf_cents, _ann_q, k=10, n_probe=6
+        ).count(),
+    }
+
     # Protocol: adaptive reps per query, report the MIN (see module
     # docstring). At sf0.1 single-run walls are dominated by per-plan
     # codegen compile + machine-load noise (a 1.5x band measured
@@ -404,8 +467,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
+        run_fn = special_headline.get(name) or (
+            lambda n=name: qs[n](spark, sf_dir).count()
+        )
         runs = _timed_runs(
-            lambda n=name: qs[n](spark, sf_dir).count(),
+            run_fn,
             spark.catalog.clearCache,
             reps,
             max_reps,
@@ -413,6 +479,7 @@ def main() -> None:
         timings[name] = min(runs)
         all_runs[name] = runs
     spark.catalog.clearCache()
+    _shutil.rmtree(_ivf_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
 
     # --- secondary sf1 pass (scale check; same protocol, fewer reps) ---
@@ -678,6 +745,14 @@ def main() -> None:
     # trimmed headline (finalize_headline_line) can truthfully point
     # readers at this line for them.
     detail: dict = {"metric": "bench_detail", "queries": timings}
+    # r14 (protocol note (c)): the one-time UNTIMED index build
+    # behind the ann_ivf_search headline row — visibility without
+    # polluting the timed sum (n and centroid count size the build)
+    detail["ann_ivf_build"] = {
+        "wall": ivf_build_wall,
+        "n": _ann_n,
+        "centroids": _ann_ncent,
+    }
     prev, prev_name = _prev_bench(repo)
     controls_ratio = None
     if prev:

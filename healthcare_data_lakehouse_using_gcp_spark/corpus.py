@@ -645,14 +645,16 @@ _TAIL = (
     # (also green r13) KEEP their head seats as the r13 tranche's
     # head representatives.
     # r15 PLANNED swap set (VERDICT r13 item 5, schedule now, seat
-    # r15): the stalest oracle-green driver seats are the r2-era core
-    # rows — w1_row_number, a1_global_count, a3_count_distinct,
-    # f6_case_map, f9_coalesce, f13_in_list, o3_top_limit (last
-    # driver-green r2) — plus the stalest tranche-6 r11 seats as
-    # envelope allows (a16_winsorize, a17_mad_outliers, a19_mode,
-    # w8_period_over_period, privacy_generalize, j5_semi_anti,
-    # set_ops_nations, melt_lineitem) and the rule-3 twin swap back
-    # to embedding_near_dup; fund by demoting the r14 newborn seats
+    # r15): the r14-born newborn ann_ivf_refresh_invariants takes its
+    # MANDATORY first seat (2-round rule), then the stalest
+    # oracle-green driver seats — the r2-era core rows w1_row_number,
+    # a1_global_count, a3_count_distinct, f6_case_map, f9_coalesce,
+    # f13_in_list, o3_top_limit (last driver-green r2) — plus the
+    # stalest tranche-6 r11 seats as envelope allows (a16_winsorize,
+    # a17_mad_outliers, a19_mode, w8_period_over_period,
+    # privacy_generalize, j5_semi_anti, set_ops_nations,
+    # melt_lineitem) and the rule-3 twin swap back to
+    # embedding_near_dup; fund by demoting the r14 newborn seats
     # (their first CORRECTNESS rows banked) with invariants/pytest
     # rationales per entry.
     # --- round-14 demotions (VERDICT r13 item 1: 11 seats freed for
@@ -1402,6 +1404,18 @@ _TAIL = (
     #                             pytest pruning gate — seat r14/r15
     #                                               [new r13, no driver row]
     # ("layout_hilbert_scan" SEATED r14 — r13-born newborn, first driver row)
+    # --- tail-born r14 (post-drain policy: MUST seat within 2 rounds
+    # of birth — joins the r15 swap set named in the round-14 header):
+    #   ann_ivf_refresh_invariants — IVF index lifecycle: build →
+    #                             drifted append → incremental
+    #                             refresh (split worst lists + local
+    #                             Lloyd, similarity.ivf_index_refresh);
+    #                             content-preservation counts/id-sum
+    #                             DuckDB-recomputed, centroid/list
+    #                             constants + cost-improvement
+    #                             deterministic — seat r15
+    #                                               [new r14, no driver row]
+    "ann_ivf_refresh_invariants",
 )
 
 
@@ -3479,6 +3493,80 @@ def ann_ivf_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual=True,
     )
     return _ann_invariant_summary(approx, e, q, k=10, floor=0.25, check_cosine=False)
+
+
+@query(
+    "ann_ivf_refresh_invariants",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings)
+                + (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+             AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM embeddings)
+                + (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+             AS BIGINT) AS n_unique_ids,
+           CAST((SELECT SUM(CAST(vec_id AS HUGEINT)) FROM embeddings)
+                + (SELECT SUM(CAST(vec_id + 1000000 AS HUGEINT))
+                   FROM embeddings WHERE vec_id < 50)
+             AS DECIMAL(38,0)) AS vec_id_sum,
+           CAST(10 AS BIGINT) AS n_centroids_after,
+           CAST(2 AS BIGINT) AS refreshed_lists,
+           true AS cost_improved
+    """,
+)
+def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index lifecycle (beyond-reference, born r14): build →
+    drifted append → incremental REFRESH
+    (operators/similarity.ivf_index_refresh — split the worst lists,
+    local Lloyd, no full-corpus re-clustering), collapsed to the
+    one-row invariant frame the oracle can hash. The drifted batch is
+    deterministic (every vec_id < 50 re-embedded with +1.0 on
+    coordinate 0, new ids ≥ 1_000_000 — the planted-fixture idiom),
+    so every output is a fact DuckDB recomputes from the parquet
+    (n_vectors, n_unique_ids, vec_id_sum — content preserved exactly
+    once through append+refresh) or a deterministic constant of the
+    seeded construction (8−2+2·2 = 10 centroids, 2 refreshed lists,
+    drift-cost improvement). Cost monotonicity and assignment purity
+    are pinned harder in tests/test_llm_ops.py.
+
+    Scale design: the refresh path touches ONLY the 2 worst lists
+    (bounded corpus fraction); the cost-scoring agg is map-side
+    partials to |lists| rows. Seat r15 per the 2-round newborn rule."""
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_assignment_cost,
+        ivf_index_append,
+        ivf_index_refresh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    indexed, cents = build_ivf_index(e, n_centroids=8)
+    indexed = indexed.localCheckpoint(eager=True)
+    drifted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.col("embedding")[0] + F.lit(1.0))),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    grown = ivf_index_append(indexed, cents, drifted).localCheckpoint(
+        eager=True
+    )
+    cost_before = ivf_assignment_cost(grown, cents)
+    new_idx, new_cents, refreshed = ivf_index_refresh(
+        grown, cents, max_lists=2, split_factor=2, lloyd_iters=1
+    )
+    cost_after = ivf_assignment_cost(new_idx, new_cents)
+    n_cent = new_cents.count()
+    return new_idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count_distinct(F.col("vec_id")).cast("bigint").alias(
+            "n_unique_ids"
+        ),
+        F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("vec_id_sum"),
+        F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
+        F.lit(len(refreshed)).cast("bigint").alias("refreshed_lists"),
+        F.lit(bool(cost_after < cost_before)).alias("cost_improved"),
+    )
 
 
 @query("ann_lsh_topk", None)  # approximate: rows-only + embedded truth
@@ -10468,6 +10556,7 @@ OPERATOR_MAP = {
     "LLM-similarity": [
         "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_planted", "ann_ivf_topk",
         "ann_ivf_pq_topk", "embedding_near_dup", "embedding_near_dup_exact",
+        "ann_ivf_refresh_invariants",  # born r14: incremental index refresh
     ],
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",

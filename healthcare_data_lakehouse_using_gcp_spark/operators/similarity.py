@@ -512,8 +512,11 @@ def ivf_index_append(
     re-read) and union them into the inverted lists.
 
     Centroids drift as appends accumulate; monitor with
-    ivf_assignment_cost and rebuild (build_ivf_index) when the cost
-    degrades past the baseline captured at build time.
+    ivf_assignment_cost and either rebuild (build_ivf_index) when the
+    cost degrades past the baseline captured at build time, or — the
+    incremental path — refresh only the worst inverted lists with
+    ivf_index_refresh (split + local re-cluster, no full-corpus
+    re-clustering).
     """
     import numpy as np
 
@@ -541,6 +544,202 @@ def ivf_assignment_cost(
     joined = indexed.join(F.broadcast(centroids_df), "cid")
     cost = F.lit(1.0) - cosine_similarity_col(F.col(vec_col), F.col("centroid"))
     return joined.agg(F.avg(cost).alias("c")).first()["c"]
+
+
+def ivf_index_refresh(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_lists: int = 2,
+    split_factor: int = 2,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """Incremental IVF index REFRESH — the maintain-don't-rebuild
+    path ivf_index_append's drift note promises: as appended batches
+    accumulate, inverted lists bloat and drift away from their
+    centroids; instead of re-clustering the whole corpus
+    (build_ivf_index = lloyd_iters+1 FULL passes), split only the
+    WORST lists and re-cluster locally.
+
+    Steps:
+    1. One pass over the index scores every list by TOTAL assignment
+       cost (Σ 1−cosine(v, centroid) — the same drift metric as
+       ivf_assignment_cost, summed not averaged so big drifted lists
+       outrank small ones). The ``max_lists`` worst lists with at
+       least ``split_factor`` members are selected (cost then cid
+       tie-break — deterministic); fail-loud if none qualifies.
+    2. Each selected list is split into ``split_factor`` sub-lists:
+       deterministic md5-spread seeds from ITS OWN members, then
+       ``lloyd_iters`` Lloyd iterations confined to the list (the
+       pandas-UDF assignment considers only the origin list's
+       sub-centroids, so refresh work is linear in the REFRESHED
+       lists' size — untouched lists are never read again).
+    3. Centroid ids are renumbered contiguously 0..K-1 (untouched
+       lists first, in old-cid order, then the new sub-centroids) to
+       keep the ivf_index_append contract; untouched vectors are
+       remapped via a broadcast old→new map join (narrow, no
+       shuffle), refreshed vectors get their final sub-assignment.
+
+    Returns (new_indexed, new_centroids_df, refreshed_old_cids).
+    Cost monotonicity: splitting a list strictly adds capacity and
+    each member moves to its nearest sub-centroid, so the refreshed
+    lists' assignment cost can only go down vs the single old
+    centroid (Lloyd from the split seeds); verify end-to-end with
+    ivf_assignment_cost before/after — pinned in tests.
+
+    Scale design (100 TB): one cost-scoring aggregation over the
+    index (map-side partials to |lists| rows, tiny collect), then
+    lloyd_iters+2 passes over ONLY the refreshed lists (a bounded
+    corpus fraction — DPP-pruned to those cid directories when the
+    index is parquet-partitioned by cid), one broadcast remap join
+    for the rest. Driver state is |lists| + split seeds — never
+    data-proportional."""
+    import numpy as np
+    import pandas as pd
+
+    if max_lists < 1:
+        raise ValueError(f"max_lists must be >= 1, got {max_lists}")
+    if split_factor < 2:
+        raise ValueError(f"split_factor must be >= 2, got {split_factor}")
+    if lloyd_iters < 0:
+        raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
+
+    # 1. score lists by total assignment cost (one pass, tiny result)
+    joined = indexed.join(F.broadcast(centroids_df), "cid")
+    cost_col = F.lit(1.0) - cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+    stats = (
+        joined.groupBy("cid")
+        .agg(
+            F.sum(cost_col).alias("__cost"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()  # |lists| rows — driver-safe by construction
+    )
+    eligible = [r for r in stats if r["__n"] >= split_factor]
+    if not eligible:
+        raise ValueError(
+            f"ivf_index_refresh: no inverted list has >= split_factor="
+            f"{split_factor} members — nothing can be split; rebuild "
+            "with build_ivf_index instead"
+        )
+    eligible.sort(key=lambda r: (-r["__cost"], r["cid"]))
+    refreshed = sorted(int(r["cid"]) for r in eligible[:max_lists])
+    refreshed_set = set(refreshed)
+
+    # 2. per-list split seeds: lowest-split_factor members by
+    # md5(seed || id) within each refreshed list (deterministic,
+    # ingestion-order-independent — same idea as _spread_sample_rows)
+    from pyspark.sql import Window
+
+    sub = indexed.filter(F.col("cid").isin(refreshed)).select(
+        id_col, vec_col, "cid"
+    )
+    key = F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string")))
+    wk = Window.partitionBy("cid").orderBy(key.asc(), F.col(id_col).asc())
+    seed_rows = (
+        sub.withColumn("__r", F.row_number().over(wk))
+        .filter(F.col("__r") <= split_factor)
+        .select("cid", "__r", vec_col)
+        .collect()  # refreshed_lists × split_factor vectors — tiny
+    )
+    # sub-centroid matrices keyed by origin cid
+    subc: dict[int, np.ndarray] = {}
+    for c in refreshed:
+        rows = sorted(
+            (r for r in seed_rows if r["cid"] == c), key=lambda r: r["__r"]
+        )
+        subc[c] = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+    def _local_assign_udf(mats: dict[int, np.ndarray]):
+        normed = {
+            c: m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            for c, m in mats.items()
+        }
+
+        def _assign(vecs, cids):
+            if len(vecs) == 0:
+                return pd.Series([], dtype=np.int32)
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            out = np.zeros(len(v), dtype=np.int32)
+            for c in pd.unique(cids):
+                mask = (cids == c).to_numpy()
+                out[mask] = np.argmax(v[mask] @ normed[int(c)].T, axis=1)
+            return pd.Series(out)
+
+        return F.pandas_udf(_assign, T.IntegerType())
+
+    # Lloyd confined to the refreshed lists
+    for _ in range(lloyd_iters):
+        assigned = sub.select(
+            "cid",
+            vec_col,
+            _local_assign_udf(subc)(F.col(vec_col), F.col("cid")).alias("__s"),
+        )
+        means = (
+            assigned.select(
+                "cid", "__s", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cid", "__s", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid", "__s")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select(
+                "cid", "__s", F.transform("ms", lambda s: s["m"]).alias("c")
+            )
+            .collect()  # refreshed_lists × split_factor × dim — tiny
+        )
+        for row in means:
+            subc[int(row["cid"])][int(row["__s"])] = np.array(
+                row["c"], dtype=np.float64
+            )
+
+    # 3. contiguous renumbering: untouched lists first (old-cid
+    # order), then each refreshed list's sub-centroids
+    untouched_rows = sorted(
+        (r for r in centroids_df.collect() if int(r["cid"]) not in refreshed_set),
+        key=lambda r: int(r["cid"]),
+    )
+    old_to_new = {int(r["cid"]): i for i, r in enumerate(untouched_rows)}
+    new_centroids: list[tuple[int, list[float]]] = [
+        (old_to_new[int(r["cid"])], [float(x) for x in r["centroid"]])
+        for r in untouched_rows
+    ]
+    sub_base: dict[int, int] = {}
+    nxt = len(untouched_rows)
+    for c in refreshed:
+        sub_base[c] = nxt
+        for s in range(split_factor):
+            new_centroids.append((nxt, [float(x) for x in subc[c][s]]))
+            nxt += 1
+
+    spark = indexed.sparkSession
+    centroids_out = spark.createDataFrame(
+        new_centroids, "cid int, centroid array<double>"
+    )
+    remap = spark.createDataFrame(
+        [(old, new) for old, new in old_to_new.items()],
+        "cid int, __new_cid int",
+    )
+    kept = (
+        indexed.filter(~F.col("cid").isin(refreshed))
+        .join(F.broadcast(remap), "cid")
+        .select(id_col, vec_col, F.col("__new_cid").alias("cid"))
+    )
+    base_expr = F.create_map(
+        *[x for c in refreshed for x in (F.lit(c), F.lit(sub_base[c]))]
+    )
+    moved = sub.select(
+        id_col,
+        vec_col,
+        (
+            base_expr[F.col("cid")]
+            + _local_assign_udf(subc)(F.col(vec_col), F.col("cid"))
+        ).cast("int").alias("cid"),
+    )
+    return kept.unionByName(moved), centroids_out, refreshed
 
 
 def ivf_search(

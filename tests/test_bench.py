@@ -77,18 +77,25 @@ def test_basket_membership_contract():
     # 26 queries incl. the as-of attribution plan, a sub-linear ANN
     # representative, the 2-D skyline window scan, and the first
     # iterative-algorithm row (pointer-doubling hierarchy flatten);
-    # normalization controls stay members; sf1 subset ⊆ headline
+    # normalization controls stay members; sf1 subset ⊆ headline.
+    # r14 (VERDICT r13 item 4): the ANN representative is the
+    # serving-path ann_ivf_search row (build untimed), replacing the
+    # fixed-cost-dominated ann_ivf_topk pipeline row.
     assert len(HEADLINE) == 26
     assert "attribution_last_touch" in HEADLINE
-    assert "ann_ivf_topk" in HEADLINE
+    assert "ann_ivf_search" in HEADLINE
+    assert "ann_ivf_topk" not in HEADLINE
     assert "skyline_parts" in HEADLINE
     assert "hierarchy_roots" in HEADLINE
     assert set(CONTROLS) <= set(HEADLINE)
     assert set(SF1_SUBSET) <= set(HEADLINE)
     assert len(set(HEADLINE)) == len(HEADLINE)
-    # every basket entry must exist in the corpus registry
+    # every basket entry must exist in the corpus registry — except
+    # the special serving row, whose callable main() installs itself
     from healthcare_data_lakehouse_using_gcp_spark import corpus
 
     qs = corpus.queries()
-    missing = [n for n in HEADLINE if n not in qs]
+    missing = [
+        n for n in HEADLINE if n not in qs and n != "ann_ivf_search"
+    ]
     assert not missing, missing

@@ -621,6 +621,114 @@ def test_ivf_index_append_and_drift(spark):
     assert hits[0]["vec_id"] == hits[0]["query_id"]  # self-recall
 
 
+def test_ivf_index_refresh_splits_worst_list(spark):
+    """Hand-built drift scenario: ONE inverted list holds two tight,
+    well-separated clusters (the worst-cost list by construction);
+    refresh with max_lists=1 must split exactly that list, separate
+    the two clusters into different sub-lists, keep every vector
+    exactly once, renumber cids contiguously, and lower the total
+    assignment cost."""
+    import numpy as np
+
+    # cluster A around e0, cluster B around e1 (cosine(A,B) ≈ 0),
+    # plus a lone tight list around e2 that must NOT be refreshed
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))        # A
+    for i in range(6):
+        rows.append((10 + i, [0.0, 1.0, 0.01 * i, 0.0]))   # B
+    for i in range(4):
+        rows.append((20 + i, [0.0, 0.0, 0.0, 1.0 + 0.01 * i]))  # C
+    corpus_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # hand-built index: lists {0: A∪B (drifted), 1: C (tight)}
+    cents = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "cid int, centroid array<double>",
+    )
+    indexed = corpus_df.withColumn(
+        "cid", F.when(F.col("vec_id") >= 20, F.lit(1)).otherwise(F.lit(0))
+    )
+    cost_before = similarity.ivf_assignment_cost(indexed, cents)
+
+    new_idx, new_cents, refreshed = similarity.ivf_index_refresh(
+        indexed, cents, max_lists=1, split_factor=2, lloyd_iters=2
+    )
+    assert refreshed == [0]  # the mixed list is the worst by cost
+    got = new_idx.collect()
+    # content preserved exactly once
+    assert sorted(r["vec_id"] for r in got) == sorted(r[0] for r in rows)
+    # contiguous cids: 1 untouched + 2 sub-lists = 0..2
+    cent_rows = new_cents.orderBy("cid").collect()
+    assert [r["cid"] for r in cent_rows] == [0, 1, 2]
+    # cluster C stayed together under the remapped untouched cid
+    by_id = {r["vec_id"]: r["cid"] for r in got}
+    c_cids = {by_id[20 + i] for i in range(4)}
+    assert len(c_cids) == 1
+    # A and B ended in two DIFFERENT sub-lists, each pure
+    a_cids = {by_id[i] for i in range(6)}
+    b_cids = {by_id[10 + i] for i in range(6)}
+    assert len(a_cids) == 1 and len(b_cids) == 1 and a_cids != b_cids
+    # drift metric improved
+    cost_after = similarity.ivf_assignment_cost(new_idx, new_cents)
+    assert cost_after < cost_before
+    # refreshed index still serves: self-recall through ivf_search
+    q = corpus_df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = similarity.ivf_search(new_idx, new_cents, q, k=1, n_probe=1).collect()
+    assert hits[0]["vec_id"] == 0
+
+
+def test_ivf_index_refresh_contracts(spark):
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(4)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "cid int, centroid array<double>"
+    )
+    indexed = corpus_df.withColumn("cid", F.lit(0))
+    with _pytest.raises(ValueError, match="max_lists"):
+        similarity.ivf_index_refresh(indexed, cents, max_lists=0)
+    with _pytest.raises(ValueError, match="split_factor"):
+        similarity.ivf_index_refresh(indexed, cents, split_factor=1)
+    with _pytest.raises(ValueError, match="lloyd_iters"):
+        similarity.ivf_index_refresh(indexed, cents, lloyd_iters=-1)
+    # no list with >= split_factor members → fail loud, name the fix
+    with _pytest.raises(ValueError, match="rebuild"):
+        similarity.ivf_index_refresh(indexed, cents, split_factor=5)
+
+
+def test_ivf_index_refresh_deterministic(spark):
+    """Same inputs → byte-identical (cid, vec_id) assignment and
+    centroid table — the md5-spread seeding and cid-ordered
+    renumbering leave no run-to-run freedom."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.build_ivf_index(corpus_df, n_centroids=4)
+    indexed = indexed.localCheckpoint(eager=True)
+
+    def snap():
+        idx, cdf, ref = similarity.ivf_index_refresh(
+            indexed, cents, max_lists=2, split_factor=2, lloyd_iters=1
+        )
+        return (
+            sorted((r["vec_id"], r["cid"]) for r in idx.collect()),
+            sorted(
+                (r["cid"], tuple(r["centroid"])) for r in cdf.collect()
+            ),
+            ref,
+        )
+
+    assert snap() == snap()
+
+
 def test_connected_components_and_groups(spark):
     # chain 1-2, 2-3 plus isolated pair 10-11: components resolve
     # transitively to the min id
