@@ -645,8 +645,9 @@ _TAIL = (
     # (also green r13) KEEP their head seats as the r13 tranche's
     # head representatives.
     # r15 PLANNED swap set (VERDICT r13 item 5, schedule now, seat
-    # r15): the r14-born newborn ann_ivf_refresh_invariants takes its
-    # MANDATORY first seat (2-round rule), then the stalest
+    # r15): the r14-born newborns ann_ivf_refresh_invariants and
+    # ann_ivf_merge_invariants take their MANDATORY first seats
+    # (2-round rule), then the stalest
     # oracle-green driver seats — the r2-era core rows w1_row_number,
     # a1_global_count, a3_count_distinct, f6_case_map, f9_coalesce,
     # f13_in_list, o3_top_limit (last driver-green r2) — plus the
@@ -1416,6 +1417,15 @@ _TAIL = (
     #                             deterministic — seat r15
     #                                               [new r14, no driver row]
     "ann_ivf_refresh_invariants",
+    #   ann_ivf_merge_invariants — IVF lifecycle, merge leg: two
+    #                             disjoint parity-shard indexes →
+    #                             agglomerative centroid-table
+    #                             consolidation (12 → 8) + one
+    #                             broadcast relabel, no vector
+    #                             shuffle; content counts/id-sum
+    #                             DuckDB-recomputed — seat r15
+    #                                               [new r14, no driver row]
+    "ann_ivf_merge_invariants",
 )
 
 
@@ -3566,6 +3576,68 @@ def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
         F.lit(len(refreshed)).cast("bigint").alias("refreshed_lists"),
         F.lit(bool(cost_after < cost_before)).alias("cost_improved"),
+    )
+
+
+@query(
+    "ann_ivf_merge_invariants",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+             AS n_vectors,
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+             AS n_unique_ids,
+           CAST((SELECT SUM(CAST(vec_id AS HUGEINT)) FROM embeddings)
+             AS DECIMAL(38,0)) AS vec_id_sum,
+           CAST(8 AS BIGINT) AS n_centroids_after,
+           CAST(12 AS BIGINT) AS merged_from,
+           true AS remap_complete
+    """,
+)
+def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index lifecycle, merge leg (beyond-reference, born r14):
+    two DISJOINT shard indexes (vec_id parity split — the multi-shard
+    build pattern: each ingestion shard clusters its slice in
+    parallel) merged into one by
+    operators/similarity.ivf_index_merge: centroid-table-only
+    agglomerative consolidation 12 → 8 lists (nearest-cosine pairs,
+    count-weighted means), then ONE broadcast relabel join — vectors
+    never shuffle and are never re-read. Invariant frame: content
+    preserved exactly once through the parity split + merge
+    (n_vectors, n_unique_ids, vec_id_sum — DuckDB recomputes all
+    three from the parquet), the deterministic 2×6 → 8 centroid
+    arithmetic, and remap_complete (every vector holds a valid merged
+    cid — an incomplete old→new map would drop rows in the relabel
+    join and n_vectors would catch it; the explicit flag documents
+    the check). Deeper facts (weighted-mean centroids, nearest-pair
+    selection, serve-through) are pinned in tests/test_llm_ops.py.
+
+    Scale design: driver work is |lists_a|+|lists_b| centroids (k×k
+    numpy, MAX_MERGE_CENTROIDS fail-loud); cluster work is two tiny
+    count aggs + one broadcast-map relabel pass. Seat r15 per the
+    2-round newborn rule."""
+    from .operators.similarity import build_ivf_index, ivf_index_merge
+
+    e = _t(spark, sf_dir, "embeddings")
+    shard_a = e.filter(F.col("vec_id") % 2 == 0)
+    shard_b = e.filter(F.col("vec_id") % 2 == 1)
+    ia, ca = build_ivf_index(shard_a, n_centroids=6)
+    ib, cb = build_ivf_index(shard_b, n_centroids=6)
+    merged_idx, merged_cents = ivf_index_merge(
+        ia, ca, ib, cb, target_centroids=8
+    )
+    n_cent = merged_cents.count()
+    n_from = ca.count() + cb.count()
+    return merged_idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count_distinct(F.col("vec_id")).cast("bigint").alias(
+            "n_unique_ids"
+        ),
+        F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("vec_id_sum"),
+        F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
+        F.lit(n_from).cast("bigint").alias("merged_from"),
+        (F.count(F.lit(1)) == F.count(F.col("cid"))).alias(
+            "remap_complete"
+        ),
     )
 
 
@@ -10557,6 +10629,7 @@ OPERATOR_MAP = {
         "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_planted", "ann_ivf_topk",
         "ann_ivf_pq_topk", "embedding_near_dup", "embedding_near_dup_exact",
         "ann_ivf_refresh_invariants",  # born r14: incremental index refresh
+        "ann_ivf_merge_invariants",  # born r14: multi-shard index merge
     ],
     "LLM-text": [
         "text_stats", "text_lang_id", "text_fingerprint", "text_quality_score",

@@ -30,6 +30,11 @@ from pyspark.sql import types as T
 # interactive batch. Beyond it, fail loudly instead of OOMing.
 MAX_DRIVER_QUERIES = 100_000
 
+# ivf_index_merge consolidates centroids with a k×k similarity matrix
+# on the driver (k² doubles); past this, merge shards in stages or
+# rebuild — the guard raises with both alternatives named.
+MAX_MERGE_CENTROIDS = 8192
+
 
 def _collect_queries_guarded(queries, query_id_col: str, query_vec_col: str):
     """Count-guarded collect of the query frame (the fail-loud
@@ -740,6 +745,172 @@ def ivf_index_refresh(
         ).cast("int").alias("cid"),
     )
     return kept.unionByName(moved), centroids_out, refreshed
+
+
+def ivf_index_merge(
+    indexed_a: DataFrame,
+    centroids_a: DataFrame,
+    indexed_b: DataFrame,
+    centroids_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_centroids: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two independently built IVF indexes into ONE — the
+    multi-shard build path: at 100 TB each ingestion shard (or each
+    time window) clusters its own slice in parallel with
+    build_ivf_index, then the shards merge WITHOUT ever re-reading
+    vectors:
+
+    1. b's inverted lists are renumbered after a's (pure relabel).
+    2. If ``target_centroids`` is given and smaller than the union,
+       the NEAREST centroid pair (highest cosine; count-weighted mean
+       replaces them — so a huge list is not dragged toward a tiny
+       one) is merged repeatedly until the target is met. This is
+       agglomerative clustering over the CENTROID TABLE ONLY —
+       |lists_a|+|lists_b| rows on the driver, never the vectors.
+    3. One broadcast old→new map join relabels the union of the two
+       indexed frames. Vectors never move between executors: no
+       shuffle, no re-assignment pass, no Lloyd.
+
+    The merged lists' centroids are exact count-weighted means of
+    their members' former centroids, so assignment cost degrades
+    gracefully (bounded by the merged pair's separation); monitor
+    with ivf_assignment_cost and run ivf_index_refresh on the worst
+    lists when the drift metric says so — merge-then-refresh is the
+    full incremental lifecycle.
+
+    Deterministic: pair selection breaks cosine ties by (cid, cid);
+    renumbering is order-fixed. Fail-loud on duplicate ids across the
+    two indexes (a vector indexed twice would silently double-count
+    in every downstream search) unless the caller passes disjoint
+    shards, and on target_centroids < 1.
+
+    Returns (merged_indexed, merged_centroids_df)."""
+    import numpy as np
+
+    if target_centroids is not None and target_centroids < 1:
+        raise ValueError(
+            f"target_centroids must be >= 1, got {target_centroids}"
+        )
+    dup = (
+        indexed_a.select(id_col)
+        .join(indexed_b.select(id_col), id_col)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivf_index_merge: id {dup[0][id_col]!r} appears in BOTH "
+            "indexes — shards must be disjoint (dedup upstream or "
+            "drop one side's copy)"
+        )
+
+    # per-list counts (for weighted means) — two tiny aggs
+    counts_a = {
+        int(r["cid"]): int(r["n"])
+        for r in indexed_a.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts_b = {
+        int(r["cid"]): int(r["n"])
+        for r in indexed_b.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows_a = sorted(centroids_a.collect(), key=lambda r: int(r["cid"]))
+    rows_b = sorted(centroids_b.collect(), key=lambda r: int(r["cid"]))
+    n_a = len(rows_a)
+
+    # working state: union cid -> (vector, member count, source cids)
+    cents: dict[int, np.ndarray] = {}
+    weights: dict[int, int] = {}
+    members: dict[int, list[tuple[str, int]]] = {}
+    for r in rows_a:
+        u = int(r["cid"])
+        cents[u] = np.array(r["centroid"], dtype=np.float64)
+        weights[u] = counts_a.get(u, 0)
+        members[u] = [("a", u)]
+    for r in rows_b:
+        u = n_a + int(r["cid"])
+        cents[u] = np.array(r["centroid"], dtype=np.float64)
+        weights[u] = counts_b.get(int(r["cid"]), 0)
+        members[u] = [("b", int(r["cid"]))]
+
+    if target_centroids is not None and len(cents) > target_centroids:
+        # agglomerative consolidation over the centroid table only —
+        # vectorized: one k×k cosine matrix, then only the merged
+        # row/col recomputes per step. Memory is k² doubles, so cap
+        # the union size fail-loud rather than thrash the driver.
+        if len(cents) > MAX_MERGE_CENTROIDS:
+            raise ValueError(
+                f"ivf_index_merge: union has {len(cents)} centroids > "
+                f"MAX_MERGE_CENTROIDS={MAX_MERGE_CENTROIDS} — merge "
+                "shards pairwise in stages, or rebuild with "
+                "build_ivf_index at the combined scale"
+            )
+        keys = sorted(cents)
+        mat = np.array([cents[k] for k in keys], dtype=np.float64)
+        normed = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        sim = normed @ normed.T
+        np.fill_diagonal(sim, -np.inf)
+        alive = np.ones(len(keys), dtype=bool)
+        n_alive = len(keys)
+        while n_alive > target_centroids:
+            # ties break to the smallest (i, j) because argmax scans
+            # row-major over a deterministic layout
+            i, j = np.unravel_index(int(np.argmax(sim)), sim.shape)
+            if i > j:
+                i, j = j, i
+            ki, kj = keys[i], keys[j]
+            wi, wj = weights[ki], weights[kj]
+            tot = wi + wj
+            cents[ki] = (
+                (cents[ki] * wi + cents[kj] * wj) / tot
+                if tot > 0
+                else (cents[ki] + cents[kj]) / 2.0
+            )
+            weights[ki] = tot
+            members[ki].extend(members[kj])
+            del cents[kj], weights[kj], members[kj]
+            alive[j] = False
+            n_alive -= 1
+            sim[j, :] = -np.inf
+            sim[:, j] = -np.inf
+            v = cents[ki]
+            nv = v / max(np.linalg.norm(v), 1e-12)
+            row = normed @ nv
+            row[~alive] = -np.inf
+            row[i] = -np.inf
+            normed[i] = nv
+            sim[i, :] = row
+            sim[:, i] = row
+
+    # contiguous renumber in surviving-key order; old (side, cid) → new
+    final_keys = sorted(cents)
+    map_a: list[tuple[int, int]] = []
+    map_b: list[tuple[int, int]] = []
+    out_rows: list[tuple[int, list[float]]] = []
+    for new, k in enumerate(final_keys):
+        out_rows.append((new, [float(x) for x in cents[k]]))
+        for side, old in members[k]:
+            (map_a if side == "a" else map_b).append((old, new))
+
+    spark = indexed_a.sparkSession
+    merged_cents = spark.createDataFrame(
+        out_rows, "cid int, centroid array<double>"
+    )
+
+    def _remap(idx: DataFrame, pairs: list[tuple[int, int]]) -> DataFrame:
+        m = spark.createDataFrame(pairs, "cid int, __new int")
+        return (
+            idx.join(F.broadcast(m), "cid")
+            .select(id_col, vec_col, F.col("__new").alias("cid"))
+        )
+
+    merged_idx = _remap(indexed_a, map_a).unionByName(
+        _remap(indexed_b, map_b)
+    )
+    return merged_idx, merged_cents
 
 
 def ivf_search(

@@ -729,6 +729,131 @@ def test_ivf_index_refresh_deterministic(spark):
     assert snap() == snap()
 
 
+def test_ivf_index_merge_consolidates_nearest(spark):
+    """Two hand-built shard indexes: shard A has lists around e0 and
+    e1, shard B has lists around e0-ish (nearest to A's e0 list) and
+    e3. Merging 4 lists down to 3 must fuse exactly the two e0-ish
+    lists into ONE count-weighted centroid, keep every vector exactly
+    once under contiguous cids, and leave the merged index
+    searchable."""
+    import numpy as np
+
+    a_rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.02, 0.0, 0.0]),
+              (2, [0.0, 1.0, 0.0, 0.0])]
+    b_rows = [(10, [1.0, 0.1, 0.0, 0.0]),
+              (11, [0.0, 0.0, 0.0, 1.0]), (12, [0.0, 0.0, 0.01, 1.0])]
+    a_idx = spark.createDataFrame(
+        [(i, v, 0 if v[0] > 0.5 else 1) for i, v in a_rows],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    a_cents = spark.createDataFrame(
+        [(0, [1.0, 0.01, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    b_idx = spark.createDataFrame(
+        [(i, v, 0 if v[0] > 0.5 else 1) for i, v in b_rows],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    b_cents = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.0, 0.0, 0.005, 1.0])],
+        "cid int, centroid array<double>",
+    )
+    merged_idx, merged_cents = similarity.ivf_index_merge(
+        a_idx, a_cents, b_idx, b_cents, target_centroids=3
+    )
+    got = merged_idx.collect()
+    assert sorted(r["vec_id"] for r in got) == [0, 1, 2, 10, 11, 12]
+    cent_rows = merged_cents.orderBy("cid").collect()
+    assert [r["cid"] for r in cent_rows] == [0, 1, 2]
+    by_id = {r["vec_id"]: r["cid"] for r in got}
+    # the two e0-ish lists fused: A{0,1} and B{10} share one cid
+    assert by_id[0] == by_id[1] == by_id[10]
+    # the other two lists stayed separate
+    assert len({by_id[0], by_id[2], by_id[11]}) == 3
+    assert by_id[11] == by_id[12]
+    # fused centroid is the count-weighted mean of (2×A0, 1×B0)
+    fused = next(
+        r["centroid"] for r in cent_rows if r["cid"] == by_id[0]
+    )
+    expect = (np.array([1.0, 0.01, 0.0, 0.0]) * 2
+              + np.array([1.0, 0.1, 0.0, 0.0])) / 3
+    assert np.allclose(fused, expect)
+    # merged index serves: self-recall for a vector from each shard
+    for qid in (0, 11):
+        q = merged_idx.filter(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        hits = similarity.ivf_search(
+            merged_idx, merged_cents, q, k=1, n_probe=1
+        ).collect()
+        assert hits[0]["vec_id"] == qid
+
+
+def test_ivf_index_merge_contracts(spark):
+    import pytest as _pytest
+
+    idx = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, cid int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, centroid array<double>"
+    )
+    other = spark.createDataFrame(
+        [(0, [0.0, 1.0], 0)], "vec_id long, embedding array<double>, cid int"
+    )
+    with _pytest.raises(ValueError, match="BOTH indexes"):
+        similarity.ivf_index_merge(idx, cents, other, cents)
+    with _pytest.raises(ValueError, match="target_centroids"):
+        similarity.ivf_index_merge(
+            idx, cents,
+            other.withColumn("vec_id", F.lit(99).cast("long")), cents,
+            target_centroids=0,
+        )
+    # cap guard names both alternatives
+    import healthcare_data_lakehouse_using_gcp_spark.operators.similarity as sim_mod
+    old = sim_mod.MAX_MERGE_CENTROIDS
+    try:
+        sim_mod.MAX_MERGE_CENTROIDS = 1
+        with _pytest.raises(ValueError, match="stages"):
+            similarity.ivf_index_merge(
+                idx, cents,
+                other.withColumn("vec_id", F.lit(99).cast("long")), cents,
+                target_centroids=1,
+            )
+    finally:
+        sim_mod.MAX_MERGE_CENTROIDS = old
+
+
+def test_ivf_merge_then_refresh_lifecycle(spark):
+    """The full incremental lifecycle on real-ish data: two disjoint
+    shard indexes merge without a vector shuffle, the merged index's
+    drift cost is finite, and ivf_index_refresh on the merged result
+    improves it — merge-then-refresh as the docstrings promise."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    shard_a = df.filter(F.col("vec_id") % 2 == 0)
+    shard_b = df.filter(F.col("vec_id") % 2 == 1)
+    ia, ca = similarity.build_ivf_index(shard_a, n_centroids=4)
+    ib, cb = similarity.build_ivf_index(shard_b, n_centroids=4)
+    midx, mcents = similarity.ivf_index_merge(
+        ia, ca, ib, cb, target_centroids=5
+    )
+    midx = midx.localCheckpoint(eager=True)
+    assert midx.count() == 60
+    assert mcents.count() == 5
+    cost_m = similarity.ivf_assignment_cost(midx, mcents)
+    ridx, rcents, _ = similarity.ivf_index_refresh(
+        midx, mcents, max_lists=2, split_factor=2, lloyd_iters=2
+    )
+    cost_r = similarity.ivf_assignment_cost(ridx, rcents)
+    assert cost_r < cost_m
+    assert ridx.count() == 60
+
+
 def test_connected_components_and_groups(spark):
     # chain 1-2, 2-3 plus isolated pair 10-11: components resolve
     # transitively to the min id
