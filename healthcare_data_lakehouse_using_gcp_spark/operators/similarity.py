@@ -900,15 +900,29 @@ def ivf_index_merge(
         out_rows, "cid int, centroid array<double>"
     )
 
-    def _remap(idx: DataFrame, pairs: list[tuple[int, int]]) -> DataFrame:
+    def _remap(
+        idx: DataFrame, pairs: list[tuple[int, int]], side: str
+    ) -> DataFrame:
         m = spark.createDataFrame(pairs, "cid int, __new int")
+        # a cid missing from the centroid table would silently vanish
+        # in the inner relabel join — that is a corrupt index, raise
+        # (same limit(1) fail-loud idiom as joins.check_unique_left)
+        orphan = (
+            idx.join(F.broadcast(m), "cid", "left_anti").limit(1).collect()
+        )
+        if orphan:
+            raise ValueError(
+                f"ivf_index_merge: index {side!r} holds cid "
+                f"{orphan[0]['cid']} absent from its centroid table — "
+                "corrupt index; rebuild it before merging"
+            )
         return (
             idx.join(F.broadcast(m), "cid")
             .select(id_col, vec_col, F.col("__new").alias("cid"))
         )
 
-    merged_idx = _remap(indexed_a, map_a).unionByName(
-        _remap(indexed_b, map_b)
+    merged_idx = _remap(indexed_a, map_a, "a").unionByName(
+        _remap(indexed_b, map_b, "b")
     )
     return merged_idx, merged_cents
 

@@ -809,6 +809,13 @@ def test_ivf_index_merge_contracts(spark):
             other.withColumn("vec_id", F.lit(99).cast("long")), cents,
             target_centroids=0,
         )
+    # a cid missing from its centroid table = corrupt index → raise,
+    # never silently drop rows in the relabel join
+    corrupt = spark.createDataFrame(
+        [(99, [0.5, 0.5], 7)], "vec_id long, embedding array<double>, cid int"
+    )
+    with _pytest.raises(ValueError, match="corrupt index"):
+        similarity.ivf_index_merge(idx, cents, corrupt, cents)
     # cap guard names both alternatives
     import healthcare_data_lakehouse_using_gcp_spark.operators.similarity as sim_mod
     old = sim_mod.MAX_MERGE_CENTROIDS
