@@ -3620,8 +3620,13 @@ def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     shard_a = e.filter(F.col("vec_id") % 2 == 0)
     shard_b = e.filter(F.col("vec_id") % 2 == 1)
+    # materialize before merging: merge probes each side several
+    # times (counts, duplicate-id, orphan guards) and a raw build
+    # result would re-run its assignment UDF once per probe
     ia, ca = build_ivf_index(shard_a, n_centroids=6)
+    ia = ia.localCheckpoint(eager=True)
     ib, cb = build_ivf_index(shard_b, n_centroids=6)
+    ib = ib.localCheckpoint(eager=True)
     merged_idx, merged_cents = ivf_index_merge(
         ia, ca, ib, cb, target_centroids=8
     )

@@ -600,7 +600,13 @@ def ivf_index_refresh(
     corpus fraction — DPP-pruned to those cid directories when the
     index is parquet-partitioned by cid), one broadcast remap join
     for the rest. Driver state is |lists| + split seeds — never
-    data-proportional."""
+    data-proportional.
+
+    Each of those passes re-evaluates ``indexed``'s lineage, so hand
+    this function a MATERIALIZED index — a load_ivf_index parquet
+    read (the serving norm) or a localCheckpoint — not a raw
+    build_ivf_index result, whose pandas-UDF assignment would
+    otherwise re-run once per pass."""
     import numpy as np
     import pandas as pd
 
