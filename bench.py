@@ -112,7 +112,7 @@ ann_ivf_topk headline row (whole verified pipeline: index build +
 search + embedded exact truth — fixed-cost dominated at bench n,
 22% of the r13 headline) is REPLACED by ann_ivf_search — ivf_search
 over a prebuilt SAVED cid-partitioned index (built+saved+reloaded
-once per run, untimed; build wall reported as ann_ivf_build_wall on
+once per run, untimed; build wall reported as ann_ivf_build on
 the bench_detail line). The headline row now times exactly what a
 serving user pays per query batch; the build's scaling story stays
 covered by the serving_ivf probe's sf0.1/sf1/sf3 walls (the x10

@@ -734,6 +734,21 @@ def ivf_index_refresh(
         [(old, new) for old, new in old_to_new.items()],
         "cid int, __new_cid int",
     )
+    # a cid in the index but absent from the centroid table would
+    # silently vanish in the inner remap join — corrupt index, raise
+    # (same limit(1) fail-loud idiom as ivf_index_merge)
+    orphan = (
+        indexed.filter(~F.col("cid").isin(refreshed))
+        .join(F.broadcast(remap), "cid", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if orphan:
+        raise ValueError(
+            f"ivf_index_refresh: index holds cid {orphan[0]['cid']} "
+            "absent from the centroid table — corrupt index; rebuild "
+            "with build_ivf_index before refreshing"
+        )
     kept = (
         indexed.filter(~F.col("cid").isin(refreshed))
         .join(F.broadcast(remap), "cid")

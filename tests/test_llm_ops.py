@@ -699,6 +699,17 @@ def test_ivf_index_refresh_contracts(spark):
     # no list with >= split_factor members → fail loud, name the fix
     with _pytest.raises(ValueError, match="rebuild"):
         similarity.ivf_index_refresh(indexed, cents, split_factor=5)
+    # a cid missing from the centroid table = corrupt index → raise,
+    # never silently drop those rows in the kept-side remap join
+    two_lists = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0), (2, [0.9, 0.1], 0),
+         (3, [0.0, 1.0], 7), (4, [0.1, 1.0], 7)],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    with _pytest.raises(ValueError, match="corrupt index"):
+        similarity.ivf_index_refresh(
+            two_lists, cents, max_lists=1, split_factor=2
+        )
 
 
 def test_ivf_index_refresh_deterministic(spark):
