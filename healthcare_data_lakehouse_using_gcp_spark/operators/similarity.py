@@ -206,7 +206,13 @@ def cosine_similarity_col(a, b):
 
     Operands are cast to double element-wise (float32 accumulation
     would drift from any float64 oracle).
-    """
+
+    A zero-norm vector has no defined cosine: under ANSI mode (the
+    Spark 4 default) the division fails loud with DIVIDE_BY_ZERO
+    rather than inventing a value — filter degenerate embeddings
+    upstream. (The numpy-side paths clamp norms at 1e-12 because a
+    whole Arrow batch must not die on one bad row; the JVM path
+    keeps the strict contract.)"""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
