@@ -954,6 +954,104 @@ def ivf_index_merge(
     return merged_idx, merged_cents
 
 
+def ivf_pq_refresh(
+    pq_index: DataFrame,
+    centroids_df: DataFrame,
+    codebooks,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_lists: int = 2,
+    split_factor: int = 2,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+    residual: bool = True,
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """Refresh an IVF-PQ SERVING index after centroid drift — the
+    compressed-codes counterpart of ivf_index_refresh. Residual PQ
+    codes encode v − centroid[cid], so when a list's centroid moves,
+    its codes are STALE; but untouched lists' centroids are only
+    renumbered, never moved, so their codes stay byte-valid. This
+    function therefore re-encodes ONLY the refreshed lists:
+
+    1. Rebuild the (id, vec, cid) assignment by joining the codes
+       frame with the cold full-precision ``vectors`` store
+       (fail-loud if any coded id lacks a vector — codes cannot be
+       re-derived without it).
+    2. ivf_index_refresh picks + splits the worst lists (same
+       parameters, same determinism).
+    3. Rows whose OLD list was untouched keep their existing
+       ``pq_codes`` and just take the renumbered cid; rows from
+       refreshed lists re-encode against their new sub-centroid
+       (``pq_encode(centroids=...)`` — one Arrow pass over the
+       refreshed fraction only). With ``residual=False`` codes never
+       depend on centroids, so everything relabels and nothing
+       re-encodes.
+
+    Equivalence contract (pinned in tests): the output codes frame is
+    row-for-row identical to a full ``ivf_pq_encode`` of the
+    refreshed index — this function just skips the untouched
+    fraction's encode work.
+
+    Returns (new_pq_index (id, cid, pq_codes), new_centroids_df,
+    refreshed_old_cids).
+
+    Scale design (100 TB): the full-precision vectors are touched
+    only for the cost-scoring pass and the refreshed lists' encode;
+    codes relabel through broadcast-map joins. Hand this parquet-
+    backed frames (the serving norm) — every pass re-evaluates
+    lineage."""
+    old = pq_index.select(
+        id_col, F.col("cid").alias("__old_cid"), "pq_codes"
+    )
+    missing = (
+        old.join(vectors.select(id_col), id_col, "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            f"ivf_pq_refresh: coded id {missing[0][id_col]!r} has no "
+            f"row in the full-precision vectors store — residual codes "
+            "cannot be re-derived; restore the cold vectors first"
+        )
+    assignment = vectors.select(id_col, vec_col).join(
+        pq_index.select(id_col, "cid"), id_col
+    )
+    new_idx, new_cents, refreshed = ivf_index_refresh(
+        assignment,
+        centroids_df,
+        id_col,
+        vec_col,
+        max_lists,
+        split_factor,
+        lloyd_iters,
+        seed,
+    )
+    joined = new_idx.join(old, id_col)
+    if not residual:
+        return (
+            joined.select(id_col, "cid", "pq_codes"),
+            new_cents,
+            refreshed,
+        )
+    import numpy as np
+
+    fresh = joined.filter(~F.col("__old_cid").isin(refreshed)).select(
+        id_col, "cid", "pq_codes"
+    )
+    stale_src = joined.filter(F.col("__old_cid").isin(refreshed)).select(
+        id_col, vec_col, "cid"
+    )
+    cent_rows = new_cents.orderBy("cid").collect()  # tiny
+    cents_arr = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    stale_codes = pq_encode(
+        stale_src, codebooks, id_col, vec_col, centroids=cents_arr
+    )
+    stale = stale_src.select(id_col, "cid").join(stale_codes, id_col)
+    return fresh.unionByName(stale), new_cents, refreshed
+
+
 def ivf_search(
     indexed: DataFrame,
     centroids_df: DataFrame,

@@ -872,6 +872,95 @@ def test_ivf_merge_then_refresh_lifecycle(spark):
     assert ridx.count() == 60
 
 
+def test_ivf_pq_refresh_equivalence_and_laziness(spark):
+    """ivf_pq_refresh must produce EXACTLY the codes a full
+    ivf_pq_encode of the refreshed index would — while re-encoding
+    only the refreshed lists: untouched rows' codes are byte-identical
+    to their pre-refresh codes (proof the fresh path never
+    re-encodes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((50, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.build_ivf_index(vectors, n_centroids=4)
+    indexed = indexed.localCheckpoint(eager=True)
+    books = similarity.train_pq_codebooks_residual(
+        indexed, cents, m=4, nbits=4, sample_size=64
+    )
+    pq_index = similarity.ivf_pq_encode(
+        indexed, books, centroids_df=cents
+    ).localCheckpoint(eager=True)
+
+    new_pq, new_cents, refreshed = similarity.ivf_pq_refresh(
+        pq_index, cents, books, vectors, max_lists=2, split_factor=2,
+        lloyd_iters=1,
+    )
+    got = {r["vec_id"]: r for r in new_pq.collect()}
+    assert sorted(got) == list(range(50))
+
+    # equivalence: full re-encode of the refreshed index gives the
+    # same (cid, codes) for every row
+    new_idx, new_cents2, refreshed2 = similarity.ivf_index_refresh(
+        indexed, cents, max_lists=2, split_factor=2, lloyd_iters=1
+    )
+    assert refreshed2 == refreshed
+    assert (
+        sorted((r["cid"], tuple(r["centroid"])) for r in new_cents.collect())
+        == sorted((r["cid"], tuple(r["centroid"])) for r in new_cents2.collect())
+    )
+    full = {
+        r["vec_id"]: r
+        for r in similarity.ivf_pq_encode(
+            new_idx, books, centroids_df=new_cents2
+        ).collect()
+    }
+    for i in range(50):
+        assert got[i]["cid"] == full[i]["cid"], i
+        assert list(got[i]["pq_codes"]) == list(full[i]["pq_codes"]), i
+
+    # untouched rows kept their ORIGINAL codes byte-identical
+    old_codes = {r["vec_id"]: r for r in pq_index.collect()}
+    untouched_ids = [
+        i for i in range(50) if old_codes[i]["cid"] not in refreshed
+    ]
+    assert untouched_ids, "fixture must leave some list untouched"
+    for i in untouched_ids:
+        assert list(got[i]["pq_codes"]) == list(old_codes[i]["pq_codes"]), i
+
+    # refreshed serving index still answers ADC searches
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = similarity.ivf_pq_search(
+        new_pq, new_cents, books, q, k=5, n_probe=2, residual=True
+    ).collect()
+    assert len(hits) == 5
+
+
+def test_ivf_pq_refresh_contracts(spark):
+    import pytest as _pytest
+
+    pq_index = spark.createDataFrame(
+        [(0, 0, [1, 2]), (99, 0, [3, 4])],
+        "vec_id long, cid int, pq_codes array<smallint>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, centroid array<double>"
+    )
+    vectors = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import numpy as np
+
+    books = np.zeros((2, 2, 1))
+    # coded id 99 has no raw vector → cannot re-derive residual codes
+    with _pytest.raises(ValueError, match="cold vectors"):
+        similarity.ivf_pq_refresh(pq_index, cents, books, vectors)
+
+
 def test_connected_components_and_groups(spark):
     # chain 1-2, 2-3 plus isolated pair 10-11: components resolve
     # transitively to the min id
