@@ -3590,7 +3590,7 @@ def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS DECIMAL(38,0)) AS vec_id_sum,
            CAST(8 AS BIGINT) AS n_centroids_after,
            CAST(12 AS BIGINT) AS merged_from,
-           true AS remap_complete
+           true AS cids_in_range
     """,
 )
 def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3605,11 +3605,12 @@ def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserved exactly once through the parity split + merge
     (n_vectors, n_unique_ids, vec_id_sum — DuckDB recomputes all
     three from the parquet), the deterministic 2×6 → 8 centroid
-    arithmetic, and remap_complete (every vector holds a valid merged
-    cid — an incomplete old→new map would drop rows in the relabel
-    join and n_vectors would catch it; the explicit flag documents
-    the check). Deeper facts (weighted-mean centroids, nearest-pair
-    selection, serve-through) are pinned in tests/test_llm_ops.py.
+    arithmetic, and cids_in_range (every assigned cid is a REAL
+    merged-table id in [0, n_centroids_after) — a renumbering bug
+    that emitted stray ids would flip it; row LOSS through the
+    relabel join is what n_vectors catches). Deeper facts
+    (weighted-mean centroids, nearest-pair selection, serve-through)
+    are pinned in tests/test_llm_ops.py.
 
     Scale design: driver work is |lists_a|+|lists_b| centroids (k×k
     numpy, MAX_MERGE_CENTROIDS fail-loud); cluster work is two tiny
@@ -3640,9 +3641,10 @@ def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("vec_id_sum"),
         F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
         F.lit(n_from).cast("bigint").alias("merged_from"),
-        (F.count(F.lit(1)) == F.count(F.col("cid"))).alias(
-            "remap_complete"
-        ),
+        (
+            (F.min("cid") >= F.lit(0))
+            & (F.max("cid") < F.lit(n_cent))
+        ).alias("cids_in_range"),
     )
 
 

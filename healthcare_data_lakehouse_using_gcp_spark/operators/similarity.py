@@ -594,11 +594,15 @@ def ivf_index_refresh(
        shuffle), refreshed vectors get their final sub-assignment.
 
     Returns (new_indexed, new_centroids_df, refreshed_old_cids).
-    Cost monotonicity: splitting a list strictly adds capacity and
-    each member moves to its nearest sub-centroid, so the refreshed
-    lists' assignment cost can only go down vs the single old
-    centroid (Lloyd from the split seeds); verify end-to-end with
-    ivf_assignment_cost before/after — pinned in tests.
+    Cost: splitting a list adds capacity and each member moves to its
+    nearest sub-centroid, so in practice the refreshed lists'
+    assignment cost drops sharply — but this is an empirical
+    property, NOT a theorem (with lloyd_iters=0 the sub-centroids are
+    raw md5-picked seed members, and arithmetic-mean Lloyd under
+    cosine cost carries no monotonicity proof). Schedule refreshes on
+    a measured ivf_assignment_cost before/after, never on an assumed
+    improvement; the drop is pinned empirically in tests and guarded
+    by a margin tripwire for the corpus fixture.
 
     Scale design (100 TB): one cost-scoring aggregation over the
     index (map-side partials to |lists| rows, tiny collect), then
@@ -623,8 +627,16 @@ def ivf_index_refresh(
     if lloyd_iters < 0:
         raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
 
-    # 1. score lists by total assignment cost (one pass, tiny result)
-    joined = indexed.join(F.broadcast(centroids_df), "cid")
+    cent_rows_all = centroids_df.collect()  # |lists| rows — tiny
+    known_cids = {int(r["cid"]) for r in cent_rows_all}
+
+    # 1. score lists by total assignment cost (one pass, tiny result).
+    # LEFT join + NULL-retaining groupBy so corrupt indexes surface in
+    # the same pass: a NULL cid or a cid absent from the centroid
+    # table would otherwise be dropped SILENTLY by the isin filters
+    # and inner remap join below — the exact silent loss this
+    # operator's contract forbids.
+    joined = indexed.join(F.broadcast(centroids_df), "cid", "left")
     cost_col = F.lit(1.0) - cosine_similarity_col(F.col(vec_col), F.col("centroid"))
     stats = (
         joined.groupBy("cid")
@@ -634,6 +646,17 @@ def ivf_index_refresh(
         )
         .collect()  # |lists| rows — driver-safe by construction
     )
+    bad = sorted(
+        (r["cid"] for r in stats
+         if r["cid"] is None or int(r["cid"]) not in known_cids),
+        key=lambda c: (c is not None, c),
+    )
+    if bad:
+        raise ValueError(
+            f"ivf_index_refresh: index holds cid(s) {bad[:5]} absent "
+            "from the centroid table (None = NULL cid) — corrupt "
+            "index; rebuild with build_ivf_index before refreshing"
+        )
     eligible = [r for r in stats if r["__n"] >= split_factor]
     if not eligible:
         raise ValueError(
@@ -716,7 +739,7 @@ def ivf_index_refresh(
     # 3. contiguous renumbering: untouched lists first (old-cid
     # order), then each refreshed list's sub-centroids
     untouched_rows = sorted(
-        (r for r in centroids_df.collect() if int(r["cid"]) not in refreshed_set),
+        (r for r in cent_rows_all if int(r["cid"]) not in refreshed_set),
         key=lambda r: int(r["cid"]),
     )
     old_to_new = {int(r["cid"]): i for i, r in enumerate(untouched_rows)}
@@ -740,21 +763,9 @@ def ivf_index_refresh(
         [(old, new) for old, new in old_to_new.items()],
         "cid int, __new_cid int",
     )
-    # a cid in the index but absent from the centroid table would
-    # silently vanish in the inner remap join — corrupt index, raise
-    # (same limit(1) fail-loud idiom as ivf_index_merge)
-    orphan = (
-        indexed.filter(~F.col("cid").isin(refreshed))
-        .join(F.broadcast(remap), "cid", "left_anti")
-        .limit(1)
-        .collect()
-    )
-    if orphan:
-        raise ValueError(
-            f"ivf_index_refresh: index holds cid {orphan[0]['cid']} "
-            "absent from the centroid table — corrupt index; rebuild "
-            "with build_ivf_index before refreshing"
-        )
+    # every cid was proven present in the centroid table by the
+    # stats-pass corruption check above, so the inner remap join
+    # cannot drop rows
     kept = (
         indexed.filter(~F.col("cid").isin(refreshed))
         .join(F.broadcast(remap), "cid")
@@ -996,11 +1007,12 @@ def ivf_pq_refresh(
     Returns (new_pq_index (id, cid, pq_codes), new_centroids_df,
     refreshed_old_cids).
 
-    Scale design (100 TB): the full-precision vectors are touched
-    only for the cost-scoring pass and the refreshed lists' encode;
-    codes relabel through broadcast-map joins. Hand this parquet-
-    backed frames (the serving norm) — every pass re-evaluates
-    lineage."""
+    Scale design (100 TB): the (id, vec, cid) assignment join is
+    materialized ONCE (localCheckpoint) before the refresh's
+    multi-pass fan-out so the shuffle join never re-executes; the
+    full-precision vectors are then touched only for the cost-scoring
+    pass and the refreshed lists' encode, and codes relabel through
+    broadcast-map joins."""
     old = pq_index.select(
         id_col, F.col("cid").alias("__old_cid"), "pq_codes"
     )
@@ -1015,8 +1027,31 @@ def ivf_pq_refresh(
             f"row in the full-precision vectors store — residual codes "
             "cannot be re-derived; restore the cold vectors first"
         )
-    assignment = vectors.select(id_col, vec_col).join(
-        pq_index.select(id_col, "cid"), id_col
+    # a duplicated row in the cold store would ride through the inner
+    # join and duplicate that id in the returned codes frame — every
+    # downstream ADC search would double-count it; fail loud instead
+    # (same contract as ivf_index_merge's duplicate-id guard)
+    dup = (
+        vectors.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivf_pq_refresh: vectors store holds id "
+            f"{dup[0][id_col]!r} {dup[0]['__c']} times — dedup the "
+            "cold store before refreshing"
+        )
+    # materialize the assignment ONCE: ivf_index_refresh documents
+    # that it re-evaluates its input's lineage on every pass (cost
+    # scoring, seed window, Lloyd iterations, kept/moved outputs), and
+    # this shuffle join must not re-execute per pass
+    assignment = (
+        vectors.select(id_col, vec_col)
+        .join(pq_index.select(id_col, "cid"), id_col)
+        .localCheckpoint(eager=True)
     )
     new_idx, new_cents, refreshed = ivf_index_refresh(
         assignment,

@@ -699,8 +699,8 @@ def test_ivf_index_refresh_contracts(spark):
     # no list with >= split_factor members → fail loud, name the fix
     with _pytest.raises(ValueError, match="rebuild"):
         similarity.ivf_index_refresh(indexed, cents, split_factor=5)
-    # a cid missing from the centroid table = corrupt index → raise,
-    # never silently drop those rows in the kept-side remap join
+    # a cid missing from the centroid table = corrupt index → raise
+    # in the stats pass, never silently drop those rows downstream
     two_lists = spark.createDataFrame(
         [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0), (2, [0.9, 0.1], 0),
          (3, [0.0, 1.0], 7), (4, [0.1, 1.0], 7)],
@@ -709,6 +709,17 @@ def test_ivf_index_refresh_contracts(spark):
     with _pytest.raises(ValueError, match="corrupt index"):
         similarity.ivf_index_refresh(
             two_lists, cents, max_lists=1, split_factor=2
+        )
+    # a NULL cid is the same corruption (isin/filter would NULL-drop
+    # those rows silently — the stats pass must catch it instead)
+    with_null = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0), (2, [0.9, 0.1], 0),
+         (3, [0.0, 1.0], None)],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    with _pytest.raises(ValueError, match="corrupt index"):
+        similarity.ivf_index_refresh(
+            with_null, cents, max_lists=1, split_factor=2
         )
 
 
@@ -959,6 +970,17 @@ def test_ivf_pq_refresh_contracts(spark):
     # coded id 99 has no raw vector → cannot re-derive residual codes
     with _pytest.raises(ValueError, match="cold vectors"):
         similarity.ivf_pq_refresh(pq_index, cents, books, vectors)
+    # a duplicated row in the cold store would duplicate that id in
+    # the returned codes frame (double-counted by every ADC search)
+    ok_index = spark.createDataFrame(
+        [(0, 0, [1, 2])], "vec_id long, cid int, pq_codes array<smallint>"
+    )
+    dup_vectors = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="dedup the"):
+        similarity.ivf_pq_refresh(ok_index, cents, books, dup_vectors)
 
 
 def test_connected_components_and_groups(spark):
