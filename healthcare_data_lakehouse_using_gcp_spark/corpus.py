@@ -644,20 +644,29 @@ _TAIL = (
     # embedding_near_dup twin. skyline_parts and hierarchy_roots
     # (also green r13) KEEP their head seats as the r13 tranche's
     # head representatives.
-    # r15 PLANNED swap set (VERDICT r13 item 5, schedule now, seat
-    # r15): the r14-born newborns ann_ivf_refresh_invariants and
+    # r15 swap set, EXECUTED this round (VERDICT r14 item 1, exactly
+    # as ledgered): 16 promotions at the 16-swap envelope max — the
+    # r14-born newborns ann_ivf_refresh_invariants and
     # ann_ivf_merge_invariants take their MANDATORY first seats
-    # (2-round rule), then the stalest
-    # oracle-green driver seats — the r2-era core rows w1_row_number,
+    # (2-round rule), the 7 stalest r2-era core rows (w1_row_number,
     # a1_global_count, a3_count_distinct, f6_case_map, f9_coalesce,
-    # f13_in_list, o3_top_limit (last driver-green r2) — plus the
-    # stalest tranche-6 r11 seats as envelope allows (a16_winsorize,
-    # a17_mad_outliers, a19_mode, w8_period_over_period,
-    # privacy_generalize, j5_semi_anti, set_ops_nations,
-    # melt_lineitem) and the rule-3 twin swap back to
-    # embedding_near_dup; fund by demoting the r14 newborn seats
-    # (their first CORRECTNESS rows banked) with invariants/pytest
-    # rationales per entry.
+    # f13_in_list, o3_top_limit — SURVEY §2 rows A1/A3/F6/F9/F13/W1/
+    # O3, last driver-green r2), 6 of the 8 stalest tranche-6 r11
+    # seats (a16_winsorize, a17_mad_outliers, a19_mode,
+    # w8_period_over_period, privacy_generalize, j5_semi_anti), and
+    # the rule-3 twin swap back to embedding_near_dup. Funded by
+    # demoting the 10 r14 newborn seats (first CORRECTNESS rows
+    # banked), the exact twin, and the 5 longest-held 4-row seats
+    # (mleval_auc, ts_interpolate, w10_ewma, emb_component_means,
+    # privacy_l_diversity) — rationales in the round-15 demotion
+    # block at the end of this tuple.
+    # r16 PLANNED swap set (schedule now, seat r16): the 2 deferred
+    # tranche-6 entries set_ops_nations + melt_lineitem (last
+    # driver-green r11 — the stalest remaining), any r15-born entry's
+    # mandatory seat (2-round rule), the rule-3 twin swap back to
+    # embedding_near_dup_exact, and then the stalest r12-green seats
+    # as the envelope allows; fund by demoting the freshest banked
+    # r15 first-seats with per-entry rationales.
     # --- round-14 demotions (VERDICT r13 item 1: 11 seats freed for
     # the 10 r13-born newborns' mandatory first seats + the rule-3
     # twin swap to embedding_near_dup_exact). Every demotion below is
@@ -667,7 +676,8 @@ _TAIL = (
     #   embedding_near_dup      — scheduled twin alternation (rule 3):
     #                             r14 seats embedding_near_dup_exact
     #                             (identical oracle)           [green r13]
-    "embedding_near_dup",
+    # ("embedding_near_dup" PROMOTED r15 — rule-3 twin swap back; the
+    #  exact twin takes the tail turn, round-15 demotion block below)
     #   ts_seasonal_adjust      — calendar/seasonal machinery head-
     #                             retained by ts_forecast_eval's
     #                             seasonal-naive RANGE lags (r14 seat);
@@ -904,13 +914,13 @@ _TAIL = (
     "epoch_upsample",
     "melt_lineitem",
     "gapfill_daily",
-    "j5_semi_anti",
     "set_ops_nations",
-    "a16_winsorize",
-    "a17_mad_outliers",
-    "a19_mode",
-    "w8_period_over_period",
-    "privacy_generalize",
+    # (tranche-6 freshness re-seats, r15: "j5_semi_anti",
+    #  "a16_winsorize", "a17_mad_outliers", "a19_mode",
+    #  "w8_period_over_period", "privacy_generalize" PROMOTED —
+    #  stalest r11-green driver seats, envelope-funded by the
+    #  round-15 demotion block below; set_ops_nations + melt_lineitem
+    #  stay tail this round, scheduled for the r16 rotation)
     # --- round-11 demotions (tranche-6 compensations) ---
     #   j9_join_cardinality     — join-family seats rotate to
     #                             j5_semi_anti + set_ops_nations (r11);
@@ -1195,16 +1205,14 @@ _TAIL = (
     "layout_pruned_scan",
     "j1_band_join",
     "events_funnel",
-    "a3_count_distinct",
-    "a1_global_count",
-    "f9_coalesce",
-    "f13_in_list",
+    # (r2-era core freshness re-seats, r15: "a3_count_distinct",
+    #  "a1_global_count", "f9_coalesce", "f13_in_list", "f6_case_map",
+    #  "w1_row_number", "o3_top_limit" PROMOTED — SURVEY §2 rows
+    #  A1/A3/F6/F9/F13/W1/O3 re-earning direct driver rows, last
+    #  driver-green r2; funded by the round-15 demotion block below)
     "f15_to_json",
     "f12_timestamp_parse",
-    "f6_case_map",
     "f10_split_count",
-    "w1_row_number",
-    "o3_top_limit",
     "a5_conditional_agg",
     "j2_band_join_3way",
     "dedup_minhash_lsh",
@@ -1416,7 +1424,8 @@ _TAIL = (
     #                             constants + cost-improvement
     #                             deterministic — seat r15
     #                                               [new r14, no driver row]
-    "ann_ivf_refresh_invariants",
+    # ("ann_ivf_refresh_invariants" SEATED r15 — r14-born newborn,
+    #  mandatory first driver row per the 2-round rule)
     #   ann_ivf_merge_invariants — IVF lifecycle, merge leg: two
     #                             disjoint parity-shard indexes →
     #                             agglomerative centroid-table
@@ -1425,7 +1434,109 @@ _TAIL = (
     #                             shuffle; content counts/id-sum
     #                             DuckDB-recomputed — seat r15
     #                                               [new r14, no driver row]
-    "ann_ivf_merge_invariants",
+    # ("ann_ivf_merge_invariants" SEATED r15 — r14-born newborn,
+    #  mandatory first driver row per the 2-round rule)
+    # --- round-15 demotions (VERDICT r14 item 1: 16 seats freed for
+    # the 2 r14-born newborns' mandatory first seats, the 7 stalest
+    # r2-era core rows, 6 tranche-6 r11 freshness re-seats, and the
+    # rule-3 twin swap back to embedding_near_dup). Every demotion
+    # below is green r14 (driver rows banked — round range noted),
+    # oracle-swept in tail on each pytest run, and keeps its
+    # machinery head-exercised or pytest-pinned: ---
+    #   ab_cuped                — r13-born newborn, first row banked;
+    #                             exact integer-cent moment algebra
+    #                             pytest-pinned (test_analytics.py),
+    #                             grouped-moment machinery head-
+    #                             exercised by a2_wide_agg     [green r14]
+    "ab_cuped",
+    #   a32_mutual_information  — joint-count hash agg + margin
+    #                             windows = a18_grouping_sets (head) /
+    #                             a13_histogram machinery; MI values
+    #                             pytest-pinned                [green r14]
+    "a32_mutual_information",
+    #   mleval_conformal        — exact order-statistic per group =
+    #                             a10_percentile machinery;
+    #                             mleval_calibration keeps the
+    #                             ML-eval family's head seat   [green r14]
+    "mleval_conformal",
+    #   ab_ate_stratified       — stratum-mean subclassification
+    #                             shape = a8/a2 grouped-agg + tiny
+    #                             window; pytest-pinned in
+    #                             test_analytics.py            [green r14]
+    "ab_ate_stratified",
+    #   a33_jackknife_ratio     — leave-one-out totals algebra;
+    #                             exact-totals machinery shared with
+    #                             ab_cuped/ab_ate (same battery),
+    #                             pytest-pinned                [green r14]
+    "a33_jackknife_ratio",
+    #   ts_forecast_eval        — calendar-true RANGE lags head-
+    #                             retained by w3_rank_family +
+    #                             ts family pytest pins; fail-loud
+    #                             grain guard regression-tested [green r14]
+    "ts_forecast_eval",
+    #   linkage_fs_scores       — blocked-pair scoring = j1 band-join
+    #                             family (head) + fuzzy.py pytest
+    #                             pins                          [green r14]
+    "linkage_fs_scores",
+    #   ab_msprt_always_valid   — decimal(38,0) widen-then-sum +
+    #                             log-space mixture algebra pytest-
+    #                             pinned (incl. the multi-chunk
+    #                             stream regression)            [green r14]
+    "ab_msprt_always_valid",
+    #   audit_capture_recapture — two-md5-sampler Chapman estimate;
+    #                             md5-bucket sampling machinery is
+    #                             sample_per_group_docs (head)  [green r14]
+    "audit_capture_recapture",
+    #   layout_hilbert_scan     — curve-clustered scan pruning
+    #                             head-retained by layout_zorder_scan
+    #                             (head) + the pytest pruning gate
+    #                                                          [green r14]
+    "layout_hilbert_scan",
+    #   embedding_near_dup_exact — scheduled twin alternation
+    #                             (rule 3): r15 seats
+    #                             embedding_near_dup (identical
+    #                             oracle)                      [green r14]
+    "embedding_near_dup_exact",
+    #   mleval_auc              — 4 consecutive driver rows banked
+    #                             (r11-r14); ROC/AUC pytest-pinned,
+    #                             mleval_calibration keeps the family
+    #                             head seat                    [green r11-r14]
+    "mleval_auc",
+    #   ts_interpolate          — 4 consecutive rows banked (r11-r14);
+    #                             gap-fill window machinery =
+    #                             w2/w6 family, ts_seasonal_adjust
+    #                             oracle-swept in tail          [green r11-r14]
+    "ts_interpolate",
+    #   w10_ewma                — 4 consecutive rows banked (r11-r14);
+    #                             recursive-window EWMA pytest-pinned,
+    #                             window family head-retained by
+    #                             w3_rank_family/w4_ratio_to_report/
+    #                             w9_rolling_distinct           [green r11-r14]
+    "w10_ewma",
+    #   emb_component_means     — 4 consecutive rows banked (r11-r14);
+    #                             posexplode component arithmetic now
+    #                             ALSO head-exercised inside the
+    #                             seated IVF lifecycle entries' Lloyd
+    #                             means                         [green r11-r14]
+    "emb_component_means",
+    #   privacy_l_diversity     — 4 consecutive rows banked (r11-r14);
+    #                             grouped-distinct diversity extends
+    #                             privacy_k_anonymity (KEEPS head) +
+    #                             privacy_generalize re-seated r15
+    #                                                          [green r11-r14]
+    "privacy_l_diversity",
+    # --- tail-born r15 (post-drain policy: MUST seat within 2 rounds
+    # of birth — joins the r16 swap set named in the round-15 header):
+    #   decontaminate_against   — benchmark-decontamination DECISION
+    #                             operator (VERDICT r14 item 5): the
+    #                             verbatim n-gram-hit protocol
+    #                             (GPT-3/PaLM-style) over the shared
+    #                             shingle+hash machinery; per-doc
+    #                             contaminated boolean hash-checked
+    #                             vs the DuckDB string-join oracle —
+    #                             seat r16/r17
+    #                                               [new r15, no driver row]
+    "decontaminate_against",
 )
 
 
@@ -3186,6 +3297,59 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_against",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(1, len(t) - 4) + 1),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS sh
+      FROM toks
+    ),
+    doc_g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 50),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM doc_g GROUP BY doc_id),
+    matched AS (
+      SELECT d.doc_id, COUNT(*) AS n_hits
+      FROM doc_g d JOIN bench_g b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(m.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(m.n_hits, 0) > 0 AS contaminated
+    FROM totals t LEFT JOIN matched m ON t.doc_id = m.doc_id
+    """,
+)
+def decontaminate_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination DECISION operator (beyond-reference,
+    born r15 — VERDICT r14 item 5;
+    operators/text.decontaminate_against): the verbatim-hit protocol
+    (any shared word n-gram above max_hits=0 disqualifies — the
+    GPT-3/PaLM-style 13-gram rule, run here at 5-grams so the
+    synthetic vocabulary produces hits) evaluated against the docs
+    with id < 50 standing in for the eval suite. keep_flag=True so
+    the DECISION itself (the contaminated boolean per document, not
+    just the drop's survivor set) is what DuckDB hash-checks; the
+    drop mode filters on exactly this column (pinned in
+    tests/test_llm_ops.py). Spark joins on 8-byte xxhash64 gram
+    hashes; the oracle joins the strings — identical counts absent
+    64-bit collisions (same contract as decontaminate).
+
+    Scale design: benchmark side reduces to distinct hashes (tiny →
+    broadcast); one left_semi join + per-doc hash-agg — linear, no
+    pair space. Seat ≤r17 per the 2-round newborn rule."""
+    from .operators.text import decontaminate_against as decon
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    return decon(d, bench, ngram=5, keep_flag=True)
+
+
+@query(
     "scrub_pii",
     r"""
     SELECT doc_id, scrubbed_text,
@@ -3549,6 +3713,18 @@ def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # the oracle's base-plus-offset arithmetic assumes the +1_000_000
+    # drift ids cannot collide with existing ids — assert the fixture
+    # fact by name so a testdata regen that violates it fails HERE,
+    # not as an inscrutable driver hash flip (ADVICE r14)
+    max_id = e.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    if max_id is not None and int(max_id) >= 1_000_000:
+        raise AssertionError(
+            f"ann_ivf_refresh_invariants: fixture max(vec_id)={max_id} "
+            ">= 1_000_000 — the planted drift-id offset would collide; "
+            "raise the offset and the oracle's base-plus-offset terms "
+            "together"
+        )
     indexed, cents = build_ivf_index(e, n_centroids=8)
     indexed = indexed.localCheckpoint(eager=True)
     drifted = e.filter(F.col("vec_id") < 50).select(
@@ -10646,6 +10822,7 @@ OPERATOR_MAP = {
         "text_embed_components", "epoch_upsample", "text_bpe_pretokenize",
     ],
     "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],
+    "LLM-decontamination": ["decontaminate", "decontaminate_against"],  # decision op born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],

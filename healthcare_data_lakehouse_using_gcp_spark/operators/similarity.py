@@ -793,6 +793,7 @@ def ivf_index_merge(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_centroids: int | None = None,
+    assume_disjoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge two independently built IVF indexes into ONE — the
     multi-shard build path: at 100 TB each ingestion shard (or each
@@ -824,6 +825,18 @@ def ivf_index_merge(
     in every downstream search) unless the caller passes disjoint
     shards, and on target_centroids < 1.
 
+    Duplicate-guard cost (VERDICT r14 item 3): the exact witness is
+    an id-only inner join — the ONLY full-data pass in an otherwise
+    centroid-table-only merge. Two escape valves keep it off the 100
+    TB hot path: (a) a min/max id-range pre-check (two map-side-
+    partial one-row aggs, no shuffle) proves range-partitioned shards
+    disjoint and, when ranges DO overlap, prunes both join sides to
+    the overlap window (predicate-pushdown-able range filters);
+    (b) ``assume_disjoint=True`` skips the guard entirely for callers
+    whose disjointness is structural (partition-key splits, tenant
+    shards) — the caller owns the proof, the docstring owns the
+    warning.
+
     Returns (merged_indexed, merged_centroids_df)."""
     import numpy as np
 
@@ -831,18 +844,43 @@ def ivf_index_merge(
         raise ValueError(
             f"target_centroids must be >= 1, got {target_centroids}"
         )
-    dup = (
-        indexed_a.select(id_col)
-        .join(indexed_b.select(id_col), id_col)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"ivf_index_merge: id {dup[0][id_col]!r} appears in BOTH "
-            "indexes — shards must be disjoint (dedup upstream or "
-            "drop one side's copy)"
+    if not assume_disjoint:
+        bounds_a = indexed_a.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
+        bounds_b = indexed_b.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
+        ranges_overlap = (
+            bounds_a["lo"] is not None
+            and bounds_b["lo"] is not None
+            and bounds_a["lo"] <= bounds_b["hi"]
+            and bounds_b["lo"] <= bounds_a["hi"]
         )
+        if ranges_overlap:
+            # exact witness, pruned to the range overlap: ids outside
+            # [max(lo), min(hi)] cannot collide, so both scan sides
+            # carry a pushdown-able between() before the shuffle
+            lo = max(bounds_a["lo"], bounds_b["lo"])
+            hi = min(bounds_a["hi"], bounds_b["hi"])
+            dup = (
+                indexed_a.select(id_col)
+                .filter(F.col(id_col).between(F.lit(lo), F.lit(hi)))
+                .join(
+                    indexed_b.select(id_col).filter(
+                        F.col(id_col).between(F.lit(lo), F.lit(hi))
+                    ),
+                    id_col,
+                )
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"ivf_index_merge: id {dup[0][id_col]!r} appears "
+                    "in BOTH indexes — shards must be disjoint (dedup "
+                    "upstream or drop one side's copy)"
+                )
 
     # per-list counts (for weighted means) — two tiny aggs
     counts_a = {
@@ -1044,6 +1082,23 @@ def ivf_pq_refresh(
             f"{dup[0][id_col]!r} {dup[0]['__c']} times — dedup the "
             "cold store before refreshing"
         )
+    # same contract on the codes frame itself: a duplicated coded id
+    # would pass the two guards above and fan out 2×2 through the
+    # assignment and new_idx→old joins — the exact ADC double-count
+    # this function's contract forbids
+    dup_code = (
+        pq_index.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup_code:
+        raise ValueError(
+            f"ivf_pq_refresh: pq_index holds id "
+            f"{dup_code[0][id_col]!r} {dup_code[0]['__c']} times — "
+            "dedup the codes frame before refreshing"
+        )
     # materialize the assignment ONCE: ivf_index_refresh documents
     # that it re-evaluates its input's lineage on every pass (cost
     # scoring, seed window, Lloyd iterations, kept/moved outputs), and
@@ -1071,6 +1126,14 @@ def ivf_pq_refresh(
             refreshed,
         )
     import numpy as np
+
+    # the residual path consumes this join THREE times (the fresh
+    # filter, stale_src's encode pass, stale_src's cid re-join) and
+    # new_idx's lineage carries the refresh's pandas-UDF re-assignment
+    # — materialize once so the remap/assign passes never re-execute
+    # (VERDICT r14 item 2; the non-residual branch above consumes it
+    # exactly once, so it stays lazy)
+    joined = joined.localCheckpoint(eager=True)
 
     fresh = joined.filter(~F.col("__old_cid").isin(refreshed)).select(
         id_col, "cid", "pq_codes"

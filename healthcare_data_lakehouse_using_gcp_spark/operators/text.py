@@ -347,6 +347,89 @@ def benchmark_overlap(
     )
 
 
+def decontaminate_against(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    max_hits: int = 0,
+    overlap_threshold: float | None = None,
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination DECISION operator — the training-
+    pipeline step that benchmark_overlap's per-doc diagnostics feed:
+    given the eval-benchmark table, drop (or flag) every training
+    document whose verbatim word n-gram overlap with the benchmark
+    crosses the contamination policy. Two published protocols:
+
+    - verbatim hits (default): a document is contaminated when MORE
+      THAN ``max_hits`` of its distinct n-grams appear anywhere in
+      the benchmark — ``max_hits=0`` + a long gram (the 13-gram
+      GPT-3/PaLM-style protocol) means "any verbatim 13-gram shared
+      with an eval item disqualifies the document";
+    - fractional (``overlap_threshold`` set): contaminated when the
+      matched fraction of its distinct n-grams reaches the threshold
+      (the contamination-fraction variant) — ``max_hits`` is ignored.
+
+    Returns the training frame's (id, n_grams, n_hits, contaminated)
+    with the contaminated rows REMOVED, or — with ``keep_flag`` —
+    every row plus the boolean, for audit/reporting. Documents
+    shorter than ``ngram`` tokens contribute one whole-text pseudo-
+    gram (shingles' GREATEST(1, ·) floor), so a short doc copied
+    verbatim from a benchmark item still flags.
+
+    Scale shape (100 TB): both sides explode to (id, gram) rows
+    hashed to 8 bytes; the benchmark side reduces to DISTINCT hashes
+    (eval suites are tiny next to the corpus — usually a broadcast);
+    the decision is one left_semi equi-join + one hash-agg per doc —
+    linear shuffle on 8-byte keys, no text moves after hashing, no
+    pair space. Same machinery as benchmark_overlap; the operator
+    adds only the policy and the drop."""
+    if overlap_threshold is not None and not (0.0 < overlap_threshold <= 1.0):
+        raise ValueError(
+            f"overlap_threshold must be in (0, 1], got {overlap_threshold}"
+        )
+    if max_hits < 0:
+        raise ValueError(f"max_hits must be >= 0, got {max_hits}")
+    from .dedup import ensure_parallelism, shingles
+
+    doc_sh = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), partition_by=id_col
+    ).select(
+        F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")
+    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
+    bench_sh = (
+        ensure_parallelism(benchmark.select(F.col(text_col)))
+        .select(F.explode(shingles(text_col, ngram)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    totals = doc_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    matched = (
+        doc_sh.join(bench_sh, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    scored = totals.join(matched, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    if overlap_threshold is None:
+        contaminated = F.col("n_hits") > F.lit(max_hits)
+    else:
+        contaminated = (
+            F.col("n_hits") >= F.col("n_grams") * F.lit(overlap_threshold)
+        ) & (F.col("n_grams") > 0)
+    flagged = scored.withColumn("contaminated", contaminated)
+    if keep_flag:
+        return flagged
+    return flagged.filter(~F.col("contaminated")).drop("contaminated")
+
+
 PII_PATTERNS = {
     # conservative patterns only — no lookarounds, so the same regex
     # runs identically under Java regex (Spark) and RE2 (DuckDB);

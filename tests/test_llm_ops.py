@@ -825,6 +825,21 @@ def test_ivf_index_merge_contracts(spark):
     )
     with _pytest.raises(ValueError, match="BOTH indexes"):
         similarity.ivf_index_merge(idx, cents, other, cents)
+    # assume_disjoint skips the guard entirely — the caller owns the
+    # disjointness proof (VERDICT r14 item 3's escape hatch); the
+    # duplicated id rides through into the merged index
+    midx, _ = similarity.ivf_index_merge(
+        idx, cents, other, cents, assume_disjoint=True
+    )
+    assert midx.count() == 2
+    # range-disjoint shards skip the exact join too: the min/max
+    # pre-check (two one-row aggs) proves ids cannot collide
+    far = spark.createDataFrame(
+        [(1000, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    midx2, _ = similarity.ivf_index_merge(idx, cents, far, cents)
+    assert sorted(r["vec_id"] for r in midx2.collect()) == [0, 1000]
     with _pytest.raises(ValueError, match="target_centroids"):
         similarity.ivf_index_merge(
             idx, cents,
@@ -950,6 +965,24 @@ def test_ivf_pq_refresh_equivalence_and_laziness(spark):
     ).collect()
     assert len(hits) == 5
 
+    # single-execution pin (VERDICT r14 item 2): the residual path
+    # materializes the new_idx⋈old join ONCE (localCheckpoint), so
+    # the returned plan's only Python stage is the stale re-encode —
+    # the refresh's per-list assignment UDF must be BEHIND the
+    # checkpoint scan, not re-planned under both the fresh and stale
+    # branches (3 ArrowEvalPython nodes = the unchecked lineage)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        new_pq.explain()  # simple mode: each node printed exactly once
+    # an executed AQE plan prints Final + Initial sections — the pin
+    # reads only the first (the plan that actually ran)
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "ExistingRDD" in plan, plan
+
 
 def test_ivf_pq_refresh_contracts(spark):
     import pytest as _pytest
@@ -979,8 +1012,20 @@ def test_ivf_pq_refresh_contracts(spark):
         [(0, [1.0, 0.0]), (0, [0.9, 0.1])],
         "vec_id long, embedding array<double>",
     )
-    with _pytest.raises(ValueError, match="dedup the"):
+    with _pytest.raises(ValueError, match="cold store"):
         similarity.ivf_pq_refresh(ok_index, cents, books, dup_vectors)
+    # a duplicated CODED id (clean cold store) would fan out 2×2
+    # through the assignment and new_idx→old joins — the ADC
+    # double-count the contract forbids (ADVICE r14)
+    dup_index = spark.createDataFrame(
+        [(0, 0, [1, 2]), (0, 0, [3, 4])],
+        "vec_id long, cid int, pq_codes array<smallint>",
+    )
+    ok_vectors = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="codes frame"):
+        similarity.ivf_pq_refresh(dup_index, cents, books, ok_vectors)
 
 
 def test_connected_components_and_groups(spark):
@@ -1092,6 +1137,66 @@ def test_benchmark_overlap(spark):
     assert out[1]["overlap_frac"] == pytest.approx(1.0)  # fully contaminated
     assert out[2]["overlap_frac"] == 0.0 and out[2]["n_matched"] == 0
     assert 0.0 < out[3]["overlap_frac"] < 1.0  # partial overlap
+
+
+def test_decontaminate_against_policies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "completely novel content nothing shared here"),
+            (3, "the quick brown fox jumps high and then some extra words"),
+            (4, "short doc"),  # fewer tokens than ngram → pseudo-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high"), (101, "short doc")],
+        "doc_id long, text string",
+    )
+    # verbatim protocol (default): any shared 3-gram disqualifies
+    kept = text.decontaminate_against(docs, bench, ngram=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    assert "contaminated" not in kept.columns  # drop mode strips the flag
+    # keep_flag mode returns EVERY doc + the decision column, and the
+    # drop mode's survivor set is exactly the un-flagged rows
+    flagged = {
+        r["doc_id"]: r
+        for r in text.decontaminate_against(
+            docs, bench, ngram=3, keep_flag=True
+        ).collect()
+    }
+    assert sorted(flagged) == [1, 2, 3, 4]
+    assert flagged[1]["contaminated"] and flagged[3]["contaminated"]
+    assert not flagged[2]["contaminated"]
+    # the sub-ngram doc copied verbatim from a benchmark item flags
+    # through the whole-text pseudo-gram
+    assert flagged[4]["contaminated"]
+    # max_hits loosens the verbatim rule: doc 4's single pseudo-gram
+    # hit survives max_hits=1 while docs 1/3 (4 hits each) still drop
+    assert flagged[3]["n_hits"] == 4 and flagged[4]["n_hits"] == 1
+    kept_loose = text.decontaminate_against(docs, bench, ngram=3, max_hits=1)
+    assert sorted(r["doc_id"] for r in kept_loose.collect()) == [2, 4]
+    # fractional protocol: doc 3 is 4/9 contaminated — passes at a
+    # 0.5 threshold, fails at 0.3; doc 1 (frac 1.0) always fails
+    frac = {
+        r["doc_id"]: r
+        for r in text.decontaminate_against(
+            docs, bench, ngram=3, overlap_threshold=0.5, keep_flag=True
+        ).collect()
+    }
+    assert frac[1]["contaminated"] and not frac[3]["contaminated"]
+    frac_tight = {
+        r["doc_id"]: r
+        for r in text.decontaminate_against(
+            docs, bench, ngram=3, overlap_threshold=0.3, keep_flag=True
+        ).collect()
+    }
+    assert frac_tight[3]["contaminated"]
+    # contracts
+    with pytest.raises(ValueError, match="overlap_threshold"):
+        text.decontaminate_against(docs, bench, overlap_threshold=1.5)
+    with pytest.raises(ValueError, match="max_hits"):
+        text.decontaminate_against(docs, bench, max_hits=-1)
 
 
 def test_normalize_unicode(spark):

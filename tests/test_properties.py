@@ -1164,13 +1164,15 @@ nonzero_vec3 = st.lists(finite_doubles, min_size=3, max_size=3).filter(
     st.integers(min_value=1, max_value=2),
     st.integers(min_value=2, max_value=3),
 )
-def test_ivf_refresh_preserves_content_and_cost_property(
+def test_ivf_refresh_preserves_content_property(
     spark, vecs, max_lists, split_factor
 ):
     """For ANY corpus: ivf_index_refresh keeps every vector exactly
-    once, renumbers cids contiguously, and never increases the total
-    assignment cost (splitting adds capacity; each member moves to
-    its nearest sub-centroid)."""
+    once, renumbers cids contiguously, and assigns only real cids.
+    Deliberately says NOTHING about assignment cost: the docstring
+    states cost improvement is an empirical property, not a theorem
+    (ADVICE r14) — the corpus fixture's measured cost drop is pinned
+    with a margin by test_oracle_boundaries.py instead."""
     from hypothesis import assume
 
     from healthcare_data_lakehouse_using_gcp_spark.operators import similarity
@@ -1181,7 +1183,6 @@ def test_ivf_refresh_preserves_content_and_cost_property(
     indexed, cents = similarity.build_ivf_index(df, n_centroids=3)
     indexed = indexed.localCheckpoint(eager=True)
     n_before = len(rows)
-    cost_before = similarity.ivf_assignment_cost(indexed, cents)
     try:
         new_idx, new_cents, refreshed = similarity.ivf_index_refresh(
             indexed, cents, max_lists=max_lists, split_factor=split_factor
@@ -1194,8 +1195,6 @@ def test_ivf_refresh_preserves_content_and_cost_property(
     assert [r["cid"] for r in cent_rows] == list(range(len(cent_rows)))
     assert len(cent_rows) == 3 - len(refreshed) + len(refreshed) * split_factor
     assert {r["cid"] for r in got} <= {r["cid"] for r in cent_rows}
-    cost_after = similarity.ivf_assignment_cost(new_idx, new_cents)
-    assert cost_after <= cost_before + 1e-9
 
 
 @_settings_pinned
