@@ -1537,6 +1537,15 @@ _TAIL = (
     #                             seat r16/r17
     #                                               [new r15, no driver row]
     "decontaminate_against",
+    #   decontaminate_semantic  — the embedding-space decontamination
+    #                             modality (paraphrase-robust): sign-
+    #                             LSH bucketed train-vs-benchmark
+    #                             cosine decision, hash-exact via the
+    #                             checked union-with-residual harness
+    #                             (embedding_near_dup's contract) —
+    #                             seat r16/r17
+    #                                               [new r15, no driver row]
+    "decontaminate_semantic",
 )
 
 
@@ -4306,6 +4315,53 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("cosine", round_det(F.col("cosine"), 4))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@query(
+    "decontaminate_semantic",
+    """
+    WITH pairs AS (
+      SELECT t.vec_id,
+             FLOOR(list_cosine_similarity(t.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])
+                   * 10000 + 0.5) / 10000 AS cos
+      FROM embeddings t
+      JOIN embeddings b ON b.vec_id < 25
+    ),
+    hits AS (
+      SELECT vec_id,
+             COUNT(*) AS n_bench_hits,
+             MAX(cos) AS max_cosine
+      FROM pairs WHERE cos >= 0.4 GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+           h.max_cosine,
+           COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+    FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination DECISION operator (beyond-reference,
+    born r15; operators/similarity.decontaminate_semantic): per
+    training embedding, the count of eval-benchmark embeddings (the
+    vec_id < 25 subset standing in for the eval suite) within 0.4
+    rounded cosine, the max such cosine, and the contaminated
+    boolean — the embedding-space modality that catches paraphrases
+    verbatim n-gram matching (decontaminate_against) misses.
+    method="checked" so the production sign-LSH bucket plan executes
+    inside the entry while the brute-force residual supplies any
+    bucket misses — output hash-matches the all-pairs oracle exactly
+    (same harness contract as embedding_near_dup). At 100 TB run
+    method="lsh" (bucketed, benchmark side broadcast). Drop-mode
+    equivalence is pinned in tests/test_llm_ops.py.
+
+    Seat ≤r17 per the 2-round newborn rule."""
+    from .operators.similarity import decontaminate_semantic as decon
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 25)
+    return decon(e, bench, threshold=0.4, method="checked", keep_flag=True)
 
 
 @query(
@@ -10822,7 +10878,8 @@ OPERATOR_MAP = {
         "text_embed_components", "epoch_upsample", "text_bpe_pretokenize",
     ],
     "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],
-    "LLM-decontamination": ["decontaminate", "decontaminate_against"],  # decision op born r15
+    "LLM-decontamination": ["decontaminate", "decontaminate_against",
+                            "decontaminate_semantic"],  # decision ops born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],

@@ -1332,6 +1332,139 @@ def embedding_near_dup_checked(
     return lsh.unionByName(residual)
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    method: str = "lsh",
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination — the
+    second decontamination modality next to text.decontaminate_against
+    (verbatim n-grams): a training example is contaminated when its
+    embedding sits within ``threshold`` cosine of ANY eval-benchmark
+    embedding, catching paraphrases and translations that verbatim
+    n-gram matching misses. Cosines are rounded (4 dp, round_det)
+    BEFORE thresholding so the decision is reproducible cross-engine.
+
+    ``method``:
+    - "lsh" (default, the 100 TB path): both sides bucket on the SAME
+      seeded sign-LSH tables; only same-bucket pairs are scored —
+      shuffle linear in the train side, recall the measured LSH
+      trade-off at this threshold;
+    - "exact": broadcast the benchmark and score every (train, bench)
+      pair — correct at any threshold; the per-row cost is
+      |benchmark| dot products, fine while eval suites stay small;
+    - "checked": the LSH plan UNION its brute-force residual — output
+      equals "exact" (oracle-hashable) while the production LSH plan
+      still executes; validation scale only (residual is the full
+      exact pass).
+
+    Returns the training frame's (id, n_bench_hits, max_cosine) with
+    contaminated rows REMOVED, or — with ``keep_flag`` — every row
+    plus the boolean (max_cosine NULL for rows with no bench pair
+    above threshold).
+
+    Scale design (100 TB): the benchmark side is an eval suite —
+    orders of magnitude smaller than the corpus — so its bucketed
+    form broadcasts; the train side is touched twice (bucket+score,
+    flag join) with no pair space beyond shared buckets and no
+    driver-side state."""
+    from ..functions.scalars import round_det
+    from .dedup import ensure_parallelism
+
+    if method not in ("lsh", "exact", "checked"):
+        raise ValueError(
+            f"method must be 'lsh', 'exact' or 'checked', got {method!r}"
+        )
+    t = ensure_parallelism(train.select(id_col, vec_col))
+    b = benchmark.select(
+        F.col(id_col).alias("__bench_id"), F.col(vec_col).alias("__bench_vec")
+    )
+    cos = round_det(
+        cosine_similarity_col(F.col(vec_col), F.col("__bench_vec")), 4
+    )
+
+    def _exact_pairs() -> DataFrame:
+        return (
+            t.crossJoin(F.broadcast(b))
+            .withColumn("__cos", cos)
+            .filter(F.col("__cos") >= threshold)
+            .select(id_col, "__bench_id", "__cos")
+        )
+
+    if method == "exact":
+        pairs = _exact_pairs()
+    else:
+        dim = train.select(F.size(vec_col)).first()[0]
+        tables = [
+            _hyperplanes(dim, num_planes, seed + ti) for ti in range(num_tables)
+        ]
+
+        def _bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+            return df.select(
+                idc,
+                vc,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(ti).alias("table_id"),
+                                lsh_signature_col(F.col(vc), tables[ti]).alias(
+                                    "bucket"
+                                ),
+                            )
+                            for ti in range(num_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(idc, vc, "tb.table_id", "tb.bucket")
+
+        cand = (
+            _bucketed(t, id_col, vec_col)
+            .join(F.broadcast(_bucketed(b, "__bench_id", "__bench_vec")),
+                  ["table_id", "bucket"])
+            .dropDuplicates([id_col, "__bench_id"])
+        )
+        pairs = (
+            cand.withColumn("__cos", cos)
+            .filter(F.col("__cos") >= threshold)
+            .select(id_col, "__bench_id", "__cos")
+        )
+        if method == "checked":
+            residual = _exact_pairs().join(
+                pairs.select(id_col, "__bench_id"),
+                [id_col, "__bench_id"],
+                "left_anti",
+            )
+            pairs = pairs.unionByName(residual)
+
+    hits = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+        F.max("__cos").alias("max_cosine"),
+    )
+    flagged = (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bench_hits", F.lit(0)).cast("bigint").alias(
+                "n_bench_hits"
+            ),
+            "max_cosine",
+        )
+        .withColumn("contaminated", F.col("n_bench_hits") > 0)
+    )
+    if keep_flag:
+        return flagged
+    return flagged.filter(~F.col("contaminated")).drop("contaminated")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -52,23 +52,21 @@ def test_canonical_operators_inside_driver_window():
         # third wave; plain j1_band_join is tail + bench target.
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r14 seats the exact twin (LSH+residual held r13)
-        "embedding_near_dup_exact",
+        # round: r15 seats the LSH+residual twin (exact held r14)
+        "embedding_near_dup",
         "export_ids", "layout_zorder_scan",
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
         "t6_session_window", "j8_asof_backward",
         "dq_expectations", "profile_drift_orders",
         "w3_rank_family", "dedup_spans",
         "text_heavy_hitters",
-        "privacy_k_anonymity", "privacy_l_diversity",
+        "privacy_k_anonymity",
         "tfidf_terms", "a18_grouping_sets",
         "j7_bloom_prefilter",
-        # round-11 survivors of the r12 rotation (the rest of
+        # round-11 survivors of the r12-r15 rotations (the rest of
         # tranche 6 demoted with head-retained machinery per the
-        # corpus._TAIL round-12 ledger)
-        "ts_interpolate", "w4_ratio_to_report",
-        "w9_rolling_distinct", "w10_ewma", "emb_component_means",
-        "mleval_auc",
+        # corpus._TAIL ledgers)
+        "w4_ratio_to_report", "w9_rolling_distinct",
         # round-12 tranche-7 survivors of the r13 rotation (the rest
         # demoted with head-retained machinery per corpus._TAIL's
         # round-13 ledger; every one oracle-swept in tail each run)
@@ -78,18 +76,22 @@ def test_canonical_operators_inside_driver_window():
         "text_bpe_pretokenize",
         "doc_quantile_normalize",
         "mleval_calibration",
-        # round-13 tranche-8 survivors of the r14 rotation (the rest
-        # demoted green-r13 with head-retained machinery per
-        # corpus._TAIL's round-14 ledger; every one oracle-swept in
-        # tail each run)
+        # round-13 tranche-8 survivors of the r14/r15 rotations (the
+        # rest demoted with head-retained machinery per corpus._TAIL's
+        # ledgers; every one oracle-swept in tail each run)
         "skyline_parts", "hierarchy_roots",
-        # round-14 promotions (VERDICT r13 item 1): ALL TEN r13-born
-        # newborns take their mandatory first driver seats — the
-        # never-seated backlog returns to 0 for all 206 entries.
-        "ab_cuped", "a32_mutual_information", "mleval_conformal",
-        "ab_ate_stratified", "a33_jackknife_ratio", "ts_forecast_eval",
-        "linkage_fs_scores", "ab_msprt_always_valid",
-        "audit_capture_recapture", "layout_hilbert_scan",
+        # round-15 promotions (VERDICT r14 item 1): the two r14-born
+        # IVF lifecycle newborns take their mandatory first driver
+        # seats (2-round rule) — the never-seated backlog stays 0
+        # for every pre-r15 entry.
+        "ann_ivf_refresh_invariants", "ann_ivf_merge_invariants",
+        # round-15 freshness re-seats: the stalest r2-era core rows
+        # (SURVEY §2 rows A1/A3/F6/F9/F13/W1/O3 re-earning direct
+        # driver rows) and six tranche-6 r11 seats
+        "a1_global_count", "a3_count_distinct", "f6_case_map",
+        "f9_coalesce", "f13_in_list", "w1_row_number", "o3_top_limit",
+        "a16_winsorize", "a17_mad_outliers", "a19_mode",
+        "w8_period_over_period", "privacy_generalize", "j5_semi_anti",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

@@ -1199,6 +1199,67 @@ def test_decontaminate_against_policies(spark):
         text.decontaminate_against(docs, bench, max_hits=-1)
 
 
+def test_decontaminate_semantic_methods_and_drop(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 8))
+    # plant two near-copies of bench vectors inside the train side
+    base[20] = base[0] * 1.001
+    base[21] = base[1] * 0.999
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = train.filter(F.col("vec_id") < 3)
+    flagged = {
+        r["vec_id"]: r
+        for r in similarity.decontaminate_semantic(
+            train, bench, threshold=0.95, method="exact", keep_flag=True
+        ).collect()
+    }
+    assert sorted(flagged) == list(range(30))
+    # bench members self-hit at cosine 1.0; the planted copies flag
+    for i in (0, 1, 2, 20, 21):
+        assert flagged[i]["contaminated"], i
+    assert flagged[20]["max_cosine"] >= 0.999
+    assert sum(r["contaminated"] for r in flagged.values()) == 5
+    # checked == exact row-for-row (the union-with-residual contract)
+    checked = {
+        r["vec_id"]: r
+        for r in similarity.decontaminate_semantic(
+            train, bench, threshold=0.95, method="checked", keep_flag=True
+        ).collect()
+    }
+    for i in range(30):
+        assert checked[i]["n_bench_hits"] == flagged[i]["n_bench_hits"], i
+        assert checked[i]["max_cosine"] == flagged[i]["max_cosine"], i
+    # drop mode returns exactly the un-flagged rows, flag stripped
+    kept = similarity.decontaminate_semantic(
+        train, bench, threshold=0.95, method="exact"
+    )
+    assert "contaminated" not in kept.columns
+    assert sorted(r["vec_id"] for r in kept.collect()) == [
+        i for i in range(30) if i not in (0, 1, 2, 20, 21)
+    ]
+    # lsh path: a subset of exact (bucket recall), never a superset
+    lsh = {
+        r["vec_id"]: r
+        for r in similarity.decontaminate_semantic(
+            train, bench, threshold=0.95, method="lsh", keep_flag=True
+        ).collect()
+    }
+    for i in range(30):
+        assert lsh[i]["n_bench_hits"] <= flagged[i]["n_bench_hits"], i
+        assert not lsh[i]["contaminated"] or flagged[i]["contaminated"], i
+    # identical-direction planted pairs share every sign bucket → the
+    # LSH path cannot miss them
+    for i in (0, 1, 2, 20, 21):
+        assert lsh[i]["contaminated"], i
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        similarity.decontaminate_semantic(train, bench, method="bogus")
+
+
 def test_normalize_unicode(spark):
     rows = [
         (1, "café latte"),            # precomposed é — already NFC
