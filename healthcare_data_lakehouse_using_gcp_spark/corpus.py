@@ -660,13 +660,16 @@ _TAIL = (
     # (mleval_auc, ts_interpolate, w10_ewma, emb_component_means,
     # privacy_l_diversity) — rationales in the round-15 demotion
     # block at the end of this tuple.
-    # r16 PLANNED swap set (schedule now, seat r16): the 2 deferred
-    # tranche-6 entries set_ops_nations + melt_lineitem (last
-    # driver-green r11 — the stalest remaining), any r15-born entry's
-    # mandatory seat (2-round rule), the rule-3 twin swap back to
-    # embedding_near_dup_exact, and then the stalest r12-green seats
-    # as the envelope allows; fund by demoting the freshest banked
-    # r15 first-seats with per-entry rationales.
+    # r16 PLANNED swap set (schedule now, seat r16): the FOUR r15-born
+    # newborns decontaminate_against, decontaminate_semantic,
+    # leakage_safe_splits, quality_gopher_rules (2-round rule —
+    # deadline r17, so r16 seats as many as the envelope allows and
+    # r17 the rest), the 2 deferred tranche-6 entries set_ops_nations
+    # + melt_lineitem (last driver-green r11 — the stalest remaining),
+    # the rule-3 twin swap back to embedding_near_dup_exact, and then
+    # the stalest r12-green seats as the envelope allows; fund by
+    # demoting the freshest banked r15 first-seats with per-entry
+    # rationales.
     # --- round-14 demotions (VERDICT r13 item 1: 11 seats freed for
     # the 10 r13-born newborns' mandatory first seats + the rule-3
     # twin swap to embedding_near_dup_exact). Every demotion below is
@@ -1546,6 +1549,22 @@ _TAIL = (
     #                             seat r16/r17
     #                                               [new r15, no driver row]
     "decontaminate_semantic",
+    #   leakage_safe_splits     — duplicate-group-level train/val/test
+    #                             assignment (md5 content-addressed,
+    #                             pointer-doubled components; whole
+    #                             component → one split); oracle via
+    #                             the same-text-partition shortcut —
+    #                             seat r16/r17
+    #                                               [new r15, no driver row]
+    "leakage_safe_splits",
+    #   quality_gopher_rules    — Gopher heuristic-rule quality
+    #                             DECISION battery (six NULL-safe
+    #                             narrow rules + conjunctive keep)
+    #                             over the existing diagnostics
+    #                             signals; every flag DuckDB-
+    #                             recomputed — seat r16/r17
+    #                                               [new r15, no driver row]
+    "quality_gopher_rules",
 )
 
 
@@ -2912,6 +2931,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return quality_score(d)
+
+
+@query(
+    "quality_gopher_rules",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             length(text)::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')) AS avg_len,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as','was','at','by','be')))::DOUBLE
+               / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+               / length(text) AS punct_ratio,
+             (len(string_split(text, chr(10)))
+                - len(list_distinct(string_split(text, chr(10)))))::DOUBLE
+               / len(string_split(text, chr(10))) AS dup_line,
+             (len(g.grams) - len(list_distinct(g.grams)))::DOUBLE
+               / len(g.grams) AS dup_gram
+      FROM documents,
+           LATERAL (
+             SELECT list_transform(
+                      range(1, GREATEST(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1) + 1),
+                      i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+1], ' ')
+                    ) AS grams
+           ) g
+    )
+    SELECT doc_id,
+           COALESCE(n_tok BETWEEN 20 AND 100000, false) AS pass_length,
+           COALESCE(avg_len BETWEEN 3.0 AND 10.0, false) AS pass_token_len,
+           COALESCE(sw_ratio >= 0.05, false) AS pass_stopwords,
+           COALESCE(punct_ratio <= 0.2, false) AS pass_punct,
+           COALESCE(dup_line <= 0.3, false) AS pass_dup_lines,
+           COALESCE(dup_gram <= 0.05, false) AS pass_dup_ngrams,
+           (COALESCE(n_tok BETWEEN 20 AND 100000, false)
+            AND COALESCE(avg_len BETWEEN 3.0 AND 10.0, false)
+            AND COALESCE(sw_ratio >= 0.05, false)
+            AND COALESCE(punct_ratio <= 0.2, false)
+            AND COALESCE(dup_line <= 0.3, false)
+            AND COALESCE(dup_gram <= 0.05, false)) AS keep
+    FROM s
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality DECISION battery
+    (beyond-reference, born r15; operators/text.gopher_quality_filter,
+    keep_flag=True): per-document booleans for the six heuristic
+    rules (length band, mean token length band, stopword floor,
+    punctuation ceiling, duplicate-line and duplicate-bigram
+    ceilings) plus the conjunctive keep — the decision step the
+    existing diagnostics entries (text_stats, text_quality_score,
+    text_repetition) feed. Thresholds tuned so the fixture splits on
+    the length and stopword rules; every flag is recomputed by the
+    DuckDB oracle from the same NULL-safe expressions. Drop-mode
+    equivalence pinned in tests/test_llm_ops.py.
+
+    All six rules are narrow codegen'd Column expressions evaluating
+    inside the scan stage — no shuffle at any scale. Seat ≤r17 per
+    the 2-round newborn rule."""
+    from .operators.text import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_filter(
+        d,
+        min_tokens=20,
+        min_stopword_ratio=0.05,
+        max_dup_ngram_frac=0.05,
+        keep_flag=True,
+    )
 
 
 @query(
@@ -4362,6 +4452,57 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") < 25)
     return decon(e, bench, threshold=0.4, method="checked", keep_flag=True)
+
+
+@query(
+    "leakage_safe_splits",
+    """
+    WITH grp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_key
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, group_key,
+             ('0x' || substr(md5('42§' || CAST(group_key AS VARCHAR)), 1, 8))
+               ::BIGINT % 10000 AS bucket
+      FROM grp
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting (beyond-reference, born
+    r15; operators/dedup.leakage_safe_splits): duplicate GROUPS — not
+    documents — get the content-addressed md5 split decision, so a
+    near-copy of a validation doc can never sit in train. The entry
+    feeds it exact-text duplicate pairs (md5(text) equality, the
+    fixture's planted whole-doc dups), runs the REAL pointer-doubled
+    connected-components machinery, and the oracle exploits that
+    exact-dup components are precisely the same-text partitions:
+    group_key = MIN(doc_id) OVER (PARTITION BY md5(text)) — no
+    recursion needed, every row hash-checked. 80/10/10 at seed 42.
+    The general near-dup-pair path (minhash/simhash/embedding pairs,
+    where the oracle DOES need the recursive-CTE form) shares its
+    component machinery with dedup_components (oracle-exact, tail).
+
+    Seat ≤r17 per the 2-round newborn rule."""
+    from .operators.dedup import leakage_safe_splits as splits
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("__h"))
+    a = keyed.withColumnsRenamed({"doc_id": "id_a"})
+    b = keyed.withColumnsRenamed({"doc_id": "id_b"})
+    pairs = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return splits(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
 
 
 @query(
@@ -10880,6 +11021,7 @@ OPERATOR_MAP = {
     "LLM-retrieval": ["text_bm25_topk", "retrieval_rrf_fusion"],
     "LLM-decontamination": ["decontaminate", "decontaminate_against",
                             "decontaminate_semantic"],  # decision ops born r15
+    "LLM-leakage-splits": ["leakage_safe_splits"],  # group-level splits born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],
@@ -10907,6 +11049,7 @@ OPERATOR_MAP = {
     "LLM-tokenizer": ["text_bpe_pretokenize", "text_bpe_train_apply"],
     "Incremental-IVM": ["incremental_rollup", "j10_join_delta"],
     "LLM-quality-model": ["quality_classifier_trained", "classifier_quality"],
+    "LLM-quality-rules": ["quality_gopher_rules"],  # Gopher decision battery born r15
     "J6": ["j6_interval_overlap"],  # beyond-reference: keyless interval join
     "A17": ["a17_mad_outliers"],  # beyond-reference: MAD robust outliers
     "Graph": ["graph_pagerank", "dedup_components", "graph_triangles",

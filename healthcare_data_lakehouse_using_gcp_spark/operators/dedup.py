@@ -703,6 +703,94 @@ def dedup_groups(
     )
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: documents connected by
+    near-duplicate PAIRS (any dedup family's output — minhash bands,
+    simhash, embedding-cosine, exact) are resolved into components,
+    and the WHOLE component lands in one split — the step that stops
+    a near-copy of a validation document from sitting in train (the
+    contamination a per-doc random split cannot prevent and the
+    reason dedup pipelines split on the duplicate GROUP, not the
+    document).
+
+    Split choice is content-addressed: the component root's md5
+    bucket (seeded) against cumulative ``fractions`` cuts in dict
+    insertion order — the same id lands in the same split on every
+    engine, every run, every partitioning (deterministic_sample's
+    property, lifted from documents to duplicate groups). Fractions
+    must be positive and sum to 1 (cuts are rounded to basis points,
+    so the realized proportions are exact at 1/10000 granularity).
+
+    Returns (id, group_key, split) for EVERY input document —
+    unpaired docs are their own group.
+
+    Scale design (100 TB): components via pointer-doubled min-label
+    propagation (O(log diameter) linear rounds, fail-loud on
+    non-convergence); the split decision is a narrow md5 expression —
+    no extra shuffle past the component join."""
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    vals = list(fractions.values())
+    if any(v <= 0 for v in vals):
+        raise ValueError(f"fractions must be positive, got {fractions}")
+    if abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1, got {sum(vals)} from {fractions}"
+        )
+    comp = connected_components(pairs, id_a, id_b, max_iters)
+    keyed = (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("group_key"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "§", F.lit(str(seed)), F.col("group_key").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 10000
+    names = list(fractions)
+    cum = 0.0
+    arms: list[tuple[int, str]] = []
+    for name, frac in fractions.items():
+        cum += frac
+        arms.append((int(round(cum * 10000)), name))
+    case = None
+    for cut, name in arms:
+        cond = bucket < F.lit(cut)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(
+            cond, F.lit(name)
+        )
+    # the final cut is 10000, so the fallback arm is unreachable; it
+    # exists to keep the column non-nullable
+    return keyed.select(
+        F.col(id_col),
+        "group_key",
+        case.otherwise(F.lit(names[-1])).alias("split"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -297,6 +297,88 @@ def repetition_stats(
     )
 
 
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.06,
+    max_punct_ratio: float = 0.2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_ngram_frac: float = 0.2,
+    ngram: int = 2,
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Gopher-style rule-based quality DECISION operator (the
+    Rae et al. 2021 / RefinedWeb heuristic battery) — the
+    diagnostics-to-decision step for the quality signals word_stats /
+    stopword_ratio_col / punct_ratio_col / repetition_stats emit:
+    per document, one boolean per rule plus the conjunctive ``keep``.
+
+    Rules (each NULL-safe — a degenerate doc that nulls a ratio fails
+    that rule rather than riding through):
+    - pass_length:     min_tokens <= token count <= max_tokens
+    - pass_token_len:  min/max mean characters per token
+    - pass_stopwords:  stopword ratio >= min_stopword_ratio (the
+      "must look like natural language" rule)
+    - pass_punct:      punctuation character ratio <= max_punct_ratio
+    - pass_dup_lines:  duplicate-line fraction <= max_dup_line_frac
+    - pass_dup_ngrams: duplicate word-n-gram fraction <=
+      max_dup_ngram_frac
+
+    Returns the rule flags for KEPT rows only (``keep`` stripped), or
+    — with ``keep_flag`` — every row plus ``keep``, for audit and for
+    measuring per-rule rejection rates before committing thresholds.
+
+    Scale shape (100 TB): every rule is a built-in Column expression
+    over one row's text — narrow, codegen'd, evaluates inside the
+    scan stage; no shuffle, no UDF, no state."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    lines = F.split(text, r"\n")
+    low_toks = tokens_col(F.lower(text))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(low_toks) - F.lit(ngram - 1))
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(low_toks, i, ngram)))
+
+    def _rule(cond) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    avg_len = F.length(text) / n_tok
+    dup_line = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    dup_gram = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    flags = df.select(
+        F.col(id_col),
+        _rule(n_tok.between(min_tokens, max_tokens)).alias("pass_length"),
+        _rule(avg_len.between(min_avg_token_len, max_avg_token_len)).alias(
+            "pass_token_len"
+        ),
+        _rule(stopword_ratio_col(text) >= min_stopword_ratio).alias(
+            "pass_stopwords"
+        ),
+        _rule(punct_ratio_col(text) <= max_punct_ratio).alias("pass_punct"),
+        _rule(dup_line <= max_dup_line_frac).alias("pass_dup_lines"),
+        _rule(dup_gram <= max_dup_ngram_frac).alias("pass_dup_ngrams"),
+    )
+    keep = (
+        F.col("pass_length")
+        & F.col("pass_token_len")
+        & F.col("pass_stopwords")
+        & F.col("pass_punct")
+        & F.col("pass_dup_lines")
+        & F.col("pass_dup_ngrams")
+    )
+    flagged = flags.withColumn("keep", keep)
+    if keep_flag:
+        return flagged
+    return flagged.filter(F.col("keep")).drop("keep")
+
+
 def benchmark_overlap(
     df: DataFrame,
     benchmark: DataFrame,

@@ -1044,6 +1044,54 @@ def test_connected_components_and_groups(spark):
     assert groups[4] == 4  # unpaired doc is its own canonical
 
 
+def test_leakage_safe_splits(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # a transitive dup chain 0-1-2 plus pair 10-11; rest unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.leakage_safe_splits(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+        ).collect()
+    }
+    assert sorted(out) == list(range(40))  # every doc assigned
+    # the LEAKAGE guarantee: a whole component shares one split
+    assert out[0]["group_key"] == out[1]["group_key"] == out[2]["group_key"] == 0
+    assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+    assert out[10]["split"] == out[11]["split"]
+    assert out[5]["group_key"] == 5  # unpaired doc is its own group
+    assert set(r["split"] for r in out.values()) <= {"train", "val", "test"}
+    # deterministic: same seed → identical assignment; new seed → a
+    # different (but still component-consistent) shuffle
+    again = {
+        r["doc_id"]: r["split"]
+        for r in dedup.leakage_safe_splits(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+        ).collect()
+    }
+    assert again == {i: out[i]["split"] for i in out}
+    reseeded = {
+        r["doc_id"]: r["split"]
+        for r in dedup.leakage_safe_splits(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        ).collect()
+    }
+    assert reseeded[0] == reseeded[1] == reseeded[2]
+    # contracts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        dedup.leakage_safe_splits(docs, pairs, {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match="positive"):
+        dedup.leakage_safe_splits(docs, pairs, {"train": 1.5, "val": -0.5})
+    with _pytest.raises(ValueError, match="at least one"):
+        dedup.leakage_safe_splits(docs, pairs, {})
+
+
 def test_connected_components_logarithmic_convergence(spark):
     """VERDICT r4 item 6: pointer jumping bounds the round count by
     O(log diameter), not O(diameter). A 64-link chain (worst case for
@@ -1197,6 +1245,53 @@ def test_decontaminate_against_policies(spark):
         text.decontaminate_against(docs, bench, overlap_threshold=1.5)
     with pytest.raises(ValueError, match="max_hits"):
         text.decontaminate_against(docs, bench, max_hits=-1)
+
+
+def test_gopher_quality_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            # healthy natural-ish text: passes every rule
+            (1, "the quick brown fox and the lazy dog ran to the old "
+                "mill by the river bank in the morning light as it was"),
+            (2, "tiny"),                                   # fails length
+            (3, "the " * 30 + "end of it was a"),          # dup bigrams
+            (4, "supercalifragilistic " * 25 + "of the it a was"),  # long tokens
+            (5, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( " * 3
+                + "the of it a was and to in is that for on"),  # punct-heavy
+            (6, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lmbda mu nu xi omicron pi rho sigma tau upsilon"),
+            # ^ no stopwords at all → fails the stopword floor
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_quality_filter(
+            docs, min_tokens=10, keep_flag=True
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    assert out[1]["keep"], out[1]
+    assert not out[2]["pass_length"] and not out[2]["keep"]
+    assert not out[3]["pass_dup_ngrams"] and not out[3]["keep"]
+    assert not out[4]["pass_token_len"] and not out[4]["keep"]
+    assert not out[5]["pass_punct"] and not out[5]["keep"]
+    assert not out[6]["pass_stopwords"] and not out[6]["keep"]
+    # drop mode returns exactly the keep=true rows, keep stripped
+    kept = text.gopher_quality_filter(docs, min_tokens=10)
+    assert "keep" not in kept.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [
+        i for i in out if out[i]["keep"]
+    ]
+    # duplicate-line rule: three identical lines out of four
+    liney = spark.createDataFrame(
+        [(9, "the cat sat\nthe cat sat\nthe cat sat\nthe dog of it was a")],
+        "doc_id long, text string",
+    )
+    row = text.gopher_quality_filter(
+        liney, min_tokens=5, max_dup_ngram_frac=1.0, keep_flag=True
+    ).collect()[0]
+    assert not row["pass_dup_lines"] and not row["keep"]
 
 
 def test_decontaminate_semantic_methods_and_drop(spark):
