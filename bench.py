@@ -723,7 +723,13 @@ def main() -> None:
             _n = e.count()
             _ncent = max(16, int(_math.isqrt(_n)))
             _idx, _cents = _bld(e, n_centroids=_ncent)
-            _idx = _idx.localCheckpoint(eager=True)
+            # persist (not localCheckpoint): same materialization
+            # contract for the refresh's multi-pass reads, but
+            # DETERMINISTICALLY freed below — a leaked checkpoint RDD
+            # would otherwise sit in executor storage through the
+            # end-of-run controls-drift re-timing (code-review r15)
+            _idx = _idx.persist()
+            _idx.count()
             _drift = e.filter(_F.col("vec_id") < 200).select(
                 (_F.col("vec_id") + 10_000_000).alias("vec_id"),
                 _F.concat(
@@ -731,20 +737,26 @@ def main() -> None:
                     _F.slice("embedding", 2, _F.size("embedding") - 1),
                 ).alias("embedding"),
             )
-            _grown = _app(_idx, _cents, _drift).localCheckpoint(eager=True)
-            _t0 = time.perf_counter()
-            _r_idx, _r_cents, _ = _rfr(
-                _grown, _cents, max_lists=2, split_factor=2, lloyd_iters=1
-            )
-            _r_n = _r_idx.count()
-            t_refresh = round(time.perf_counter() - _t0, 3)
-            _ncent_after = _r_cents.count()
-            _t0 = time.perf_counter()
-            _b_idx, _b_cents = _bld(
-                _grown.select("vec_id", "embedding"), n_centroids=_ncent_after
-            )
-            _b_n = _b_idx.count()
-            t_rebuild = round(time.perf_counter() - _t0, 3)
+            _grown = _app(_idx, _cents, _drift).persist()
+            _grown.count()
+            try:
+                _t0 = time.perf_counter()
+                _r_idx, _r_cents, _ = _rfr(
+                    _grown, _cents, max_lists=2, split_factor=2, lloyd_iters=1
+                )
+                _r_n = _r_idx.count()
+                t_refresh = round(time.perf_counter() - _t0, 3)
+                _ncent_after = _r_cents.count()
+                _t0 = time.perf_counter()
+                _b_idx, _b_cents = _bld(
+                    _grown.select("vec_id", "embedding"),
+                    n_centroids=_ncent_after,
+                )
+                _b_n = _b_idx.count()
+                t_rebuild = round(time.perf_counter() - _t0, 3)
+            finally:
+                _grown.unpersist()
+                _idx.unpersist()
             assert _r_n == _b_n, (_r_n, _b_n)
             refresh_block[_label] = {
                 "refresh_wall": t_refresh,

@@ -4494,6 +4494,19 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import leakage_safe_splits as splits
 
     d = _t(spark, sf_dir, "documents")
+    # the oracle's PARTITION BY md5(text) groups NULL texts into ONE
+    # partition while the Spark pair join (NULL keys never match)
+    # would leave them singletons — assert the fixture fact by name
+    # so a regen that plants NULL text fails HERE, not as a driver
+    # hash flip (the ann_ivf_refresh_invariants idiom)
+    null_text = d.filter(F.col("text").isNull()).limit(1).collect()
+    if null_text:
+        raise AssertionError(
+            "leakage_safe_splits: fixture documents contain NULL text "
+            f"(doc_id={null_text[0]['doc_id']}) — the same-text-partition "
+            "oracle shortcut and the md5 pair join disagree on NULL; "
+            "filter or coalesce NULLs in BOTH sides together"
+        )
     keyed = d.select("doc_id", F.md5("text").alias("__h"))
     a = keyed.withColumnsRenamed({"doc_id": "id_a"})
     b = keyed.withColumnsRenamed({"doc_id": "id_b"})

@@ -773,9 +773,21 @@ def leakage_safe_splits(
     names = list(fractions)
     cum = 0.0
     arms: list[tuple[int, str]] = []
+    prev_cut = 0
     for name, frac in fractions.items():
         cum += frac
-        arms.append((int(round(cum * 10000)), name))
+        cut = int(round(cum * 10000))
+        if cut <= prev_cut:
+            # a fraction below basis-point granularity would silently
+            # produce a split no document can ever land in — the
+            # fail-loud contract the other guards keep
+            raise ValueError(
+                f"fraction for split {name!r} ({frac}) rounds below the "
+                "1/10000 bucket granularity — its arm would cover zero "
+                "buckets; merge it into a neighbor or coarsen the plan"
+            )
+        prev_cut = cut
+        arms.append((cut, name))
     case = None
     for cut, name in arms:
         cond = bucket < F.lit(cut)

@@ -1398,10 +1398,15 @@ def decontaminate_semantic(
             .select(id_col, "__bench_id", "__cos")
         )
 
-    if method == "exact":
+    first = train.select(F.size(vec_col)).first()
+    if method == "exact" or first is None:
+        # empty train side: no hyperplane dimension to derive, and the
+        # exact path returns the correct empty frame without a single
+        # Lloyd/LSH job (an empty slice is a normal partitioned-
+        # pipeline input, not an error)
         pairs = _exact_pairs()
     else:
-        dim = train.select(F.size(vec_col)).first()[0]
+        dim = first[0]
         tables = [
             _hyperplanes(dim, num_planes, seed + ti) for ti in range(num_tables)
         ]

@@ -56,6 +56,14 @@ def pretoken_count_col(text: Column) -> Column:
     return F.size(pretokens_col(text)).cast("bigint")
 
 
+def avg_token_len_col(text: Column) -> Column:
+    """Mean characters per whitespace token (the word_stats
+    avg_token_len signal, shared with gopher_quality_filter's
+    token-length rule so the decision can never drift from the
+    diagnostic)."""
+    return F.length(text) / F.size(tokens_col(text))
+
+
 def word_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token/char/word-length stats."""
     toks = tokens_col(F.col(text_col))
@@ -63,7 +71,7 @@ def word_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col(id_col),
         F.length(F.col(text_col)).alias("char_count"),
         F.size(toks).alias("token_count"),
-        (F.length(F.col(text_col)) / F.size(toks)).alias("avg_token_len"),
+        avg_token_len_col(F.col(text_col)).alias("avg_token_len"),
     )
 
 
@@ -273,6 +281,25 @@ def normalize_unicode(
     )
 
 
+def dup_line_frac_col(text: Column) -> Column:
+    """Fraction of a document's lines that are repeats of an earlier
+    line — the Gopher duplicate-line signal, shared by
+    repetition_stats (diagnostics) and gopher_quality_filter
+    (decision)."""
+    lines = F.split(text, r"\n")
+    return (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+
+
+def dup_ngram_frac_col(text: Column, ngram: int = 3) -> Column:
+    """Fraction of a document's lowercased word n-grams that are
+    repeats — the Gopher duplicate-n-gram signal, shared by
+    repetition_stats and gopher_quality_filter."""
+    toks = tokens_col(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(ngram - 1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)))
+    return (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
 ) -> DataFrame:
@@ -284,16 +311,12 @@ def repetition_stats(
     Pure array expressions — size(array_distinct(..)) ratios evaluate
     in the scan stage, narrow, no shuffle.
     """
-    lines = F.split(F.col(text_col), r"\n")
-    toks = tokens_col(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(ngram - 1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)))
-    dup_line_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
-    dup_gram_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
     return df.select(
         F.col(id_col),
-        round_det(dup_line_frac, 4).alias("dup_line_frac"),
-        round_det(dup_gram_frac, 4).alias("dup_ngram_frac"),
+        round_det(dup_line_frac_col(F.col(text_col)), 4).alias("dup_line_frac"),
+        round_det(dup_ngram_frac_col(F.col(text_col), ngram), 4).alias(
+            "dup_ngram_frac"
+        ),
     )
 
 
@@ -337,33 +360,29 @@ def gopher_quality_filter(
     over one row's text — narrow, codegen'd, evaluates inside the
     scan stage; no shuffle, no UDF, no state."""
     text = F.col(text_col)
-    toks = tokens_col(text)
-    n_tok = F.size(toks)
-    lines = F.split(text, r"\n")
-    low_toks = tokens_col(F.lower(text))
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.size(low_toks) - F.lit(ngram - 1))
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(low_toks, i, ngram)))
+    n_tok = F.size(tokens_col(text))
 
     def _rule(cond) -> Column:
         return F.coalesce(cond, F.lit(False))
 
-    avg_len = F.length(text) / n_tok
-    dup_line = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
-    dup_gram = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
     flags = df.select(
         F.col(id_col),
         _rule(n_tok.between(min_tokens, max_tokens)).alias("pass_length"),
-        _rule(avg_len.between(min_avg_token_len, max_avg_token_len)).alias(
-            "pass_token_len"
-        ),
+        _rule(
+            avg_token_len_col(text).between(
+                min_avg_token_len, max_avg_token_len
+            )
+        ).alias("pass_token_len"),
         _rule(stopword_ratio_col(text) >= min_stopword_ratio).alias(
             "pass_stopwords"
         ),
         _rule(punct_ratio_col(text) <= max_punct_ratio).alias("pass_punct"),
-        _rule(dup_line <= max_dup_line_frac).alias("pass_dup_lines"),
-        _rule(dup_gram <= max_dup_ngram_frac).alias("pass_dup_ngrams"),
+        _rule(dup_line_frac_col(text) <= max_dup_line_frac).alias(
+            "pass_dup_lines"
+        ),
+        _rule(dup_ngram_frac_col(text, ngram) <= max_dup_ngram_frac).alias(
+            "pass_dup_ngrams"
+        ),
     )
     keep = (
         F.col("pass_length")
@@ -379,24 +398,23 @@ def gopher_quality_filter(
     return flagged.filter(F.col("keep")).drop("keep")
 
 
-def benchmark_overlap(
+def _overlap_scored(
     df: DataFrame,
     benchmark: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    ngram: int = 3,
+    text_col: str,
+    id_col: str,
+    ngram: int,
 ) -> DataFrame:
-    """Decontamination: per-document fraction of distinct word
-    n-grams that also appear ANYWHERE in the benchmark corpus. Docs
-    above a threshold are dropped before training so eval benchmarks
-    stay uncontaminated.
+    """(id, n_grams, n_matched): per-document distinct-n-gram totals
+    and benchmark hits — the SHARED core of benchmark_overlap
+    (diagnostics) and decontaminate_against (decision), so the two
+    can never disagree on what counts as a hit.
 
     Scale shape: both sides explode to (id, gram-hash) rows; the
     benchmark side reduces to DISTINCT hashes (a set usually far
-    smaller than the training corpus); the overlap count is one
+    smaller than the training corpus); the hit count is one
     equi-join on the 8-byte hash + one hash-agg per doc — linear
-    shuffle, no text moves after hashing.
-    """
+    shuffle, no text moves after hashing."""
     from .dedup import ensure_parallelism, shingles
 
     doc_sh = ensure_parallelism(
@@ -416,16 +434,33 @@ def benchmark_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    return (
-        totals.join(matched, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
-            round_det(
-                F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"), 4
-            ).alias("overlap_frac"),
-        )
+    return totals.join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+    )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Decontamination diagnostics: per-document fraction of distinct
+    word n-grams that also appear ANYWHERE in the benchmark corpus.
+    Docs above a threshold are dropped before training so eval
+    benchmarks stay uncontaminated (decontaminate_against is the
+    decision operator over the same scored frame; scale shape in
+    _overlap_scored)."""
+    return _overlap_scored(df, benchmark, text_col, id_col, ngram).select(
+        F.col(id_col),
+        "n_grams",
+        "n_matched",
+        round_det(F.col("n_matched") / F.col("n_grams"), 4).alias(
+            "overlap_frac"
+        ),
     )
 
 
@@ -474,31 +509,8 @@ def decontaminate_against(
         )
     if max_hits < 0:
         raise ValueError(f"max_hits must be >= 0, got {max_hits}")
-    from .dedup import ensure_parallelism, shingles
-
-    doc_sh = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col)), partition_by=id_col
-    ).select(
-        F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")
-    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
-    bench_sh = (
-        ensure_parallelism(benchmark.select(F.col(text_col)))
-        .select(F.explode(shingles(text_col, ngram)).alias("g"))
-        .select(F.xxhash64("g").alias("h"))
-        .distinct()
-    )
-    totals = doc_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    matched = (
-        doc_sh.join(bench_sh, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    )
-    scored = totals.join(matched, id_col, "left").select(
-        F.col(id_col),
-        "n_grams",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    scored = _overlap_scored(df, benchmark, text_col, id_col, ngram).select(
+        F.col(id_col), "n_grams", F.col("n_matched").alias("n_hits")
     )
     if overlap_threshold is None:
         contaminated = F.col("n_hits") > F.lit(max_hits)

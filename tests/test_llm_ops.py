@@ -1090,6 +1090,12 @@ def test_leakage_safe_splits(spark):
         dedup.leakage_safe_splits(docs, pairs, {"train": 1.5, "val": -0.5})
     with _pytest.raises(ValueError, match="at least one"):
         dedup.leakage_safe_splits(docs, pairs, {})
+    # a fraction below basis-point granularity would cover zero
+    # buckets — that split could silently never receive a document
+    with _pytest.raises(ValueError, match="zero buckets"):
+        dedup.leakage_safe_splits(
+            docs, pairs, {"train": 0.9999, "val": 0.00005, "test": 0.00005}
+        )
 
 
 def test_connected_components_logarithmic_convergence(spark):
@@ -1349,6 +1355,15 @@ def test_decontaminate_semantic_methods_and_drop(spark):
     # LSH path cannot miss them
     for i in (0, 1, 2, 20, 21):
         assert lsh[i]["contaminated"], i
+    # an empty train slice (a normal partitioned-pipeline input) must
+    # return an empty frame on the LSH path, not crash deriving dim
+    empty = train.filter(F.col("vec_id") < 0)
+    assert (
+        similarity.decontaminate_semantic(
+            empty, bench, method="lsh", keep_flag=True
+        ).count()
+        == 0
+    )
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="method"):
