@@ -1227,3 +1227,120 @@ def test_ivf_merge_preserves_content_property(spark, vecs, target):
     assert len(cent_rows) == min(target, 6)
     assert [r["cid"] for r in cent_rows] == list(range(len(cent_rows)))
     assert {r["cid"] for r in got} <= {r["cid"] for r in cent_rows}
+
+
+@_settings_pinned
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 29), st.integers(0, 29)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_leakage_safe_splits_property(spark, raw_pairs, seed):
+    """For ANY near-dup pair set and seed: every document gets exactly
+    one split, every member of a connected component shares its
+    component's group_key AND split (the leakage guarantee), and
+    unpaired docs are their own group."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.dedup import (
+        leakage_safe_splits,
+    )
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in raw_pairs] or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_splits(
+            docs, pairs, {"train": 0.7, "val": 0.2, "test": 0.1}, seed=seed
+        ).collect()
+    }
+    assert sorted(out) == list(range(n))
+    # python-side union-find as the independent component reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i in range(n):
+        root = find(i)
+        comp_min = min(j for j in range(n) if find(j) == root)
+        assert out[i]["group_key"] == comp_min, (i, comp_min)
+        assert out[i]["split"] == out[comp_min]["split"], i
+        assert out[i]["split"] in ("train", "val", "test")
+
+
+@_settings_pinned
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta the of epsilon".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta the of zeta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_decontaminate_against_property(spark, doc_words, bench_words):
+    """For ANY corpus/benchmark: hits never exceed grams, growing the
+    benchmark never DECREASES any document's hit count (monotonicity),
+    and drop mode returns exactly the rows flag mode marks clean."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.text import (
+        decontaminate_against,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(bench_words)]
+        or [(100, "__nothing_matches__")],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: r
+        for r in decontaminate_against(
+            docs, bench, ngram=2, keep_flag=True
+        ).collect()
+    }
+    assert sorted(flagged) == list(range(len(doc_words)))
+    for r in flagged.values():
+        assert 0 <= r["n_hits"] <= r["n_grams"]
+        assert r["contaminated"] == (r["n_hits"] > 0)
+    kept = decontaminate_against(docs, bench, ngram=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        i for i, r in flagged.items() if not r["contaminated"]
+    )
+    # monotonicity: benchmark ∪ first doc — every hit count >= before
+    grown = bench.unionByName(docs.filter(F.col("doc_id") == 0))
+    flagged2 = {
+        r["doc_id"]: r
+        for r in decontaminate_against(
+            docs, grown, ngram=2, keep_flag=True
+        ).collect()
+    }
+    for i in flagged:
+        assert flagged2[i]["n_hits"] >= flagged[i]["n_hits"], i
+    assert flagged2[0]["contaminated"]  # doc 0 is now verbatim in bench
