@@ -660,9 +660,10 @@ _TAIL = (
     # (mleval_auc, ts_interpolate, w10_ewma, emb_component_means,
     # privacy_l_diversity) — rationales in the round-15 demotion
     # block at the end of this tuple.
-    # r16 PLANNED swap set (schedule now, seat r16): the FOUR r15-born
+    # r16 PLANNED swap set (schedule now, seat r16): the SIX r15-born
     # newborns decontaminate_against, decontaminate_semantic,
-    # leakage_safe_splits, quality_gopher_rules (2-round rule —
+    # leakage_safe_splits, quality_gopher_rules, curate_token_budget,
+    # dedup_keep_best (2-round rule —
     # deadline r17, so r16 seats as many as the envelope allows and
     # r17 the rest), the 2 deferred tranche-6 entries set_ops_nations
     # + melt_lineitem (last driver-green r11 — the stalest remaining),
@@ -1565,6 +1566,20 @@ _TAIL = (
     #                             recomputed — seat r16/r17
     #                                               [new r15, no driver row]
     "quality_gopher_rules",
+    #   curate_token_budget     — budget-constrained best-first corpus
+    #                             selection: per-value threshold walk
+    #                             + boundary-only window on the Spark
+    #                             side vs the naive global cumulative
+    #                             SUM OVER oracle — seat r16/r17
+    #                                               [new r15, no driver row]
+    "curate_token_budget",
+    #   dedup_keep_best         — quality-aware canonical selection
+    #                             (keep the best copy per near-dup
+    #                             component); oracle via the same-
+    #                             text-partition shortcut —
+    #                             seat r16/r17
+    #                                               [new r15, no driver row]
+    "dedup_keep_best",
 )
 
 
@@ -3002,6 +3017,136 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup_ngram_frac=0.05,
         keep_flag=True,
     )
+
+
+@query(
+    "curate_token_budget",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             FLOOR((LEAST(1.0, n_tok / 50.0) * 0.4
+                    + LEAST(1.0, sw_ratio * 5.0) * 0.3
+                    + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3) * 10000 + 0.5)
+               / 10000 AS quality_score,
+             CAST(n_tok AS BIGINT) AS token_count
+      FROM (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                              'that','for','on','with','as','was','at','by','be')))::DOUBLE
+                 / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS sw_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                 / length(text) AS punct_ratio
+        FROM documents
+      )
+    ),
+    c AS (
+      SELECT doc_id, quality_score, token_count,
+             SUM(token_count) OVER (
+               ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    )
+    SELECT doc_id, quality_score, token_count FROM c WHERE cum <= 8000
+    """,
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (beyond-reference, born
+    r15; operators/text.select_within_token_budget): fill the
+    training mix best-quality-first until an 8000-token budget is
+    spent — prefix semantics over (quality desc, doc_id asc), the
+    step quality scoring / dedup / decontamination feed into. The
+    Spark side runs the SCALE plan (per-value token totals → driver
+    threshold walk → windowless keep for values above the boundary +
+    a boundary-value-only running-sum window); the oracle is the
+    naive global cumulative SUM OVER — provably the same selected
+    set, hash-checked row for row. Quality is the rounded (4 dp)
+    text_quality_score signal, so per-value grouping is bounded
+    (≤10001 levels vs MAX_BUDGET_LEVELS fail-loud).
+
+    Seat ≤r17 per the 2-round newborn rule."""
+    from .functions.scalars import round_det
+    from .operators.text import (
+        quality_score_col,
+        select_within_token_budget,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        round_det(quality_score_col(F.col("text")), 4).alias("quality_score"),
+        token_count_col(F.col("text")).cast("bigint").alias("token_count"),
+    )
+    return select_within_token_budget(scored, 8000)
+
+
+@query(
+    "dedup_keep_best",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             array_to_string(
+               regexp_split_to_array(trim(lower(text)), '\s+')[1:2], ' ') AS h,
+             FLOOR((LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.4
+                    + LEAST(1.0, len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                   'that','for','on','with','as','was','at','by','be')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+')) * 5.0) * 0.3
+                    + GREATEST(0.0, 1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                      / length(text) * 4.0) * 0.3) * 10000 + 0.5) / 10000 AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, q,
+             MIN(doc_id) OVER (PARTITION BY h) AS group_key,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY q DESC, doc_id ASC) AS rn
+      FROM s
+    )
+    SELECT doc_id, group_key, q AS quality_score FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (beyond-reference, born r15;
+    operators/dedup.dedup_keep_best): one KEPT document per near-dup
+    component — highest quality first, id ascending on ties — the
+    production keep-policy where dedup_groups' min-id canonical keeps
+    an arbitrary copy. The entry blocks on the 2-token text prefix
+    (the fixture's texts are all distinct, so exact-dup pairs would
+    be empty; the prefix key gives REAL multi-doc groups with UNEQUAL
+    quality scores — the keep-best choice genuinely differs from
+    min-id), runs the REAL pointer-doubled components +
+    per-component ranking window, and the oracle uses the
+    key-partition shortcut (components of blocking-key pairs ARE the
+    key partitions): group_key = MIN OVER, winner = ROW_NUMBER OVER
+    (q DESC, id ASC) = 1 — every row hash-checked.
+
+    Seat ≤r17 per the 2-round newborn rule."""
+    from .functions.scalars import round_det
+    from .operators.dedup import dedup_keep_best as keep_best
+    from .operators.text import quality_score_col, tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    null_text = d.filter(F.col("text").isNull()).limit(1).collect()
+    if null_text:
+        raise AssertionError(
+            "dedup_keep_best: fixture documents contain NULL text — the "
+            "key-partition oracle shortcut and the blocking-key pair "
+            "join disagree on NULL (see leakage_safe_splits)"
+        )
+    key = F.concat_ws(" ", F.slice(tokens_col(F.lower(F.col("text"))), 1, 2))
+    scored = d.select(
+        "doc_id",
+        key.alias("__k"),
+        round_det(quality_score_col(F.col("text")), 4).alias("quality_score"),
+    )
+    a = scored.select(F.col("doc_id").alias("id_a"), "__k")
+    b = scored.select(F.col("doc_id").alias("id_b"), "__k")
+    pairs = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return keep_best(scored.drop("__k"), pairs, "quality_score")
 
 
 @query(
@@ -4456,10 +4601,13 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "leakage_safe_splits",
-    """
+    r"""
     WITH grp AS (
       SELECT doc_id,
-             MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_key
+             MIN(doc_id) OVER (
+               PARTITION BY array_to_string(
+                 regexp_split_to_array(trim(lower(text)), '\s+')[1:2], ' ')
+             ) AS group_key
       FROM documents
     ),
     b AS (
@@ -4480,21 +4628,24 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     r15; operators/dedup.leakage_safe_splits): duplicate GROUPS — not
     documents — get the content-addressed md5 split decision, so a
     near-copy of a validation doc can never sit in train. The entry
-    feeds it exact-text duplicate pairs (md5(text) equality, the
-    fixture's planted whole-doc dups), runs the REAL pointer-doubled
-    connected-components machinery, and the oracle exploits that
-    exact-dup components are precisely the same-text partitions:
-    group_key = MIN(doc_id) OVER (PARTITION BY md5(text)) — no
-    recursion needed, every row hash-checked. 80/10/10 at seed 42.
-    The general near-dup-pair path (minhash/simhash/embedding pairs,
-    where the oracle DOES need the recursive-CTE form) shares its
-    component machinery with dedup_components (oracle-exact, tail).
+    blocks on the 2-token text prefix (the fixture's texts are all
+    distinct, so exact-dup pairs would be empty; the prefix key gives
+    REAL multi-doc groups — 357 groups over 500 docs, biggest 4, at
+    sf0.01), runs the REAL pointer-doubled connected-components
+    machinery over the pair set, and the oracle exploits that
+    blocking-key components ARE the key partitions: group_key =
+    MIN(doc_id) OVER (PARTITION BY key) — no recursion needed, every
+    row hash-checked. 80/10/10 at seed 42. The general
+    near-dup-pair path (minhash/simhash/embedding pairs, where the
+    oracle DOES need the recursive-CTE form) shares its component
+    machinery with dedup_components (oracle-exact, tail).
 
     Seat ≤r17 per the 2-round newborn rule."""
     from .operators.dedup import leakage_safe_splits as splits
+    from .operators.text import tokens_col
 
     d = _t(spark, sf_dir, "documents")
-    # the oracle's PARTITION BY md5(text) groups NULL texts into ONE
+    # the oracle's PARTITION BY key groups NULL texts into ONE
     # partition while the Spark pair join (NULL keys never match)
     # would leave them singletons — assert the fixture fact by name
     # so a regen that plants NULL text fails HERE, not as a driver
@@ -4503,14 +4654,17 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     if null_text:
         raise AssertionError(
             "leakage_safe_splits: fixture documents contain NULL text "
-            f"(doc_id={null_text[0]['doc_id']}) — the same-text-partition "
-            "oracle shortcut and the md5 pair join disagree on NULL; "
-            "filter or coalesce NULLs in BOTH sides together"
+            f"(doc_id={null_text[0]['doc_id']}) — the key-partition "
+            "oracle shortcut and the blocking-key pair join disagree on "
+            "NULL; filter or coalesce NULLs in BOTH sides together"
         )
-    keyed = d.select("doc_id", F.md5("text").alias("__h"))
+    key = F.concat_ws(
+        " ", F.slice(tokens_col(F.lower(F.col("text"))), 1, 2)
+    )
+    keyed = d.select("doc_id", key.alias("__k"))
     a = keyed.withColumnsRenamed({"doc_id": "id_a"})
     b = keyed.withColumnsRenamed({"doc_id": "id_b"})
-    pairs = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b")).select(
+    pairs = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
     return splits(
@@ -11035,6 +11189,8 @@ OPERATOR_MAP = {
     "LLM-decontamination": ["decontaminate", "decontaminate_against",
                             "decontaminate_semantic"],  # decision ops born r15
     "LLM-leakage-splits": ["leakage_safe_splits"],  # group-level splits born r15
+    "LLM-budget-selection": ["curate_token_budget"],  # best-first token budget born r15
+    "LLM-keep-policy": ["dedup_keep_best"],  # quality-aware dedup canonical born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],
     "LLM-multimodal": ["multimodal_features"],

@@ -703,6 +703,50 @@ def dedup_groups(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Quality-aware canonical selection: resolve near-dup PAIRS into
+    components and keep, per component, the single BEST document
+    (highest ``order_col``, ``id_col`` ascending on ties) — the
+    production dedup policy (keep the longest / highest-quality copy)
+    where dedup_groups' min-id canonical keeps an arbitrary one.
+    Unpaired documents keep themselves.
+
+    Returns (id, group_key, order) — exactly one row per component.
+
+    Scale design (100 TB): pointer-doubled components (O(log
+    diameter) linear rounds), then one row_number window PARTITIONED
+    by component — dup groups are small by construction (band/bucket
+    candidates), so no data-proportional partition."""
+    comp = connected_components(pairs, id_a, id_b, max_iters)
+    keyed = (
+        df.select(F.col(id_col), F.col(order_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("group_key"),
+            F.col(order_col),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_key").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def leakage_safe_splits(
     df: DataFrame,
     pairs: DataFrame,

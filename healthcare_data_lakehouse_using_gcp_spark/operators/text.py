@@ -320,6 +320,89 @@ def repetition_stats(
     )
 
 
+# select_within_token_budget collects one row per DISTINCT order
+# value to pick the admission threshold driver-side; a continuous
+# unrounded score could make that data-proportional — fail loud past
+# this cap instead (round the score first, e.g. round_det to 4 dp
+# bounds a [0,1] quality score at 10001 levels).
+MAX_BUDGET_LEVELS = 100_000
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    order_col: str = "quality_score",
+    token_col: str = "token_count",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the best documents —
+    highest ``order_col`` first, ``id_col`` ascending within ties —
+    whose RUNNING token total stays within ``token_budget`` (prefix
+    semantics: a document is kept iff the cumulative tokens through
+    it, in that order, fit the budget). The standard "fill the
+    training mix with the best data until the token budget is spent"
+    step that quality scoring / dedup / decontamination feed into.
+
+    Scale design (100 TB): a naive global ORDER BY + running-sum
+    window would single-partition the corpus. Instead: one hash-agg
+    to per-VALUE token totals (|distinct order values| rows —
+    fail-loud past MAX_BUDGET_LEVELS, see note above), a driver-side
+    prefix walk over that tiny frame to find the admission threshold
+    v*, then (a) every row with value > v* keeps with NO window at
+    all (a scan-stage filter) and (b) only the BOUNDARY value's rows
+    run the exact running-sum window, partitioned on the value
+    column. Skew caveat: if one score value holds a corpus-scale row
+    share, that boundary partition is that share — pre-salt the
+    score (extra rounding digits, or an md5 tie-digit) to split it.
+
+    Returns (id, order, tokens) for the selected documents. Fails
+    loud on NULLs in either column (a NULL score can't be ranked; a
+    NULL token count can't be budgeted)."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    s = df.select(F.col(id_col), F.col(order_col), F.col(token_col))
+    bad = s.filter(
+        F.col(order_col).isNull() | F.col(token_col).isNull()
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"select_within_token_budget: row {bad[0][id_col]!r} has NULL "
+            f"{order_col!r} or {token_col!r} — score and count every "
+            "document before budgeting"
+        )
+    levels = s.groupBy(order_col).agg(F.sum(token_col).alias("__t"))
+    n_levels = levels.count()
+    if n_levels > MAX_BUDGET_LEVELS:
+        raise ValueError(
+            f"select_within_token_budget: {n_levels} distinct "
+            f"{order_col!r} values > MAX_BUDGET_LEVELS="
+            f"{MAX_BUDGET_LEVELS} — round the score (round_det) before "
+            "budgeting so the threshold frame stays driver-safe"
+        )
+    rows = sorted(levels.collect(), key=lambda r: r[order_col], reverse=True)
+    running = 0
+    v_star = None
+    remaining = 0
+    for r in rows:
+        t = int(r["__t"])
+        if running + t > token_budget:
+            v_star = r[order_col]
+            remaining = token_budget - running
+            break
+        running += t
+    if v_star is None:  # everything fits
+        return s
+    full = s.filter(F.col(order_col) > F.lit(v_star))
+    w = Window.partitionBy(order_col).orderBy(F.col(id_col).asc())
+    boundary = (
+        s.filter(F.col(order_col) == F.lit(v_star))
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= F.lit(remaining))
+        .drop("__cum")
+    )
+    return full.unionByName(boundary)
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",

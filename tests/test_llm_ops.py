@@ -1098,6 +1098,79 @@ def test_leakage_safe_splits(spark):
         )
 
 
+def test_select_within_token_budget(spark):
+    rows = [
+        # (id, quality, tokens)
+        (1, 0.9, 100),
+        (2, 0.9, 100),
+        (3, 0.8, 100),
+        (4, 0.7, 100),
+        (5, 0.6, 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, token_count long"
+    )
+    sel = lambda b: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in text.select_within_token_budget(df, b).collect()
+    )
+    # prefix semantics: best-first, id-ascending within ties, keep
+    # while the RUNNING total fits
+    assert sel(1000) == [1, 2, 3, 4, 5]  # everything fits
+    assert sel(300) == [1, 2, 3]
+    assert sel(250) == [1, 2]  # doc 3 would overflow; prefix stops
+    assert sel(150) == [1]  # tie broken to the lower id
+    assert sel(50) == []
+    assert sel(0) == []
+    # boundary partially admitted WITHIN the boundary quality value
+    assert sel(350) == [1, 2, 3]  # doc 4 (0.7) would overflow at 400
+    # contracts
+    with pytest.raises(ValueError, match="token_budget"):
+        text.select_within_token_budget(df, -1)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(9, None, 10)], "doc_id long, quality_score double, token_count long"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        text.select_within_token_budget(with_null, 100)
+    import healthcare_data_lakehouse_using_gcp_spark.operators.text as text_mod
+
+    old = text_mod.MAX_BUDGET_LEVELS
+    try:
+        text_mod.MAX_BUDGET_LEVELS = 2
+        with pytest.raises(ValueError, match="MAX_BUDGET_LEVELS"):
+            text.select_within_token_budget(df, 300)
+    finally:
+        text_mod.MAX_BUDGET_LEVELS = old
+
+
+def test_dedup_keep_best(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5),
+            (2, 0.9),   # best of component {1,2,3} — NOT the min id
+            (3, 0.7),
+            (10, 0.2),  # unpaired: keeps itself
+            (11, 0.4),
+            (12, 0.4),  # ties break to the LOWER id → 11 wins
+        ],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 12)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_keep_best(docs, pairs, "quality_score").collect()
+    }
+    assert sorted(out) == [2, 10, 11]
+    assert out[2]["group_key"] == 1  # component keyed by min id
+    assert out[10]["group_key"] == 10
+    assert out[11]["group_key"] == 11
+    assert out[2]["quality_score"] == 0.9
+
+
 def test_connected_components_logarithmic_convergence(spark):
     """VERDICT r4 item 6: pointer jumping bounds the round count by
     O(log diameter), not O(diameter). A 64-link chain (worst case for
