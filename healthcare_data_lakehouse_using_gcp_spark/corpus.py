@@ -660,16 +660,34 @@ _TAIL = (
     # (mleval_auc, ts_interpolate, w10_ewma, emb_component_means,
     # privacy_l_diversity) — rationales in the round-15 demotion
     # block at the end of this tuple.
-    # r16 PLANNED swap set (schedule now, seat r16): the SIX r15-born
-    # newborns decontaminate_against, decontaminate_semantic,
+    # r16 swap set, EXECUTED this round (VERDICT r15 item 3, as
+    # ledgered): 14 promotions — ALL SIX r15-born newborns
+    # (decontaminate_against, decontaminate_semantic,
     # leakage_safe_splits, quality_gopher_rules, curate_token_budget,
-    # dedup_keep_best (2-round rule —
-    # deadline r17, so r16 seats as many as the envelope allows and
-    # r17 the rest), the 2 deferred tranche-6 entries set_ops_nations
-    # + melt_lineitem (last driver-green r11 — the stalest remaining),
-    # the rule-3 twin swap back to embedding_near_dup_exact, and then
-    # the stalest r12-green seats as the envelope allows; fund by
-    # demoting the freshest banked r15 first-seats with per-entry
+    # dedup_keep_best — first seats one round ahead of the r17
+    # 2-round deadline), the 2 deferred tranche-6 entries
+    # set_ops_nations + melt_lineitem (last driver-green r11), the
+    # rule-3 twin swap back to embedding_near_dup_exact, and the 5
+    # STALEST remaining oracle seats by CORRECTNESS history —
+    # a5_conditional_agg, f10_split_count, f12_timestamp_parse,
+    # f15_to_json, j2_band_join_3way, all last driver-green r2 (the
+    # r15 draft's "stalest r12-green" phrasing undercounted; these r2
+    # rows are staler and take precedence under the freshness
+    # policy). Funded by demoting 13 of the 14 demotable r15
+    # first-seats + the embedding_near_dup twin — the two r14-born
+    # IVF lifecycle entries KEEP their seats (VERDICT r15 item 1:
+    # reseat with the BIGINT vec_id_sum fix until a green row banks).
+    # Rationales in the round-16 demotion block at the end of this
+    # tuple.
+    # r17 PLANNED swap set (schedule now, seat r17): any r16-born
+    # newborns (2-round rule), the rule-3 twin swap back to
+    # embedding_near_dup, and then the stalest remaining oracle seats
+    # (next by CORRECTNESS history: the r3-green battery —
+    # a9_avg_quality_gate, dedup_ngram_jaccard, f2_date_arith,
+    # f5_case_bucket, f7_arithmetic, p2_range_anomaly,
+    # sample_deterministic, text_fingerprint, text_lang_id,
+    # text_quality_score, text_stats) as the envelope allows; fund by
+    # demoting the freshest banked r16 first-seats with per-entry
     # rationales.
     # --- round-14 demotions (VERDICT r13 item 1: 11 seats freed for
     # the 10 r13-born newborns' mandatory first seats + the rule-3
@@ -916,15 +934,16 @@ _TAIL = (
     "text_repetition",
     "pack_documents",
     "epoch_upsample",
-    "melt_lineitem",
     "gapfill_daily",
-    "set_ops_nations",
     # (tranche-6 freshness re-seats, r15: "j5_semi_anti",
     #  "a16_winsorize", "a17_mad_outliers", "a19_mode",
     #  "w8_period_over_period", "privacy_generalize" PROMOTED —
     #  stalest r11-green driver seats, envelope-funded by the
     #  round-15 demotion block below; set_ops_nations + melt_lineitem
-    #  stay tail this round, scheduled for the r16 rotation)
+    #  stayed tail that round, scheduled for the r16 rotation)
+    # ("set_ops_nations" + "melt_lineitem" PROMOTED r16 — the
+    #  deferred tranche-6 pair, last driver-green r11; funded by the
+    #  round-16 demotion block below)
     # --- round-11 demotions (tranche-6 compensations) ---
     #   j9_join_cardinality     — join-family seats rotate to
     #                             j5_semi_anti + set_ops_nations (r11);
@@ -1214,11 +1233,15 @@ _TAIL = (
     #  "w1_row_number", "o3_top_limit" PROMOTED — SURVEY §2 rows
     #  A1/A3/F6/F9/F13/W1/O3 re-earning direct driver rows, last
     #  driver-green r2; funded by the round-15 demotion block below)
-    "f15_to_json",
-    "f12_timestamp_parse",
-    "f10_split_count",
-    "a5_conditional_agg",
-    "j2_band_join_3way",
+    # ("f15_to_json", "f12_timestamp_parse", "f10_split_count",
+    #  "a5_conditional_agg", "j2_band_join_3way" PROMOTED r16 — the
+    #  5 stalest remaining oracle-bearing tail seats, last
+    #  driver-green r2 (SURVEY §2 rows A5/F10/F12/F15/J2 re-earning
+    #  direct driver rows after the r15 tranche covered the other 7
+    #  r2-era core rows); funded by the round-16 demotion block
+    #  below. NOTE: the r15 ledger draft said "stalest r12-green" —
+    #  the actual stalest by CORRECTNESS history are these r2 rows,
+    #  so freshness policy promotes them first.)
     "dedup_minhash_lsh",
     "f2_date_arith",
     "f7_arithmetic",
@@ -1500,7 +1523,9 @@ _TAIL = (
     #                             (rule 3): r15 seats
     #                             embedding_near_dup (identical
     #                             oracle)                      [green r14]
-    "embedding_near_dup_exact",
+    # ("embedding_near_dup_exact" PROMOTED r16 — rule-3 twin swap
+    #  back; embedding_near_dup takes the tail turn, round-16
+    #  demotion block below)
     #   mleval_auc              — 4 consecutive driver rows banked
     #                             (r11-r14); ROC/AUC pytest-pinned,
     #                             mleval_calibration keeps the family
@@ -1540,7 +1565,6 @@ _TAIL = (
     #                             vs the DuckDB string-join oracle —
     #                             seat r16/r17
     #                                               [new r15, no driver row]
-    "decontaminate_against",
     #   decontaminate_semantic  — the embedding-space decontamination
     #                             modality (paraphrase-robust): sign-
     #                             LSH bucketed train-vs-benchmark
@@ -1549,7 +1573,6 @@ _TAIL = (
     #                             (embedding_near_dup's contract) —
     #                             seat r16/r17
     #                                               [new r15, no driver row]
-    "decontaminate_semantic",
     #   leakage_safe_splits     — duplicate-group-level train/val/test
     #                             assignment (md5 content-addressed,
     #                             pointer-doubled components; whole
@@ -1557,7 +1580,6 @@ _TAIL = (
     #                             the same-text-partition shortcut —
     #                             seat r16/r17
     #                                               [new r15, no driver row]
-    "leakage_safe_splits",
     #   quality_gopher_rules    — Gopher heuristic-rule quality
     #                             DECISION battery (six NULL-safe
     #                             narrow rules + conjunctive keep)
@@ -1565,21 +1587,105 @@ _TAIL = (
     #                             signals; every flag DuckDB-
     #                             recomputed — seat r16/r17
     #                                               [new r15, no driver row]
-    "quality_gopher_rules",
     #   curate_token_budget     — budget-constrained best-first corpus
     #                             selection: per-value threshold walk
     #                             + boundary-only window on the Spark
     #                             side vs the naive global cumulative
     #                             SUM OVER oracle — seat r16/r17
     #                                               [new r15, no driver row]
-    "curate_token_budget",
     #   dedup_keep_best         — quality-aware canonical selection
     #                             (keep the best copy per near-dup
     #                             component); oracle via the same-
     #                             text-partition shortcut —
     #                             seat r16/r17
     #                                               [new r15, no driver row]
-    "dedup_keep_best",
+    # (ALL SIX r15-born newborns — "decontaminate_against",
+    #  "decontaminate_semantic", "leakage_safe_splits",
+    #  "quality_gopher_rules", "curate_token_budget",
+    #  "dedup_keep_best" — PROMOTED r16: mandatory first seats one
+    #  round ahead of the r17 deadline under the 2-round rule; funded
+    #  by the round-16 demotion block below)
+    # --- round-16 demotions (VERDICT r15 item 3: 14 seats freed for
+    # the 6 r15-born newborns' first seats, the deferred tranche-6
+    # pair set_ops_nations + melt_lineitem (r11-green), the 5 stalest
+    # r2-green oracle rows (a5/f10/f12/f15/j2), and the rule-3 twin
+    # swap back to embedding_near_dup_exact). Every demotion below is
+    # green r15 (driver row banked), oracle-swept in tail on each
+    # pytest run, and keeps its machinery head-exercised or
+    # pytest-pinned. The two r14-born IVF lifecycle entries
+    # (ann_ivf_refresh_invariants, ann_ivf_merge_invariants) are NOT
+    # demotable this round — VERDICT r15 item 1 keeps them seated
+    # until their post-BIGINT-fix reseat banks a green row: ---
+    #   embedding_near_dup      — scheduled twin alternation (rule 3):
+    #                             r16 seats embedding_near_dup_exact
+    #                             (identical oracle)           [green r15]
+    "embedding_near_dup",
+    #   w1_row_number           — r15 freshness re-seat banked; the
+    #                             ROW_NUMBER window machinery (SURVEY
+    #                             W1/O2) stays head-exercised by
+    #                             w3_rank_family's rank battery
+    #                                                          [green r15]
+    "w1_row_number",
+    #   a1_global_count         — r15 re-seat banked; the global
+    #                             COUNT(*) shape is embedded in every
+    #                             head agg entry (a2_wide_agg,
+    #                             a8_daily_rollup, both IVF lifecycle
+    #                             n_vectors counts)            [green r15]
+    "a1_global_count",
+    #   a3_count_distinct       — r15 re-seat banked; COUNT(DISTINCT)
+    #                             head-exercised by both IVF lifecycle
+    #                             entries' n_unique_ids and
+    #                             a18_grouping_sets            [green r15]
+    "a3_count_distinct",
+    #   f6_case_map             — r15 re-seat banked; CASE string
+    #                             mapping head-exercised by
+    #                             curate_corpus's bucket labels +
+    #                             profile_drift_orders          [green r15]
+    "f6_case_map",
+    #   f9_coalesce             — r15 re-seat banked; COALESCE
+    #                             head-exercised by a2_wide_agg's
+    #                             null-safe composites +
+    #                             dq_expectations              [green r15]
+    "f9_coalesce",
+    #   f13_in_list             — r15 re-seat banked; IN-list
+    #                             predicates head-exercised by
+    #                             p6_bool_flags + s5_scan_pruned's
+    #                             pushed filters               [green r15]
+    "f13_in_list",
+    #   o3_top_limit            — r15 re-seat banked; ORDER BY+LIMIT
+    #                             top-k head-retained by
+    #                             text_heavy_hitters + tfidf_terms
+    #                                                          [green r15]
+    "o3_top_limit",
+    #   a16_winsorize           — r15 re-seat banked; percentile-clamp
+    #                             machinery = doc_quantile_normalize
+    #                             (head) quantile family; pytest-
+    #                             pinned in test_analytics.py  [green r15]
+    "a16_winsorize",
+    #   a17_mad_outliers        — r15 re-seat banked; median/absolute-
+    #                             deviation = the same head quantile
+    #                             family; pytest-pinned        [green r15]
+    "a17_mad_outliers",
+    #   a19_mode                — r15 re-seat banked; mode-via-rank-1
+    #                             window = w3_rank_family (head)
+    #                                                          [green r15]
+    "a19_mode",
+    #   w8_period_over_period   — r15 re-seat banked; keyed LAG
+    #                             machinery head-retained by
+    #                             w4_ratio_to_report +
+    #                             w9_rolling_distinct          [green r15]
+    "w8_period_over_period",
+    #   privacy_generalize      — r15 re-seat banked; generalization-
+    #                             ladder machinery extends
+    #                             privacy_k_anonymity (KEEPS head)
+    #                                                          [green r15]
+    "privacy_generalize",
+    #   j5_semi_anti            — r15 re-seat banked; left_semi/
+    #                             left_anti shapes head-exercised by
+    #                             j7_bloom_prefilter (semi) and the
+    #                             r16-seated set_ops_nations
+    #                             (EXCEPT/INTERSECT algebra)   [green r15]
+    "j5_semi_anti",
 )
 
 
@@ -3925,7 +4031,7 @@ def ann_ivf_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT SUM(CAST(vec_id AS HUGEINT)) FROM embeddings)
                 + (SELECT SUM(CAST(vec_id + 1000000 AS HUGEINT))
                    FROM embeddings WHERE vec_id < 50)
-             AS DECIMAL(38,0)) AS vec_id_sum,
+             AS BIGINT) AS vec_id_sum,
            CAST(10 AS BIGINT) AS n_centroids_after,
            CAST(2 AS BIGINT) AS refreshed_lists,
            true AS cost_improved
@@ -3992,7 +4098,13 @@ def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("vec_id")).cast("bigint").alias(
             "n_unique_ids"
         ),
-        F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("vec_id_sum"),
+        # widen-then-sum, but EMIT bigint: a raw DecimalType output
+        # hash-flips at the driver (Spark->pandas Decimal objects vs
+        # DuckDB->pandas float64 — the r15 red-seat artifact); the sum
+        # fits int64 by orders of magnitude at every sf
+        F.sum(F.col("vec_id").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("vec_id_sum"),
         F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
         F.lit(len(refreshed)).cast("bigint").alias("refreshed_lists"),
         F.lit(bool(cost_after < cost_before)).alias("cost_improved"),
@@ -4007,7 +4119,7 @@ def ann_ivf_refresh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
              AS n_unique_ids,
            CAST((SELECT SUM(CAST(vec_id AS HUGEINT)) FROM embeddings)
-             AS DECIMAL(38,0)) AS vec_id_sum,
+             AS BIGINT) AS vec_id_sum,
            CAST(8 AS BIGINT) AS n_centroids_after,
            CAST(12 AS BIGINT) AS merged_from,
            true AS cids_in_range
@@ -4058,7 +4170,13 @@ def ann_ivf_merge_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("vec_id")).cast("bigint").alias(
             "n_unique_ids"
         ),
-        F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("vec_id_sum"),
+        # widen-then-sum, but EMIT bigint: a raw DecimalType output
+        # hash-flips at the driver (Spark->pandas Decimal objects vs
+        # DuckDB->pandas float64 — the r15 red-seat artifact); the sum
+        # fits int64 by orders of magnitude at every sf
+        F.sum(F.col("vec_id").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("vec_id_sum"),
         F.lit(n_cent).cast("bigint").alias("n_centroids_after"),
         F.lit(n_from).cast("bigint").alias("merged_from"),
         (

@@ -724,7 +724,24 @@ def dedup_keep_best(
     Scale design (100 TB): pointer-doubled components (O(log
     diameter) linear rounds), then one row_number window PARTITIONED
     by component — dup groups are small by construction (band/bucket
-    candidates), so no data-proportional partition."""
+    candidates), so no data-proportional partition.
+
+    Fails loud on NULL/NaN ``order_col`` (same contract as
+    select_within_token_budget, ADVICE r15): a NULL score would sort
+    last under DESC and silently lose its component — or win it when
+    every member is NULL — instead of surfacing the unscored row."""
+    guard = F.col(order_col).isNull()
+    odt = df.schema[order_col].dataType
+    if isinstance(odt, (T.DoubleType, T.FloatType)):
+        guard = guard | F.isnan(F.col(order_col))
+    bad = df.select(F.col(id_col), F.col(order_col)).filter(guard)
+    bad_row = bad.limit(1).collect()
+    if bad_row:
+        raise ValueError(
+            f"dedup_keep_best: row {bad_row[0][id_col]!r} has NULL/NaN "
+            f"{order_col!r} — score every document before canonical "
+            "selection"
+        )
     comp = connected_components(pairs, id_a, id_b, max_iters)
     keyed = (
         df.select(F.col(id_col), F.col(order_col))

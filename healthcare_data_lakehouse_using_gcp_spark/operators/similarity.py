@@ -1407,6 +1407,16 @@ def decontaminate_semantic(
         pairs = _exact_pairs()
     else:
         dim = first[0]
+        if dim is None or dim <= 0:
+            # a NULL/empty embedding in the probed row would
+            # otherwise surface as an unnamed TypeError deep inside
+            # _hyperplanes (ADVICE r15) — fail loud with the contract
+            raise ValueError(
+                f"decontaminate_semantic: probed train row has a "
+                f"NULL/empty {vec_col!r} embedding (size={dim!r}) — "
+                "every vector must be a non-empty array<float> of one "
+                "consistent dimension"
+            )
         tables = [
             _hyperplanes(dim, num_planes, seed + ti) for ti in range(num_tables)
         ]

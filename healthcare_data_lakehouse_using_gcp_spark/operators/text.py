@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.scalars import round_det
 
@@ -361,14 +362,18 @@ def select_within_token_budget(
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
     s = df.select(F.col(id_col), F.col(order_col), F.col(token_col))
-    bad = s.filter(
-        F.col(order_col).isNull() | F.col(token_col).isNull()
-    ).limit(1).collect()
+    guard = F.col(order_col).isNull() | F.col(token_col).isNull()
+    if isinstance(s.schema[order_col].dataType, (T.FloatType, T.DoubleType)):
+        # NaN passes the NULL guard but then Python sorted() and
+        # Spark's NaN comparison semantics diverge on the > v* /
+        # == v* filters — a silently wrong selection (ADVICE r15)
+        guard = guard | F.isnan(F.col(order_col))
+    bad = s.filter(guard).limit(1).collect()
     if bad:
         raise ValueError(
-            f"select_within_token_budget: row {bad[0][id_col]!r} has NULL "
-            f"{order_col!r} or {token_col!r} — score and count every "
-            "document before budgeting"
+            f"select_within_token_budget: row {bad[0][id_col]!r} has "
+            f"NULL/NaN {order_col!r} or NULL {token_col!r} — score and "
+            "count every document before budgeting"
         )
     levels = s.groupBy(order_col).agg(F.sum(token_col).alias("__t"))
     n_levels = levels.count()
@@ -497,21 +502,40 @@ def _overlap_scored(
     benchmark side reduces to DISTINCT hashes (a set usually far
     smaller than the training corpus); the hit count is one
     equi-join on the 8-byte hash + one hash-agg per doc — linear
-    shuffle, no text moves after hashing."""
+    shuffle, no text moves after hashing.
+
+    NULL-text rows (ADVICE r15): shingles' GREATEST(1, ·) floor turns
+    a NULL text into a single empty-string pseudo-gram — right for
+    dedup (all empty docs are copies of each other), wrong here (a
+    NULL train doc would flag "contaminated" whenever the benchmark
+    holds any NULL/blank item). They are excluded from the gram space
+    on BOTH sides and the totals frame is anchored on the full input
+    id set, so such rows surface explicitly with
+    n_grams = n_matched = 0 instead of being silently mis-flagged or
+    absent from the flag/drop outputs."""
     from .dedup import ensure_parallelism, shingles
 
     doc_sh = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col)), partition_by=id_col
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col)),
+        partition_by=id_col,
     ).select(F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")).select(
         F.col(id_col), F.xxhash64("g").alias("h")
     )
     bench_sh = (
-        ensure_parallelism(benchmark.select(F.col(text_col)))
+        ensure_parallelism(
+            benchmark.filter(F.col(text_col).isNotNull())
+            .select(F.col(text_col))
+        )
         .select(F.explode(shingles(text_col, ngram)).alias("g"))
         .select(F.xxhash64("g").alias("h"))
         .distinct()
     )
-    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    totals = df.select(F.col(id_col)).join(
+        doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams")),
+        id_col,
+        "left",
+    ).select(F.col(id_col), F.coalesce("n_grams", F.lit(0)).alias("n_grams"))
     matched = (
         doc_sh.join(bench_sh, "h", "left_semi")
         .groupBy(id_col)

@@ -52,8 +52,8 @@ def test_canonical_operators_inside_driver_window():
         # third wave; plain j1_band_join is tail + bench target.
         "j1_band_join_bucketed",
         # the near-dup twins (identical oracle) swap seats round to
-        # round: r15 seats the LSH+residual twin (exact held r14)
-        "embedding_near_dup",
+        # round: r16 seats the exact twin (LSH+residual held r15)
+        "embedding_near_dup_exact",
         "export_ids", "layout_zorder_scan",
         "scd2_history", "sketch_rollup_union", "j6_interval_overlap",
         "t6_session_window", "j8_asof_backward",
@@ -81,17 +81,24 @@ def test_canonical_operators_inside_driver_window():
         # ledgers; every one oracle-swept in tail each run)
         "skyline_parts", "hierarchy_roots",
         # round-15 promotions (VERDICT r14 item 1): the two r14-born
-        # IVF lifecycle newborns take their mandatory first driver
-        # seats (2-round rule) — the never-seated backlog stays 0
-        # for every pre-r15 entry.
+        # IVF lifecycle newborns took their mandatory first driver
+        # seats, went red on the decimal canonicalization artifact,
+        # and KEEP their seats through the r16 rotation until the
+        # post-BIGINT-fix reseat banks a green row (VERDICT r15
+        # item 1).
         "ann_ivf_refresh_invariants", "ann_ivf_merge_invariants",
-        # round-15 freshness re-seats: the stalest r2-era core rows
-        # (SURVEY §2 rows A1/A3/F6/F9/F13/W1/O3 re-earning direct
-        # driver rows) and six tranche-6 r11 seats
-        "a1_global_count", "a3_count_distinct", "f6_case_map",
-        "f9_coalesce", "f13_in_list", "w1_row_number", "o3_top_limit",
-        "a16_winsorize", "a17_mad_outliers", "a19_mode",
-        "w8_period_over_period", "privacy_generalize", "j5_semi_anti",
+        # round-16 promotions (VERDICT r15 item 3): all six r15-born
+        # newborns' mandatory first seats (one round ahead of the r17
+        # deadline)
+        "decontaminate_against", "decontaminate_semantic",
+        "leakage_safe_splits", "quality_gopher_rules",
+        "curate_token_budget", "dedup_keep_best",
+        # round-16 freshness re-seats: the deferred tranche-6 pair
+        # (last green r11) and the five stalest remaining oracle rows
+        # (SURVEY §2 rows A5/F10/F12/F15/J2, last green r2)
+        "set_ops_nations", "melt_lineitem",
+        "a5_conditional_agg", "f10_split_count", "f12_timestamp_parse",
+        "f15_to_json", "j2_band_join_3way",
     ]
     missing = [n for n in canonical if n not in first50]
     assert not missing, f"canonical entries outside driver window: {missing}"

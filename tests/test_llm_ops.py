@@ -1134,6 +1134,17 @@ def test_select_within_token_budget(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         text.select_within_token_budget(with_null, 100)
+    # NaN passes a bare NULL guard but corrupts the threshold walk
+    # (Python sorted() vs Spark NaN comparison semantics diverge on
+    # the > v* / == v* filters) — fail loud instead (ADVICE r15)
+    with_nan = df.unionByName(
+        spark.createDataFrame(
+            [(9, float("nan"), 10)],
+            "doc_id long, quality_score double, token_count long",
+        )
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        text.select_within_token_budget(with_nan, 100)
     import healthcare_data_lakehouse_using_gcp_spark.operators.text as text_mod
 
     old = text_mod.MAX_BUDGET_LEVELS
@@ -1169,6 +1180,21 @@ def test_dedup_keep_best(spark):
     assert out[10]["group_key"] == 10
     assert out[11]["group_key"] == 11
     assert out[2]["quality_score"] == 0.9
+    # NULL/NaN scores fail loud (ADVICE r15): a NULL sorts last under
+    # DESC and silently loses its component — or wins it when every
+    # member is NULL — instead of surfacing the unscored row
+    with_null = docs.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, quality_score double")
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        dedup.dedup_keep_best(with_null, pairs, "quality_score")
+    with_nan = docs.unionByName(
+        spark.createDataFrame(
+            [(99, float("nan"))], "doc_id long, quality_score double"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        dedup.dedup_keep_best(with_nan, pairs, "quality_score")
 
 
 def test_connected_components_logarithmic_convergence(spark):
@@ -1324,6 +1350,23 @@ def test_decontaminate_against_policies(spark):
         text.decontaminate_against(docs, bench, overlap_threshold=1.5)
     with pytest.raises(ValueError, match="max_hits"):
         text.decontaminate_against(docs, bench, max_hits=-1)
+    # a NULL-text doc yields NULL shingles; it must surface
+    # explicitly (n_grams=0, un-contaminated) rather than vanish from
+    # both the flag and drop outputs through the explode (ADVICE r15)
+    with_null = docs.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    nflag = {
+        r["doc_id"]: r
+        for r in text.decontaminate_against(
+            with_null, bench, ngram=3, keep_flag=True
+        ).collect()
+    }
+    assert sorted(nflag) == [1, 2, 3, 4, 9]
+    assert nflag[9]["n_grams"] == 0 and nflag[9]["n_hits"] == 0
+    assert not nflag[9]["contaminated"]
+    nkept = text.decontaminate_against(with_null, bench, ngram=3)
+    assert sorted(r["doc_id"] for r in nkept.collect()) == [2, 9]
 
 
 def test_gopher_quality_filter(spark):
@@ -1428,6 +1471,16 @@ def test_decontaminate_semantic_methods_and_drop(spark):
     # LSH path cannot miss them
     for i in (0, 1, 2, 20, 21):
         assert lsh[i]["contaminated"], i
+    # a NULL embedding in the probed first train row fails loud with
+    # the operator's contract instead of an unnamed TypeError deep
+    # inside the hyperplane builder (ADVICE r15)
+    null_first = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL/empty"):
+        similarity.decontaminate_semantic(
+            null_first, bench, threshold=0.95, method="lsh"
+        )
     # an empty train slice (a normal partitioned-pipeline input) must
     # return an empty frame on the LSH path, not crash deriving dim
     empty = train.filter(F.col("vec_id") < 0)

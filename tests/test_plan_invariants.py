@@ -38,11 +38,14 @@ import os
 
 import pytest
 
+from pyspark.sql import types as T
+
 from healthcare_data_lakehouse_using_gcp_spark import corpus
 
 SF_DIR = "/root/testdata/sf0.001"
 
 _ALL = list(corpus.queries())
+_ORACLES = set(corpus.oracle_sql())
 
 # Entries allowed to carry an UNPARTITIONED WindowExec, each with the
 # reason its window frame is bounded by construction (NOT
@@ -102,6 +105,28 @@ def test_plan_invariants(spark, name):
     plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name in _ORACLES:
+        # Driver-hashability sweep (VERDICT r15 item 2): the grading
+        # driver canonicalizes results with pandas hashing, where
+        # array/map/struct cells raise and DecimalType cells
+        # hash-flip silently (Spark→pandas delivers object-dtype
+        # Decimal; DuckDB→pandas widens DECIMAL to float64 — same
+        # values, divergent hashes: the r15 ann_ivf_*_invariants red
+        # seats). No oracle-bearing entry may emit them — widen-then-
+        # sum internally, emit bigint/double.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.DecimalType),
+            )
+        ]
+        assert not bad, (
+            f"{name}: driver-unhashable output columns {bad} "
+            "(array/map/struct raise in pandas hashing; decimal "
+            "hash-flips vs the oracle's float64 widening)"
+        )
     unpartitioned = [
         node.getClass().getSimpleName()
         for node in _iter_nodes(qe.sparkPlan())

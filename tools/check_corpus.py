@@ -57,8 +57,16 @@ def norm_rows(rows, cols):
 def _driver_hashable(dt) -> bool:
     """The driver canonicalizes results with pandas sort_values +
     hashing — array/map/struct cells raise 'unhashable type' there
-    (the round-1 multimodal_features failure). Reject them up front."""
-    return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+    (the round-1 multimodal_features failure), and DecimalType columns
+    hash-flip silently: Spark's toPandas delivers object-dtype
+    ``Decimal`` cells while DuckDB's .df() widens DECIMAL to float64,
+    so the driver's value hash diverges on REPRESENTATION even when
+    every value is identical (the round-15 ann_ivf_*_invariants red
+    seats). Reject both classes up front — widen-then-sum internally,
+    but emit bigint/double."""
+    return not isinstance(
+        dt, (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    )
 
 
 def make_oracle_connection(sf_dir: str):
@@ -87,7 +95,10 @@ def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
     bad = [f.name for f in sdf.schema.fields if not _driver_hashable(f.dataType)]
     if bad:
         return ("fail", f"DRIVER-UNHASHABLE columns {bad}: the grading driver's "
-                        "pandas canonicalization cannot hash array/map/struct cells")
+                        "pandas canonicalization cannot hash array/map/struct "
+                        "cells, and decimal cells hash-flip vs the oracle's "
+                        "float64 widening (round-15 artifact) — cast to "
+                        "bigint/double before returning")
     try:
         # values via fetchall (native date/None types — pandas
         # widens DATE to Timestamp and NULL to NaN); a second
@@ -125,6 +136,19 @@ def compare_one(spark, con, sf_dir: str, name: str, fn, sql: str | None):
         return ("fail", f"HASH-RISK int/float dtype mismatch on {hash_risk}: "
                         f"spark={[skinds[c] for c in hash_risk]} "
                         f"oracle={[opdf[c].dtype.kind for c in hash_risk]}")
+    # an oracle column that DuckDB keeps as object-dtype Decimal
+    # (very wide DECIMALs it declines to widen to float64) also
+    # hash-flips against any numeric Spark column — same class of
+    # representation divergence as the Spark-side DecimalType reject
+    dec_risk = [
+        c for c in scols
+        if skinds.get(c) in ("i", "f")
+        and opdf[c].dtype.kind == "O"
+        and opdf[c].map(lambda x: isinstance(x, Decimal)).any()
+    ]
+    if dec_risk:
+        return ("fail", f"HASH-RISK oracle Decimal objects on {dec_risk}: "
+                        "cast the oracle expression to BIGINT/DOUBLE")
     if len(srows) != len(orows):
         return ("fail", f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}")
     sn, on = norm_rows(srows, scols), norm_rows(orows, ocols)
