@@ -1686,6 +1686,17 @@ _TAIL = (
     #                             r16-seated set_ops_nations
     #                             (EXCEPT/INTERSECT algebra)   [green r15]
     "j5_semi_anti",
+    # --- tail-born r16 (post-drain policy: MUST seat within 2 rounds
+    # of birth — joins the r17 swap set named in the round-16 header):
+    #   mixture_fill_sources    — domain-mixture optimization
+    #                             (VERDICT r15 item 6): exact
+    #                             water-filling per-source rates under
+    #                             a token budget, closed-form prefix-
+    #                             sum windows — hash-exact vs the
+    #                             identical DuckDB window formula —
+    #                             seat r17/r18
+    #                                               [new r16, no driver row]
+    "mixture_fill_sources",
 )
 
 
@@ -3186,6 +3197,85 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_col(F.col("text")).cast("bigint").alias("token_count"),
     )
     return select_within_token_budget(scored, 8000)
+
+
+@query(
+    "mixture_fill_sources",
+    r"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS DOUBLE) AS a
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT 'src' || CAST(i AS VARCHAR) AS source, (i + 1) / 210.0 AS w
+      FROM range(20) t(i)
+    ),
+    j AS (SELECT avail.source AS source, a, w FROM avail JOIN wts USING (source)),
+    o AS (
+      SELECT source, a, w,
+             COALESCE(SUM(a) OVER (ORDER BY a / w ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cap,
+             COALESCE(SUM(w) OVER (ORDER BY a / w ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cwp
+      FROM j
+    ),
+    f AS (
+      SELECT source, a, w,
+             MIN(CASE WHEN a * (1.0 - cwp) <= w * (20000.0 - cap)
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY a / w ASC, source ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               AS saturated
+      FROM o
+    ),
+    l AS (
+      SELECT source, a, saturated,
+             CASE WHEN saturated THEN a
+                  ELSE w * (20000.0
+                            - COALESCE(SUM(CASE WHEN saturated THEN a END)
+                                       OVER (), 0.0))
+                         / (1.0
+                            - COALESCE(SUM(CASE WHEN saturated THEN w END)
+                                       OVER (), 0.0)) END AS alloc
+      FROM f
+    )
+    SELECT source,
+           CAST(a AS BIGINT) AS available_tokens,
+           FLOOR(alloc * 10000 + 0.5) / 10000 AS alloc_tokens,
+           CASE WHEN a > 0
+                THEN FLOOR(alloc / a * 1000000 + 0.5) / 1000000
+                ELSE 1.0 END AS rate,
+           saturated
+    FROM l
+    """,
+)
+def mixture_fill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture optimization (beyond-reference, born r16;
+    operators/text.mixture_proportional_fill): per-source sampling
+    rates filling a 20,000-token budget to a target recipe (weights
+    (i+1)/210 over the 20 document sources — a skewed DoReMi-style
+    mix), with exact water-filling saturation semantics: a source
+    whose availability undercuts its fair share contributes
+    everything (rate 1) and its deficit redistributes over the
+    remaining weights. Closed form — saturation is a prefix of the
+    A/w order, detected by a running-AND window over prefix sums —
+    so BOTH engines run the identical window formula and the result
+    hash-checks exactly; at sf0.01 the fixture exercises the mixed
+    case (high-weight sources saturate, low-weight ones are priced
+    at the water level λ).
+
+    Completes the curation loop: rules → dedup → decontaminate →
+    split → budget → MIX. Seat ≤r18 per the 2-round newborn rule."""
+    from .operators.text import mixture_proportional_fill, token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select(
+        "source", token_count_col(F.col("text")).alias("token_count")
+    )
+    weights = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+    return mixture_proportional_fill(counted, weights, 20_000)
 
 
 @query(
@@ -11308,6 +11398,7 @@ OPERATOR_MAP = {
                             "decontaminate_semantic"],  # decision ops born r15
     "LLM-leakage-splits": ["leakage_safe_splits"],  # group-level splits born r15
     "LLM-budget-selection": ["curate_token_budget"],  # best-first token budget born r15
+    "LLM-mixture-optimization": ["mixture_fill_sources"],  # water-filling mix born r16
     "LLM-keep-policy": ["dedup_keep_best"],  # quality-aware dedup canonical born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],

@@ -557,6 +557,70 @@ def ivf_assignment_cost(
     return joined.agg(F.avg(cost).alias("c")).first()["c"]
 
 
+def ivf_list_stats(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[int, float, int]]:
+    """Per-inverted-list refresh-scheduling metadata: (cid,
+    total_assignment_cost, n) for every list, where cost is
+    Σ 1−cosine(v, centroid) — ivf_assignment_cost's drift metric
+    summed (not averaged) so big drifted lists outrank small ones.
+
+    This IS ivf_index_refresh's step-1 scoring pass, exposed so the
+    maintain loop can carry it as INDEX METADATA instead of paying a
+    corpus-wide scan at refresh time: compute once at build (one
+    narrow agg piggybacked on the build pass), update per append with
+    ``merge_list_stats`` over the BATCH's stats (batch-sized work —
+    run this function on just the assigned batch), then hand the
+    running total to ``ivf_index_refresh(list_stats=...)``, which
+    then touches ONLY the refreshed lists.
+
+    Fails loud on NULL cids or cids absent from the centroid table
+    (LEFT join + NULL-retaining groupBy — a corrupt index must
+    surface here, not vanish through an inner join)."""
+    known_cids = {int(r["cid"]) for r in centroids_df.select("cid").collect()}
+    joined = indexed.join(F.broadcast(centroids_df), "cid", "left")
+    cost_col = F.lit(1.0) - cosine_similarity_col(
+        F.col(vec_col), F.col("centroid")
+    )
+    stats = (
+        joined.groupBy("cid")
+        .agg(
+            F.sum(cost_col).alias("__cost"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()  # |lists| rows — driver-safe by construction
+    )
+    bad = sorted(
+        (r["cid"] for r in stats
+         if r["cid"] is None or int(r["cid"]) not in known_cids),
+        key=lambda c: (c is not None, c),
+    )
+    if bad:
+        raise ValueError(
+            f"ivf_list_stats: index holds cid(s) {bad[:5]} absent "
+            "from the centroid table (None = NULL cid) — corrupt "
+            "index; rebuild with build_ivf_index before refreshing"
+        )
+    return [(int(r["cid"]), float(r["__cost"]), int(r["__n"])) for r in stats]
+
+
+def merge_list_stats(
+    *stats: list[tuple[int, float, int]],
+) -> list[tuple[int, float, int]]:
+    """Pointwise-add maintained (cid, cost, n) list stats — the
+    append-side incremental identity stats(index ∪ batch) =
+    stats(index) + stats(batch). Driver-side over |lists|-sized
+    inputs; order-insensitive, cid-sorted output."""
+    acc: dict[int, tuple[float, int]] = {}
+    for block in stats:
+        for cid, cost, n in block:
+            c0, n0 = acc.get(int(cid), (0.0, 0))
+            acc[int(cid)] = (c0 + float(cost), n0 + int(n))
+    return [(c, acc[c][0], acc[c][1]) for c in sorted(acc)]
+
+
 def ivf_index_refresh(
     indexed: DataFrame,
     centroids_df: DataFrame,
@@ -566,6 +630,7 @@ def ivf_index_refresh(
     split_factor: int = 2,
     lloyd_iters: int = 2,
     seed: int = 42,
+    list_stats: list[tuple[int, float, int]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """Incremental IVF index REFRESH — the maintain-don't-rebuild
     path ivf_index_append's drift note promises: as appended batches
@@ -575,12 +640,16 @@ def ivf_index_refresh(
     WORST lists and re-cluster locally.
 
     Steps:
-    1. One pass over the index scores every list by TOTAL assignment
-       cost (Σ 1−cosine(v, centroid) — the same drift metric as
-       ivf_assignment_cost, summed not averaged so big drifted lists
-       outrank small ones). The ``max_lists`` worst lists with at
-       least ``split_factor`` members are selected (cost then cid
-       tie-break — deterministic); fail-loud if none qualifies.
+    1. Every list is scored by TOTAL assignment cost (Σ 1−cosine(v,
+       centroid) — the same drift metric as ivf_assignment_cost,
+       summed not averaged so big drifted lists outrank small ones):
+       either from ``list_stats`` — maintained metadata from
+       ivf_list_stats at build + merge_list_stats at each append,
+       making this step FREE of corpus passes (the production
+       maintain path) — or from a one-pass scan when not provided.
+       The ``max_lists`` worst lists with at least ``split_factor``
+       members are selected (cost then cid tie-break —
+       deterministic); fail-loud if none qualifies.
     2. Each selected list is split into ``split_factor`` sub-lists:
        deterministic md5-spread seeds from ITS OWN members, then
        ``lloyd_iters`` Lloyd iterations confined to the list (the
@@ -604,13 +673,18 @@ def ivf_index_refresh(
     improvement; the drop is pinned empirically in tests and guarded
     by a margin tripwire for the corpus fixture.
 
-    Scale design (100 TB): one cost-scoring aggregation over the
-    index (map-side partials to |lists| rows, tiny collect), then
-    lloyd_iters+2 passes over ONLY the refreshed lists (a bounded
-    corpus fraction — DPP-pruned to those cid directories when the
-    index is parquet-partitioned by cid), one broadcast remap join
-    for the rest. Driver state is |lists| + split seeds — never
-    data-proportional.
+    Scale design (100 TB): with maintained ``list_stats`` ZERO
+    corpus-wide passes — only lloyd_iters+2 passes over the refreshed
+    lists (a bounded corpus fraction — DPP-pruned to those cid
+    directories when the index is parquet-partitioned by cid) plus
+    one broadcast remap join for the rest; without stats, one
+    cost-scoring aggregation over the index (map-side partials to
+    |lists| rows, tiny collect) is added. Driver state is |lists| +
+    split seeds — never data-proportional. After a refresh the
+    untouched lists' stats carry over under ``old_to_new`` renumbered
+    cids; re-seed only the refreshed sub-lists with ivf_list_stats
+    over ``new_idx.filter(cid >= n_untouched)`` — again a bounded
+    pass.
 
     Each of those passes re-evaluates ``indexed``'s lineage, so hand
     this function a MATERIALIZED index — a load_ivf_index parquet
@@ -630,42 +704,35 @@ def ivf_index_refresh(
     cent_rows_all = centroids_df.collect()  # |lists| rows — tiny
     known_cids = {int(r["cid"]) for r in cent_rows_all}
 
-    # 1. score lists by total assignment cost (one pass, tiny result).
-    # LEFT join + NULL-retaining groupBy so corrupt indexes surface in
-    # the same pass: a NULL cid or a cid absent from the centroid
-    # table would otherwise be dropped SILENTLY by the isin filters
-    # and inner remap join below — the exact silent loss this
-    # operator's contract forbids.
-    joined = indexed.join(F.broadcast(centroids_df), "cid", "left")
-    cost_col = F.lit(1.0) - cosine_similarity_col(F.col(vec_col), F.col("centroid"))
-    stats = (
-        joined.groupBy("cid")
-        .agg(
-            F.sum(cost_col).alias("__cost"),
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .collect()  # |lists| rows — driver-safe by construction
-    )
-    bad = sorted(
-        (r["cid"] for r in stats
-         if r["cid"] is None or int(r["cid"]) not in known_cids),
-        key=lambda c: (c is not None, c),
-    )
-    if bad:
-        raise ValueError(
-            f"ivf_index_refresh: index holds cid(s) {bad[:5]} absent "
-            "from the centroid table (None = NULL cid) — corrupt "
-            "index; rebuild with build_ivf_index before refreshing"
-        )
-    eligible = [r for r in stats if r["__n"] >= split_factor]
+    # 1. score lists by total assignment cost. Two sources:
+    # maintained metadata (list_stats — zero corpus passes, the
+    # production maintain loop: ivf_list_stats at build, batch-stat
+    # merge_list_stats at each append), or a compute-here scan
+    # (ivf_list_stats, which also carries the corrupt-index
+    # fail-loud). Provided stats get the same unknown-cid check
+    # driver-side; what a stale/forged stats block CANNOT be checked
+    # against without the scan is the index content itself — the
+    # stats are index metadata and share its integrity domain.
+    if list_stats is None:
+        stats = ivf_list_stats(indexed, centroids_df, vec_col)
+    else:
+        stats = [(int(c), float(cost), int(n)) for c, cost, n in list_stats]
+        bad = sorted(c for c, _, _ in stats if c not in known_cids)
+        if bad:
+            raise ValueError(
+                f"ivf_index_refresh: provided list_stats hold cid(s) "
+                f"{bad[:5]} absent from the centroid table — stale or "
+                "mismatched metadata; recompute with ivf_list_stats"
+            )
+    eligible = [s for s in stats if s[2] >= split_factor]
     if not eligible:
         raise ValueError(
             f"ivf_index_refresh: no inverted list has >= split_factor="
             f"{split_factor} members — nothing can be split; rebuild "
             "with build_ivf_index instead"
         )
-    eligible.sort(key=lambda r: (-r["__cost"], r["cid"]))
-    refreshed = sorted(int(r["cid"]) for r in eligible[:max_lists])
+    eligible.sort(key=lambda s: (-s[1], s[0]))
+    refreshed = sorted(s[0] for s in eligible[:max_lists])
     refreshed_set = set(refreshed)
 
     # 2. per-list split seeds: lowest-split_factor members by

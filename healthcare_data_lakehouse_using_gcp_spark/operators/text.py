@@ -408,6 +408,175 @@ def select_within_token_budget(
     return full.unionByName(boundary)
 
 
+def mixture_proportional_fill(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "token_count",
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Domain/source MIXTURE optimization — the training-mix step the
+    curation loop (rules → dedup → decontaminate → split → budget)
+    was missing: given per-source token availability and a target mix
+    (DoReMi-style domain weights, or a hand-set recipe à la
+    GPT-3/LLaMA sampling tables), emit per-source token allocations
+    and sampling rates that fill ``token_budget`` as close to the
+    target proportions as the data allows.
+
+    Semantics — exact proportional-fill water-filling, no sampling
+    randomness: source s with availability A_s and weight w_s ideally
+    receives w_s·B tokens. A source with A_s below its fair share
+    SATURATES (contributes everything, rate 1.0) and its deficit is
+    redistributed over the remaining sources in proportion to their
+    weights — iterated to the fixpoint. The fixpoint has a closed
+    form: sort sources by A_s/w_s ascending; saturation is a PREFIX
+    of that order, detectable per row from running prefix sums
+    (A_k·(1−ΣwPrev) ≤ w_k·(B−ΣaPrev), carried forward by a running
+    boolean AND), and the water level λ = (B − Σ_sat A) / (1 − Σ_sat
+    w) prices every unsaturated source at alloc = w·λ. If total
+    availability ≤ B everything saturates and the budget is
+    under-filled — ``alloc_tokens`` then reports A_s and the caller
+    sees Σ alloc < B rather than an error (an honest "not enough
+    data for this recipe" signal).
+
+    ``max_epochs`` > 1 allows REPETITION (the published-recipe knob:
+    high-value small sources like Wikipedia/books are commonly
+    upsampled 2-5 epochs in LLM data mixes): a source's effective
+    availability becomes A_s·max_epochs, so its rate may exceed 1
+    (up to max_epochs) before it saturates. ``available_tokens``
+    still reports the true single-epoch A_s.
+
+    Contracts (fail loud): weights must be positive and sum to 1
+    (±1e-9); every source in the data must carry a weight and every
+    weighted source must exist in the data (a silent miss on either
+    side would quietly skew the mix); NULL ``source_col`` or
+    ``token_col`` rows are rejected like select_within_token_budget
+    rejects unscored rows.
+
+    Returns one row per source: (source, available_tokens,
+    alloc_tokens, rate, saturated), rate rounded half-up to 6 dp.
+
+    Scale shape (100 TB): ONE hash-agg to per-source totals
+    (|sources| rows — training mixes have tens of domains), then
+    prefix-sum windows over that bounded frame (the ab_cuped
+    precedent: windows over a design-bounded frame, never
+    data-proportional). No collect in the data path; the weights
+    frame is a driver literal."""
+    from ..functions.scalars import round_det
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if not (max_epochs >= 1.0):
+        raise ValueError(
+            f"max_epochs must be >= 1, got {max_epochs} — a sub-1 cap "
+            "is a rate ceiling, not an epoch count; pre-filter the "
+            "source instead"
+        )
+    if not target_weights:
+        raise ValueError("target_weights must be a non-empty dict")
+    for k, v in target_weights.items():
+        if not (v > 0):
+            raise ValueError(
+                f"target_weights[{k!r}] must be > 0, got {v} — drop "
+                "excluded sources from the dict instead of zero-weighting"
+            )
+    wsum = sum(target_weights.values())
+    if abs(wsum - 1.0) > 1e-9:
+        raise ValueError(
+            f"target_weights must sum to 1 (got {wsum!r}) — normalize "
+            "the recipe before calling"
+        )
+    s = df.select(F.col(source_col), F.col(token_col))
+    bad = s.filter(
+        F.col(source_col).isNull() | F.col(token_col).isNull()
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"mixture_proportional_fill: NULL {source_col!r} or "
+            f"{token_col!r} row — attribute and count every document "
+            "before mixing"
+        )
+    avail = s.groupBy(source_col).agg(
+        F.sum(token_col).cast("double").alias("available_tokens")
+    )
+    # tiny driver-literal weights frame; validate coverage BOTH ways
+    # on the |sources|-row aggregate (bounded collect)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(target_weights.items()), f"{source_col} string, __w double"
+    )
+    joined = avail.join(F.broadcast(wdf), source_col, "full_outer").select(
+        source_col, "available_tokens", "__w"
+    )
+    cover = joined.filter(
+        F.col("available_tokens").isNull() | F.col("__w").isNull()
+    ).collect()  # |sources|-bounded
+    if cover:
+        missing_w = sorted(
+            r[source_col] for r in cover if r["__w"] is None
+        )
+        missing_d = sorted(
+            r[source_col] for r in cover if r["available_tokens"] is None
+        )
+        raise ValueError(
+            "mixture_proportional_fill: source/weight mismatch — "
+            f"sources without a weight: {missing_w[:5]}; weighted "
+            f"sources absent from the data: {missing_d[:5]}"
+        )
+    # closed-form water-filling over the |sources|-row frame; the
+    # effective (repetition-capped) availability drives the math, the
+    # true single-epoch availability is what gets reported
+    joined = joined.withColumn(
+        "__cap", F.col("available_tokens") * F.lit(float(max_epochs))
+    )
+    order = Window.orderBy(
+        (F.col("__cap") / F.col("__w")).asc(),
+        F.col(source_col).asc(),
+    )
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(float(token_budget))
+    cum_a_prev = F.coalesce(F.sum("__cap").over(prev), F.lit(0.0))
+    cum_w_prev = F.coalesce(F.sum("__w").over(prev), F.lit(0.0))
+    cond = (
+        F.col("__cap") * (F.lit(1.0) - cum_w_prev)
+        <= F.col("__w") * (b - cum_a_prev)
+    )
+    flagged = joined.withColumn(
+        "saturated",
+        F.min(cond.cast("int")).over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ) == F.lit(1),
+    )
+    sat_a = F.coalesce(
+        F.sum(F.when(F.col("saturated"), F.col("__cap"))).over(whole),
+        F.lit(0.0),
+    )
+    sat_w = F.coalesce(
+        F.sum(F.when(F.col("saturated"), F.col("__w"))).over(whole),
+        F.lit(0.0),
+    )
+    lam = (b - sat_a) / (F.lit(1.0) - sat_w)
+    alloc = F.when(
+        F.col("saturated"), F.col("__cap")
+    ).otherwise(F.col("__w") * lam)
+    return flagged.select(
+        F.col(source_col),
+        F.col("available_tokens").cast("bigint").alias("available_tokens"),
+        round_det(alloc, 4).alias("alloc_tokens"),
+        # a zero-availability source is vacuously fully used (rate 1,
+        # not 0/0 = NaN — NaN would also hash-flip vs the oracle)
+        F.when(
+            F.col("available_tokens") > 0,
+            round_det(alloc / F.col("available_tokens"), 6),
+        ).otherwise(F.lit(1.0)).alias("rate"),
+        F.col("saturated"),
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",

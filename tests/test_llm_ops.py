@@ -681,6 +681,55 @@ def test_ivf_index_refresh_splits_worst_list(spark):
     assert hits[0]["vec_id"] == 0
 
 
+def test_ivf_refresh_maintained_stats_path(spark):
+    """The zero-corpus-pass maintain loop (r16, VERDICT r15 item 4):
+    list stats computed at build + merged per append must drive
+    refresh to the IDENTICAL selection and output as the scan path,
+    and merge_list_stats must equal a direct scan of the union."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    corpus_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.build_ivf_index(corpus_df, n_centroids=4)
+    indexed = indexed.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    grown = similarity.ivf_index_append(indexed, cents, batch).localCheckpoint(
+        eager=True
+    )
+    # incremental identity: stats(base) + stats(batch) == stats(grown)
+    base_stats = similarity.ivf_list_stats(indexed, cents)
+    batch_stats = similarity.ivf_list_stats(
+        grown.filter(F.col("vec_id") >= 100), cents
+    )
+    merged = similarity.merge_list_stats(base_stats, batch_stats)
+    direct = similarity.ivf_list_stats(grown, cents)
+    assert {c: n for c, _, n in merged} == {c: n for c, _, n in direct}
+    for (c1, cost1, _), (c2, cost2, _) in zip(merged, sorted(direct)):
+        assert c1 == c2 and cost1 == pytest.approx(cost2, rel=1e-9)
+    # maintained-stats refresh == scan refresh, row for row
+    kw = dict(max_lists=2, split_factor=2, lloyd_iters=1)
+    idx_a, cents_a, ref_a = similarity.ivf_index_refresh(grown, cents, **kw)
+    idx_b, cents_b, ref_b = similarity.ivf_index_refresh(
+        grown, cents, list_stats=merged, **kw
+    )
+    assert ref_a == ref_b
+    assert sorted(map(tuple, idx_a.collect())) == sorted(
+        map(tuple, idx_b.collect())
+    )
+    assert sorted(map(tuple, cents_a.collect())) == sorted(
+        map(tuple, cents_b.collect())
+    )
+    # stale/mismatched metadata fails loud
+    forged = merged + [(99, 5.0, 10)]
+    with pytest.raises(ValueError, match="list_stats"):
+        similarity.ivf_index_refresh(grown, cents, list_stats=forged, **kw)
+
+
 def test_ivf_index_refresh_contracts(spark):
     import pytest as _pytest
 
@@ -1154,6 +1203,90 @@ def test_select_within_token_budget(spark):
             text.select_within_token_budget(df, 300)
     finally:
         text_mod.MAX_BUDGET_LEVELS = old
+
+
+def test_mixture_proportional_fill(spark):
+    # A saturates (100 avail < 0.5-weight fair share of 2000-token
+    # budget); its deficit redistributes over B and C at the water
+    # level lambda = (2000-100)/0.5 = 3800
+    rows = (
+        [("A", 10)] * 10        # 100 tokens
+        + [("B", 100)] * 10     # 1000 tokens
+        + [("C", 200)] * 10     # 2000 tokens
+    )
+    df = spark.createDataFrame(rows, "source string, token_count long")
+    wts = {"A": 0.5, "B": 0.25, "C": 0.25}
+    out = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(df, wts, 2000).collect()
+    }
+    assert out["A"]["saturated"] and not out["B"]["saturated"]
+    assert out["A"]["alloc_tokens"] == 100.0 and out["A"]["rate"] == 1.0
+    assert out["B"]["alloc_tokens"] == pytest.approx(950.0)
+    assert out["B"]["rate"] == pytest.approx(0.95)
+    assert out["C"]["alloc_tokens"] == pytest.approx(950.0)
+    assert out["C"]["rate"] == pytest.approx(0.475)
+    # budget fills exactly when data suffices
+    assert sum(r["alloc_tokens"] for r in out.values()) == pytest.approx(2000.0)
+    # total availability below budget: everything saturates, the
+    # shortfall is visible (sum alloc < budget), no error
+    under = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(df, wts, 10_000).collect()
+    }
+    assert all(r["saturated"] and r["rate"] == 1.0 for r in under.values())
+    assert sum(r["alloc_tokens"] for r in under.values()) == pytest.approx(3100.0)
+    # abundant data everywhere: pure target split, nothing saturates
+    # (budget 150 keeps A strictly under its 100-token availability;
+    # at exactly 200, A == its fair share and the <= boundary counts
+    # as saturated — same allocation, flag flipped)
+    rich = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(df, wts, 150).collect()
+    }
+    assert not any(r["saturated"] for r in rich.values())
+    assert rich["A"]["alloc_tokens"] == pytest.approx(75.0)
+    assert rich["B"]["alloc_tokens"] == pytest.approx(37.5)
+    edge = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(df, wts, 200).collect()
+    }
+    assert edge["A"]["saturated"] and edge["A"]["alloc_tokens"] == 100.0
+    assert edge["A"]["rate"] == 1.0
+    # repetition-aware recipe: max_epochs=2 doubles A's effective
+    # availability before it saturates; its rate reports the true
+    # upsampling factor (2.0) while available_tokens stays 1-epoch
+    rep = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(
+            df, wts, 2000, max_epochs=2.0
+        ).collect()
+    }
+    assert rep["A"]["saturated"] and rep["A"]["alloc_tokens"] == 200.0
+    assert rep["A"]["rate"] == 2.0 and rep["A"]["available_tokens"] == 100
+    assert rep["B"]["alloc_tokens"] == pytest.approx(900.0)
+    assert rep["C"]["rate"] == pytest.approx(0.45)
+    assert sum(r["alloc_tokens"] for r in rep.values()) == pytest.approx(2000.0)
+    # contracts
+    with pytest.raises(ValueError, match="max_epochs"):
+        text.mixture_proportional_fill(df, wts, 100, max_epochs=0.5)
+    with pytest.raises(ValueError, match="sum to 1"):
+        text.mixture_proportional_fill(df, {"A": 0.5, "B": 0.25, "C": 0.3}, 100)
+    with pytest.raises(ValueError, match="> 0"):
+        text.mixture_proportional_fill(df, {"A": 1.0, "B": 0.0, "C": 0.0}, 100)
+    with pytest.raises(ValueError, match="token_budget"):
+        text.mixture_proportional_fill(df, wts, -1)
+    with pytest.raises(ValueError, match="mismatch"):
+        text.mixture_proportional_fill(df, {"A": 0.5, "B": 0.5}, 100)
+    with pytest.raises(ValueError, match="mismatch"):
+        text.mixture_proportional_fill(
+            df, {"A": 0.5, "B": 0.25, "C": 0.125, "D": 0.125}, 100
+        )
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 5)], "source string, token_count long")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        text.mixture_proportional_fill(with_null, wts, 100)
 
 
 def test_dedup_keep_best(spark):

@@ -83,6 +83,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "ab_ate_stratified": "total/ate windows over the |strata|-sized "
     "per-stratum moment frame (bounded by the blocking design; "
     "analytics.stratified_ate collapses rows map-side first)",
+    "mixture_fill_sources": "water-filling prefix-sum windows over "
+    "the |sources|-sized per-source aggregate (training mixes have "
+    "tens of domains — bounded by the recipe, never "
+    "data-proportional; text.mixture_proportional_fill collapses "
+    "rows with one hash-agg first)",
 }
 
 
