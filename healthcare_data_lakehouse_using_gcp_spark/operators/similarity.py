@@ -621,6 +621,39 @@ def merge_list_stats(
     return [(c, acc[c][0], acc[c][1]) for c in sorted(acc)]
 
 
+def carry_list_stats(
+    old_stats: list[tuple[int, float, int]],
+    refreshed: list[int],
+    new_indexed: DataFrame,
+    new_centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[int, float, int]]:
+    """Carry maintained list stats ACROSS an ivf_index_refresh so the
+    maintain loop never needs a full-corpus rescan: untouched lists
+    keep their (cost, n) under the refresh's contiguous renumbering
+    (untouched old cids first, in old-cid order — the documented
+    ivf_index_refresh contract), and only the refreshed lists'
+    NEW sub-lists are re-scored, a pass bounded by the refreshed
+    corpus fraction (their cids are exactly [n_untouched, K) by the
+    same contract)."""
+    refreshed_set = {int(c) for c in refreshed}
+    untouched = sorted(
+        int(c) for c, _, _ in old_stats if int(c) not in refreshed_set
+    )
+    old_to_new = {c: i for i, c in enumerate(untouched)}
+    carried = [
+        (old_to_new[int(c)], float(cost), int(n))
+        for c, cost, n in old_stats
+        if int(c) not in refreshed_set
+    ]
+    reseeded = ivf_list_stats(
+        new_indexed.filter(F.col("cid") >= len(untouched)),
+        new_centroids_df,
+        vec_col,
+    )
+    return merge_list_stats(carried, reseeded)
+
+
 def ivf_index_refresh(
     indexed: DataFrame,
     centroids_df: DataFrame,

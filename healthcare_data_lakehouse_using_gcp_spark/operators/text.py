@@ -447,6 +447,12 @@ def mixture_proportional_fill(
     (up to max_epochs) before it saturates. ``available_tokens``
     still reports the true single-epoch A_s.
 
+    APPLY step: feed the emitted rates straight into
+    ``epoch_upsample(epochs={source: rate, ...})`` — rates ≤ 1 become
+    deterministic md5 keep-fractions, rates > 1 full copies plus a
+    fractional slice — or ``stratified_sample`` when no source
+    exceeds rate 1. This operator DECIDES the mix; those execute it.
+
     Contracts (fail loud): weights must be positive and sum to 1
     (±1e-9); every source in the data must carry a weight and every
     weighted source must exist in the data (a silent miss on either

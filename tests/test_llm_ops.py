@@ -728,6 +728,24 @@ def test_ivf_refresh_maintained_stats_path(spark):
     forged = merged + [(99, 5.0, 10)]
     with pytest.raises(ValueError, match="list_stats"):
         similarity.ivf_index_refresh(grown, cents, list_stats=forged, **kw)
+    # the loop CONTINUES without a rescan: carry stats across the
+    # refresh (untouched lists remap, new sub-lists re-scored in a
+    # bounded pass) and drive a SECOND refresh to the same selection
+    # and output as a fresh scan would
+    idx_b = idx_b.localCheckpoint(eager=True)
+    carried = similarity.carry_list_stats(merged, ref_b, idx_b, cents_b)
+    direct2 = similarity.ivf_list_stats(idx_b, cents_b)
+    assert {c: n for c, _, n in carried} == {c: n for c, _, n in direct2}
+    for (c1, cost1, _), (c2, cost2, _) in zip(carried, sorted(direct2)):
+        assert c1 == c2 and cost1 == pytest.approx(cost2, rel=1e-9)
+    idx_c1, _, ref_c1 = similarity.ivf_index_refresh(idx_b, cents_b, **kw)
+    idx_c2, _, ref_c2 = similarity.ivf_index_refresh(
+        idx_b, cents_b, list_stats=carried, **kw
+    )
+    assert ref_c1 == ref_c2
+    assert sorted(map(tuple, idx_c1.collect())) == sorted(
+        map(tuple, idx_c2.collect())
+    )
 
 
 def test_ivf_index_refresh_contracts(spark):
