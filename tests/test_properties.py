@@ -4,6 +4,7 @@ primitives and graph/dedup invariants the oracle gate leans on."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1344,3 +1345,79 @@ def test_decontaminate_against_property(spark, doc_words, bench_words):
     for i in flagged:
         assert flagged2[i]["n_hits"] >= flagged[i]["n_hits"], i
     assert flagged2[0]["contaminated"]  # doc 0 is now verbatim in bench
+
+
+@_settings
+@given(
+    st.integers(2, 5).flatmap(
+        lambda k: st.tuples(
+            st.lists(
+                st.integers(0, 400), min_size=k, max_size=k
+            ),
+            # k positive dyadic weight numerators summing to 16
+            # (diffs of k-1 distinct cutpoints in 1..15) — dyadic
+            # weights keep every saturation comparison exact in
+            # float64, so the boolean decisions cannot drift between
+            # the closed form and the exact reference
+            st.sets(st.integers(1, 15), min_size=k - 1, max_size=k - 1).map(
+                lambda cs: [
+                    b - a
+                    for a, b in zip([0] + sorted(cs), sorted(cs) + [16])
+                ]
+            ),
+        )
+    ),
+    st.integers(0, 1500),
+)
+def test_mixture_fill_matches_exact_waterfill(spark, av_ws, budget):
+    """mixture_proportional_fill's closed-form prefix-sum windows must
+    agree with a Fraction-exact iterative water-filling reference on
+    saturation flags (exactly) and allocations (to 1e-6): the prefix
+    property the closed form rests on is re-derived here from the
+    fixpoint definition, not assumed."""
+    from fractions import Fraction
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators import text
+
+    avails, parts = av_ws
+    srcs = [f"s{i}" for i in range(len(avails))]
+    weights = {s: p / 16.0 for s, p in zip(srcs, parts)}
+
+    # exact iterative fixpoint: repeatedly saturate every active
+    # source whose availability undercuts its fair share at the
+    # current water level
+    wfrac = {s: Fraction(p, 16) for s, p in zip(srcs, parts)}
+    afrac = {s: Fraction(a) for s, a in zip(srcs, avails)}
+    active, sat = set(srcs), set()
+    while active:
+        brem = Fraction(budget) - sum(afrac[s] for s in sat)
+        wsum = sum(wfrac[s] for s in active)
+        newly = {s for s in active if afrac[s] * wsum <= wfrac[s] * brem}
+        if not newly:
+            break
+        sat |= newly
+        active -= newly
+    expect = {}
+    for s in srcs:
+        if s in sat:
+            expect[s] = (float(afrac[s]), True)
+        else:
+            brem = Fraction(budget) - sum(afrac[t] for t in sat)
+            wsum = sum(wfrac[t] for t in active)
+            expect[s] = (float(wfrac[s] * brem / wsum), False)
+
+    rows = [(s, int(a)) for s, a in zip(srcs, avails)]
+    df = spark.createDataFrame(rows, "source string, token_count long")
+    got = {
+        r["source"]: r
+        for r in text.mixture_proportional_fill(df, weights, budget).collect()
+    }
+    assert set(got) == set(srcs)
+    for s in srcs:
+        alloc, is_sat = expect[s]
+        assert got[s]["saturated"] == is_sat, (s, got[s], expect)
+        assert got[s]["alloc_tokens"] == pytest.approx(alloc, abs=1e-4)
+    total_alloc = sum(r["alloc_tokens"] for r in got.values())
+    assert total_alloc <= budget + 1e-6 or all(
+        r["saturated"] for r in got.values()
+    )
