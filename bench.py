@@ -720,7 +720,7 @@ def main() -> None:
     if sf1_block is not None and sf3_block is not None:
         from healthcare_data_lakehouse_using_gcp_spark.operators.similarity import (
             build_ivf_index as _bld,
-            ivf_index_append as _app,
+            ivf_index_append_with_stats as _apps,
             ivf_index_refresh as _rfr,
             ivf_list_stats as _lstats,
             merge_list_stats as _mstats,
@@ -747,17 +747,16 @@ def main() -> None:
                     _F.slice("embedding", 2, _F.size("embedding") - 1),
                 ).alias("embedding"),
             )
-            _grown = _app(_idx, _cents, _drift).persist()
+            _grown, _batch_stats = _apps(_idx, _cents, _drift)
+            _grown = _grown.persist()
             _grown.count()
             try:
                 # maintained metadata (untimed — the maintain loop
                 # carries it as index state: base stats piggyback the
-                # build pass, batch stats are batch-sized work at
-                # append; r16 overhead shave, VERDICT r15 item 4)
+                # build pass, batch stats are batch-sized work inside
+                # append_with_stats; r16 overhead shave, VERDICT r15
+                # item 4)
                 _base_stats = _lstats(_idx, _cents)
-                _batch_stats = _lstats(
-                    _grown.filter(_F.col("vec_id") >= 10_000_000), _cents
-                )
                 _stats = _mstats(_base_stats, _batch_stats)
                 _t0 = time.perf_counter()
                 _r_idx, _r_cents, _ = _rfr(

@@ -544,6 +544,43 @@ def ivf_index_append(
     return indexed.unionByName(assigned)
 
 
+def ivf_index_append_with_stats(
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, float, int]]]:
+    """ivf_index_append PLUS the appended batch's list stats — the
+    maintain-loop form: merge the returned stats into the running
+    ivf_list_stats metadata (merge_list_stats) so the next
+    ivf_index_refresh(list_stats=...) pays zero corpus-wide passes,
+    without the caller needing an id predicate to re-identify the
+    batch. The assigned batch is eagerly localCheckpointed (the stats
+    pass and the union would otherwise each re-run the assignment
+    UDF), so unlike ivf_index_append this is NOT lazy — batch-sized
+    work happens here, which is exactly where the maintain loop
+    amortizes it."""
+    import numpy as np
+
+    cent_rows = centroids_df.orderBy("cid").collect()  # tiny
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cids = [int(r["cid"]) for r in cent_rows]
+    assert cids == list(range(len(cids))), "centroid ids must be contiguous 0..k-1"
+
+    from .dedup import ensure_parallelism
+
+    assigned = (
+        ensure_parallelism(new_vectors.select(id_col, vec_col))
+        .select(
+            id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    batch_stats = ivf_list_stats(assigned, centroids_df, vec_col)
+    return indexed.unionByName(assigned), batch_stats
+
+
 def ivf_assignment_cost(
     indexed: DataFrame,
     centroids_df: DataFrame,

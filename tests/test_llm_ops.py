@@ -698,14 +698,12 @@ def test_ivf_refresh_maintained_stats_path(spark):
         [(100 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(8)],
         "vec_id long, embedding array<double>",
     )
-    grown = similarity.ivf_index_append(indexed, cents, batch).localCheckpoint(
-        eager=True
+    grown, batch_stats = similarity.ivf_index_append_with_stats(
+        indexed, cents, batch
     )
+    grown = grown.localCheckpoint(eager=True)
     # incremental identity: stats(base) + stats(batch) == stats(grown)
     base_stats = similarity.ivf_list_stats(indexed, cents)
-    batch_stats = similarity.ivf_list_stats(
-        grown.filter(F.col("vec_id") >= 100), cents
-    )
     merged = similarity.merge_list_stats(base_stats, batch_stats)
     direct = similarity.ivf_list_stats(grown, cents)
     assert {c: n for c, _, n in merged} == {c: n for c, _, n in direct}
