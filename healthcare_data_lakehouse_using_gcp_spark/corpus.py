@@ -3261,10 +3261,19 @@ def mixture_fill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything (rate 1) and its deficit redistributes over the
     remaining weights. Closed form — saturation is a prefix of the
     A/w order, detected by a running-AND window over prefix sums —
-    so BOTH engines run the identical window formula and the result
-    hash-checks exactly; at sf0.01 the fixture exercises the mixed
-    case (high-weight sources saturate, low-weight ones are priced
-    at the water level λ).
+    and the Spark expression tree matches the oracle SQL's
+    association term for term ((w·(B−ΣA))/(1−Σw), left-to-right), so
+    both engines run the same IEEE arithmetic; at sf0.01 the fixture
+    exercises the mixed case (high-weight sources saturate,
+    low-weight ones are priced at the water level λ).
+
+    Residual cross-engine risk is ulp divergence in the whole-frame
+    saturation sums (unordered float addition) flipping a round_det
+    digit — the r15 Decimal-red artifact class. Guarded fail-loud:
+    a driver-side replica of the closed form over the 20 per-source
+    totals asserts every unrounded alloc/rate sits > 1e-6 away from
+    its FLOOR(x·10^k + 0.5) boundary, so a fixture that COULD
+    hash-flip raises by name instead of silently going red.
 
     Completes the curation loop: rules → dedup → decontaminate →
     split → budget → MIX. Seat ≤r18 per the 2-round newborn rule."""
@@ -3275,7 +3284,46 @@ def mixture_fill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", token_count_col(F.col("text")).alias("token_count")
     )
     weights = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
-    return mixture_proportional_fill(counted, weights, 20_000)
+    budget = 20_000
+    # rounding-boundary fail-loud (see docstring): replicate the
+    # closed form on the |sources|-row totals and reject fixtures
+    # whose exact values sit within float-noise of a rounding edge
+    totals = {
+        r["source"]: float(r["t"])
+        for r in counted.groupBy("source")
+        .agg(F.sum("token_count").alias("t"))
+        .collect()  # |sources| rows — tiny
+    }
+    rows = sorted(
+        ((totals[s], w, s) for s, w in weights.items()),
+        key=lambda r: (r[0] / r[1], r[2]),
+    )
+    cum_a = cum_w = 0.0
+    sat_flags = []
+    running_and = True
+    for a, w, _ in rows:
+        running_and = running_and and (
+            a * (1.0 - cum_w) <= w * (budget - cum_a)
+        )
+        sat_flags.append(running_and)
+        cum_a += a
+        cum_w += w
+    sat_a = sum(a for (a, _, _), f in zip(rows, sat_flags) if f)
+    sat_w = sum(w for (_, w, _), f in zip(rows, sat_flags) if f)
+    for (a, w, src), f in zip(rows, sat_flags):
+        alloc = a if f else (w * (budget - sat_a)) / (1.0 - sat_w)
+        rate = alloc / a if a > 0 else 1.0
+        for v, k in ((alloc, 4), (rate, 6)):
+            frac = (v * (10.0**k)) % 1.0
+            if abs(frac - 0.5) < 1e-6:
+                raise AssertionError(
+                    f"mixture_fill_sources: source {src!r} lands within "
+                    f"1e-6 of a round_det({k}) boundary "
+                    f"(value {v!r}) — cross-engine ulp noise could flip "
+                    "the rounded digit and hash-mismatch; change the "
+                    "fixture budget/weights"
+                )
+    return mixture_proportional_fill(counted, weights, budget)
 
 
 @query(
@@ -3728,10 +3776,19 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc distinct-n-gram overlap against a benchmark set (here:
     docs with id < 50 standing in for the eval suite). Spark joins on
     8-byte gram hashes; the oracle joins the strings — identical
-    counts absent 64-bit collisions."""
+    counts absent 64-bit collisions. NULL-text rows would diverge
+    (the operator's ADVICE-r15 contract reports n_grams = 0 /
+    overlap_frac = 0.0; the oracle's pseudo-gram path does not), so
+    the fixture assumption is fail-louded by name below."""
     from .operators.text import benchmark_overlap
 
     d = _t(spark, sf_dir, "documents")
+    if d.filter(F.col("text").isNull()).limit(1).collect():
+        raise AssertionError(
+            "decontaminate: fixture documents contain NULL text — the "
+            "Spark operator's n_grams=0/overlap_frac=0.0 NULL-text "
+            "contract and the oracle's pseudo-gram SQL disagree there"
+        )
     bench = d.filter(F.col("doc_id") < 50)
     return benchmark_overlap(d, bench)
 
@@ -3785,6 +3842,13 @@ def decontaminate_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import decontaminate_against as decon
 
     d = _t(spark, sf_dir, "documents")
+    if d.filter(F.col("text").isNull()).limit(1).collect():
+        raise AssertionError(
+            "decontaminate_against: fixture documents contain NULL text "
+            "— the Spark operator's n_grams=0 NULL-text contract and "
+            "the oracle's pseudo-gram SQL disagree there (see "
+            "decontaminate)"
+        )
     bench = d.filter(F.col("doc_id") < 50)
     return decon(d, bench, ngram=5, keep_flag=True)
 

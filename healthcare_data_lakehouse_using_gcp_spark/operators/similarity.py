@@ -529,6 +529,22 @@ def ivf_index_append(
     ivf_index_refresh (split + local re-cluster, no full-corpus
     re-clustering).
     """
+    return indexed.unionByName(
+        _assign_batch(centroids_df, new_vectors, id_col, vec_col)
+    )
+
+
+def _assign_batch(
+    centroids_df: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign a batch of vectors to the EXISTING centroids — the one
+    narrow Arrow pass ivf_index_append and ivf_index_append_with_stats
+    share (one body, so the append semantics and the 0..k-1 contiguity
+    precondition cannot drift between the lazy and stats-returning
+    forms)."""
     import numpy as np
 
     cent_rows = centroids_df.orderBy("cid").collect()  # tiny
@@ -538,10 +554,9 @@ def ivf_index_append(
 
     from .dedup import ensure_parallelism
 
-    assigned = ensure_parallelism(new_vectors.select(id_col, vec_col)).select(
+    return ensure_parallelism(new_vectors.select(id_col, vec_col)).select(
         id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
     )
-    return indexed.unionByName(assigned)
 
 
 def ivf_index_append_with_stats(
@@ -561,22 +576,9 @@ def ivf_index_append_with_stats(
     UDF), so unlike ivf_index_append this is NOT lazy — batch-sized
     work happens here, which is exactly where the maintain loop
     amortizes it."""
-    import numpy as np
-
-    cent_rows = centroids_df.orderBy("cid").collect()  # tiny
-    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-    cids = [int(r["cid"]) for r in cent_rows]
-    assert cids == list(range(len(cids))), "centroid ids must be contiguous 0..k-1"
-
-    from .dedup import ensure_parallelism
-
-    assigned = (
-        ensure_parallelism(new_vectors.select(id_col, vec_col))
-        .select(
-            id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
-        )
-        .localCheckpoint(eager=True)
-    )
+    assigned = _assign_batch(
+        centroids_df, new_vectors, id_col, vec_col
+    ).localCheckpoint(eager=True)
     batch_stats = ivf_list_stats(assigned, centroids_df, vec_col)
     return indexed.unionByName(assigned), batch_stats
 
@@ -663,6 +665,7 @@ def carry_list_stats(
     refreshed: list[int],
     new_indexed: DataFrame,
     new_centroids_df: DataFrame,
+    old_centroids_df: DataFrame,
     vec_col: str = "embedding",
 ) -> list[tuple[int, float, int]]:
     """Carry maintained list stats ACROSS an ivf_index_refresh so the
@@ -672,11 +675,34 @@ def carry_list_stats(
     ivf_index_refresh contract), and only the refreshed lists'
     NEW sub-lists are re-scored, a pass bounded by the refreshed
     corpus fraction (their cids are exactly [n_untouched, K) by the
-    same contract)."""
+    same contract).
+
+    The renumbering is derived from ``old_centroids_df`` — the SAME
+    source ivf_index_refresh renumbers from — never from the stats
+    block: an EMPTY inverted list (a cid present in the centroid
+    table with zero members, reachable from a refresh whose local
+    Lloyd leaves a sub-list empty) has no stats entry, and a
+    stats-derived renumbering would silently shift every cid behind
+    it out of alignment with the refreshed index."""
     refreshed_set = {int(c) for c in refreshed}
-    untouched = sorted(
-        int(c) for c, _, _ in old_stats if int(c) not in refreshed_set
+    old_cids = sorted(
+        int(r["cid"]) for r in old_centroids_df.select("cid").collect()
     )
+    missing = sorted(refreshed_set - set(old_cids))
+    if missing:
+        raise ValueError(
+            f"carry_list_stats: refreshed cid(s) {missing[:5]} absent "
+            "from old_centroids_df — pass the centroid table the "
+            "refresh actually ran against"
+        )
+    stray = sorted({int(c) for c, _, _ in old_stats} - set(old_cids))
+    if stray:
+        raise ValueError(
+            f"carry_list_stats: old_stats hold cid(s) {stray[:5]} absent "
+            "from old_centroids_df — stale or mismatched metadata; "
+            "recompute with ivf_list_stats"
+        )
+    untouched = [c for c in old_cids if c not in refreshed_set]
     old_to_new = {c: i for i, c in enumerate(untouched)}
     carried = [
         (old_to_new[int(c)], float(cost), int(n))
@@ -794,6 +820,19 @@ def ivf_index_refresh(
                 f"{bad[:5]} absent from the centroid table — stale or "
                 "mismatched metadata; recompute with ivf_list_stats"
             )
+        from collections import Counter
+
+        dup = sorted(
+            c for c, k in Counter(c for c, _, _ in stats).items() if k > 1
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_index_refresh: provided list_stats hold duplicate "
+                f"cid(s) {dup[:5]} — an unmerged base+batch concatenation "
+                "splits a list's true cost across entries (and can select "
+                "the same list twice); combine blocks with "
+                "merge_list_stats first"
+            )
     eligible = [s for s in stats if s[2] >= split_factor]
     if not eligible:
         raise ValueError(
@@ -900,13 +939,41 @@ def ivf_index_refresh(
         [(old, new) for old, new in old_to_new.items()],
         "cid int, __new_cid int",
     )
-    # every cid was proven present in the centroid table by the
-    # stats-pass corruption check above, so the inner remap join
-    # cannot drop rows
+    # On the scan path every cid was proven present in the centroid
+    # table by ivf_list_stats' corruption check; on the list_stats
+    # path NOTHING has scanned the index, so a corrupt row (NULL cid,
+    # or a cid absent from the centroid table) would silently vanish
+    # through an inner remap join. Guard lazily instead: keep such
+    # rows past the filter (NULL-safe ~isin), left-join the remap,
+    # and weave raise_error into the consumed cid column — the check
+    # rides the SAME pass that writes the output, zero extra scans,
+    # and a corrupt index fails loud on both paths.
     kept = (
-        indexed.filter(~F.col("cid").isin(refreshed))
-        .join(F.broadcast(remap), "cid")
-        .select(id_col, vec_col, F.col("__new_cid").alias("cid"))
+        indexed.filter(
+            ~F.coalesce(F.col("cid").isin(refreshed), F.lit(False))
+        )
+        .join(F.broadcast(remap), "cid", "left")
+        .select(
+            id_col,
+            vec_col,
+            F.when(F.col("__new_cid").isNotNull(), F.col("__new_cid"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ivf_index_refresh: index row with cid absent "
+                            "from the centroid table (cid="
+                        ),
+                        F.coalesce(F.col("cid").cast("string"), F.lit("NULL")),
+                        F.lit(
+                            ") — corrupt index; rebuild with "
+                            "build_ivf_index"
+                        ),
+                    )
+                ).cast("int")
+            )
+            .alias("cid"),
+        )
     )
     base_expr = F.create_map(
         *[x for c in refreshed for x in (F.lit(c), F.lit(sub_base[c]))]

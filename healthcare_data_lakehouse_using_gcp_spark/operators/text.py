@@ -494,14 +494,19 @@ def mixture_proportional_fill(
             "the recipe before calling"
         )
     s = df.select(F.col(source_col), F.col(token_col))
-    bad = s.filter(
-        F.col(source_col).isNull() | F.col(token_col).isNull()
-    ).limit(1).collect()
+    guard = F.col(source_col).isNull() | F.col(token_col).isNull()
+    if isinstance(s.schema[token_col].dataType, (T.FloatType, T.DoubleType)):
+        # a NaN count passes the NULL guard, poisons the per-source
+        # sum, sorts last in the cap/w order and turns every later
+        # saturation condition false — a silently wrong mix (the
+        # select_within_token_budget NaN guard, same reason)
+        guard = guard | F.isnan(F.col(token_col))
+    bad = s.filter(guard).limit(1).collect()
     if bad:
         raise ValueError(
             f"mixture_proportional_fill: NULL {source_col!r} or "
-            f"{token_col!r} row — attribute and count every document "
-            "before mixing"
+            f"NULL/NaN {token_col!r} row — attribute and count every "
+            "document before mixing"
         )
     avail = s.groupBy(source_col).agg(
         F.sum(token_col).cast("double").alias("available_tokens")
@@ -565,10 +570,15 @@ def mixture_proportional_fill(
         F.sum(F.when(F.col("saturated"), F.col("__w"))).over(whole),
         F.lit(0.0),
     )
-    lam = (b - sat_a) / (F.lit(1.0) - sat_w)
-    alloc = F.when(
-        F.col("saturated"), F.col("__cap")
-    ).otherwise(F.col("__w") * lam)
+    # association matches the oracle SQL's left-to-right parse
+    # (w * (B - ΣA)) / (1 - Σw), NOT w * ((B - ΣA)/(1 - Σw)) — float
+    # multiply/divide are non-associative, and an ulp flip at a
+    # round_det boundary is exactly the r15 hash-red artifact class;
+    # the corpus entry adds a rounding-boundary fail-loud guard for
+    # the residual unordered-whole-frame-sum risk
+    alloc = F.when(F.col("saturated"), F.col("__cap")).otherwise(
+        (F.col("__w") * (b - sat_a)) / (F.lit(1.0) - sat_w)
+    )
     return flagged.select(
         F.col(source_col),
         F.col("available_tokens").cast("bigint").alias("available_tokens"),
@@ -735,14 +745,20 @@ def benchmark_overlap(
     Docs above a threshold are dropped before training so eval
     benchmarks stay uncontaminated (decontaminate_against is the
     decision operator over the same scored frame; scale shape in
-    _overlap_scored)."""
+    _overlap_scored).
+
+    A NULL-text row has no grams (n_grams = 0 per _overlap_scored's
+    ADVICE-r15 contract) and reports overlap_frac = 0.0 — NOT the
+    NULL a raw 0/0 division would yield, which a NULL-blind
+    ``overlap_frac > t`` filter downstream would silently treat as
+    clean."""
     return _overlap_scored(df, benchmark, text_col, id_col, ngram).select(
         F.col(id_col),
         "n_grams",
         "n_matched",
-        round_det(F.col("n_matched") / F.col("n_grams"), 4).alias(
-            "overlap_frac"
-        ),
+        F.when(F.col("n_grams") > 0, round_det(
+            F.col("n_matched") / F.col("n_grams"), 4
+        )).otherwise(F.lit(0.0)).alias("overlap_frac"),
     )
 
 

@@ -731,7 +731,7 @@ def test_ivf_refresh_maintained_stats_path(spark):
     # bounded pass) and drive a SECOND refresh to the same selection
     # and output as a fresh scan would
     idx_b = idx_b.localCheckpoint(eager=True)
-    carried = similarity.carry_list_stats(merged, ref_b, idx_b, cents_b)
+    carried = similarity.carry_list_stats(merged, ref_b, idx_b, cents_b, cents)
     direct2 = similarity.ivf_list_stats(idx_b, cents_b)
     assert {c: n for c, _, n in carried} == {c: n for c, _, n in direct2}
     for (c1, cost1, _), (c2, cost2, _) in zip(carried, sorted(direct2)):
@@ -744,6 +744,98 @@ def test_ivf_refresh_maintained_stats_path(spark):
     assert sorted(map(tuple, idx_c1.collect())) == sorted(
         map(tuple, idx_c2.collect())
     )
+
+
+def test_carry_list_stats_aligns_with_refresh_on_empty_list(spark):
+    """carry_list_stats must renumber from the CENTROID TABLE, not
+    the stats block: an empty inverted list (cid present in the
+    table, zero members — so absent from ivf_list_stats) shifts the
+    two renumberings apart if the stats drive it (code-review r16)."""
+    # cid 0 holds a drifted 4-member list (refresh target), cid 1 is
+    # EMPTY, cid 2 holds 4 on-centroid members
+    rows = [(i, [10.0 + i, 1.0], 0) for i in range(4)] + [
+        (20 + i, [0.0, 5.0], 2) for i in range(4)
+    ]
+    indexed = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cid int"
+    ).localCheckpoint(eager=True)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 5.0])],
+        "cid int, centroid array<double>",
+    )
+    stats = similarity.ivf_list_stats(indexed, cents)
+    assert sorted(c for c, _, _ in stats) == [0, 2]  # no entry for empty 1
+    new_idx, new_cents, refreshed = similarity.ivf_index_refresh(
+        indexed, cents, max_lists=1, split_factor=2, lloyd_iters=1,
+        list_stats=stats,
+    )
+    assert refreshed == [0]
+    new_idx = new_idx.localCheckpoint(eager=True)
+    # refresh renumbers untouched [1, 2] -> [0, 1]; stats-derived
+    # renumbering would map 2 -> 0 and mis-attribute its cost
+    carried = similarity.carry_list_stats(
+        stats, refreshed, new_idx, new_cents, cents
+    )
+    direct = similarity.ivf_list_stats(new_idx, new_cents)
+    assert {c: n for c, _, n in carried} == {c: n for c, _, n in direct}
+    for (c1, cost1, _), (c2, cost2, _) in zip(carried, sorted(direct)):
+        assert c1 == c2 and cost1 == pytest.approx(cost2, rel=1e-9)
+    # mismatched centroid table fails loud
+    with pytest.raises(ValueError, match="old_centroids_df"):
+        similarity.carry_list_stats(
+            stats, refreshed, new_idx, new_cents,
+            cents.filter(F.col("cid") < 2),
+        )
+    with pytest.raises(ValueError, match="old_stats"):
+        similarity.carry_list_stats(
+            stats + [(9, 1.0, 1)], refreshed, new_idx, new_cents, cents
+        )
+
+
+def test_ivf_refresh_rejects_unmerged_duplicate_stats(spark):
+    """An unmerged base+batch concatenation splits a list's cost
+    across duplicate cid entries (and can select one list twice) —
+    rejected by name instead of a cryptic downstream failure."""
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(8)]
+    indexed = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cid int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [2.0, 1.0])], "cid int, centroid array<double>"
+    )
+    stats = similarity.ivf_list_stats(indexed, cents)
+    with pytest.raises(ValueError, match="duplicate"):
+        similarity.ivf_index_refresh(
+            indexed, cents, list_stats=stats + stats[:1]
+        )
+
+
+def test_ivf_refresh_stats_path_fails_loud_on_corrupt_index(spark):
+    """The maintained-stats path runs zero corpus scans, so the
+    corrupt-row check rides the output pass itself (lazy raise_error
+    woven into the remapped cid column): a row whose cid is NULL or
+    absent from the centroid table must fail loud at execution, not
+    vanish through the kept-side filter/join (code-review r16)."""
+    good = [(i, [float(i), 1.0], i % 2) for i in range(8)]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [2.0, 1.0])], "cid int, centroid array<double>"
+    )
+    clean = spark.createDataFrame(
+        good, "vec_id long, embedding array<double>, cid int"
+    )
+    stats = similarity.ivf_list_stats(clean, cents)
+    for bad_row in [(99, [9.0, 9.0], 7), (99, [9.0, 9.0], None)]:
+        corrupt = clean.unionByName(
+            spark.createDataFrame(
+                [bad_row], "vec_id long, embedding array<double>, cid int"
+            )
+        )
+        new_idx, _, _ = similarity.ivf_index_refresh(
+            corrupt, cents, max_lists=1, split_factor=2, lloyd_iters=0,
+            list_stats=stats,
+        )
+        with pytest.raises(Exception, match="corrupt index"):
+            new_idx.collect()
 
 
 def test_ivf_index_refresh_contracts(spark):
@@ -1298,6 +1390,15 @@ def test_mixture_proportional_fill(spark):
         text.mixture_proportional_fill(
             df, {"A": 0.5, "B": 0.25, "C": 0.125, "D": 0.125}, 100
         )
+    # a NaN token count would poison the per-source sum and silently
+    # kill saturation for every later row — fail loud instead
+    # (code-review r16, the select_within_token_budget guard)
+    nan_df = spark.createDataFrame(
+        [("A", 10.0), ("B", float("nan")), ("C", 5.0)],
+        "source string, token_count double",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        text.mixture_proportional_fill(nan_df, wts, 100)
     with_null = df.unionByName(
         spark.createDataFrame([(None, 5)], "source string, token_count long")
     )
@@ -1439,6 +1540,18 @@ def test_benchmark_overlap(spark):
     assert out[1]["overlap_frac"] == pytest.approx(1.0)  # fully contaminated
     assert out[2]["overlap_frac"] == 0.0 and out[2]["n_matched"] == 0
     assert 0.0 < out[3]["overlap_frac"] < 1.0  # partial overlap
+    # a NULL-text doc surfaces with n_grams=0 and overlap_frac=0.0 —
+    # NOT a NULL 0/0 a downstream `> t` filter would silently pass
+    # over (code-review r16)
+    with_null = docs.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    nul = {
+        r["doc_id"]: r
+        for r in text.benchmark_overlap(with_null, bench).collect()
+    }[9]
+    assert nul["n_grams"] == 0 and nul["n_matched"] == 0
+    assert nul["overlap_frac"] == 0.0
 
 
 def test_decontaminate_against_policies(spark):
