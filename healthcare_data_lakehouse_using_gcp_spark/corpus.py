@@ -1697,6 +1697,14 @@ _TAIL = (
     #                             seat r17/r18
     #                                               [new r16, no driver row]
     "mixture_fill_sources",
+    #   mixture_apportion_counts — largest-remainder (Hamilton)
+    #                             integer apportionment of sampling
+    #                             slots from the fractional mix —
+    #                             hash-exact by construction (integer
+    #                             weights ⇒ identical IEEE doubles in
+    #                             both engines) — seat r17/r18
+    #                                               [new r16, no driver row]
+    "mixture_apportion_counts",
 )
 
 
@@ -3324,6 +3332,63 @@ def mixture_fill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "fixture budget/weights"
                 )
     return mixture_proportional_fill(counted, weights, budget)
+
+
+@query(
+    "mixture_apportion_counts",
+    r"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS DOUBLE) AS w
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, w, 10000.0 * w / SUM(w) OVER () AS quota
+      FROM avail
+    ),
+    r AS (
+      SELECT source, w, quota, FLOOR(quota) AS base,
+             quota - FLOOR(quota) AS rem,
+             ROW_NUMBER() OVER (ORDER BY quota - FLOOR(quota) DESC,
+                                         source ASC) AS rk,
+             10000.0 - SUM(FLOOR(quota)) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, w AS weight, quota,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM r
+    """,
+)
+def mixture_apportion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) integer apportionment
+    (beyond-reference, born r16;
+    operators/text.apportion_integer_counts): the integerizing step
+    after mixture optimization — 10,000 sampling slots split across
+    the 20 document sources proportional to their token mass, every
+    group getting ⌊quota⌋ plus one leftover unit per largest
+    fractional remainder (remainder DESC, source ASC), so Σ n_alloc
+    == 10,000 EXACTLY where naive per-source rounding drifts.
+
+    Hash-exact by construction: the weights are integer-valued token
+    sums, so Σw, quota = total·w/Σw, the remainders and Σ⌊quota⌋ are
+    each the identical IEEE double in both engines — no
+    rounding-boundary guard needed (contrast mixture_fill_sources,
+    whose fractional water-level arithmetic carries one).
+
+    Completes the mixture family: water-fill decides the fractional
+    mix, THIS converts it to whole-document counts a sampler can
+    draw. Seat ≤r18 per the 2-round newborn rule."""
+    from .operators.text import apportion_integer_counts, token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.groupBy("source").agg(
+        F.sum(token_count_col(F.col("text")))
+        .cast("double")
+        .alias("alloc_tokens")
+    )
+    return apportion_integer_counts(counted, 10_000)
 
 
 @query(
@@ -11462,7 +11527,8 @@ OPERATOR_MAP = {
                             "decontaminate_semantic"],  # decision ops born r15
     "LLM-leakage-splits": ["leakage_safe_splits"],  # group-level splits born r15
     "LLM-budget-selection": ["curate_token_budget"],  # best-first token budget born r15
-    "LLM-mixture-optimization": ["mixture_fill_sources"],  # water-filling mix born r16
+    "LLM-mixture-optimization": ["mixture_fill_sources",  # water-filling mix born r16
+                                 "mixture_apportion_counts"],  # Hamilton integerizer born r16
     "LLM-keep-policy": ["dedup_keep_best"],  # quality-aware dedup canonical born r15
     "Profiling": ["profile_orders"],
     "Sessions-funnel": ["events_sessionize", "events_session_stats", "events_funnel"],

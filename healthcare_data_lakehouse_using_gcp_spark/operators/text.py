@@ -593,6 +593,103 @@ def mixture_proportional_fill(
     )
 
 
+def apportion_integer_counts(
+    df: DataFrame,
+    total: int,
+    weight_col: str = "alloc_tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — the integerizing
+    step after mixture optimization: a mixture recipe hands back
+    FRACTIONAL per-source shares (mixture_proportional_fill's
+    alloc_tokens, or any weight column), but a sampler draws WHOLE
+    documents; naive per-source rounding of ``total·w/Σw`` drifts the
+    grand total by up to |sources|/2. Hamilton's method fixes the sum
+    exactly: every group gets ⌊quota⌋, and the ``total − Σ⌊quota⌋``
+    leftover units go one each to the largest fractional remainders
+    (remainder DESC, group ASC on ties — deterministic). Σ n_alloc ==
+    total, always.
+
+    Returns one row per group: (group, weight, quota, n_alloc).
+    Fails loud on NULL/NaN/negative weights, an all-zero weight
+    frame, or a negative total — a silently skewed allocation is the
+    mixture-operator failure class this family guards against.
+
+    Cross-engine determinism: with an INTEGER-valued weight column
+    (e.g. per-source token counts) every intermediate — Σw (exact
+    integer addition in doubles), quota = total·w/Σw (one IEEE
+    division of exact operands), remainder, Σ⌊quota⌋ — is the
+    identical double in any engine, so the output hash-checks with no
+    rounding-boundary risk. Fractional weights reintroduce the
+    unordered-sum ulp caveat documented on mixture_proportional_fill.
+
+    Scale shape (100 TB): one hash-agg upstream collapses the corpus
+    to the |groups|-row frame this runs on (training mixes have tens
+    of domains); the windows here are over THAT bounded frame, never
+    data-proportional."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    s = df.select(F.col(group_col), F.col(weight_col))
+    guard = (
+        F.col(group_col).isNull()
+        | F.col(weight_col).isNull()
+        | (F.col(weight_col) < 0)
+    )
+    if isinstance(s.schema[weight_col].dataType, (T.FloatType, T.DoubleType)):
+        guard = guard | F.isnan(F.col(weight_col))
+    bad = s.filter(guard).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"apportion_integer_counts: NULL {group_col!r} or "
+            f"NULL/NaN/negative {weight_col!r} row "
+            f"({bad[0][group_col]!r}) — weights must be clean "
+            "non-negative shares"
+        )
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = F.col(weight_col).cast("double")
+    wsum = F.sum(w).over(whole)
+    quota = F.lit(float(total)) * w / wsum
+    base = F.floor(quota)
+    scored = s.select(
+        F.col(group_col),
+        w.alias("weight"),
+        # wsum == 0 (all-zero weights) would make every quota NULL
+        # (0/0) and silently break the sum contract — fail loud via
+        # the same lazy raise_error idiom as ivf_index_refresh
+        F.when(
+            wsum > 0, quota
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "apportion_integer_counts: all weights are zero — "
+                    "no proportional allocation exists"
+                )
+            ).cast("double")
+        ).alias("quota"),
+        base.alias("__base"),
+        (quota - base).alias("__rem"),
+    )
+    rank_w = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    leftover = F.lit(float(total)) - F.sum("__base").over(whole)
+    return (
+        scored.withColumn("__rk", F.row_number().over(rank_w))
+        .withColumn("__left", leftover)
+        .select(
+            group_col,
+            "weight",
+            "quota",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias("n_alloc"),
+        )
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1406,6 +1406,53 @@ def test_mixture_proportional_fill(spark):
         text.mixture_proportional_fill(with_null, wts, 100)
 
 
+def test_apportion_integer_counts_hamilton(spark):
+    """Hand-computed largest-remainder apportionment: 7 slots over
+    weights 4/3/2 → quotas 28/9, 21/9, 14/9 = 3.11, 2.33, 1.56;
+    bases 3+2+1=6, one leftover goes to the largest remainder (C at
+    .56) → 3, 2, 2. Naive rounding would give 3+2+2=7 here but
+    drifts in general; the sum contract is exact by construction."""
+    df = spark.createDataFrame(
+        [("A", 4.0), ("B", 3.0), ("C", 2.0)], "source string, alloc_tokens double"
+    )
+    out = {r["source"]: r for r in text.apportion_integer_counts(df, 7).collect()}
+    assert {s: r["n_alloc"] for s, r in out.items()} == {"A": 3, "B": 2, "C": 2}
+    assert out["A"]["quota"] == pytest.approx(28 / 9)
+    # ties break group-ascending: weights 1/1 over 1 slot → A wins
+    tie = spark.createDataFrame(
+        [("B", 1.0), ("A", 1.0)], "source string, alloc_tokens double"
+    )
+    tout = {r["source"]: r["n_alloc"]
+            for r in text.apportion_integer_counts(tie, 1).collect()}
+    assert tout == {"A": 1, "B": 0}
+    # zero-weight group gets nothing; total still exact
+    zw = spark.createDataFrame(
+        [("A", 5.0), ("B", 0.0)], "source string, alloc_tokens double"
+    )
+    zout = {r["source"]: r["n_alloc"]
+            for r in text.apportion_integer_counts(zw, 3).collect()}
+    assert zout == {"A": 3, "B": 0}
+    # total=0 allocates nothing
+    assert all(
+        r["n_alloc"] == 0
+        for r in text.apportion_integer_counts(df, 0).collect()
+    )
+    # contracts: negative total, NULL/NaN/negative weights, all-zero
+    with pytest.raises(ValueError, match="total"):
+        text.apportion_integer_counts(df, -1)
+    for bad in [("D", None), ("D", float("nan")), ("D", -1.0)]:
+        bdf = df.unionByName(
+            spark.createDataFrame([bad], "source string, alloc_tokens double")
+        )
+        with pytest.raises(ValueError, match="NULL/NaN/negative"):
+            text.apportion_integer_counts(bdf, 5)
+    allz = spark.createDataFrame(
+        [("A", 0.0), ("B", 0.0)], "source string, alloc_tokens double"
+    )
+    with pytest.raises(Exception, match="all weights are zero"):
+        text.apportion_integer_counts(allz, 5).collect()
+
+
 def test_dedup_keep_best(spark):
     docs = spark.createDataFrame(
         [

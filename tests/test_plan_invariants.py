@@ -88,6 +88,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "tens of domains — bounded by the recipe, never "
     "data-proportional; text.mixture_proportional_fill collapses "
     "rows with one hash-agg first)",
+    "mixture_apportion_counts": "Hamilton remainder-rank windows over "
+    "the |sources|-sized per-source aggregate (same bound as "
+    "mixture_fill_sources; the entry collapses the corpus with one "
+    "hash-agg before text.apportion_integer_counts runs)",
 }
 
 

@@ -1421,3 +1421,42 @@ def test_mixture_fill_matches_exact_waterfill(spark, av_ws, budget):
     assert total_alloc <= budget + 1e-6 or all(
         r["saturated"] for r in got.values()
     )
+
+
+@_settings
+@given(
+    st.lists(st.integers(0, 500), min_size=2, max_size=6).filter(
+        lambda ws: sum(ws) > 0
+    ),
+    st.integers(0, 300),
+)
+def test_apportion_matches_exact_hamilton(spark, weights, total):
+    """apportion_integer_counts' window formulation must agree with a
+    Fraction-exact largest-remainder reference: identical per-group
+    integer allocations (quota DESC-remainder ranking with group-name
+    tie-break re-derived independently) and the exact-sum contract
+    Σ n_alloc == total on every input."""
+    from fractions import Fraction
+
+    from healthcare_data_lakehouse_using_gcp_spark.operators import text
+
+    srcs = [f"s{i}" for i in range(len(weights))]
+    wsum = sum(weights)
+    quotas = {s: Fraction(total * w, wsum) for s, w in zip(srcs, weights)}
+    base = {s: q.numerator // q.denominator for s, q in quotas.items()}
+    leftover = total - sum(base.values())
+    ranked = sorted(srcs, key=lambda s: (-(quotas[s] - base[s]), s))
+    expect = {
+        s: base[s] + (1 if ranked.index(s) < leftover else 0) for s in srcs
+    }
+
+    df = spark.createDataFrame(
+        [(s, float(w)) for s, w in zip(srcs, weights)],
+        "source string, alloc_tokens double",
+    )
+    got = {
+        r["source"]: r["n_alloc"]
+        for r in text.apportion_integer_counts(df, total).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == total
