@@ -4045,22 +4045,42 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (operators/similarity.brute_force_topk):
-    broadcast queries × corpus scan, JVM-side zip_with/aggregate dot
-    product, ranked on the ROUNDED score for cross-engine stability."""
+    """Brute-force cosine top-k (operators/similarity.brute_force_topk's
+    shape): broadcast queries × corpus scan, ranked on the ROUNDED
+    score for cross-engine stability.
+
+    Optimization r16 (guide §1.2/§2): (a) ensure_parallelism — the
+    single-row-group bench parquet scans as ONE partition, so the
+    whole scoring/local-sort stage ran on one core (the r15 watch-item
+    cause); at 100 TB the scan is thousands of partitions and the
+    repartition is a no-op. (b) per-side norms computed once per ROW
+    instead of once per scored pair — bit-identical values
+    (cosine_with_norms: same casts, same fold, same final divide)."""
     from .functions.scalars import round_det
-    from .operators.similarity import cosine_similarity_col
+    from .operators.dedup import ensure_parallelism
+    from .operators.similarity import cosine_with_norms, vector_norm_col
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        vector_norm_col(F.col("embedding")).alias("__qnorm"),
     )
-    scored = e.join(F.broadcast(q)).select(
+    ec = ensure_parallelism(e).select(
+        "vec_id",
+        "embedding",
+        vector_norm_col(F.col("embedding")).alias("__cnorm"),
+    )
+    scored = ec.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        round_det(cosine_similarity_col(F.col("embedding"), F.col("__qvec")), 4).alias(
-            "cosine"
-        ),
+        round_det(
+            cosine_with_norms(
+                F.col("embedding"), F.col("__qvec"),
+                F.col("__cnorm"), F.col("__qnorm"),
+            ),
+            4,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -96,6 +96,14 @@ def drop_exact_duplicates(
     return df.join(keep, id_col, "left_semi")
 
 
+# span_dedup packed-winner layout: span_idx occupies the low bits of
+# the packed BIGINT winner key (2^21 ≈ 2M spans/doc — a 20M-word
+# document at the default 10-word span), the id the remaining high
+# bits (ids up to 2^41). Order-isomorphic to the (id, idx) struct for
+# in-range values; out-of-range fails loud in span_dedup.
+_SPAN_IDX_BITS = 21
+
+
 # --- MinHash + LSH ---------------------------------------------------
 
 
@@ -918,15 +926,74 @@ def span_dedup(
             )
         ).alias("span_idx", "span_text"),
     )
-    firsts = (
-        spans.groupBy("span_text")
-        .agg(F.min(F.struct(id_col, "span_idx")).alias("w"))
-        .select(
-            "span_text",
-            F.col(f"w.{id_col}").alias("__first_id"),
-            F.col("w.span_idx").alias("__first_idx"),
-        )
+    # Winner selection (optimization r16, guide §2.3/§5): min over a
+    # STRUCT is a DeclarativeAggregate with an immutable buffer, which
+    # HashAggregateExec cannot hold — Spark silently planned this as
+    # SortAggregate, i.e. a full sort of the corpus-sized span frame
+    # on both sides of the exchange. Packing the (id, span_idx) winner
+    # into ONE BIGINT (id in the high bits, idx in the low
+    # _SPAN_IDX_BITS) keeps the identical lexicographic order for
+    # non-negative in-range values, and min(BIGINT) hash-aggregates
+    # with map-side partials (plan: SortAggregate → HashAggregate,
+    # sorts gone). Out-of-range rows fail loud (the dedup_keep_best /
+    # budget-selection guard idiom) instead of silently mis-ranking;
+    # non-integral id types keep the struct path unchanged.
+    id_type = df.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
+    if integral:
+        idx_bits = _SPAN_IDX_BITS
+        max_id = 1 << (62 - idx_bits)  # packed stays within int64
+        packable = (
+            (F.col("span_idx") >= 0)
+            & (F.col("span_idx") < (1 << idx_bits))
+            & (F.col(id_col) >= 0)
+            & (F.col(id_col) < max_id)
+        )
+        packed = F.when(
+            packable,
+            F.col(id_col).cast("long") * F.lit(1 << idx_bits).cast("long")
+            + F.col("span_idx").cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "span_dedup: (id, span_idx) outside the packable "
+                        f"range (need 0 <= id < {1 << (62 - idx_bits)} and "
+                        f"0 <= span_idx < {1 << idx_bits}, got id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(", span_idx="),
+                    F.col("span_idx").cast("string"),
+                    F.lit(") — NULL/negative ids are a contract violation"),
+                )
+            ).cast("long")
+        )
+        firsts = (
+            spans.groupBy("span_text")
+            .agg(F.min(packed).alias("__w"))
+            .select(
+                "span_text",
+                F.shiftright(F.col("__w"), idx_bits)
+                .cast(id_type)
+                .alias("__first_id"),
+                F.col("__w")
+                .bitwiseAND(F.lit((1 << idx_bits) - 1))
+                .cast("int")
+                .alias("__first_idx"),
+            )
+        )
+    else:
+        firsts = (
+            spans.groupBy("span_text")
+            .agg(F.min(F.struct(id_col, "span_idx")).alias("w"))
+            .select(
+                "span_text",
+                F.col(f"w.{id_col}").alias("__first_id"),
+                F.col("w.span_idx").alias("__first_idx"),
+            )
+        )
     flagged = spans.join(firsts, "span_text").withColumn(
         "kept",
         (F.col(id_col) == F.col("__first_id"))

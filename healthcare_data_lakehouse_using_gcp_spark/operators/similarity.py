@@ -218,6 +218,45 @@ def cosine_similarity_col(a, b):
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+# --- per-row norm precomputation (optimization r16, guide §1.2) -----
+#
+# cosine_similarity_col recomputes BOTH operand norms per scored pair,
+# so a corpus row scored against q queries (or against every
+# same-bucket candidate in a pair join) pays its own norm q times.
+# Callers precompute vector_norm_col ONCE per row on each side before
+# the pair-producing join and score with cosine_with_norms — the same
+# doubles flow through the same fold in the same order, so values are
+# bit-identical to cosine_similarity_col (the oracle hash is the
+# equivalence proof for every restructured entry).
+#
+# NOT done (measured and rejected this round): unrolling the fold to
+# dim static multiply-adds. Spark's codegen for a 64-deep Add chain of
+# nullable operands nests null-check blocks 64 deep; Janino fails to
+# compile it in Generate/BroadcastNestedLoopJoin consume contexts
+# (ERROR CodeGenerator, multi-MiB task binaries), Spark falls back to
+# INTERPRETED evaluation of the giant tree, and the bloated plans drove
+# the LSH entries' broadcast build over driver memory. The HOF fold is
+# interpreted too, but its plan is tiny and its cost is pure per-row
+# CPU that scales embarrassingly.
+
+
+def vector_norm_col(vec_col):
+    """L2 norm of an embedding column over double-cast elements, for
+    precomputing ONCE per row before a pair join. Identical
+    expression to the norm factor inside cosine_similarity_col."""
+    return _norm(F.transform(vec_col, lambda x: x.cast("double")))
+
+
+def cosine_with_norms(a, b, a_norm, b_norm):
+    """cosine_similarity_col with precomputed per-side norms
+    (vector_norm_col). Bit-identical: same element casts, same fold
+    order, and a_norm * b_norm multiplies the same two doubles the
+    all-in-one form multiplies."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (a_norm * b_norm)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,37 +269,40 @@ def brute_force_topk(
 
     Returns (query_id, vec_id, cosine, rank). Ties break on vec_id
     for determinism.
-    """
+
+    Optimization r16 (guide §2.3/§2.4): each side's norm is computed
+    ONCE PER ROW before the pair join (previously once per scored
+    pair — q× redundant work on the corpus side), and the manual
+    two-phase rank was dropped: Spark 3.5+ plans a rank-filter window
+    as WindowGroupLimit, which already prunes each map partition to
+    its local top-k BEFORE the exchange (verified in the plan:
+    Sort + WindowGroupLimit below Exchange), so the final per-query
+    window sees at most |partitions| × k rows per query — the same
+    bound the manual (query_id, spark_partition_id) pre-rank enforced,
+    minus that variant's extra full exchange of the scored set."""
     from .dedup import ensure_parallelism
 
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        vector_norm_col(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = ensure_parallelism(corpus).join(F.broadcast(q)).select(
-        query_id_col,
+    c = ensure_parallelism(corpus).select(
         id_col,
-        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
-        F.spark_partition_id().alias("__pid"),
+        vec_col,
+        vector_norm_col(F.col(vec_col)).alias("__cnorm"),
     )
+    cos = cosine_with_norms(
+        F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+    )
+    scored = c.join(F.broadcast(q)).select(query_id_col, id_col, cos.alias("cosine"))
     from pyspark.sql import Window
 
-    # Balanced two-phase reduction: a window over ONLY (query_id) would
-    # shuffle the full |queries| x |corpus| score set into |queries|
-    # reducers — a handful of monster tasks at scale. Instead rank
-    # locally per (query_id, input partition) first, under the SAME
-    # total order (cosine desc, id asc), and keep k rows per partition:
-    # the global top-k is provably inside that prefix, so the final
-    # per-query rank sees at most |partitions| * k rows per query.
-    order = [F.col("cosine").desc(), F.col(id_col).asc()]
-    w_local = Window.partitionBy(query_id_col, "__pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("__local_rank", F.row_number().over(w_local))
-        .filter(F.col("__local_rank") <= k)
-        .drop("__pid", "__local_rank")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
     )
-    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        pruned.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -311,38 +353,50 @@ def lsh_topk(
     from .dedup import ensure_parallelism
 
     def with_buckets(df: DataFrame, keep_cols: list[str]) -> DataFrame:
-        df = ensure_parallelism(df)
+        # norm precomputed ONCE per input row, BEFORE the per-table
+        # bucket explode — the scoring stage then never recomputes
+        # norms per candidate pair (optimization r16, guide §1.2)
+        df = ensure_parallelism(df).withColumn(
+            "__vnorm", vector_norm_col(F.col(vec_col))
+        )
         return df.select(
             *keep_cols,
+            "__vnorm",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(t).alias("table_id"),
-                            lsh_signature_col(F.col(vec_col), tables[t]).alias("bucket"),
+                            lsh_signature_col(F.col(vec_col), tables[t]).alias(
+                                "bucket"
+                            ),
                         )
                         for t in range(num_tables)
                     ]
                 )
             ).alias("tb"),
-        ).select(*keep_cols, "tb.table_id", "tb.bucket")
+        ).select(*keep_cols, "__vnorm", "tb.table_id", "tb.bucket")
 
-    cb = with_buckets(corpus, [id_col, vec_col])
+    cb = with_buckets(corpus, [id_col, vec_col]).withColumnRenamed(
+        "__vnorm", "__cnorm"
+    )
     qb = with_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumnRenamed(
             "__qvec", vec_col
         ),
         [query_id_col, vec_col],
-    ).withColumnRenamed(vec_col, "__qvec")
+    ).withColumnRenamed(vec_col, "__qvec").withColumnRenamed("__vnorm", "__qnorm")
     cands = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
-        .select(query_id_col, id_col, vec_col, "__qvec")
+        .select(query_id_col, id_col, vec_col, "__qvec", "__cnorm", "__qnorm")
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cands.select(
         query_id_col,
         id_col,
-        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine_with_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+        ).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -1396,10 +1450,23 @@ def ivf_search(
         F.col(vec_col).alias("__qvec"),
         F.explode(_probe(F.col(vec_col))).alias("cid"),
     )
-    cands = indexed.join(F.broadcast(q), "cid").select(
-        query_id_col,
-        id_col,
-        cosine_similarity_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    # Optimization r16 (guide §1.2): precompute each side's norm ONCE
+    # per row before the join — an index row probed by q queries
+    # previously recomputed its own norm q times inside the all-in-one
+    # cosine. Query norms ride the (tiny) broadcast. Bit-identical
+    # values (cosine_with_norms).
+    qn = q.withColumn("__qnorm", vector_norm_col(F.col("__qvec")))
+    cands = (
+        indexed.withColumn("__vnorm", vector_norm_col(F.col(vec_col)))
+        .join(F.broadcast(qn), "cid")
+        .select(
+            query_id_col,
+            id_col,
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qvec"),
+                F.col("__vnorm"), F.col("__qnorm"),
+            ).alias("cosine"),
+        )
     )
     from pyspark.sql import Window
 
@@ -1444,12 +1511,23 @@ def embedding_near_dup_exact(
     verification samples, and recall measurement."""
     from .dedup import ensure_parallelism
 
-    base = ensure_parallelism(df.select(id_col, vec_col))
-    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
-    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    # Optimization r16 (guide §1.2): precompute each row's norm ONCE
+    # before the self-join — the all-in-one cosine recomputed both
+    # norms per PAIR, i.e. n-1 times per row. Values are bit-identical
+    # (same casts, same fold order; cosine_with_norms).
+    base = ensure_parallelism(df.select(id_col, vec_col)).withColumn(
+        "__nrm", vector_norm_col(F.col(vec_col))
+    )
+    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va", "__nrm": "__na"})
+    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb", "__nrm": "__nb"})
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1471,21 +1549,27 @@ def embedding_near_dup_pairs(
     first = df.select(F.size(vec_col)).first()
     dim = first[0]
     tables = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    # Optimization r16 (guide §1.2): one norm per row computed BEFORE
+    # the bucket explode/self-join — bit-identical values, see
+    # cosine_with_norms
     b = ensure_parallelism(df).select(
         id_col,
         vec_col,
+        vector_norm_col(F.col(vec_col)).alias("__nrm"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        lsh_signature_col(F.col(vec_col), tables[t]).alias("bucket"),
+                        lsh_signature_col(F.col(vec_col), tables[t]).alias(
+                            "bucket"
+                        ),
                     )
                     for t in range(num_tables)
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    ).select(id_col, vec_col, "__nrm", "tb.table_id", "tb.bucket")
     # persist: both sides of the self-join read this subtree
     b = b.persist()
     l, r = b.alias("l"), b.alias("r")
@@ -1501,11 +1585,18 @@ def embedding_near_dup_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             F.col(f"l.{vec_col}").alias("va"),
             F.col(f"r.{vec_col}").alias("vb"),
+            F.col("l.__nrm").alias("__na"),
+            F.col("r.__nrm").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        cand.withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1590,8 +1681,20 @@ def decontaminate_semantic(
     b = benchmark.select(
         F.col(id_col).alias("__bench_id"), F.col(vec_col).alias("__bench_vec")
     )
+    # Optimization r16 (guide §1.2): per-ROW precomputed norms — one
+    # norm per side per row instead of per candidate pair;
+    # bit-identical values (cosine_with_norms). The probe row is the
+    # same single-row driver job the LSH branch always ran; it now
+    # runs once for both purposes.
+    first = train.select(F.size(vec_col)).first()
+    t = t.withColumn("__tnorm", vector_norm_col(F.col(vec_col)))
+    b = b.withColumn("__bnorm", vector_norm_col(F.col("__bench_vec")))
     cos = round_det(
-        cosine_similarity_col(F.col(vec_col), F.col("__bench_vec")), 4
+        cosine_with_norms(
+            F.col(vec_col), F.col("__bench_vec"),
+            F.col("__tnorm"), F.col("__bnorm"),
+        ),
+        4,
     )
 
     def _exact_pairs() -> DataFrame:
@@ -1602,7 +1705,6 @@ def decontaminate_semantic(
             .select(id_col, "__bench_id", "__cos")
         )
 
-    first = train.select(F.size(vec_col)).first()
     if method == "exact" or first is None:
         # empty train side: no hyperplane dimension to derive, and the
         # exact path returns the correct empty frame without a single
@@ -1626,23 +1728,27 @@ def decontaminate_semantic(
         ]
 
         def _bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+            # carry the precomputed per-row norm columns (if present)
+            # through the bucket explode for the scoring stage
+            extra = [c for c in df.columns if c not in (idc, vc)]
             return df.select(
                 idc,
                 vc,
+                *extra,
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(ti).alias("table_id"),
-                                lsh_signature_col(F.col(vc), tables[ti]).alias(
-                                    "bucket"
-                                ),
+                                lsh_signature_col(
+                                    F.col(vc), tables[ti]
+                                ).alias("bucket"),
                             )
                             for ti in range(num_tables)
                         ]
                     )
                 ).alias("tb"),
-            ).select(idc, vc, "tb.table_id", "tb.bucket")
+            ).select(idc, vc, *extra, "tb.table_id", "tb.bucket")
 
         cand = (
             _bucketed(t, id_col, vec_col)
@@ -1713,13 +1819,24 @@ def semantic_dedup(
     indexed, _ = build_ivf_index(
         df, id_col, vec_col, n_centroids=n_centroids, seed=seed
     )
-    base = indexed.select(F.col(id_col), F.col(vec_col), "cid").persist()
-    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
-    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    # Optimization r16: norms once per row (cached with the base
+    # frame, so the persisted rows carry it) — one norm per row, not
+    # per within-cluster pair; bit-identical values (cosine_with_norms)
+    base = indexed.select(
+        F.col(id_col), F.col(vec_col), "cid",
+        vector_norm_col(F.col(vec_col)).alias("__nrm"),
+    ).persist()
+    l = base.withColumnsRenamed({id_col: "id_a", vec_col: "va", "__nrm": "__na"})
+    r = base.withColumnsRenamed({id_col: "id_b", vec_col: "vb", "__nrm": "__nb"})
     dup_pairs = (
         l.join(r, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     return resolve_semantic_keep(base.select(id_col, "cid"), dup_pairs, id_col)

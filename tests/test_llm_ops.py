@@ -115,11 +115,15 @@ def test_brute_force_topk(spark):
     out = out_df.collect()
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 10]
     assert out[0]["cosine"] == pytest.approx(1.0)
-    # balanced reduction: the full score set shuffles on
-    # (query_id, input partition), not into |queries| reducers; only
-    # the per-partition top-k prefix reaches the final query_id rank
+    # balanced reduction (optimization r16): Spark plans the
+    # rank-filter window as WindowGroupLimit with a Partial mode pass
+    # below the exchange, pruning each map partition to its local
+    # top-k BEFORE the shuffle — the same bound the old manual
+    # (query_id, spark_partition_id) pre-rank enforced, without that
+    # variant's extra full exchange of the scored set
     plan = out_df._jdf.queryExecution().executedPlan().toString()
-    assert "__pid" in plan and "hashpartitioning" in plan
+    assert "WindowGroupLimit" in plan and "hashpartitioning" in plan
+    assert "Partial" in plan
 
 
 def test_lsh_topk_recall(spark):
