@@ -1978,7 +1978,12 @@ def j1_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-locates only date-adjacent rows — the scale path for the band
     family's super-linear pair fan-out. SAME oracle as j1_band_join:
     a green driver row IS the equivalence proof that bucketing
-    changes the plan, not the answer."""
+    changes the plan, not the answer.
+
+    Optimization r16 (guide §1.2): check_unique_left=False — the
+    guard the operator documents as skippable for a primary-keyed
+    left side (o_orderkey IS the orders primary key) ran a full
+    count-aggregation job over orders inside the timed query."""
     from .operators.joins import band_join_bucketed
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -1993,6 +1998,7 @@ def j1_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_date="l_shipdate",
         band_days=30,
         how="left",
+        check_unique_left=False,
     ).select("o_orderkey", "o_orderdate", "l_linenumber", "l_shipdate", "l_quantity")
 
 
@@ -2092,9 +2098,15 @@ def j3_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_asof_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 via hash-aggregation (operators/joins.asof_select_min_by):
     the same as-of rank-1 result as j3_asof_nearest WITHOUT the window
-    sort — lexicographic struct-MIN with the linenumber tie-break.
-    (DuckDB oracle: arg_min on an order-equivalent composite key;
-    linenumber < 8 so dist*8+linenumber ≡ (dist, linenumber).)"""
+    sort. (DuckDB oracle: arg_min on an order-equivalent composite
+    key; linenumber < 8 so dist*8+linenumber ≡ (dist, linenumber).)
+
+    Optimization r16 (guide §2.3/§5): tie_bits=(3,) switches the
+    operator to its packed min_by form — the struct-MIN buffer forced
+    a silent SortAggregate (full sort both sides of the exchange);
+    the packed BIGINT key is the SAME dist*8+linenumber composite the
+    oracle has always ranked on, now hash-aggregated with map-side
+    partials. Out-of-range linenumbers would fail loud."""
     from .operators.joins import asof_select_min_by
 
     o = _t(spark, sf_dir, "orders").alias("o")
@@ -2119,6 +2131,7 @@ def j3_asof_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_shipdate",
         ["nearest_shipdate", "nearest_linenumber", "days_diff"],
         tie_breakers=["nearest_linenumber"],
+        tie_bits=(3,),
     )
 
 

@@ -170,7 +170,17 @@ def band_join_bucketed(
                 "left rows without a band match; dedupe the left side or use "
                 "plain band_join."
             )
-    matched_keys = inner.select(*[F.col(k) for k in on]).distinct()
+    # Matched-key derivation (optimization r16, guide §2.3/§2.4): a
+    # LEFT SEMI join instead of the inner join's pair fan-out — the
+    # semi emits each surviving left COPY once (≤3 rows/key from the
+    # bucket explode) rather than one row per matched pair, and the
+    # downstream LEFT ANTI is an existence check, so the old
+    # .distinct() (one full Exchange + two HashAggregates in the plan)
+    # is dropped outright: anti-join semantics are identical against a
+    # duplicated key set.
+    matched_keys = lx.join(rx, cond & band, "left_semi").select(
+        *[F.col(k) for k in on]
+    )
     unmatched = left.join(matched_keys, list(on), "left_anti")
     for c in right.columns:
         if c not in on:
@@ -402,21 +412,66 @@ def asof_select_min_by(
     right_date: str,
     value_cols: Sequence[str],
     tie_breakers: Sequence[str] = (),
+    tie_bits: Sequence[int] | None = None,
 ) -> DataFrame:
-    """Aggregation-based as-of: lexicographic MIN over a
-    (|datediff|, *tie_breakers, values...) struct per group — ONE
-    hash-agg with map-side partial aggregation instead of the window's
-    full sort (the rank-1 emulation of
-    fact_patient_encounters.sql:107-110,173-186).
+    """Aggregation-based as-of: the rank-1 row per group WITHOUT the
+    window's full sort (the rank-1 emulation of
+    fact_patient_encounters.sql:107-110,173-186) — ONE aggregate with
+    map-side partial aggregation.
 
     With unique ``tie_breakers`` this selects exactly the window
-    variant's rank-1 row (struct comparison is field-lexicographic in
-    both Spark and standard SQL engines); without them, ties resolve
-    arbitrarily — same nondeterminism the reference's bare ORDER BY
-    has. All value columns ride in the struct, so ONE aggregate
-    replaces N min_by calls and the row never re-joins its source.
+    variant's rank-1 row; without them, ties resolve arbitrarily —
+    same nondeterminism the reference's bare ORDER BY has.
+
+    Two physical forms (optimization r16, guide §2.3/§5 — the
+    span_dedup packed-winner lesson): the default lexicographic
+    MIN(struct(dist, ties, values...)) has an immutable struct buffer
+    that HashAggregateExec cannot hold, so Spark silently plans a
+    SortAggregate — a full sort of the joined frame on BOTH sides of
+    the exchange. Passing ``tie_bits`` (low-bit widths for each tie
+    breaker, all integral and provably in-range) packs (dist, *ties)
+    into ONE order-isomorphic BIGINT and aggregates
+    min_by(value, packed) per value column — all-primitive buffers,
+    one codegen HashAggregate, sorts gone. Out-of-range or NULL
+    dist/tie values fail loud per row rather than silently mis-rank
+    (rows whose dist is legitimately NULL — left-join misses — belong
+    to the struct path, which orders them last).
     """
     dist = F.abs(F.datediff(F.to_date(F.col(left_date)), F.to_date(F.col(right_date))))
+    if tie_bits is not None:
+        if len(tie_bits) != len(tie_breakers):
+            raise ValueError(
+                "asof_select_min_by: tie_bits must give one bit-width per "
+                f"tie breaker (got {len(tie_bits)} widths for "
+                f"{len(tie_breakers)} tie breakers)"
+            )
+        total_tb = int(sum(tie_bits))
+        max_dist = 1 << (62 - total_tb)  # packed stays within int64
+        packable = dist.isNotNull() & (dist >= 0) & (dist < max_dist)
+        packed = dist.cast("long")
+        for tb, bits in zip(tie_breakers, tie_bits):
+            c = F.col(tb).cast("long")
+            packable = packable & c.isNotNull() & (c >= 0) & (c < (1 << bits))
+            packed = packed * F.lit(1 << int(bits)).cast("long") + c
+        guarded = F.when(packable, packed).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "asof_select_min_by: (dist, tie_breakers) outside "
+                        f"the packable range (need 0 <= dist < {max_dist} "
+                        f"and each tie breaker within its tie_bits width "
+                        f"{list(tie_bits)}, NULL-free) — use the struct "
+                        "path (tie_bits=None) for unbounded or nullable "
+                        "orderings; got dist="
+                    ),
+                    dist.cast("string"),
+                )
+            ).cast("long")
+        )
+        keyed = df.select(*df.columns, guarded.alias("__pk"))
+        return keyed.groupBy(*partition_cols).agg(
+            *[F.min_by(F.col(c), F.col("__pk")).alias(c) for c in value_cols]
+        )
     packed = F.struct(
         dist.alias("__dist"),
         *[F.col(t).alias(f"__tb_{i}") for i, t in enumerate(tie_breakers)],

@@ -505,8 +505,20 @@ def build_ivf_index(
 def save_ivf_index(indexed: DataFrame, centroids_df: DataFrame, path: str) -> None:
     """Persist an IVF index: vectors partitioned BY inverted list
     (probing then prunes whole directories at scan time) + the tiny
-    centroid table."""
-    indexed.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/vectors")
+    centroid table.
+
+    Optimization r16 (guide §6): REBALANCE by cid before the
+    partitionBy write. The index frame arrives round-robin/hash
+    partitioned, so every write task held rows of every cid and the
+    layout came out as ~(tasks × lists) near-empty files — slow to
+    write, slow to list, slow to open at serving time. The AQE
+    rebalance clusters each list's rows into whole output files while
+    still SPLITTING any oversized hot list across several tasks
+    (plain repartition("cid") would bottleneck a skewed list on one
+    writer)."""
+    indexed.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
     centroids_df.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -530,8 +542,14 @@ def save_ivf_pq_index(
     the PQ codebooks (flattened to one parquet row per (sub, code)
     codeword — engine-readable, no pickle). With this on disk a query
     session touches codes + two tiny tables only; full vectors stay
-    wherever the rerank stage fetches them from."""
-    pq_index.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
+    wherever the rerank stage fetches them from.
+
+    Same r16 rebalance-by-cid as save_ivf_index (guide §6): without
+    it every write task emits a sliver of every list and the codes
+    directory degenerates to (tasks × lists) tiny files."""
+    pq_index.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
     centroids_df.write.mode("overwrite").parquet(f"{path}/centroids")
     import numpy as np
 
@@ -1588,8 +1606,18 @@ def embedding_near_dup_pairs(
             F.col("l.__nrm").alias("__na"),
             F.col("r.__nrm").alias("__nb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Optimization r16 (guide §2.3/§5): dedupe candidate pairs AFTER
+    # scoring, on (id_a, id_b, cosine) only. The old
+    # dropDuplicates BEFORE scoring carried both embedding arrays
+    # through the aggregate — an immutable-buffer first(array) that
+    # Spark silently planned as SortAggregate, sorting the full
+    # vector payloads on both sides of the exchange. Cosine is a
+    # deterministic function of the pair, so every duplicate bucket
+    # hit scores identically and distinct() over three primitive
+    # columns (a codegen HashAggregate) returns the same rows; the
+    # recomputed dot product on multi-bucket pairs is bounded by
+    # num_tables and is far cheaper than sorting vectors.
     return (
         cand.withColumn(
             "cosine",
@@ -1599,6 +1627,7 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 
@@ -1754,12 +1783,19 @@ def decontaminate_semantic(
             _bucketed(t, id_col, vec_col)
             .join(F.broadcast(_bucketed(b, "__bench_id", "__bench_vec")),
                   ["table_id", "bucket"])
-            .dropDuplicates([id_col, "__bench_id"])
         )
+        # Optimization r16 (guide §2.3/§5): dedupe AFTER scoring on
+        # (id, bench_id, cos) — the pre-scoring dropDuplicates
+        # carried both embedding arrays through a first(array)
+        # SortAggregate (full sort of the candidate payloads).
+        # Cosine is deterministic per pair, so distinct() over three
+        # primitive columns (codegen HashAggregate) yields identical
+        # rows; multi-bucket pairs re-score at most num_tables times.
         pairs = (
             cand.withColumn("__cos", cos)
             .filter(F.col("__cos") >= threshold)
             .select(id_col, "__bench_id", "__cos")
+            .distinct()
         )
         if method == "checked":
             residual = _exact_pairs().join(
