@@ -36,23 +36,55 @@ def tokenize_col(text_col):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def build_term_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Inverted postings frame: (term, id, tf, dl). One explode +
-    one hash aggregation; dl (document length) rides along via a
-    per-row size() so no second pass is needed."""
+def _token_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, dl): one row per non-empty token OCCURRENCE, with
+    the document length riding along — the shared explode stage under
+    build_term_index and the query-scoped scoring paths."""
     from .dedup import ensure_parallelism
 
     words = ensure_parallelism(
         docs.select(F.col(id_col), tokenize_col(text_col).alias("__words")),
         partition_by=id_col,
     )
-    toks = words.select(
+    return words.select(
         F.col(id_col),
         F.explode("__words").alias("term"),
         F.size("__words").alias("dl"),
     ).filter(F.col("term") != "")
+
+
+def _corpus_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    r"""1-row (n_docs, avgdl) over documents with ≥1 non-empty token —
+    WITHOUT building postings (optimization r16, guide §2.3/§2.4):
+    the full-vocabulary index previously aggregated (and cached) every
+    (doc, term) pair just so stats could re-aggregate it back down to
+    one row. One narrow projection over the text column replaces the
+    explode + two aggregations; no token row ever exists. Equivalence:
+    a text has a non-empty token iff it contains a non-whitespace
+    character — trim strips ASCII spaces only, so a tab-only text must
+    NOT count and rlike(\S) (not trim != '') matches the tokenizer
+    exactly; dl counts whitespace RUNS + 1, which equals
+    size(split(...)) even when untrimmed tabs/newlines leave boundary
+    empty tokens.
+    """
+    trimmed = F.trim(F.col(text_col))
+    return (
+        docs.filter(F.col(text_col).rlike(r"\S"))
+        .select((F.regexp_count(trimmed, F.lit(r"\s+")) + F.lit(1)).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+
+
+def build_term_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted postings frame: (term, id, tf, dl). One explode +
+    one hash aggregation; dl (document length) rides along via a
+    per-row size() so no second pass is needed."""
+    toks = _token_rows(docs, text_col, id_col)
     return toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.first("dl").cast("double").alias("dl"),
@@ -75,23 +107,40 @@ def bm25_scores(
 
     Pass a prebuilt ``index`` (build_term_index output, persisted/
     bucketed by term) to skip re-tokenizing the corpus per query.
-    When none is given, the index is built and persisted here — the
-    scoring plan needs it three times (postings, document
-    frequencies, corpus stats), and without the persist each branch
-    would re-scan and re-tokenize the corpus. Persist lifetime is
+
+    Without an index (optimization r16, guide §2.3): scoring needs
+    only the QUERY terms' postings plus the 1-row corpus stats, so
+    the query-term filter now runs BEFORE the (doc, term) aggregation
+    — the full-vocabulary hash-agg (and its corpus-sized cache, which
+    existed only so stats/df could re-read it) is gone. Postings for
+    a handful of terms are tiny; they are persisted because the plan
+    reads them twice (document frequencies + scoring). Corpus stats
+    come from a second, narrow pass over the text column that never
+    explodes a token (_corpus_stats). Persist lifetime is
     caller-managed, like minhash's occurrence frame.
     """
-    idx = index if index is not None else build_term_index(docs, text_col, id_col).persist()
-    stats = idx.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    if index is not None:
+        stats = index.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        postings = index.filter(F.col("term").isin(list(query_terms)))
+    else:
+        stats = _corpus_stats(docs, text_col, id_col)
+        postings = (
+            _token_rows(docs, text_col, id_col)
+            .filter(F.col("term").isin(list(query_terms)))
+            .groupBy(id_col, "term")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.first("dl").cast("double").alias("dl"),
+            )
+            .persist()
+        )
     df_t = (
-        idx.filter(F.col("term").isin(list(query_terms)))
-        .groupBy("term")
+        postings.groupBy("term")
         .agg(F.countDistinct(id_col).cast("double").alias("df"))
     )
-    postings = idx.filter(F.col("term").isin(list(query_terms)))
     scored = (
         postings.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
@@ -249,27 +298,45 @@ def ql_scores(
     are a |q|-row broadcast, the 1-row collection length rides in via
     a broadcast crossJoin, and the only shuffle is the candidate
     groupBy(id).
+
+    Without an index (optimization r16, guide §2.3, the bm25_scores
+    restructure): the query-term filter runs on raw token occurrences
+    BEFORE any aggregation — no full-vocabulary hash-agg, no
+    corpus-sized cache. The matched occurrences (a few terms' worth)
+    persist because postings/cf/cand all derive from them; the
+    collection length is one narrow no-explode pass — Σ tf over all
+    postings is exactly the corpus's non-whitespace-run count.
     """
-    idx = (
-        index
-        if index is not None
-        else build_term_index(docs, text_col, id_col).persist()
-    )
     terms = list(query_terms)
-    coll = idx.agg(F.sum("tf").cast("double").alias("coll_len"))
-    cf = (
-        idx.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.sum("tf").cast("double").alias("cf"))
-    )
-    cand = (
-        idx.filter(F.col("term").isin(terms))
-        .groupBy(id_col)
-        .agg(F.first("dl").cast("double").alias("dl"))
-    )
-    postings = idx.filter(F.col("term").isin(terms)).select(
-        id_col, "term", "tf"
-    )
+    if index is not None:
+        idx = index
+        coll = idx.agg(F.sum("tf").cast("double").alias("coll_len"))
+        matched = idx.filter(F.col("term").isin(terms))
+        cf = matched.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+        cand = matched.groupBy(id_col).agg(
+            F.first("dl").cast("double").alias("dl")
+        )
+        postings = matched.select(id_col, "term", "tf")
+    else:
+        coll = docs.agg(
+            F.sum(F.regexp_count(F.col(text_col), F.lit(r"\S+")))
+            .cast("double")
+            .alias("coll_len")
+        )
+        matched = (
+            _token_rows(docs, text_col, id_col)
+            .filter(F.col("term").isin(terms))
+            .persist()
+        )
+        cf = matched.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("cf")
+        )
+        cand = matched.groupBy(id_col).agg(
+            F.first("dl").cast("double").alias("dl")
+        )
+        postings = matched.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
     scored = (
         cand.crossJoin(F.broadcast(cf))
         .crossJoin(F.broadcast(coll))
