@@ -660,6 +660,7 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    right_tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Classic backward as-of join (the pandas merge_asof / kdb aj /
     DuckDB ASOF JOIN convention): for each left row, the LATEST right
@@ -680,13 +681,28 @@ def asof_join_backward(
     when history is dense or the nearest match is far back. This is
     the sort-merge as-of shape that stays linear regardless of how
     many right rows precede each left row.
+
+    ``right_tie_cols`` (optimization r16, guide §2.4): extra RIGHT-
+    side columns appended to the window order AFTER (ts, side), so
+    duplicate right rows at one (key, ts) resolve to the HIGHEST tie
+    value's row inside the same sort the as-of already pays — callers
+    that pre-deduplicated with a groupBy(key, ts)/max_by aggregation
+    (one extra full exchange of the right side) get the identical
+    winner for free. Left rows carry NULLs there (ties only reorder
+    rows within one (ts, side) class, and left rows never feed the
+    forward fill).
     """
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    ties = list(right_tie_cols)
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[t].dataType).alias(f"__tie_{i}")
+            for i, t in enumerate(ties)
+        ],
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in value_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
@@ -695,13 +711,18 @@ def asof_join_backward(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *[F.col(t).alias(f"__tie_{i}") for i, t in enumerate(ties)],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
         F.col(right_ts).alias("asof_ts"),
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(
+            F.col("__ts"),
+            F.col("__side"),
+            *[F.col(f"__tie_{i}") for i in range(len(ties))],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(

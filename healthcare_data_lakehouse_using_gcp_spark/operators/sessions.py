@@ -241,12 +241,13 @@ def attribution_last_touch(
     labeled ``unattributed_label``. Output is one row per channel
     with the conversion count and its share of all conversions.
 
-    Touches are pre-deduplicated per (user, ts) keeping the
-    max-``id_col`` row, so the as-of ordering is total and the
-    credited channel is deterministic under timestamp ties. Latest
-    touch OVERALL then horizon-filtered ≡ latest touch within the
-    horizon (any other touch is older still). The share divides two
-    exact BIGINTs.
+    Touch ties per (user, ts) resolve to the max-``id_col`` row —
+    since r16 via the as-of window's own tie order (right_tie_cols)
+    rather than a separate max_by pre-aggregation — so the as-of
+    ordering is total and the credited channel is deterministic under
+    timestamp ties. Latest touch OVERALL then horizon-filtered ≡
+    latest touch within the horizon (any other touch is older still).
+    The share divides two exact BIGINTs.
 
     Scale design (100 TB): the as-of runs as
     ``joins.asof_join_backward``'s union + single keyed window pass —
@@ -270,16 +271,25 @@ def attribution_last_touch(
     conv = events.filter(F.col(type_col) == conversion_type).select(
         user_col, ts_col
     )
-    touch = (
-        events.filter(
-            F.col(type_col).isin(list(touch_types))
-            & F.col(user_col).isNotNull()
-        )
-        .groupBy(user_col, ts_col)
-        .agg(F.max_by(type_col, id_col).alias("channel"))
+    # Optimization r16 (guide §2.4): the (user, ts) max_by pre-dedup
+    # was a full extra exchange of the touch side; the as-of window
+    # already sorts per user, so ordering its ties by id_col makes the
+    # forward fill pick the max-id touch at each (user, ts) — the
+    # identical winner, one exchange earlier. (Docstring contract
+    # unchanged: ties still credit deterministically by max id.)
+    touch = events.filter(
+        F.col(type_col).isin(list(touch_types)) & F.col(user_col).isNotNull()
+    ).select(
+        user_col, ts_col, F.col(type_col).alias("channel"), F.col(id_col)
     )
     j = asof_join_backward(
-        conv, touch, [user_col], ts_col, ts_col, ["channel"]
+        conv,
+        touch,
+        [user_col],
+        ts_col,
+        ts_col,
+        ["channel"],
+        right_tie_cols=[id_col],
     )
     in_horizon = F.col("asof_ts").isNotNull() & (
         F.col("asof_ts")
