@@ -1035,22 +1035,30 @@ def curate_corpus(
     ).filter(
         (F.col("quality_score") >= min_quality) & (F.col("predicted_lang") == lang)
     )
-    # canonical (min-id) row per text in ONE hash-shuffle: lexicographic
-    # struct-MIN with the id leading — no groupBy + semi-join round trip
-    packed = F.struct(
-        F.col(id_col).alias(id_col),
-        F.col("quality_score").alias("quality_score"),
-        F.col("en_stopword_ratio").alias("en_stopword_ratio"),
-        F.col("predicted_lang").alias("predicted_lang"),
-    )
+    # Canonical (min-id) row per text in ONE hash-shuffle — no
+    # groupBy + semi-join round trip. Optimization r16 (guide
+    # §2.3/§5): every signal column is a pure function of the text,
+    # i.e. CONSTANT within a text-group, so the old lexicographic
+    # struct-MIN (an immutable buffer Spark silently planned as
+    # SortAggregate, sorting the full text keys on both sides of the
+    # exchange) reduces to min(id) — a codegen HashAggregate with
+    # map-side partials — with the signals recomputed from the
+    # surviving group's text in the output projection. The exchange
+    # also narrows: (text, id) instead of (text, id, 3 signals).
+    ratio_out = stopword_ratio_col(F.col(text_col))
     return (
-        base.groupBy(text_col)
-        .agg(F.min(packed).alias("__r"))
+        base.select(text_col, id_col)
+        .groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
         .select(
-            F.col(f"__r.{id_col}").alias(id_col),
-            F.col("__r.quality_score").alias("quality_score"),
-            F.col("__r.en_stopword_ratio").alias("en_stopword_ratio"),
-            F.col("__r.predicted_lang").alias("predicted_lang"),
+            F.col(id_col),
+            round_det(quality_score_col(F.col(text_col)), 4).alias(
+                "quality_score"
+            ),
+            round_det(ratio_out, 4).alias("en_stopword_ratio"),
+            F.when(ratio_out > 0.05, F.lit("en"))
+            .otherwise(F.lit("unknown"))
+            .alias("predicted_lang"),
         )
     )
 

@@ -196,7 +196,8 @@ def make_sharded_rollup_sink(
         touched = sorted(
             r["__shard"] for r in delta.select("__shard").distinct().collect()
         )
-        for s in touched:
+
+        def _commit_shard(s: int) -> None:
             st = SnapshotTable(
                 batch_df.sparkSession, os.path.join(state_root, f"shard={s}")
             )
@@ -204,6 +205,23 @@ def make_sharded_rollup_sink(
             if st.latest_version() > 0:
                 d = merge_rollup_states(st.read(), d, keys)
             st.commit_overwrite(d, txn_id=f"rollup-batch-{batch_id}")
+
+        # Optimization r16 (guide §2.6): shard commits are independent
+        # jobs over disjoint directories — submit a few concurrently so
+        # the next shard's tasks back-fill executors idled by the
+        # current shard's merge/commit tail, instead of paying each
+        # shard's straggler serially. 2-3 in flight is the guide's
+        # sweet spot; exactly-once per shard is untouched (same txn
+        # token, same per-shard no-op on replay, any crash subset
+        # still converges).
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(touched) <= 1:
+            for s in touched:
+                _commit_shard(s)
+        else:
+            with ThreadPoolExecutor(max_workers=min(3, len(touched))) as pool:
+                list(pool.map(_commit_shard, touched))
 
     return _sink
 
