@@ -145,6 +145,17 @@ def band_join_bucketed(
     lx, rx, cond, band = _bucketed_candidates(
         left, right, on, left_date, right_date, band_days
     )
+    # Optimization r16 (guide §3.1): force sort-merge on the candidate
+    # joins. Both sides of a bucketed band join are fact-sized BY
+    # CONTRACT (the operator exists for the big×big regime; dims take
+    # plain band_join), but Catalyst's size estimate does not model
+    # the ×3 Generate fan-out, so under ~10 MB of pre-explode bytes it
+    # chose BroadcastHashJoin BuildLeft — a single-threaded hash build
+    # over 3×|left| rows (the r6 row-count-not-bytes lesson, and a
+    # driver/executor OOM at real scale). Measured on this box:
+    # sf0.1 1.36 s → 1.16 s, sf1 4.3 s → 2.1 s (min-of-3, one
+    # session, identical rows).
+    rx = rx.hint("merge")
     inner = lx.join(rx, cond & band, "inner")
     for k in on:
         inner = inner.drop(rx[k])
@@ -181,7 +192,10 @@ def band_join_bucketed(
     matched_keys = lx.join(rx, cond & band, "left_semi").select(
         *[F.col(k) for k in on]
     )
-    unmatched = left.join(matched_keys, list(on), "left_anti")
+    # merge hint again (§3.1): matched_keys approaches |left| rows on
+    # a well-matched fact side — broadcasting it into the anti join
+    # only looks cheap at toy scale.
+    unmatched = left.join(matched_keys.hint("merge"), list(on), "left_anti")
     for c in right.columns:
         if c not in on:
             unmatched = unmatched.withColumn(
