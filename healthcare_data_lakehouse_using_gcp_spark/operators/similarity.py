@@ -386,18 +386,24 @@ def lsh_topk(
         ),
         [query_id_col, vec_col],
     ).withColumnRenamed(vec_col, "__qvec").withColumnRenamed("__vnorm", "__qnorm")
-    cands = (
-        cb.join(F.broadcast(qb), ["table_id", "bucket"])
-        .select(query_id_col, id_col, vec_col, "__qvec", "__cnorm", "__qnorm")
-        .dropDuplicates([query_id_col, id_col])
+    cands = cb.join(F.broadcast(qb), ["table_id", "bucket"]).select(
+        query_id_col, id_col, vec_col, "__qvec", "__cnorm", "__qnorm"
     )
+    # Optimization r16 (guide §2.3/§5): dedupe multi-table bucket hits
+    # AFTER scoring, on (query, id, cosine) — the pre-scoring
+    # dropDuplicates carried both embedding arrays through a
+    # first(array) SortAggregate (full sort of the candidate
+    # payloads). Cosine is deterministic per pair, so distinct() over
+    # three primitive columns (codegen HashAggregate) keeps identical
+    # rows; pairs sharing several tables re-score at most num_tables
+    # times.
     scored = cands.select(
         query_id_col,
         id_col,
         cosine_with_norms(
             F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
         ).alias("cosine"),
-    )
+    ).distinct()
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
