@@ -33,20 +33,52 @@ def profile_table(
     approx: bool = False,
 ) -> DataFrame:
     """Per-column profile: (column_name, n_rows, n_nulls, n_distinct,
-    min_value, max_value), one row per profiled column."""
+    min_value, max_value), one row per profiled column.
+
+    Physical shape (optimization r16, guide §2.3/§5): min/max over a
+    STRING (or other non-fixed-width) column has an immutable
+    aggregation buffer that HashAggregateExec cannot hold, and the
+    exact-distinct rewrite gives the first aggregation level real
+    grouping keys (gid + distinct value over the Expand), so one
+    string min/max used to force the WHOLE pass into a SortAggregate
+    — a full local sort of the N×-expanded input on both sides of the
+    exchange. String min/max now run in a SEPARATE single-row GLOBAL
+    aggregate (no grouping keys → no Sort; SortAggregate is sort-free
+    and single-pass there) cross-joined back, so the expanded
+    distinct pass stays a codegen HashAggregate. Values are
+    byte-identical — the same aggregates over the same rows, only
+    grouped into two scans of the pruned column set instead of one
+    sorted pass."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
     cols = list(columns) if columns is not None else list(df.columns)
     distinct_fn = (
         (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
     )
+    hash_friendly = (NumericType, BooleanType, DateType, TimestampType, TimestampNTZType)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    str_aggs = []
     for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
             distinct_fn(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__mn_{c}"),
-            F.max(c).cast("string").alias(f"__mx_{c}"),
         ]
+        mn = F.min(c).cast("string").alias(f"__mn_{c}")
+        mx = F.max(c).cast("string").alias(f"__mx_{c}")
+        if isinstance(dtypes.get(c), hash_friendly):
+            aggs += [mn, mx]
+        else:
+            str_aggs += [mn, mx]
     row = df.agg(*aggs)
+    if str_aggs:
+        row = row.crossJoin(F.broadcast(df.agg(*str_aggs)))
     stack_args = ", ".join(
         f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
     )

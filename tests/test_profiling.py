@@ -40,6 +40,29 @@ def test_profile_column_subset(spark):
     assert [r["column_name"] for r in rows] == ["id"]
 
 
+def test_profile_exact_mode_never_sorts(spark):
+    # Optimization r16 (guide §2.3/§5): string min/max used to ride in
+    # the same aggregate as the exact-distinct Expand pass, whose
+    # grouping keys + the immutable string buffer forced a
+    # SortAggregate with a REAL Sort of the N×-expanded input. They
+    # now live in a separate global (grouping-key-free, hence
+    # sort-free) aggregate: the plan must carry a HashAggregate for
+    # the expanded distinct pass and no Sort node anywhere.
+    import re
+
+    plan = profile_table(_df(spark))._jdf.queryExecution().sparkPlan().toString()
+    assert "HashAggregate" in plan
+    assert not re.search(r"\bSort \[", plan), plan
+    # all-numeric profiles skip the second scan entirely
+    numeric_plan = (
+        profile_table(_df(spark), ["id", "v"])
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in numeric_plan, numeric_plan
+
+
 def test_partition_skew_detects_hot_partition(spark):
     from pyspark.sql import functions as F
 

@@ -62,8 +62,11 @@ def plan_stats(text: str) -> dict:
         # count operator headers like "* Sort (12)" / "Exchange (3)" /
         # "SortMergeJoin Inner (11)" / "BroadcastHashJoin LeftOuter
         # BuildRight (5)"; word-boundary so "SortMergeJoin" doesn't
-        # count as "Sort"
-        n = len(re.findall(rf"(?m)^\s*[*+-]*\s*{tok}\b[a-zA-Z ]*\(", text))
+        # count as "Sort". The tree prefix may contain ':' on the left
+        # branch of a binary node (":- HashAggregate (8)" /
+        # ":  +- Exchange (7)") — the r16 mid-sweep missed those and
+        # undercounted every operator nested under a join's left side.
+        n = len(re.findall(rf"(?m)^[\s:*+-]*\s{tok}\b[a-zA-Z ]*\(", text))
         if n:
             stats[tok] = n
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
