@@ -177,9 +177,15 @@ class HealthcareLakehouse:
                         ),
                     )
                 else:
-                    df.write.mode("append").partitionBy("event_date").parquet(
-                        zone
-                    )
+                    # rebalance by the partition column (optimization
+                    # r16, guide §6): otherwise each task writes a
+                    # sliver into every touched date directory and the
+                    # zone accumulates (tasks × dates) tiny files per
+                    # batch; AQE packs whole advisory-sized files per
+                    # date and still splits a hot date across writers
+                    df.hint("rebalance", "event_date").write.mode(
+                        "append"
+                    ).partitionBy("event_date").parquet(zone)
                 # Count THIS batch's routed rows (from the cached
                 # enriched frame), not the re-read table: the
                 # reference's Count.Globally metric is run-scoped

@@ -102,10 +102,20 @@ def write_zone_table(
     """S3: append write into a lakehouse zone (raw/processed/curated
     — terraform/main.tf:118-245's bucket/dataset split as parquet
     dirs). Declared-schema append matches WRITE_APPEND /
-    CREATE_IF_NEEDED (healthcare_etl_pipeline.py:306-307)."""
-    writer = df.write.mode(mode)
+    CREATE_IF_NEEDED (healthcare_etl_pipeline.py:306-307).
+
+    Optimization r16 (guide §6): REBALANCE by the partition columns
+    before a partitioned write — without it every upstream task holds
+    rows of every partition value and the layout degenerates to
+    (tasks × values) sliver files per append (the save_ivf_index
+    lesson). AQE clusters each value into whole advisory-sized files
+    while still splitting a hot value across writers; same rows,
+    same directories, fewer+larger files."""
     if partition_cols:
+        writer = df.hint("rebalance", *partition_cols).write.mode(mode)
         writer = writer.partitionBy(*partition_cols)
+    else:
+        writer = df.write.mode(mode)
     writer.parquet(os.path.join(warehouse, zone, table))
 
 

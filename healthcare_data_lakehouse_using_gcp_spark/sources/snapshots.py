@@ -448,6 +448,15 @@ class SnapshotTable:
 
         commit_dir = uuid.uuid4().hex
         out = os.path.join(self.root, _DATA_DIR, commit_dir)
+        # NO rebalance here (considered and rejected, optimization
+        # r16): _write_data is shared by the LAYOUT commits —
+        # range-sort / Z-order / Hilbert compaction deliberately
+        # cluster rows into files so min/max stats prune, and a
+        # keyless AQE rebalance would shuffle that clustering away
+        # (measured: the zorder-pruning test fails with it). Sliver
+        # control for snapshot appends belongs at the CALLER, where
+        # intent is known (zone writers rebalance by their partition
+        # columns); zero-row parts are already dropped below.
         df.write.parquet(out)
         # the MANIFEST is the commit marker; Spark's _SUCCESS (and any
         # other non-data artifact) would only confuse vacuum's
