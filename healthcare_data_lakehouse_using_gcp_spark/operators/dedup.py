@@ -912,8 +912,12 @@ def span_dedup(
     # hash-by-id: the next exchange hashes on span_text (the winner
     # agg), so an id hash here buys no exchange reuse and would skew
     # on clustered ids — round-robin balances the chop work exactly.
-    words = ensure_parallelism(
-        df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__words"))
+    # Optimization r17 (guide §2.3): split ABOVE the exchange — the
+    # r16 plan computed split() below it, serializing the tokenize
+    # onto the scan's 1-2 partitions and shuffling token ARRAYS
+    # (strictly more bytes than the raw text).
+    words = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__words")
     )
     spans = words.select(
         F.col(id_col),

@@ -42,13 +42,20 @@ def profile_table(
     grouping keys (gid + distinct value over the Expand), so one
     string min/max used to force the WHOLE pass into a SortAggregate
     — a full local sort of the N×-expanded input on both sides of the
-    exchange. String min/max now run in a SEPARATE single-row GLOBAL
-    aggregate (no grouping keys → no Sort; SortAggregate is sort-free
-    and single-pass there) cross-joined back, so the expanded
-    distinct pass stays a codegen HashAggregate. Values are
-    byte-identical — the same aggregates over the same rows, only
-    grouped into two scans of the pruned column set instead of one
-    sorted pass."""
+    exchange. In EXACT mode string min/max therefore run in a
+    SEPARATE single-row GLOBAL aggregate (no grouping keys → no Sort;
+    SortAggregate is sort-free and single-pass there) cross-joined
+    back, so the expanded distinct pass stays a codegen HashAggregate.
+    Values are byte-identical — the same aggregates over the same
+    rows, only grouped into two scans of the pruned column set
+    instead of one sorted pass. Note the second scan re-executes
+    ``df``'s upstream lineage: profile a (cached or) stable scan, not
+    an expensive uncached derivation, or the derivation runs twice.
+    ``approx=True`` has no Expand and hence no sort to dodge, so the
+    string aggregates stay in the ONE global aggregate and the
+    documented single-pass contract holds (optimization r17, ADVICE
+    r16: the unconditional split was planning two full scans on the
+    100 TB path)."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
@@ -72,7 +79,7 @@ def profile_table(
         ]
         mn = F.min(c).cast("string").alias(f"__mn_{c}")
         mx = F.max(c).cast("string").alias(f"__mx_{c}")
-        if isinstance(dtypes.get(c), hash_friendly):
+        if approx or isinstance(dtypes.get(c), hash_friendly):
             aggs += [mn, mx]
         else:
             str_aggs += [mn, mx]

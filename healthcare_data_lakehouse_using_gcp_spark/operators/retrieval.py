@@ -39,13 +39,21 @@ def tokenize_col(text_col):
 def _token_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, dl): one row per non-empty token OCCURRENCE, with
     the document length riding along — the shared explode stage under
-    build_term_index and the query-scoped scoring paths."""
+    build_term_index and the query-scoped scoring paths.
+
+    Optimization r17 (guide §2.3/§2.4): repartition the RAW text rows
+    and tokenize ABOVE the exchange. Tokenizing below it ran split()
+    over the whole corpus on the 1-2 partitions a small file scan
+    produces and then shuffled the token ARRAYS — strictly more bytes
+    than the text they came from (array element offsets ride along).
+    Now the exchange moves raw text and the split work lands on every
+    core (the ann_cosine_topk single-partition lesson, r16)."""
     from .dedup import ensure_parallelism
 
     words = ensure_parallelism(
-        docs.select(F.col(id_col), tokenize_col(text_col).alias("__words")),
+        docs.select(F.col(id_col), F.col(text_col)),
         partition_by=id_col,
-    )
+    ).select(F.col(id_col), tokenize_col(text_col).alias("__words"))
     return words.select(
         F.col(id_col),
         F.explode("__words").alias("term"),

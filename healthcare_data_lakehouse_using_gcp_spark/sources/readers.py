@@ -110,7 +110,11 @@ def write_zone_table(
     (tasks × values) sliver files per append (the save_ivf_index
     lesson). AQE clusters each value into whole advisory-sized files
     while still splitting a hot value across writers; same rows,
-    same directories, fewer+larger files."""
+    same directories, fewer+larger files. The hot-value splitting
+    comes from AQE's optimizeSkewsInRebalancePartitions — with a
+    caller-supplied session that disables AQE, REBALANCE degrades to
+    plain hash partitioning and a hot value serializes onto one
+    writer (sessions from this repo's get_spark always enable AQE)."""
     if partition_cols:
         writer = df.hint("rebalance", *partition_cols).write.mode(mode)
         writer = writer.partitionBy(*partition_cols)

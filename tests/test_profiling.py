@@ -33,6 +33,14 @@ def test_profile_approx_mode_single_pass(spark):
     approx_plan = profile_table(df, approx=True)._jdf.queryExecution().sparkPlan().toString()
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+    # ADVICE r16 / optimization r17: approx is the documented 100 TB
+    # single-pass path — the exact-mode string min/max split (a second
+    # scan cross-joined back) must NOT apply to it. One source scan,
+    # no join of any kind in the plan.
+    assert approx_plan.count("Scan ExistingRDD") + approx_plan.count(
+        "Scan parquet"
+    ) == 1, approx_plan
+    assert "Join" not in approx_plan, approx_plan
 
 
 def test_profile_column_subset(spark):

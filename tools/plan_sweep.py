@@ -66,7 +66,12 @@ def plan_stats(text: str) -> dict:
         # branch of a binary node (":- HashAggregate (8)" /
         # ":  +- Exchange (7)") — the r16 mid-sweep missed those and
         # undercounted every operator nested under a join's left side.
-        n = len(re.findall(rf"(?m)^[\s:*+-]*\s{tok}\b[a-zA-Z ]*\(", text))
+        # No mandatory whitespace before the token (ADVICE r16): a
+        # root operator at column 0 ("Sort (5)" outside an
+        # AdaptiveSparkPlan wrapper) must count too; the char class
+        # cannot consume letters, so SortMergeJoin still never counts
+        # as Sort.
+        n = len(re.findall(rf"(?m)^[\s:*+-]*{tok}\b[a-zA-Z ]*\(", text))
         if n:
             stats[tok] = n
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
