@@ -253,9 +253,15 @@ def hierarchy_flatten(
     equi-joins instead of 1,000 (the recursive-CTE plan a warehouse
     would run). Roots map to themselves with depth 0, so resolved
     rows are fixed points of the jump and the whole frame converges
-    in ⌈log2(max depth)⌉ + 1 rounds. Convergence is one cheap
-    SUM(depth) agg per round (depth strictly grows for any
-    unresolved node, so a stable sum IS the fixed point); each round
+    in ⌈log2(max depth)⌉ rounds. Convergence (optimization r17,
+    guide §2.6 — one fewer full job wave per converge): the state
+    carries a ``done`` flag = "my ancestor is a root", bootstrapped
+    once from the non-root id set and propagated through the jump
+    (the new ancestor is the old ancestor's ancestor, so the new
+    flag IS the looked-up row's flag). The per-round digest counts
+    not-done rows and stops the loop IN the round the last node
+    resolves — the previous SUM(depth)-stability digest could only
+    observe convergence one wasted round later. Each round still
     ``localCheckpoint``s LAZILY with the digest agg as the
     materializing action — one job per round, and the
     self-referencing plan tree never doubles (the
@@ -307,13 +313,26 @@ def hierarchy_flatten(
         .union(e.select(F.col("anc").alias("node")))
         .distinct()
     )
-    roots = universe.join(e.select("node"), "node", "left_anti")
+    nonroots = e.select("node")
+    roots = universe.join(nonroots, "node", "left_anti")
+    # bootstrap the done flag: an edge row is resolved iff its anc has
+    # no parent pointer of its own (anc ∉ e.node). One |e|-sized hash
+    # join up front buys in-round convergence detection — net one
+    # fewer join+checkpoint+digest wave per call.
+    # (no distinct on the right side: e.node is unique under the
+    # forest contract — check_forest above, or the caller's guarantee)
+    e_done = e.join(
+        nonroots.select(F.col("node").alias("__p")),
+        e["anc"] == F.col("__p"),
+        "left",
+    ).select("node", "anc", F.col("__p").isNull().alias("done"))
     state = (
-        e.withColumn("depth", F.lit(1).cast("bigint"))
+        e_done.withColumn("depth", F.lit(1).cast("bigint"))
         .unionByName(
             roots.select(
                 "node",
                 F.col("node").alias("anc"),
+                F.lit(True).alias("done"),
                 F.lit(0).cast("bigint").alias("depth"),
             )
         )
@@ -324,16 +343,16 @@ def hierarchy_flatten(
         # the digest agg doubles as the lazy checkpoint's
         # materializing action — ONE job per round, not two (the
         # _grouped_rank_two_phase fold, VERDICT r11 item 5)
-        return frame.agg(F.sum(F.col("depth").cast("decimal(38,0)"))).first()[0]
+        return frame.agg(F.count_if(~F.col("done"))).first()[0]
 
-    prev = _digest(state)
-    converged = False
+    pending = _digest(state)
     rounds = 0
-    for _ in range(max_iters):
+    while pending and rounds < max_iters:
         rounds += 1
         lookup = state.select(
             F.col("node").alias("__k"),
             F.col("anc").alias("__anc2"),
+            F.col("done").alias("__done2"),
             F.col("depth").alias("__d2"),
         )
         state = (
@@ -341,18 +360,17 @@ def hierarchy_flatten(
             .select(
                 "node",
                 F.coalesce("__anc2", "anc").alias("anc"),
+                # the jump moves anc to anc's anc, so this row's new
+                # resolved-ness is exactly the looked-up row's flag
+                F.coalesce("__done2", F.col("done")).alias("done"),
                 (F.col("depth") + F.coalesce("__d2", F.lit(0))).alias("depth"),
             )
             .localCheckpoint(eager=False)
         )
-        cur = _digest(state)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        pending = _digest(state)
     if iteration_counter is not None:
         iteration_counter.append(rounds)
-    if not converged:
+    if pending:
         raise RuntimeError(
             f"hierarchy_flatten did not converge in {max_iters} rounds — "
             "the parent pointers almost certainly contain a cycle "

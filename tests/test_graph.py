@@ -150,7 +150,30 @@ def test_hierarchy_flatten_log_rounds_on_deep_chain(spark):
         ).collect()
     }
     assert got[0] == (63, 63) and got[63] == (63, 0)
-    assert counter[0] <= 8, counter
+    # optimization r17: the done-flag digest detects convergence IN
+    # the round the last node resolves — exactly ceil(log2(63)) = 6
+    # rounds, no trailing confirmation round
+    assert counter[0] <= 6, counter
+
+
+def test_hierarchy_flatten_flat_forest_zero_rounds(spark):
+    """Optimization r17: a forest whose every node already points at a
+    root is detected as converged by the bootstrap digest — zero join
+    rounds, identical output."""
+    from healthcare_data_lakehouse_using_gcp_spark.operators.graph import hierarchy_flatten
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, None)], "node int, parent int"
+    )
+    counter: list = []
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(
+            df, "node", "parent", iteration_counter=counter
+        ).collect()
+    }
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 1)}
+    assert counter[0] == 0, counter
 
 
 def test_hierarchy_flatten_isolated_null_parent_root_kept(spark):

@@ -73,6 +73,57 @@ def test_asof_min_by_matches_rank1(spark):
     assert via_rank == via_minby
 
 
+def test_asof_min_by_packed_equals_struct_and_fails_loud(spark):
+    """Optimization r17: the packed min_by guard moved from a per-row
+    when/raise chain to a per-component violation mask max-aggregated
+    per group. Pin (a) packed ≡ struct on in-range data, (b) the plan
+    stays a sort-free HashAggregate, (c) out-of-range and NULL tie
+    values still raise on evaluation instead of silently mis-ranking."""
+    df = spark.createDataFrame(
+        [
+            ("P1", "2024-06-10", "2024-06-08", 3, 108),
+            ("P1", "2024-06-10", "2024-06-08", 1, 101),  # tie dist, lower tie wins
+            ("P1", "2024-06-10", "2024-06-05", 0, 205),
+            ("P2", "2024-06-10", "2024-06-09", 7, 307),
+        ],
+        "key string, l_date string, r_date string, tie int, val int",
+    )
+    kwargs = dict(
+        partition_cols=["key"],
+        left_date="l_date",
+        right_date="r_date",
+        value_cols=["val", "tie"],
+        tie_breakers=["tie"],
+    )
+    packed = joins.asof_select_min_by(df, tie_bits=(3,), **kwargs)
+    struct = joins.asof_select_min_by(df, tie_bits=None, **kwargs)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, struct.collect()))
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan and "HashAggregate" in plan
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    # tie value 9 needs 4 bits > tie_bits=(3,): must raise, not mis-rank
+    bad = df.union(
+        spark.createDataFrame(
+            [("P1", "2024-06-10", "2024-06-10", 9, 999)], df.schema
+        )
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        joins.asof_select_min_by(bad, tie_bits=(3,), **kwargs).collect()
+
+    # NULL tie: must raise (min_by would silently skip the row)
+    nulled = df.union(
+        spark.createDataFrame(
+            [("P3", "2024-06-10", "2024-06-10", None, 42)], df.schema
+        )
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        joins.asof_select_min_by(nulled, tie_bits=(3,), **kwargs).collect()
+
+
 def test_salted_join_equals_plain_join(spark):
     """ROADMAP 6: salting must be a pure plan rewrite — identical
     result to the unsalted equi-join on hot-key data."""
