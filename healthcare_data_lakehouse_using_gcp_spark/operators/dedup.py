@@ -412,10 +412,18 @@ def minhash_dedup(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # persist (optimization r17): hash_jaccard_pairs joins sets on
+    # BOTH pair sides, and without a cache boundary the whole subtree
+    # — a full read of the persisted occurrence frame, the semi-join
+    # AND the collect_set ObjectHashAggregate — is planned (and run)
+    # twice, once per side. The frame is tiny (candidate docs only),
+    # so caching it costs nothing and halves the verify stage's
+    # corpus-cache traffic; lifetime is caller-managed like hf/cands.
     sets = (
         hf.join(F.broadcast(cand_ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("h").alias("hs"))
+        .persist()
     )
     verified = hash_jaccard_pairs(sets, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)

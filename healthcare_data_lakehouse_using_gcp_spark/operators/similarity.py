@@ -467,12 +467,23 @@ def build_ivf_index(
 
     Sample n_centroids vectors (deterministic spread sample — lowest
     md5(seed||id), id-order-independent), refine with a few Lloyd
-    iterations (assignment via an Arrow-batched numpy matmul; centroid
-    update is a plain groupBy/avg). Each Lloyd iteration is one corpus
-    pass — which is why the build is a separate, persistable step
-    rather than part of every query (VERDICT r1 item 3): at the 100 TB
-    design point the index is written with save_ivf_index and queries
-    only read it.
+    iterations. Each Lloyd iteration is ONE mapInPandas corpus pass
+    (optimization r17, guide §4.2, VERDICT r16 item 4): the Arrow
+    batches that compute the nearest-centroid argmax also accumulate
+    per-centroid partial vector sums + counts inside the task, so
+    only n_centroids × n_partitions tiny partial rows ever leave the
+    pass — the previous shape posexploded n × dim rows into a
+    corpus-wide (cid, pos) hash aggregate just to average them.
+    Final merge of the partials is driver-side numpy over
+    kilobytes. Float caveat: partial sums accumulate in numpy batch
+    order instead of Spark's aggregate order, so centroid doubles can
+    differ in final ulps from the old plan; assignments were already
+    robust to that (the driver's 8-core reruns re-partition the same
+    sums and stay hash-green), and the ann_ivf_* oracle family gates
+    it. Each Lloyd iteration is one corpus pass — which is why the
+    build is a separate, persistable step rather than part of every
+    query (VERDICT r1 item 3): at the 100 TB design point the index
+    is written with save_ivf_index and queries only read it.
     """
     import numpy as np
 
@@ -482,21 +493,62 @@ def build_ivf_index(
     centroids = np.array([r[0] for r in sample], dtype=np.float64)
 
     par = ensure_parallelism(corpus.select(id_col, vec_col))
+    # project to the vector column only before the opaque pass
+    # (guide §4.1: Spark cannot prune columns through mapInPandas)
+    vecs_only = par.select(vec_col)
+    dim = len(centroids[0])
+
+    def _partials_fn(cents):
+        c = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        k = len(cents)
+
+        def fn(batches):
+            import pandas as pd
+
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                m = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                if not len(m):
+                    continue
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                cids = np.argmax(mn @ c.T, axis=1)
+                np.add.at(sums, cids, m)
+                counts += np.bincount(cids, minlength=k)
+            hit = np.nonzero(counts)[0]
+            if not hit.size:
+                return  # empty partition: yield no partial rows
+            yield pd.DataFrame(
+                {
+                    "cid": hit.astype("int32"),
+                    # object dtype: an empty/regular float64 ndarray
+                    # column is not Arrow-convertible to list<double>
+                    "s": pd.Series(
+                        [sums[i].tolist() for i in hit], dtype=object
+                    ),
+                    "n": counts[hit],
+                }
+            )
+
+        return fn
+
     for _ in range(lloyd_iters):
-        assigned = par.select(
-            id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
-        )
-        means = (
-            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-            .select("cid", F.transform("ms", lambda s: s["m"]).alias("centroid"))
-            .collect()  # n_centroids × dim doubles — driver-safe
-        )
-        for row in means:
-            centroids[row["cid"]] = np.array(row["centroid"], dtype=np.float64)
+        partials = vecs_only.mapInPandas(
+            _partials_fn(centroids.copy()), "cid int, s array<double>, n long"
+        ).collect()  # n_centroids × n_partitions rows — driver-safe
+        sums = np.zeros((len(centroids), dim), dtype=np.float64)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for row in partials:
+            sums[row["cid"]] += np.asarray(row["s"], dtype=np.float64)
+            counts[row["cid"]] += row["n"]
+        hit = counts > 0
+        centroids[hit] = sums[hit] / counts[hit, None]
 
     indexed = par.select(
         id_col, vec_col, _assign_udf(centroids)(F.col(vec_col)).alias("cid")
