@@ -170,8 +170,18 @@ class HealthcareLakehouse:
                 if snap:
                     from .sources.snapshots import SnapshotTable
 
+                    # rebalance BEFORE the snapshot append (optimization
+                    # r17, guide §6, VERDICT r16 item 6): _write_data
+                    # deliberately never reshuffles (it also serves the
+                    # Z-order/Hilbert layout commits, whose clustering a
+                    # rebalance would destroy), so sliver control is the
+                    # CALLER's job. A plain ETL batch has no layout to
+                    # protect — without this, every batch appends one
+                    # part file per upstream task. Clustering by
+                    # event_date also tightens the per-file min/max
+                    # stats the snapshot scan prunes with.
                     SnapshotTable(self.spark, zone).commit_append(
-                        df,
+                        df.hint("rebalance", "event_date"),
                         txn_id=(
                             f"{txn_id}-{name}" if txn_id is not None else None
                         ),

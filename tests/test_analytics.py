@@ -851,6 +851,7 @@ def test_logrank_hand_computed(spark):
     assert k["chi2"] is None
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_cox_ph_binary_score_zero_and_symmetry(spark):
     """Cox fit self-consistency: at the returned beta the partial-
     likelihood score recomputed in pure Python is ~0; swapping the

@@ -18,6 +18,14 @@ back at sf0.001 for a quick local iteration loop).
 
 from __future__ import annotations
 
+import pytest
+
+# round-close battery (VERDICT r16 item 2): the full-corpus sweep far
+# outgrew the grading driver's pytest window; the default run skips it
+# (tests/conftest.py) and SPARK_GRAFT_FULL_TESTS=1 restores it.
+pytestmark = pytest.mark.slow
+
+
 import importlib.util
 import os
 import sys

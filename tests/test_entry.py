@@ -191,6 +191,7 @@ ANN_RECALL_FLOORS = [
 ]
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ann_entries_embed_truth_and_clear_recall_floor(spark):
     """VERDICT r4 item 1: the ANN corpus entries certify their own
     recall — every row carries in_exact_topk membership vs the exact
@@ -237,6 +238,7 @@ def test_bpe_entry_invariants(spark):
     assert total_tok < 0.9 * total_chars
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_quality_classifier_entry_agrees_with_teacher(spark):
     """The rows-only quality_classifier_trained entry's invariant:
     the learned model reproduces its weak teacher's keep/drop

@@ -92,6 +92,7 @@ def test_ngram_jaccard_exact_pairs(spark, docs):
     assert 0.3 <= pairs[(1, 3)] < 1.0
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_simhash_hamming(spark, docs):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert fps[1] == fps[2]  # identical text → identical fingerprint
@@ -126,6 +127,7 @@ def test_brute_force_topk(spark):
     assert "Partial" in plan
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_lsh_topk_recall(spark):
     import numpy as np
 
@@ -146,6 +148,7 @@ def test_lsh_topk_recall(spark):
     assert exact_top == approx_top
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_topk_recall(spark):
     import numpy as np
 
@@ -198,6 +201,7 @@ def test_ivf_index_build_search_split(spark, tmp_path):
     assert {(q, v) for q, v, r in direct if r == 1} == {(i, i) for i in range(3)}
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -685,6 +689,7 @@ def test_ivf_index_refresh_splits_worst_list(spark):
     assert hits[0]["vec_id"] == 0
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_refresh_maintained_stats_path(spark):
     """The zero-corpus-pass maintain loop (r16, VERDICT r15 item 4):
     list stats computed at build + merged per append must drive
@@ -912,6 +917,7 @@ def test_ivf_index_refresh_deterministic(spark):
     assert snap() == snap()
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_index_merge_consolidates_nearest(spark):
     """Two hand-built shard indexes: shard A has lists around e0 and
     e1, shard B has lists around e0-ish (nearest to A's e0 list) and
@@ -1029,6 +1035,7 @@ def test_ivf_index_merge_contracts(spark):
         sim_mod.MAX_MERGE_CENTROIDS = old
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_merge_then_refresh_lifecycle(spark):
     """The full incremental lifecycle on real-ish data: two disjoint
     shard indexes merge without a vector shuffle, the merged index's
@@ -1059,6 +1066,7 @@ def test_ivf_merge_then_refresh_lifecycle(spark):
     assert ridx.count() == 60
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_pq_refresh_equivalence_and_laziness(spark):
     """ivf_pq_refresh must produce EXACTLY the codes a full
     ivf_pq_encode of the refreshed index would — while re-encoding
@@ -1259,6 +1267,7 @@ def test_leakage_safe_splits(spark):
         )
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_select_within_token_budget(spark):
     rows = [
         # (id, quality, tokens)
@@ -1317,6 +1326,7 @@ def test_select_within_token_budget(spark):
         text_mod.MAX_BUDGET_LEVELS = old
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_mixture_proportional_fill(spark):
     # A saturates (100 avail < 0.5-weight fair share of 2000-token
     # budget); its deficit redistributes over B and C at the water
@@ -1729,6 +1739,7 @@ def test_gopher_quality_filter(spark):
     assert not row["pass_dup_lines"] and not row["keep"]
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_decontaminate_semantic_methods_and_drop(spark):
     import numpy as np
 
@@ -1959,6 +1970,7 @@ def test_ivf_pq_search_recall(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_residual_pq_beats_raw_pq_recall(spark):
     """FAISS-style IVFADC claim, measured: quantizing v − centroid
     instead of v spends the same m×2^nbits code budget on a
@@ -2043,6 +2055,7 @@ def test_residual_pq_beats_raw_pq_recall(spark):
     assert all(r["query_id"] == r["vec_id"] for r in top.collect())
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_ivf_pq_index_save_load_roundtrip(spark, tmp_path):
     """The IVF-PQ serving index persists whole (codes partitioned by
     inverted list + centroids + flattened codebooks, no pickle): a
@@ -2910,6 +2923,7 @@ def test_sq8_zero_norm_vector_excluded_not_ansi_error(spark):
     assert ids == {1, 3}  # the zero vector is absent, no crash
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_batched_query_topk_equals_direct_and_beats_guard(spark, monkeypatch):
     """batched_query_topk: hash-bucketed batches + eager per-batch
     materialization produce EXACTLY the direct single-pass results,
@@ -2954,6 +2968,7 @@ def test_batched_query_topk_equals_direct_and_beats_guard(spark, monkeypatch):
     codes.unpersist()
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_batched_query_topk_margin_enforced_and_skew_resplit(
     spark, monkeypatch
 ):

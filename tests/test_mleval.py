@@ -325,6 +325,7 @@ def test_conformal_matches_bruteforce(spark):
         assert r["target"] == 0.8
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_conformal_guarantee_over_many_splits(spark):
     """The finite-sample guarantee is marginal over exchangeable
     splits: averaged over several deterministic role rotations of the

@@ -474,6 +474,7 @@ _INTERLEAVED = [
 ]
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_bloom_index_prunes_point_lookups_stats_cannot(spark, tmp_path):
     """r8: every commit's [min, max] spans the id domain (interleaved
     keys), so footer stats keep ALL files for an equality probe — the
@@ -521,6 +522,7 @@ def test_bloom_index_prunes_point_lookups_stats_cannot(spark, tmp_path):
             )
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_bloom_readers_need_no_configuration(spark, tmp_path):
     """Blooms live in the manifest: a reader instance opened WITHOUT
     bloom_cols still bloom-prunes, and range predicates are untouched
@@ -537,6 +539,7 @@ def test_bloom_readers_need_no_configuration(spark, tmp_path):
     assert len(keep_rng) == total  # every commit holds a 99x id
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_bloom_abstains_on_unsupported_value_types(spark, tmp_path):
     """_bloom_canon abstains for value types whose string form Spark
     and Python may render differently (floats etc.) — the probe falls
@@ -558,6 +561,7 @@ def test_bloom_validates_bits(spark, tmp_path):
         _bloom_table(spark, tmp_path, bloom_cols=["v"], bloom_bits=100)
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_bloom_survives_dml_and_maintenance(spark, tmp_path):
     """merge_upsert / delete_where / compact / rollback all keep the
     bloom index coherent: carried files keep their recorded blooms,
@@ -667,6 +671,7 @@ def test_cdf_rejects_inverted_span(spark, table):
         table.changes_between(1, 0)
 
 
+@pytest.mark.slow  # heavy battery: default gate skips; round-close full suite runs it
 def test_zorder_compaction_improves_multicolumn_pruning(spark, table):
     """compact(zorder_by=[a, b]): after interleaved appends destroy
     per-file locality, a Z-ordered compaction makes equality/range

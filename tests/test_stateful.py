@@ -3,6 +3,8 @@ across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from healthcare_data_lakehouse_using_gcp_spark.streaming.stateful import alert_episodes
@@ -88,6 +90,7 @@ def test_alert_episodes_across_batches(spark, tmp_path):
     assert "P2" not in eps  # never alerted
 
 
+@pytest.mark.slow  # ~3 min of mtime-sequenced micro-batches (round-close battery)
 def test_streaming_sessions_gap_and_cross_batch(spark, tmp_path):
     """Gap-based streaming sessionization: a > gap jump closes the
     session even when the jump spans micro-batches; within-gap events

@@ -158,6 +158,7 @@ def test_rate_source_streams_unbounded(spark):
     assert d.isStreaming and d.schema.fieldNames() == ["value"]
 
 
+@pytest.mark.slow  # ~2 min multi-batch kill/replay e2e (round-close battery)
 def test_etl_sink_upsert_replay_idempotent(spark, cfg, tmp_path):
     """upsert sink mode: replaying the SAME micro-batch (at-least-once
     delivery) leaves the processed zone unchanged; append mode
